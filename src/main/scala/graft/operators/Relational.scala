@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond plain built-ins: as-of join, sessionize,
+  * top-k per group, range/band join. Each is a shuffle-minimal
+  * composition of Catalyst operators (no driver-side loops, no UDFs),
+  * chosen so the plan survives a 100× scale-up.
+  */
+object Relational {
+
+  /** Backward as-of join: for each left row, attach the latest right row
+    * with the same `key` and `right.ts <= left.ts` (ties: right wins —
+    * a right row at exactly left.ts is visible).
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` window — ONE
+    * shuffle on (key), no row explosion, no range self-join blow-up.
+    * This is the scale-safe plan: a naive `l JOIN r ON key AND r.ts<=l.ts`
+    * is O(|l|·|r|) per key; this is O((|l|+|r|) log) via sort within
+    * partitions.
+    *
+    * @param leftCols  left columns to keep (must exist in `left`)
+    * @param carryCols right columns to carry onto matched left rows
+    */
+  def asOfBackward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftCols: Seq[String], carryCols: Seq[String]): DataFrame = {
+    val rSchema = right.schema
+    val lSchema = left.schema
+    val lPart = left.select(
+      (Seq(col(key), col(ts), lit(1).as("__side")) ++
+        leftCols.map(col) ++
+        carryCols.map(c => lit(null).cast(rSchema(c).dataType).as(s"__carry_$c"))): _*)
+    val rPart = right.select(
+      (Seq(col(key), col(ts), lit(0).as("__side")) ++
+        leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
+        carryCols.map(c => col(c).as(s"__carry_$c"))): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPart.unionByName(rPart)
+      .select((Seq(col(key), col(ts), col("__side")) ++ leftCols.map(col) ++
+        carryCols.map(c => last(col(s"__carry_$c"), ignoreNulls = true).over(w).as(c))): _*)
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapSeconds`. Returns one row
+    * per key: number of sessions and events. One shuffle on key. */
+  def sessionCounts(events: DataFrame, key: String, ts: String, tieBreak: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col(tieBreak).asc)
+    val prev = lag(col(ts), 1).over(w)
+    events
+      .withColumn("__new_session",
+        when(prev.isNull ||
+          (unix_micros(col(ts)) - unix_micros(prev)) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col(key))
+      .agg(sum(col("__new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Top-k rows per group with a deterministic total order (caller must
+    * include a unique tie-break in `order`). Window row_number + filter —
+    * the standard shuffle-once plan; no global sort. */
+  def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rk", row_number().over(Window.partitionBy(part: _*).orderBy(order: _*)))
+      .where(col("rk") <= k)
+
+  /** Band (range) join of a fact column into a tiny set of [lo, hi)
+    * buckets. The band table is broadcast — no shuffle of the fact side,
+    * which is the only plan that survives when the fact table is 100 TB. */
+  def bandJoin(fact: DataFrame, factCol: String, bands: DataFrame): DataFrame =
+    fact.join(broadcast(bands),
+      col(factCol) >= col("lo") && col(factCol) < col("hi"), "inner")
+}

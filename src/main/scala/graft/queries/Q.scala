@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the query inventory + its DuckDB oracle SQL.
+  *
+  * Cross-engine exactness rules (so result hashes match the oracle
+  * bit-for-bit):
+  *  - Raw double columns pass through untouched (same bits both sides).
+  *  - Aggregated money/rate doubles are cast to generous-scale decimals
+  *    first (DECIMAL(14,6) / DECIMAL(8,6)): decimal arithmetic is exact
+  *    in both engines within 38 digits, and `round(sum, 4)` cast to
+  *    double converts a small exact rational identically everywhere.
+  *  - Integer-valued counts are BIGINT on both sides.
+  *  - Divisions produce doubles only from exact integer/decimal operands
+  *    (single correctly-rounded IEEE op — deterministic).
+  */
+object Q {
+  type QFn = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is nanosecond-precision parquet, which Spark's reader
+    * rejects by default; read it as raw long nanos and truncate to a
+    * TimestampType (µs) — matching DuckDB's CAST(ts AS TIMESTAMP). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType.typeName match {
+      case "long" => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case "timestamp_ntz" => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  /** Literal comparable to a (possibly NTZ) timestamp column. */
+  def tsLit(df: DataFrame, c: String, v: String): Column =
+    lit(v).cast(df.schema(c).dataType)
+
+  val MONEY = "decimal(14,6)"
+  val RATE = "decimal(8,6)"
+  def money(c: Column): Column = c.cast(MONEY)
+  def oneMinus(c: Column): Column = lit(1).cast("decimal(9,6)") - c.cast(RATE)
+  def onePlus(c: Column): Column = lit(1).cast("decimal(9,6)") + c.cast(RATE)
+  /** SUM over exact decimals → round(4) → double: bit-stable. */
+  def sumMoney(c: Column): Column = round(sum(c), 4).cast("double")
+
+  // SQL mirrors of the decimal fragments (DuckDB dialect, ANSI).
+  val SQL_MONEY_EXT = "CAST(l_extendedprice AS DECIMAL(14,6))"
+  val SQL_DISC_FACTOR = "(CAST(1 AS DECIMAL(9,6)) - CAST(l_discount AS DECIMAL(8,6)))"
+  val SQL_TAX_FACTOR = "(CAST(1 AS DECIMAL(9,6)) + CAST(l_tax AS DECIMAL(8,6)))"
+  val SQL_REVENUE = s"$SQL_MONEY_EXT * $SQL_DISC_FACTOR"
+  def sqlSumMoney(inner: String): String = s"CAST(ROUND(SUM($inner), 4) AS DOUBLE)"
+  def sqlMoney(c: String): String = s"CAST($c AS DECIMAL(14,6))"
+}

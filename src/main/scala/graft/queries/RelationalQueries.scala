@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import Q._
+
+/** Relational operator coverage (SURVEY §2 Part B): aggregation, joins of
+  * every flavor, windows, sort/limit/top-k, set ops, distinct, rollup/
+  * cube, scalar function families, range/as-of joins, sessionization.
+  * Each query has a DuckDB oracle in [[oracles]].
+  */
+object RelationalQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // TPC-H Q1 shape: the canonical scan→filter→hash-agg pipeline.
+    // Filter + pruning push to the parquet scan; partial agg map-side.
+    "q1_pricing_summary" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_shipdate") <= tsLit(li, "l_shipdate", "1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumMoney(money(col("l_quantity"))).as("sum_qty"),
+          sumMoney(money(col("l_extendedprice"))).as("sum_base_price"),
+          sumMoney(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("sum_disc_price"),
+          sumMoney(money(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax"))).as("sum_charge"),
+          (round(sum(money(col("l_quantity"))), 4).cast("double") / count(lit(1))).as("avg_qty"),
+          (round(sum(money(col("l_extendedprice"))), 4).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // 3-way join + agg + deterministic top-10 (TPC-H Q3 shape).
+    "q3_top_orders" -> { (s, dir) =>
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val of = o.where(col("o_orderdate") < tsLit(o, "o_orderdate", "1998-01-01"))
+      val lf = li.where(col("l_shipdate") > tsLit(li, "l_shipdate", "1998-01-01"))
+      c.join(of, col("c_custkey") === col("o_custkey"))
+        .join(lf, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sumMoney(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
+    // 6-way star join (TPC-H Q5 shape). nation/region are broadcast —
+    // the only sane plan when lineitem is 100 TB.
+    "q5_nation_revenue" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = broadcast(t(s, dir, "nation"))
+      val reg = broadcast(t(s, dir, "region").where(col("r_name") === "ASIA"))
+      val of = o.where(col("o_orderdate") >= tsLit(o, "o_orderdate", "1996-01-01") &&
+        col("o_orderdate") < tsLit(o, "o_orderdate", "1997-01-01"))
+      t(s, dir, "lineitem")
+        .join(of, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sumMoney(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+    },
+
+    // Left outer join preserving customers with zero orders.
+    "q_join_left" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(money(col("o_totalprice"))), 4).cast("double").as("total_spent"))
+    },
+
+    // Semi join = EXISTS.
+    "q_join_semi" -> { (s, dir) =>
+      val fo = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      t(s, dir, "customer")
+        .join(fo, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // Anti join = NOT EXISTS.
+    "q_join_anti" -> { (s, dir) =>
+      val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      t(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+    },
+
+    // Full outer join of two pre-aggregated sides.
+    "q_join_full" -> { (s, dir) =>
+      val cc = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sc = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      cc.join(sc, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+    },
+
+    // Window functions: row_number / rank / lag over one shuffle.
+    "q_window_rank" -> { (s, dir) =>
+      val seqW = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val priceW = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(seqW).cast("long").as("rn"),
+          rank().over(priceW).cast("long").as("rnk"),
+          lag(col("o_totalprice"), 1).over(seqW).as("prev_price"))
+        .where(col("rn") <= 5)
+    },
+
+    // Running (prefix) aggregate — decimal-exact so the incremental vs
+    // segment-tree evaluation strategies of different engines agree.
+    "q_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem").where(col("l_suppkey") < 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).over(w), 4)
+            .cast("double").as("running_rev"))
+    },
+
+    // Top-k per group: the window-rank idiom (no global sort).
+    "q_topk_per_group" -> { (s, dir) =>
+      Relational.topKPerGroup(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .withColumn("rk", col("rk").cast("long"))
+    },
+
+    // Global sort + limit → TakeOrderedAndProject (distributed top-k,
+    // never a single-partition full sort).
+    "q_sort_limit" -> { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
+    // Set operations: UNION (distinct) / INTERSECT / EXCEPT.
+    "q_set_ops" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.union(sup).distinct().select(lit("union").as("op"), col("k"))
+        .unionAll(c.intersect(sup).select(lit("intersect").as("op"), col("k")))
+        .unionAll(c.except(sup).select(lit("except").as("op"), col("k")))
+    },
+
+    // Exact distinct counts (expand-based multi-distinct).
+    "q_distinct_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+    },
+
+    // ROLLUP grouping sets.
+    "q_rollup_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumMoney(money(col("l_quantity"))).as("sum_qty"))
+    },
+
+    // CUBE grouping sets.
+    "q_cube_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(money(col("o_totalprice"))), 4).cast("double").as("total"))
+    },
+
+    // Scalar function families: string / math / conditional — all
+    // whole-stage-codegen row ops.
+    "q_scalar_funcs" -> { (s, dir) =>
+      t(s, dir, "lineitem").where(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          upper(col("l_returnflag")).as("flag_u"),
+          concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("tag"),
+          substring(col("l_linestatus"), 1, 1).as("status1"),
+          length(col("l_returnflag")).cast("long").as("flag_len"),
+          abs(col("l_extendedprice") - col("l_quantity") * lit(100.0)).as("price_dev"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          ceil(col("l_discount") * lit(100.0)).cast("long").as("disc_pct_ceil"),
+          when(col("l_quantity") > 25, lit("big")).otherwise(lit("small")).as("qty_class"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"))
+    },
+
+    // Date/time extraction + aggregation.
+    "q_datetime_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(money(col("o_totalprice"))), 4).cast("double").as("total"))
+    },
+
+    // JSON extraction from a string column.
+    "q_json_events" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    },
+
+    // Range (band) join: fact column into broadcast [lo,hi) buckets.
+    "q_range_join_bands" -> { (s, dir) =>
+      val bands = s.createDataFrame(Seq(
+        (0, 900.0, 925.0), (1, 925.0, 950.0), (2, 950.0, 975.0), (3, 975.0, 1000.0)))
+        .toDF("band_id", "lo", "hi")
+      Relational.bandJoin(t(s, dir, "part"), "p_retailprice", bands)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(money(col("p_retailprice"))), 4).cast("double").as("sum_price"))
+    },
+
+    // As-of join: each purchase ↔ latest signup at-or-before it, per
+    // user. Union+window plan: one shuffle, no range-join explosion.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      Relational.asOfBackward(purchases, signups, "user_id", "ts",
+        leftCols = Seq("purchase_id"), carryCols = Seq("signup_id"))
+        .select(col("purchase_id"), col("user_id"), col("signup_id"))
+    },
+
+    // Gap-based sessionization (30 min).
+    "q_sessionize" -> { (s, dir) =>
+      Relational.sessionCounts(events(s, dir), "user_id", "ts", "event_id", 1800)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSumMoney(sqlMoney("l_quantity"))} AS sum_qty,
+         |  ${sqlSumMoney(SQL_MONEY_EXT)} AS sum_base_price,
+         |  ${sqlSumMoney(SQL_REVENUE)} AS sum_disc_price,
+         |  ${sqlSumMoney(s"$SQL_REVENUE * $SQL_TAX_FACTOR")} AS sum_charge,
+         |  CAST(ROUND(SUM(${sqlMoney("l_quantity")}), 4) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(ROUND(SUM($SQL_MONEY_EXT), 4) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${sqlSumMoney(SQL_REVENUE)} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, ${sqlSumMoney(SQL_REVENUE)} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_join_left" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  ${sqlSumMoney(sqlMoney("o_totalprice"))} AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_join_full" ->
+      """WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |     sc AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(cc.nk, sc.nk) AS nationkey, n_cust, n_supp
+        |FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, rnk, prev_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+        |    lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |  FROM orders) WHERE rn <= 5""".stripMargin,
+
+    "q_window_running" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+         |  CAST(ROUND(SUM($SQL_REVENUE) OVER (
+         |    PARTITION BY l_suppkey
+         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_rev
+         |FROM lineitem WHERE l_suppkey < 10""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT 'union' AS op, k FROM (
+        |  SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM (
+        |  SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM (
+        |  SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_rollup_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${sqlSumMoney(sqlMoney("l_quantity"))} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube_agg" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${sqlSumMoney(sqlMoney("o_totalprice"))} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  upper(l_returnflag) AS flag_u,
+        |  concat(l_returnflag, '-', l_linestatus) AS tag,
+        |  substring(l_linestatus, 1, 1) AS status1,
+        |  CAST(length(l_returnflag) AS BIGINT) AS flag_len,
+        |  abs(l_extendedprice - l_quantity * 100.0) AS price_dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+        |  CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS qty_class,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+        |FROM lineitem WHERE l_orderkey < 500""".stripMargin,
+
+    "q_datetime_agg" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlSumMoney(sqlMoney("o_totalprice"))} AS total
+         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q_json_events" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_range_join_bands" ->
+      s"""SELECT band_id, COUNT(*) AS n_parts,
+         |  ${sqlSumMoney(sqlMoney("p_retailprice"))} AS sum_price
+         |FROM part JOIN (VALUES (0, 900.0, 925.0), (1, 925.0, 950.0),
+         |  (2, 950.0, 975.0), (3, 975.0, 1000.0)) AS b(band_id, lo, hi)
+         |  ON p_retailprice >= lo AND p_retailprice < hi
+         |GROUP BY band_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |       g.event_id AS signup_id
+        |FROM p ASOF LEFT JOIN g ON p.user_id = g.user_id AND p.ts >= g.ts""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |     l AS (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM e)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM l GROUP BY user_id""".stripMargin)
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{Dedup, TextAnalysis}
+import Q._
+
+/** Text-analysis + deduplication coverage over the `documents` table:
+  * word count (the reference's one real query), exact dedup, MinHash-LSH
+  * and SimHash near-dup, n-gram Jaccard, language ID, quality scoring,
+  * token counting, fingerprinting.
+  */
+object TextQueries {
+
+  /** DuckDB fragment: letter tokens exactly matching
+    * [[TextFns.letterTokens]] (split on non-\p{L}, drop empties). */
+  private val SQL_TOKS = """list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')"""
+
+  /** DuckDB CTEs producing distinct word 3-gram shingles per doc —
+    * the mirror of [[Dedup.gramSets]]. */
+  private def sqlGrams(where: String): String =
+    s"""toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents $where),
+       |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+       |          FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+       |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)""".stripMargin
+
+  private def sqlJaccard(threshold: Double): String =
+    s"""SELECT da AS doc_a, db AS doc_b,
+       |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $threshold""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    // The reference's own query (SURVEY §1.4-Q6 semantics): split on
+    // non-letters, case-sensitive, count occurrences.
+    // Ref: /root/reference/test/wordCount.go:14-32.
+    "q_wordcount" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFns.letterTokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    },
+
+    // Exact dedup via content hash.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactKeepers(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Exact n-gram Jaccard similarity, all pairs above threshold on a
+    // bounded slice (the brute-force baseline the LSH path is checked
+    // against).
+    "q_ngram_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+      val grams = Dedup.gramSets(docs, "doc_id", "text", 3)
+      val a = grams.toDF("doc_a", "g")
+      val b = grams.toDF("doc_b", "g")
+      val pairs = a.join(b, "g").where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      Dedup.jaccard(pairs, grams).where(col("jaccard") >= 0.5)
+    },
+
+    // MinHash-LSH near-dup pairs, verified with exact Jaccard >= 0.8.
+    // The oracle is the all-pairs brute force; LSH recall at J>=0.8 with
+    // 16x4 bands is >= 0.9998 (and 1.0 for the J~0.95 dups in real data).
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    },
+
+    // SimHash near-dup pairs (hamming <= 3 on 64-bit signatures).
+    // No SQL oracle: signature bits depend on xxhash64. Rows-only check;
+    // correctness is asserted in DedupSpec against brute-force.
+    "q_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"))
+    },
+
+    // Language ID (stopword heuristic).
+    "q_lang_id" -> { (s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("score_en").cast("long").as("score_en"),
+          col("score_es").cast("long").as("score_es"),
+          col("score_de").cast("long").as("score_de"),
+          col("pred_lang"))
+    },
+
+    // Quality scoring.
+    "q_quality_score" -> { (s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("char_len").cast("long").as("char_len"),
+          col("letter_ratio"), col("stop_ratio"), col("verdict"))
+    },
+
+    // Token counting (whitespace + alnum-run "BPE-ish" tokenizations).
+    "q_token_count" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("alnum_tokens").cast("long").as("alnum_tokens"),
+          col("char_len").cast("long").as("char_len"))
+    },
+
+    // Normalized content fingerprint.
+    "q_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_wordcount" ->
+      s"""SELECT w AS word, COUNT(*) AS cnt FROM (
+         |  SELECT unnest($SQL_TOKS) AS w FROM documents)
+         |GROUP BY w""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH ${sqlGrams("WHERE doc_id < 300")}
+         |${sqlJaccard(0.5)}""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH ${sqlGrams("")}
+         |${sqlJaccard(0.8)}""".stripMargin,
+
+    "q_lang_id" -> {
+      def score(lang: String): String = {
+        val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> ''), x -> x IN ($words))) AS BIGINT)"
+      }
+      s"""WITH s AS (SELECT doc_id,
+         |  ${score("en")} AS score_en,
+         |  ${score("es")} AS score_es,
+         |  ${score("de")} AS score_de
+         |FROM documents)
+         |SELECT doc_id, score_en, score_es, score_de,
+         |  CASE WHEN score_en + score_es + score_de = 0 THEN 'und'
+         |       WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+         |       WHEN score_es >= score_de THEN 'es'
+         |       ELSE 'de' END AS pred_lang
+         |FROM s""".stripMargin
+    },
+
+    "q_quality_score" -> {
+      val enWords = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS char_len,
+         |  CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS letter_ratio,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x IN ($enWords))) AS DOUBLE)
+         |    / CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS stop_ratio
+         |FROM documents)
+         |SELECT doc_id, n_tokens, char_len, letter_ratio, stop_ratio,
+         |  CASE WHEN n_tokens >= 5 AND letter_ratio >= 0.5 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM m""".stripMargin
+    },
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '')) AS BIGINT) AS alnum_tokens,
+        |  CAST(length(text) AS BIGINT) AS char_len
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  substring(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents""".stripMargin)
+}

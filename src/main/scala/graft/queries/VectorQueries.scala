@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import Q._
+
+/** Similarity-search coverage over the `embeddings` table: exact
+  * brute-force cosine top-k (oracle-checked via fixed-point quantized
+  * cosine, bit-identical cross-engine) and the LSH-bucketed ANN variant
+  * (the 100 TB scale path; rows-only check, recall asserted in tests).
+  */
+object VectorQueries {
+
+  private val K = 10
+
+  /** DuckDB fixed-point dot product mirror of
+    * [[graft.functions.VectorFns.dotQ]]. */
+  private def sqlDotQ(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |  i -> CAST(FLOOR(CAST($a[i] AS DOUBLE) * 1000) AS BIGINT)
+       |     * CAST(FLOOR(CAST($b[i] AS DOUBLE) * 1000) AS BIGINT)))""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    // Exact top-k nearest neighbors of vec 0 by (quantized) cosine.
+    "q_embedding_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = K)
+        .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+    },
+
+    // ANN: same probe, but the scan is pruned to the probe's 8-bit
+    // sign-LSH bucket. Rows-only (bucket contents depend on the LSH
+    // planes); recall vs brute force is asserted in SimilaritySpec.
+    "q_ann_lsh" -> { (s, dir) =>
+      Similarity.lshBucketTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = K)
+        .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+    },
+
+    // Per-vector array ops: length, endpoints, quantized norm — scalar
+    // array functions with exact cross-engine semantics.
+    "q_vector_stats" -> { (s, dir) =>
+      import graft.functions.VectorFns
+      t(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        element_at(col("embedding"), -1).cast("double").as("last_val"),
+        VectorFns.dotQ(col("embedding"), col("embedding")).as("qnorm2"),
+        col("label"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_embedding_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id,
+         |    ${sqlDotQ("e.embedding", "q.qe")} AS dot,
+         |    ${sqlDotQ("e.embedding", "e.embedding")} AS na,
+         |    ${sqlDotQ("q.qe", "q.qe")} AS nq
+         |  FROM embeddings e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id,
+         |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) AS cos_sim,
+         |  CAST(row_number() OVER (
+         |    ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) DESC, vec_id) AS BIGINT) AS rk
+         |FROM d QUALIFY rk <= $K""".stripMargin,
+
+    "q_vector_stats" ->
+      s"""SELECT vec_id,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  CAST(embedding[1] AS DOUBLE) AS first_val,
+         |  CAST(embedding[-1] AS DOUBLE) AS last_val,
+         |  ${sqlDotQ("embedding", "embedding")} AS qnorm2,
+         |  label
+         |FROM embeddings""".stripMargin)
+}
