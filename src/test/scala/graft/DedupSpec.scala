@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operators against brute-force baselines on sf0.001 documents. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exactKeepers: one group per distinct text, counts sum to row count") {
+    val k = Dedup.exactKeepers(docs, "doc_id", "text")
+    val total = k.agg(sum("n_copies")).head().getLong(0)
+    assert(total === docs.count())
+    // synthetic corpus at this sf has no exact dups:
+    assert(k.count() === docs.select("text").distinct().count())
+  }
+
+  test("exactKeepers finds injected duplicates") {
+    val withDups = docs.select("doc_id", "text")
+      .unionAll(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val k = Dedup.exactKeepers(withDups, "doc_id", "text")
+    assert(k.where(col("n_copies") === 2).count() === 5)
+    // keeper is the smaller id
+    assert(k.where(col("n_copies") === 2).agg(max("keep_id")).head().getLong(0) < 5)
+  }
+
+  test("minhash-LSH pairs == brute-force n-gram Jaccard pairs at threshold") {
+    val grams = Dedup.gramSets(docs, "doc_id", "text", 3)
+    val a = grams.toDF("doc_a", "g")
+    val b = grams.toDF("doc_b", "g")
+    val allPairs = a.join(b, "g").where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val brute = Dedup.jaccard(allPairs, grams).where(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brute) // full recall at J>=0.8 on this corpus
+    assert(brute.nonEmpty, "corpus should contain near-dups")
+  }
+
+  test("simhash: identical texts get identical signatures; near-dups close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("simhashPairs finds hamming<=3 pairs via chunk join") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(df, "doc_id", "text"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfBackward: latest right row at-or-before each left row, per key") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L))
+      .toDF("k", "ts", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 900L),
+      (1L, ts("2024-01-01 11:00:00"), 901L),
+      (1L, ts("2024-01-01 12:00:00"), 902L), // tie: visible to 12:00 trade
+      (2L, ts("2024-01-01 09:30:00"), 903L)) // after the only k=2 trade
+      .toDF("k", "ts", "quote_id")
+    val got = Relational.asOfBackward(trades, quotes, "k", "ts",
+      leftCols = Seq("trade_id"), carryCols = Seq("quote_id"))
+      .select("trade_id", "quote_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(100L -> 900L, 101L -> 902L, 200L -> -1L))
+  }
+
+  test("sessionCounts: gap splits sessions, per key") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L), // same session (10 min)
+      (1L, ts("2024-01-01 11:30:00"), 3L), // new session (80 min gap)
+      (2L, ts("2024-01-01 10:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Relational.sessionCounts(ev, "user_id", "ts", "event_id", 1800)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(1L -> (2L, 3L), 2L -> (1L, 1L)))
+  }
+
+  test("topKPerGroup: exactly k per group with deterministic ties") {
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("g", "v")
+    val top = Relational.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc), 3)
+    assert(top.count() === 15)
+    val g0 = top.where(col("g") === 0).select("v").collect().map(_.getInt(0)).toSet
+    assert(g0 === Set(100, 95, 90))
+  }
+
+  test("bandJoin assigns facts to [lo,hi) buckets via broadcast") {
+    val bands = Seq((0, 0.0, 50.0), (1, 50.0, 100.0)).toDF("band_id", "lo", "hi")
+    val facts = Seq(10.0, 49.999, 50.0, 99.0).toDF("x")
+    val got = Relational.bandJoin(facts, "x", bands)
+      .groupBy("band_id").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(0 -> 2, 1 -> 2))
+  }
+
+  test("driver contract: every query runs on sf0.001 and has a sane schema") {
+    val skipEmpty = Set("q_simhash_pairs") // legitimately may be empty
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has columns")
+      val n = df.count()
+      if (!skipEmpty.contains(name)) assert(n > 0, s"$name returns rows")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
