@@ -82,7 +82,12 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // grams feed three branches (signatures, intersection counts, set
+    // sizes) — persist so the tokenize+explode+distinct shuffle runs
+    // once, not per branch. MEMORY_AND_DISK: spills instead of OOM at
+    // corpus scale.
     val grams = gramSets(docs, idCol, textCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(grams, numHashes)
     val cands = candidatePairs(lshBandBuckets(sigs, bands, numHashes / bands))
     jaccard(cands, grams).where(col("jaccard") >= threshold)
@@ -112,7 +117,10 @@ object Dedup {
     * is an equi-join on (chunk index, chunk value) — never all-pairs. */
   def simhashPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
-    val chunked = hashes.select(col("doc_id"), col("simhash"),
+    // both sides of the self-join read `hashes`; persist so the 64-sum
+    // signature aggregation upstream runs once.
+    val cached = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = cached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("doc_id", "simhash", "chunk", "cv")

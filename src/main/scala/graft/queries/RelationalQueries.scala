@@ -31,14 +31,19 @@ object RelationalQueries {
     },
 
     // 3-way join + agg + deterministic top-10 (TPC-H Q3 shape).
+    // lineitem is the probe side: the filtered customer⋈orders result is
+    // small and explicitly broadcast, so the fact table is scanned once
+    // with no shuffle and never broadcast (Catalyst's size estimate
+    // would otherwise broadcast filtered lineitem — wrong at scale).
     "q3_top_orders" -> { (s, dir) =>
       val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       val of = o.where(col("o_orderdate") < tsLit(o, "o_orderdate", "1998-01-01"))
       val lf = li.where(col("l_shipdate") > tsLit(li, "l_shipdate", "1998-01-01"))
-      c.join(of, col("c_custkey") === col("o_custkey"))
-        .join(lf, col("l_orderkey") === col("o_orderkey"))
+      val co = c.join(of, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      lf.join(broadcast(co), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sumMoney(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
