@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{MapReduceQueries, Q, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{MapReduceQueries, MediaQueries, Q, RelationalQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MapReduceQueries.queries ++ RelationalQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++
+      StreamQueries.queries ++ MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose outputs depend on
@@ -34,5 +35,6 @@ object SparkEntry {
     * instead asserted against brute-force baselines in the test suite. */
   def oracleSql: Map[String, String] =
     MapReduceQueries.oracles ++ RelationalQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles
+      TextQueries.oracles ++ VectorQueries.oracles ++
+      StreamQueries.oracles ++ MediaQueries.oracles
 }

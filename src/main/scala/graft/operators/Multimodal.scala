@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns plus typed metadata —
+  * the layout a 100 TB training-data lake uses (parquet binary column
+  * chunks; no per-file blob storage round-trips). The testdata has no
+  * real media, so [[mediaTable]] synthesizes payloads from document
+  * text bytes; the *decode* step is an explicitly-marked deterministic
+  * STUB (this container has no image/audio codecs), while everything
+  * Spark-side — schema, binary slicing, partition-batched decode via
+  * `mapPartitions`, feature vectors — is real and tested.
+  *
+  * Scale notes: `frameSample` is pure codegen'd expressions (substring
+  * on binary, no UDF); `decodeStub`/`byteHistogram` run once per
+  * partition with an iterator (no per-row lambda setup, no driver
+  * collect), which is the Scala analogue of a batched `mapInPandas`
+  * decode.
+  */
+object Multimodal {
+
+  /** Opaque media payload + typed metadata, synthesized from documents:
+    * (doc_id, media_type, content: binary, n_bytes). */
+  def mediaTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col(textCol), "UTF-8").as("content"))
+      .withColumn("n_bytes", length(col("content")).cast("long"))
+
+  /** Fixed-size frame sampling: the first `n` frames of `frameSize`
+    * bytes each, one output row per non-empty frame. Pure expression
+    * plan — posexplode over a sequence literal + binary substring, all
+    * inside whole-stage codegen; no shuffle. */
+  def frameSample(media: DataFrame, frameSize: Int, n: Int): DataFrame =
+    media.select(col("doc_id"), col("media_type"),
+      posexplode(sequence(lit(0), lit(n - 1))).as(Seq("frame_idx", "__i")),
+      col("content"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx").cast("long").as("frame_idx"),
+        substring(col("content"), (col("frame_idx") * frameSize + 1).cast("int"),
+          lit(frameSize)).as("frame"))
+      .where(length(col("frame")) > 0)
+
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+  case class Decoded(doc_id: Long, media_type: String, width: Int, height: Int,
+      n_pixels: Long)
+  case class Featured(doc_id: Long, histogram: Array[Float], entropy: Double)
+
+  /** STUB decode — the real implementation would call an image/audio
+    * codec on `content` here (none is installed in this container). The
+    * stand-in derives deterministic fake dimensions from the payload
+    * length so the full pipeline (schema in → partition-batched decode
+    * → typed schema out) is exercised and oracle-checkable. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup would open the codec once here
+      it.map { m =>
+        val nBytes = m.content.length
+        val width = nBytes % 317 + 1   // ??? real codec: decode header
+        val height = nBytes / width + 1 // ??? real codec: decode header
+        Decoded(m.doc_id, m.media_type, width, height, width.toLong * height)
+      }
+    }
+  }
+
+  /** Real feature extraction: 256-bin byte histogram (normalized) +
+    * Shannon entropy per payload, computed partition-batched. This is
+    * the shape of a real embed/feature step: binary in, fixed-dim
+    * Array[Float] out, no shuffle, one pass. */
+  def byteHistogram(media: Dataset[MediaRow]): Dataset[Featured] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val counts = new Array[Long](256)
+        var i = 0
+        while (i < m.content.length) {
+          counts(m.content(i) & 0xFF) += 1; i += 1
+        }
+        val n = math.max(1L, m.content.length.toLong)
+        val hist = counts.map(c => (c.toDouble / n).toFloat)
+        val entropy = counts.foldLeft(0.0) { (acc, c) =>
+          if (c == 0) acc
+          else { val p = c.toDouble / n; acc - p * math.log(p) / math.log(2) }
+        }
+        Featured(m.doc_id, hist, entropy)
+      }
+    }
+  }
+}

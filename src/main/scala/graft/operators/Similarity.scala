@@ -59,6 +59,59 @@ object Similarity {
     emb.withColumn("lsh_bucket", bucket)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (a, b), a < b,
+    * with quantized cosine >= threshold. All-pairs O(n²) self-join — the
+    * correctness baseline only (cf. [[bruteForceTopK]]); the scale path
+    * is [[nearDupPairsLsh]]. */
+  def nearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    // per-vector quantized norm computed once (n·d), not per pair (n²·d)
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      VectorFns.dotQ(col(vecCol), col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      VectorFns.dotQ(col(vecCol), col(vecCol)).as("nb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorFns.dotQ(col("va"), col("vb")).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup, banded sign-LSH: each vector gets
+    * `nBands` independent bucket keys (8 planes each); candidates are
+    * pairs sharing any (band, bucket) key — an equi-join, never
+    * all-pairs — then rescored exactly. OR-amplification over bands
+    * trades shuffle volume for recall; at 100 TB the (band, bucket)
+    * join key hash-partitions, so cost is ~nBands·n rows shuffled +
+    * per-bucket pair generation, vs n² for the exact variant. */
+  def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, nBands: Int = 8): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nPlanes * nBands, dim)
+    val bandKeys = array((0 until nBands).map { bnd =>
+      (0 until nPlanes).map { p =>
+        val dotP = aggregate(
+          zip_with(col(vecCol), typedLit(planes(bnd * nPlanes + p).toSeq),
+            (x, s) => x.cast("double") * s.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)) + lit(bnd.toLong * 256L)
+    }: _*)
+    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
+      explode(bandKeys).as("bkey"))
+    val cands = keyed.as("x").join(keyed.as("y"), Seq("bkey"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"),
+        col("x.nq").as("na"), col("y.nq").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+    cands.select(col("id_a"), col("id_b"),
+        (VectorFns.dotQ(col("va"), col("vb")).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** ANN top-k: restrict the scan to the probe's LSH bucket, then exact
     * cosine within it. Recall < 1 by construction; at scale the win is
     * reading 1/2^nPlanes of the corpus. */

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import Q._
+
+/** Multimodal-column coverage. Payloads are binary columns synthesized
+  * from document text (the testdata has no real media); the documents
+  * are pure ASCII, so the DuckDB oracle mirrors the binary operations
+  * on VARCHAR byte-for-byte (verified: octet_length(encode(text)) ==
+  * length(text) for every row). The decode step is a deterministic
+  * stub (see [[graft.operators.Multimodal.decodeStub]]); the byte
+  * histogram/entropy feature has no SQL mirror and is asserted in
+  * MultimodalSpec instead (rows-only check here).
+  */
+object MediaQueries {
+
+  private val sqlMediaType =
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  val queries: Map[String, QFn] = Map(
+    // Payload accounting per media type: count + total bytes.
+    "q_media_bytes" -> { (s, dir) =>
+      Multimodal.mediaTable(t(s, dir, "documents"))
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+    },
+
+    // Frame sampling: first 4 × 32-byte frames of each payload, with a
+    // per-frame md5 fingerprint — binary substring, fully codegen'd.
+    "q_media_frames" -> { (s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaTable(t(s, dir, "documents")),
+          frameSize = 32, n = 4)
+        .select(col("doc_id"), col("media_type"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+    },
+
+    // Partition-batched decode (stub codec, real plumbing): typed
+    // dimensions out of opaque bytes.
+    "q_media_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+        .select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeStub(media).toDF()
+    },
+
+    // Byte-histogram features: no SQL mirror (256-dim float array);
+    // rows-only here, value-asserted in MultimodalSpec.
+    "q_media_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+        .select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow]
+      Multimodal.byteHistogram(media).toDF()
+        .select(col("doc_id"), round(col("entropy"), 6).as("entropy_r"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_media_bytes" ->
+      s"""SELECT $sqlMediaType AS media_type, COUNT(*) AS n_docs,
+         |  SUM(octet_length(encode(text))) AS total_bytes
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_media_frames" ->
+      s"""SELECT doc_id, $sqlMediaType AS media_type,
+         |  CAST(f.i AS BIGINT) AS frame_idx,
+         |  CAST(length(substring(text, f.i * 32 + 1, 32)) AS BIGINT) AS frame_bytes,
+         |  md5(substring(text, f.i * 32 + 1, 32)) AS frame_md5
+         |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i) f
+         |WHERE length(substring(text, f.i * 32 + 1, 32)) > 0""".stripMargin,
+
+    "q_media_decode" ->
+      s"""WITH m AS (SELECT doc_id, $sqlMediaType AS media_type,
+         |    octet_length(encode(text)) AS n FROM documents)
+         |SELECT doc_id, media_type,
+         |  CAST(n % 317 + 1 AS INTEGER) AS width,
+         |  CAST(n // (n % 317 + 1) + 1 AS INTEGER) AS height,
+         |  CAST((n % 317 + 1) * (n // (n % 317 + 1) + 1) AS BIGINT) AS n_pixels
+         |FROM m""".stripMargin)
+}

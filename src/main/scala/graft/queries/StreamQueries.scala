@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+import Q._
+
+/** Streaming-operator coverage. The transforms are Structured Streaming
+  * shapes (watermark + tumbling window, merging session windows,
+  * flatMapGroupsWithState) but every one is batch-evaluable over the
+  * full `events` table — which is exactly the end-state a stream
+  * converges to once the watermark passes — so each has a bit-exact
+  * DuckDB oracle. True incremental execution is asserted in
+  * StreamingSpec via MemoryStream.
+  */
+object StreamQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // Tumbling 1-hour windows × event_type: the canonical watermarked agg.
+    "q_stream_window_counts" -> { (s, dir) =>
+      Streams.windowedTypeCounts(events(s, dir))
+    },
+
+    // Merging session windows (30 min gap) per user via session_window.
+    "q_stream_session_window" -> { (s, dir) =>
+      Streams.sessionWindowStats(events(s, dir))
+    },
+
+    // Custom state machine (flatMapGroupsWithState): per-user session and
+    // event counts with a 30-minute gap.
+    "q_stream_stateful_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val ds = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[Streams.Ev]
+      Streams.statefulSessionCounts(ds, gapSeconds = 1800L).toDF()
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_window_counts" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST("value" AS DECIMAL(14,6))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS s_start,
+        |  MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q_stream_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e)
+        |SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+        |FROM m GROUP BY user_id""".stripMargin)
+}

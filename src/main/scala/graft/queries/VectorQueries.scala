@@ -38,6 +38,22 @@ object VectorQueries {
         .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
     },
 
+    // Embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    // (the LSH variant below is the scale path).
+    "q_neardup_exact" -> { (s, dir) =>
+      Similarity.nearDupPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.40)
+    },
+
+    // Banded sign-LSH near-dup: candidates from an equi-join on
+    // (band, bucket) keys, exact rescore. Rows-only (bucket membership
+    // depends on engine-internal planes); recall asserted in
+    // SimilaritySpec with planted duplicates.
+    "q_neardup_lsh" -> { (s, dir) =>
+      Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.40)
+    },
+
     // Per-vector array ops: length, endpoints, quantized norm — scalar
     // array functions with exact cross-engine semantics.
     "q_vector_stats" -> { (s, dir) =>
@@ -63,6 +79,17 @@ object VectorQueries {
          |  CAST(row_number() OVER (
          |    ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) DESC, vec_id) AS BIGINT) AS rk
          |FROM d QUALIFY rk <= $K""".stripMargin,
+
+    "q_neardup_exact" ->
+      s"""WITH d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${sqlDotQ("a.embedding", "b.embedding")} AS dot,
+         |    ${sqlDotQ("a.embedding", "a.embedding")} AS na,
+         |    ${sqlDotQ("b.embedding", "b.embedding")} AS nb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) AS cos_sim
+         |FROM d
+         |WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) >= 0.40""".stripMargin,
 
     "q_vector_stats" ->
       s"""SELECT vec_id,

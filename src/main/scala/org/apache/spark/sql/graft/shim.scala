@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters so
+  * the engine can expose custom Catalyst expressions (e.g.
+  * [[graft.functions.expr.DotProductQ]]) through the public Column API.
+  * Same approach used by third-party Spark libraries (frameless,
+  * spark-daria) — lives in an `org.apache.spark.sql` subpackage solely
+  * to satisfy the access modifier; no Spark internals are modified.
+  */
+object shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

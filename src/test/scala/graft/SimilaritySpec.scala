@@ -49,6 +49,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall(brute.contains))
   }
 
+  test("native dot expressions match the composed zip_with/aggregate forms") {
+    val rows = emb.limit(100).select(
+      VectorFns.dotQ(col("embedding"), col("embedding")).as("nq"),
+      VectorFns.dotQComposed(col("embedding"), col("embedding")).as("cq"),
+      VectorFns.dot(col("embedding"), col("embedding")).as("nd"),
+      VectorFns.dotComposed(col("embedding"), col("embedding")).as("cd"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getDouble(2) === r.getDouble(3)) // same fold order → same bits
+    }
+  }
+
+  test("nearDupPairsLsh: 100% recall on planted near-duplicates, candidates pruned") {
+    // plant 5 exact duplicates of existing vectors under new ids
+    val planted = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val got = Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair found (identical vectors always share all band keys)
+    (0L until 5L).foreach(i => assert(got.contains((i, i + 100000L))))
+    // and the exact variant agrees at this threshold
+    val exact = Similarity.nearDupPairsExact(corpus, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+    assert(exact == got, "LSH must find all exact-threshold pairs here")
+  }
+
   test("lsh bucket ids are stable across invocations (deterministic planes)") {
     val b1 = Similarity.withLshBucket(emb, "embedding")
       .select("vec_id", "lsh_bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+import graft.streaming.Streams
+
+/** Incremental (MemoryStream) execution of the streaming operators must
+  * converge to the batch answer over the same data once all input is
+  * processed — that equivalence is what lets the DuckDB oracle check
+  * the batch path in StreamQueries.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def eventRows = {
+    import spark.implicits._
+    Q.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Streams.Ev].collect().toSeq
+  }
+
+  test("windowedTypeCounts: streaming result == batch result") {
+    import spark.implicits._
+    val batchIn = Q.events(spark, sf)
+    val expected = Streams.windowedTypeCounts(batchIn)
+      .collect().map(_.toString).sorted
+
+    val ms = MemoryStream[Streams.Ev](spark)
+    val rows = eventRows.toArray
+    // two batches: watermark advances between them; no late data beyond
+    // watermark (input is fed in ts order per batch)
+    val (a, b) = rows.sortBy(_.ts.getTime).splitAt(rows.length / 2)
+    val sq = Streams.windowedTypeCounts(ms.toDF())
+      .writeStream.format("memory").queryName("wtc")
+      .outputMode("complete").start()
+    ms.addData(a: _*); sq.processAllAvailable()
+    ms.addData(b: _*); sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("wtc").collect().map(_.toString).sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("statefulSessionCounts: streaming update-mode final state == batch sessionize") {
+    import spark.implicits._
+    val rows = eventRows.sortBy(_.ts.getTime)
+    val expected = graft.operators.Relational
+      .sessionCounts(Q.events(spark, sf), "user_id", "ts", "event_id", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+
+    val ms = MemoryStream[Streams.Ev](spark)
+    val sq = Streams.statefulSessionCounts(ms.toDS(), 1800L)
+      .writeStream.format("memory").queryName("ssc")
+      .outputMode("update").start()
+    // three micro-batches in event-time order: state must carry across
+    val third = rows.length / 3
+    ms.addData(rows.take(third): _*); sq.processAllAvailable()
+    ms.addData(rows.slice(third, 2 * third): _*); sq.processAllAvailable()
+    ms.addData(rows.drop(2 * third): _*); sq.processAllAvailable()
+    sq.stop()
+    // update mode emits one row per user per batch; final state = last
+    val got = spark.table("ssc")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("sessionWindowStats batch == manual gaps-and-islands") {
+    val ev = Q.events(spark, sf)
+    val got = Streams.sessionWindowStats(ev).groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val manual = graft.operators.Relational
+      .sessionCounts(ev, "user_id", "ts", "event_id", 1800L)
+    val diff = got.join(manual, "user_id")
+      .where(got("n_sessions") =!= manual("n_sessions") ||
+        got("n_events") =!= manual("n_events"))
+    assert(diff.count() == 0)
+    assert(got.count() == manual.count())
+  }
+}
