@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // profiling aid: SPARK_EVENTLOG=true dumps per-stage event logs
+  s"-Dspark.eventLog.enabled=${sys.env.getOrElse("SPARK_EVENTLOG", "false")}",
+  "-Dspark.eventLog.dir=file:///tmp/sparklogs",
+  // local[32] shares one heap across all executor threads. Measured on
+  // the MinHash pipeline at sf0.1 (cold, local[32]): 16g+G1 13s,
+  // 16g+Parallel 18s, 48g+G1 25s, 48g+Parallel 100-196s — big heaps are
+  // counterproductive on this virtualized host (page-fault storms show
+  // up as GC time), so pin a moderate fixed-size heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  sys.env.getOrElse("SPARK_GC_FLAG", "-XX:+UseG1GC"),
 )

@@ -24,6 +24,9 @@ case class DotProductQ(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  // a null ELEMENT nulls the result even when both array inputs are
+  // non-null, so nullability cannot be inherited from the children
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -68,6 +71,7 @@ case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

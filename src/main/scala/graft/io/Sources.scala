@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY §2 Part B "Scans/sources" / "Sinks").
+  *
+  * The reference reads whole files as bytes (`mpMaster/master.go:77-89`)
+  * and writes per-bucket JSON array files (`mpWorker/worker.go:153-192`).
+  * Here: Spark's format readers with the engine's conventions pinned —
+  * explicit schema (no runtime inference surprises at 100 TB: an
+  * inference pass is a full extra scan), and partitioned columnar sinks.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with an explicit schema — `inferSchema` double-scans the input. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON-lines with an explicit schema (one extra scan avoided; also
+    * pins types the inferencer would widen). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Line-oriented text — the reference's input model with correct
+    * (line-aware) splitting. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Whole-file binary blobs (path, modificationTime, length, content). */
+  def binary(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+
+  /** Partitioned parquet sink — the engine's primary output format.
+    * `partitionBy` reproduces the reference's per-bucket file layout
+    * (`<workerIP>_<bucket>.json`) as directory partitions that later
+    * scans can prune. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** JSON-lines sink (the reference's intermediate encoding, A7). */
+  def writeJsonLines(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+}

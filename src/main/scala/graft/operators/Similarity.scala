@@ -45,15 +45,14 @@ object Similarity {
   }
 
   /** 8-bit sign-LSH bucket id for every vector: bit p = sign of
-    * dot(vec, plane_p) with ±1 planes. Pure codegen'd expression. */
+    * dot(vec, plane_p) with ±1 planes, via the native fused dot-product
+    * expression (one loop per plane, no intermediate arrays). */
   def withLshBucket(emb: DataFrame, vecCol: String, nPlanes: Int = 8): DataFrame = {
     val dim = 64
     val planes = hyperplanes(nPlanes, dim)
     val bucket = (0 until nPlanes).map { p =>
-      val dotP = aggregate(
-        zip_with(col(vecCol), typedLit(planes(p).toSeq),
-          (x, s) => x.cast("double") * s.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      val dotP = VectorFns.dot(col(vecCol),
+        typedLit(planes(p).map(_.toFloat).toSeq))
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     emb.withColumn("lsh_bucket", bucket)
@@ -90,10 +89,8 @@ object Similarity {
     val planes = hyperplanes(nPlanes * nBands, dim)
     val bandKeys = array((0 until nBands).map { bnd =>
       (0 until nPlanes).map { p =>
-        val dotP = aggregate(
-          zip_with(col(vecCol), typedLit(planes(bnd * nPlanes + p).toSeq),
-            (x, s) => x.cast("double") * s.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+        val dotP = VectorFns.dot(col(vecCol),
+          typedLit(planes(bnd * nPlanes + p).map(_.toFloat).toSeq))
         when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)) + lit(bnd.toLong * 256L)
     }: _*)

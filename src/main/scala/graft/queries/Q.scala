@@ -19,8 +19,24 @@ import org.apache.spark.sql.functions._
 object Q {
   type QFn = (SparkSession, String) => DataFrame
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Tables whose pipelines do heavy per-row compute (tokenize/explode,
+    * 64-hash MinHash, 64-dim vector math) and so need parallel scans. */
+  private val computeHeavy = Set("documents", "embeddings")
+
+  /** Parquet scan parallelism is row-group-bound, and the driver's
+    * testdata ships ONE row group per file — so every pre-shuffle
+    * pipeline runs on one core regardless of maxPartitionBytes
+    * (measured: a 21 s single-task MinHash cache build at sf0.1). A
+    * production lake has row-group-sized splits and wouldn't need this;
+    * here we round-robin the compute-heavy tables out to the session's
+    * parallelism. Cheap scan→agg tables stay un-repartitioned: the
+    * extra shuffle costs more than single-core partial aggregation
+    * saves. Filters/pruning still push below the repartition. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (computeHeavy(name)) df.repartition(s.sparkContext.defaultParallelism)
+    else df
+  }
 
   /** events.ts is nanosecond-precision parquet, which Spark's reader
     * rejects by default; read it as raw long nanos and truncate to a

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extension-registered SQL functions must work from SQL text and
+  * agree with the Column-API forms. Uses its own session (extensions
+  * bind at session build). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate reuses the JVM-wide default session (TestSpark's) and
+    // would silently skip the extensions: clear the default so a fresh
+    // session (sharing the same SparkContext) is built WITH them, then
+    // restore the shared one as default for the other suites.
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  test("dot_q / dot_d callable from SQL and correct") {
+    val r = spark.sql(
+      """SELECT dot_q(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |             array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS q,
+        |       dot_d(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |             array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d
+        |""".stripMargin).head()
+    // floor(1.5*1000)*floor(2*1000) + floor(-2*1000)*floor(0.5*1000)
+    assert(r.getLong(0) == 1500L * 2000L + -2000L * 500L)
+    assert(math.abs(r.getDouble(1) - (1.5 * 2.0 + -2.0 * 0.5)) < 1e-12)
+  }
+
+  test("null semantics: null array or null element yields null") {
+    val r = spark.sql(
+      """SELECT dot_q(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1 AS FLOAT))) AS a,
+        |       dot_q(array(CAST(NULL AS FLOAT)), array(CAST(1 AS FLOAT))) AS b
+        |""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
