@@ -74,4 +74,22 @@ object Relational {
   def bandJoin(fact: DataFrame, factCol: String, bands: DataFrame): DataFrame =
     fact.join(broadcast(bands),
       col(factCol) >= col("lo") && col(factCol) < col("hi"), "inner")
+
+  /** Skew-resistant equi-join: salt the skewed (fact) side's key into
+    * `salts` sub-keys and replicate the other side once per salt, so a
+    * hot key spreads over `salts` reducers instead of melting one.
+    * AQE's skew-join handles sort-merge skew adaptively; this is the
+    * explicit form for when the build side is replicable (dimension
+    * tables) or AQE is unavailable (e.g. inside cached subtrees).
+    *
+    * `right` is shuffled `salts`× (it is the smaller side); `left` is
+    * shuffled once. Inner join on (key, salt). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -165,6 +165,30 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     },
 
+    // Skew-resistant salted equi-join: must produce exactly the rows of
+    // the plain join (the oracle), while spreading any hot key across
+    // 8 sub-partitions.
+    "q_salted_join" -> { (s, dir) =>
+      import graft.operators.Relational
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val p = t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Relational.saltedJoin(li, p, "l_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(14,6)")).cast("double").as("sum_qty"))
+    },
+
+    // HLL sketch distinct (the 100 TB path where exact countDistinct's
+    // shuffle is unaffordable). Engine-specific estimate: no SQL oracle;
+    // accuracy vs exact asserted in RelationalSpec (<5% rel. error).
+    "q_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("apx_supps"))
+    },
+
     // ROLLUP grouping sets.
     "q_rollup_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -342,6 +366,11 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "q_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     "q_rollup_agg" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |  ${sqlSumMoney(sqlMoney("l_quantity"))} AS sum_qty

@@ -68,6 +68,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct within 5% of exact per group") {
+    import org.apache.spark.sql.functions._
+    val li = graft.queries.Q.t(spark, sf, "lineitem")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("apx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    both.foreach { r =>
+      val (apx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(apx - exact) / exact < 0.05, s"apx=$apx exact=$exact")
+    }
+  }
+
+  test("saltedJoin equals plain join result") {
+    import org.apache.spark.sql.functions._
+    val li = graft.queries.Q.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"))
+    val p = graft.queries.Q.t(spark, sf, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val salted = graft.operators.Relational.saltedJoin(li, p, "l_partkey", 8)
+      .groupBy("p_brand").count()
+    val plain = li.join(p, "l_partkey").groupBy("p_brand").count()
+    assert(salted.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      plain.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
