@@ -109,6 +109,70 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** IVF coarse quantizer: k-means centroids trained with a few Lloyd
+    * iterations. Deterministic init (lowest-id vectors); each iteration
+    * is fully distributed (argmin assignment + per-dimension mean);
+    * only the k×dim centroid matrix ever reaches the driver — the same
+    * shape as Spark ML's KMeans. Returns the centroid matrix. */
+  def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3): Array[Seq[Float]] = {
+    var centroids: Array[Seq[Float]] = emb.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(emb, vecCol, centroids)
+      val means = assigned
+        .select(col("__cid"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy(col("__cid"), col("__pos"))
+        .agg(avg(col("__v")).as("__m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          case None => centroids(cid) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id per vector (argmin of squared L2 distance,
+    * expanded to -2·dot + |c|² since |v|² is constant per row) — one
+    * fused native dot per centroid, no shuffle. */
+  private def assignToCentroids(emb: DataFrame, vecCol: String,
+      centroids: Array[Seq[Float]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val norm2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((VectorFns.dot(col(vecCol), typedLit(c)) * lit(-2.0) + lit(norm2)).as("d"),
+        lit(i).as("cid"))
+    }
+    emb.withColumn("__cid", array_min(array(scored.toIndexedSeq: _*)).getField("cid"))
+  }
+
+  /** IVF ANN top-k: scan only the `nProbe` inverted lists whose
+    * centroids are nearest the query, exact cosine within them. At
+    * scale the assignment is precomputed and the table partitioned by
+    * `__cid`, so the probe reads nProbe/k of the corpus. */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      probeId: Long, k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = ivfTrain(emb, idCol, vecCol, nClusters)
+    val qvec = emb.where(col(idCol) === probeId).select(col(vecCol)).head()
+      .getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(qvec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    assignToCentroids(emb, vecCol, centroids)
+      .where(col("__cid").isin(probes: _*) && col(idCol) =!= probeId)
+      .select(col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), typedLit(qvec)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+  }
+
   /** ANN top-k: restrict the scan to the probe's LSH bucket, then exact
     * cosine within it. Recall < 1 by construction; at scale the win is
     * reading 1/2^nPlanes of the corpus. */

@@ -38,6 +38,16 @@ object VectorQueries {
         .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
     },
 
+    // IVF ANN: k-means coarse quantizer (3 Lloyd iterations, k=16),
+    // probe the 4 nearest inverted lists, exact rescore. Rows-only
+    // (centroids are engine-internal); recall vs brute force asserted
+    // in SimilaritySpec.
+    "q_ann_ivf" -> { (s, dir) =>
+      Similarity.ivfTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = K)
+        .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+    },
+
     // Embedding-cosine near-duplicate pairs, exact all-pairs baseline
     // (the LSH variant below is the scale path).
     "q_neardup_exact" -> { (s, dir) =>

@@ -78,6 +78,25 @@ class SimilaritySpec extends SparkSpec {
     assert(exact == got, "LSH must find all exact-threshold pairs here")
   }
 
+  test("ivfTopK: high recall vs brute force while scanning a fraction of lists") {
+    val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(spark, emb, "vec_id", "embedding", 0L, 10,
+        nClusters = 16, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty)
+    // probing half the lists must recover most of the true top-10
+    assert((brute intersect ivf).size >= 5,
+      s"recall too low: ${(brute intersect ivf).size}/10")
+  }
+
+  test("ivfTrain: deterministic centroids, every vector assigned") {
+    val c1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val c2 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(c1.map(_.toList).toList == c2.map(_.toList).toList)
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+  }
+
   test("lsh bucket ids are stable across invocations (deterministic planes)") {
     val b1 = Similarity.withLshBucket(emb, "embedding")
       .select("vec_id", "lsh_bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
