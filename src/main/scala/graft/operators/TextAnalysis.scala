@@ -69,4 +69,22 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       substring(md5(TextFns.normalized(col(textCol))), 1, 16).as("fp"))
+
+  /** Bottom-m document sketch (winnowing-style): the m lexicographically
+    * smallest md5 hashes of the doc's distinct word n-grams. Sketch
+    * overlap estimates n-gram Jaccard (bottom-m is a uniform sample of
+    * the gram universe); two near-dup docs share most fingerprints.
+    * One shuffle (rank per doc via window); sketch size is bounded so
+    * downstream pair-matching joins carry m rows per doc, not the full
+    * gram set. */
+  def bottomMSketch(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Dedup.gramSets(docs, idCol, textCol, ngram)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("fp_hash").asc)
+    grams.select(col("doc_id"), md5(col("g")).as("fp_hash"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= m)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("fp_hash"))
+  }
 }

@@ -26,6 +26,12 @@ object StreamQueries {
       Streams.sessionWindowStats(events(s, dir))
     },
 
+    // Stream-stream interval join (watermark-bounded state in streaming;
+    // identical plan in batch).
+    "q_stream_join" -> { (s, dir) =>
+      Streams.clickPurchaseJoin(events(s, dir))
+    },
+
     // Custom state machine (flatMapGroupsWithState): per-user session and
     // event counts with a 30-minute gap.
     "q_stream_stateful_sessions" -> { (s, dir) =>
@@ -60,6 +66,15 @@ object StreamQueries {
         |SELECT user_id, MIN(ts) AS s_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, "value" FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS p_id, p."value"
+        |FROM e c JOIN e p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin,
 
     "q_stream_stateful_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -108,6 +108,12 @@ object TextQueries {
     // Normalized content fingerprint.
     "q_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Bottom-8 winnowing-style sketch over word 3-grams (md5-ranked —
+    // identical in both engines, so exactly oracle-checkable).
+    "q_doc_sketch" -> { (s, dir) =>
+      TextAnalysis.bottomMSketch(t(s, dir, "documents"), "doc_id", "text")
     })
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +178,15 @@ object TextQueries {
     "q_fingerprint" ->
       """SELECT doc_id,
         |  substring(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q_doc_sketch" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |grams AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |          FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |h AS (SELECT doc_id, md5(g) AS fp_hash FROM grams),
+         |r AS (SELECT doc_id, fp_hash,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY fp_hash) AS rk
+         |      FROM h)
+         |SELECT doc_id, rk, fp_hash FROM r WHERE rk <= 8""".stripMargin)
 }

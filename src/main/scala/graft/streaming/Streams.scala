@@ -48,6 +48,29 @@ object Streams {
         col("sw.end").as("s_end"), col("n_events"))
   }
 
+  /** Stream-stream interval join: purchases within `windowMinutes`
+    * after a click by the same user. In streaming both sides carry
+    * watermarks and the time-range condition bounds the join state
+    * (rows age out once the watermark passes click_ts + window); in
+    * batch the identical plan is a plain range-condition equi-join on
+    * user_id. One shuffle per side. */
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int = 30,
+      watermark: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") < col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("p_id"), col("value"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String,
       value: Double)
   case class SessState(lastTsMicros: Long, sessions: Long, events: Long)

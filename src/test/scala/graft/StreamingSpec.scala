@@ -11,6 +11,9 @@ import graft.streaming.Streams
   * processed — that equivalence is what lets the DuckDB oracle check
   * the batch path in StreamQueries.
   */
+case class EvId(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+
 class StreamingSpec extends SparkSpec {
 
   private def eventRows = {
@@ -64,6 +67,25 @@ class StreamingSpec extends SparkSpec {
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
       .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("clickPurchaseJoin: stream-stream interval join == batch join") {
+    import spark.implicits._
+    val full = Q.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val expected = Streams.clickPurchaseJoin(full)
+      .collect().map(_.toString).sorted
+    val rows = full.as[EvId].collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[EvId](spark)
+    val sq = Streams.clickPurchaseJoin(ms.toDF())
+      .writeStream.format("memory").queryName("cpj")
+      .outputMode("append").start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a.toIndexedSeq: _*); sq.processAllAvailable()
+    ms.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("cpj").collect().map(_.toString).sorted
     assert(got.toSeq == expected.toSeq)
   }
 
