@@ -189,6 +189,29 @@ object RelationalQueries {
           approx_count_distinct(col("l_suppkey")).as("apx_supps"))
     },
 
+    // Pivot: one column per order status, counts + revenue. Plans as a
+    // single hash aggregation with conditional aggregates — no extra
+    // shuffle vs the flat groupBy.
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+    },
+
+    // Exact interpolated percentiles (median / p90) per group. Integral
+    // quantities make the interpolation arithmetic exact cross-engine.
+    "q_percentile" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+    },
+
     // ROLLUP grouping sets.
     "q_rollup_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -364,6 +387,20 @@ object RelationalQueries {
     "q_distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+        |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_salted_join" ->
