@@ -69,6 +69,27 @@ object Multimodal {
     }
   }
 
+  case class Resized(doc_id: Long, media_type: String, content: Array[Byte],
+      orig_bytes: Int, new_bytes: Int)
+
+  /** STUB resize — a real implementation would decode, scale, re-encode
+    * (no codec in this container). The stand-in subsamples every k-th
+    * byte of the payload (deterministic, content-dependent), keeping the
+    * pipeline shape honest: binary in → smaller binary out, computed
+    * partition-batched with no shuffle. */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1)
+    media.mapPartitions { it =>
+      it.map { m =>
+        val out = new Array[Byte]((m.content.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = m.content(i * factor); i += 1 }
+        Resized(m.doc_id, m.media_type, out, m.content.length, out.length)
+      }
+    }
+  }
+
   /** Real feature extraction: 256-bin byte histogram (normalized) +
     * Shannon entropy per payload, computed partition-batched. This is
     * the shape of a real embed/feature step: binary in, fixed-dim

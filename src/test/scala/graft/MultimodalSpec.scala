@@ -44,6 +44,23 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.count() == media.count())
   }
 
+  test("resizeStub: 4x subsample keeps every 4th byte, size is ceil(n/4)") {
+    import spark.implicits._
+    val resized = Multimodal.resizeStub(
+      media.select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow], factor = 4).collect()
+    assert(resized.length == media.count())
+    resized.foreach { r =>
+      assert(r.new_bytes == (r.orig_bytes + 3) / 4)
+      assert(r.content.length == r.new_bytes)
+    }
+    // spot-check content of doc 0
+    val orig = media.where(col("doc_id") === 0).select("content")
+      .head().getAs[Array[Byte]](0)
+    val got = resized.find(_.doc_id == 0).get.content
+    assert(got.toSeq == orig.indices.collect { case i if i % 4 == 0 => orig(i) }.toSeq)
+  }
+
   test("byteHistogram: histogram sums to 1, entropy in [0, 8], matches local calc") {
     import spark.implicits._
     val feats = Multimodal.byteHistogram(
