@@ -97,16 +97,18 @@ object Similarity {
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
       explode(bandKeys).as("bkey"))
-    val cands = keyed.as("x").join(keyed.as("y"), Seq("bkey"))
+    // score WHILE the vectors are co-located by the band join, then
+    // dedupe band collisions on (id_a, id_b, cos) — the dedup shuffle
+    // carries ids + one double instead of two 64-float vectors; a pair
+    // colliding in b bands costs b cheap fused dots, not b vector-row
+    // shuffles. Threshold applied before the shuffle prunes further.
+    keyed.as("x").join(keyed.as("y"), Seq("bkey"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"),
-        col("x.nq").as("na"), col("y.nq").as("nb"))
-      .dropDuplicates("id_a", "id_b")
-    cands.select(col("id_a"), col("id_b"),
-        (VectorFns.dotQ(col("va"), col("vb")).cast("double") /
-          sqrt((col("na") * col("nb")).cast("double"))).as("cos_sim"))
+        (VectorFns.dotQ(col("x.v"), col("y.v")).cast("double") /
+          sqrt((col("x.nq") * col("y.nq")).cast("double"))).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** IVF coarse quantizer: k-means centroids trained with a few Lloyd
