@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Relational, TextAnalysis}
+
+/** Boundary semantics that silently break at scale if wrong: empty and
+  * sub-n documents, exact gap/timestamp boundaries, oversized frames,
+  * k larger than group. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gramSets: docs shorter than n yield no shingles; exactly n yields one") {
+    val df = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "one two three"),
+      (5L, "...!!!"), (6L, "one two three four"))
+      .toDF("doc_id", "text")
+    val grams = Dedup.gramSets(df, "doc_id", "text", 3)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!grams.contains(1L) && !grams.contains(2L) && !grams.contains(3L))
+    assert(!grams.contains(5L), "punctuation-only doc has no tokens")
+    assert(grams(4L) == 1L)
+    assert(grams(6L) == 2L)
+  }
+
+  test("asOfBackward: rows before any right match carry null; equal ts is visible") {
+    val left = Seq((1L, ts(10), "l1"), (1L, ts(20), "l2"), (1L, ts(5), "l0"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(15), 150.0))
+      .toDF("k", "t", "px")
+    val out = Relational.asOfBackward(left, right, "k", "t",
+        leftCols = Seq("tag"), carryCols = Seq("px"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("px"))).toMap
+    assert(out("l0").isEmpty, "no right row at or before ts=5")
+    assert(out("l1").contains(100.0), "right row at exactly left ts is visible")
+    assert(out("l2").contains(150.0), "latest right row at ts<=20")
+  }
+
+  test("sessionCounts: gap exactly equal to threshold does NOT split (strict >)") {
+    val ev = Seq((1L, ts(0), 1L), (1L, ts(1800), 2L), (1L, ts(3601), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Relational.sessionCounts(ev, "user_id", "ts", "event_id", 1800L)
+      .head()
+    assert(out.getLong(1) == 2L, "exactly-1800s gap stays, 1801s gap splits")
+    assert(out.getLong(2) == 3L)
+  }
+
+  test("frameSample: frameSize beyond content yields single partial frame") {
+    val media = Multimodal.mediaTable(
+      Seq((1L, "short")).toDF("doc_id", "text"))
+    val frames = Multimodal.frameSample(media, frameSize = 32, n = 4).collect()
+    assert(frames.length == 1)
+    assert(new String(frames.head.getAs[Array[Byte]]("frame")) == "short")
+  }
+
+  test("topKPerGroup: k larger than group returns whole group, ranked") {
+    val df = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("g", "v")
+    val out = Relational.topKPerGroup(df, Seq(col("g")),
+      Seq(col("v").desc), k = 5)
+    assert(out.count() == 3)
+    assert(out.where(col("g") === 1 && col("rk") === 1).head().getDouble(1) == 20.0)
+  }
+
+  test("bottomMSketch: doc with fewer than m grams emits all of them") {
+    val df = Seq((1L, "one two three four")).toDF("doc_id", "text") // 2 grams
+    val sk = TextAnalysis.bottomMSketch(df, "doc_id", "text", ngram = 3, m = 8)
+    assert(sk.count() == 2)
+  }
+
+  test("wordcount tokenizer: unicode letters kept, digits and underscore split") {
+    import graft.functions.TextFns
+    val toks = Seq(Tuple1("héllo wörld_foo123bar über"))
+      .toDF("text")
+      .select(explode(TextFns.letterTokens(col("text"))).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(toks == Seq("héllo", "wörld", "foo", "bar", "über"))
+  }
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+}
