@@ -189,6 +189,34 @@ object RelationalQueries {
           approx_count_distinct(col("l_suppkey")).as("apx_supps"))
     },
 
+    // Correlated EXISTS subquery (TPC-H Q4 shape) — planned as a left
+    // semi join, one shuffle.
+    "q_exists_subquery" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .where(col("l_discount") > 0.05)
+        .select(col("l_orderkey"))
+      o.where(col("o_orderdate") >= tsLit(o, "o_orderdate", "1996-07-01") &&
+          col("o_orderdate") < tsLit(o, "o_orderdate", "1996-10-01"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // Scalar aggregate subquery (TPC-H Q17 shape): per-part average
+    // quantity as the filter bound — planned as an aggregated build
+    // side joined back on the key.
+    "q_scalar_subquery" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("ak"))
+        .agg((round(sum(money(col("l_quantity"))), 4).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ak"))
+        .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_below"),
+          sumMoney(money(col("l_extendedprice"))).as("sum_price"))
+    },
+
     // Pivot: one column per order status, counts + revenue. Plans as a
     // single hash aggregation with conditional aggregates — no extra
     // shuffle vs the flat groupBy.
@@ -388,6 +416,25 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_discount > 0.05)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_scalar_subquery" ->
+      s"""WITH a AS (SELECT l_partkey AS ak,
+         |    CAST(ROUND(SUM(${sqlMoney("l_quantity")}), 4) AS DOUBLE) / COUNT(*) AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT COUNT(*) AS n_below,
+         |  ${sqlSumMoney(sqlMoney("l_extendedprice"))} AS sum_price
+         |FROM lineitem JOIN a ON l_partkey = ak
+         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

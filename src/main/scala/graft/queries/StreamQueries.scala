@@ -32,6 +32,12 @@ object StreamQueries {
       Streams.clickPurchaseJoin(events(s, dir))
     },
 
+    // Streaming dedup (dropDuplicatesWithinWatermark in stream mode;
+    // distinct in batch — same key set either way).
+    "q_stream_dedup" -> { (s, dir) =>
+      Streams.dedupEvents(events(s, dir))
+    },
+
     // Custom state machine (flatMapGroupsWithState): per-user session and
     // event counts with a 30-minute gap.
     "q_stream_stateful_sessions" -> { (s, dir) =>
@@ -66,6 +72,9 @@ object StreamQueries {
         |SELECT user_id, MIN(ts) AS s_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

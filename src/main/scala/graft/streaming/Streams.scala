@@ -48,6 +48,22 @@ object Streams {
         col("sw.end").as("s_end"), col("n_events"))
   }
 
+  /** Streaming deduplication: distinct (user_id, event_type) pairs. In
+    * streaming, `dropDuplicatesWithinWatermark` bounds state by the
+    * watermark (a key's state is evicted once it can no longer recur);
+    * in batch the same call degenerates to distinct-by-keys. Output is
+    * projected to the keys so batch (arbitrary survivor row) and
+    * streaming (first-seen survivor) agree exactly. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(col("user_id"), col("event_type"))
+    else
+      events.select(col("user_id"), col("event_type")).distinct()
+  }
+
   /** Stream-stream interval join: purchases within `windowMinutes`
     * after a click by the same user. In streaming both sides carry
     * watermarks and the time-range condition bounds the join state

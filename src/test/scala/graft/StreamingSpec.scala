@@ -89,6 +89,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("dedupEvents: streaming dropDuplicatesWithinWatermark == batch distinct") {
+    import spark.implicits._
+    val expected = Streams.dedupEvents(Q.events(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rows = eventRows.sortBy(_.ts.getTime)
+    val ms = MemoryStream[Streams.Ev](spark)
+    val sq = Streams.dedupEvents(ms.toDF())
+      .writeStream.format("memory").queryName("sdd")
+      .outputMode("append").start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a: _*); sq.processAllAvailable()
+    ms.addData(b: _*); sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("sdd")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+  }
+
   test("checkpointed file sink: restart resumes exactly-once (no dupes, no loss)") {
     import spark.implicits._
     val rows = eventRows.toArray
