@@ -17,23 +17,32 @@ object TextAnalysis {
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "it", "for", "on"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "un", "por"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"))
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "que"))
 
   /** Stopword-hit score for one language over lower-cased letter tokens. */
   def langScore(textCol: Column, lang: String): Column =
     TextFns.countIn(TextFns.lowerTokens(textCol), stopwords(lang))
 
-  /** Language-ID: argmax of per-language stopword scores with a fixed
-    * priority tie-break (en > es > de), 'und' when nothing matched. */
+  /** Language-ID: Han-script ratio decides zh (no spaces, stopwords
+    * useless there); otherwise argmax of per-language stopword scores
+    * with a fixed priority tie-break (en > es > de > fr), 'und' when
+    * nothing matched. */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val (en, es, de) = (langScore(t, "en"), langScore(t, "es"), langScore(t, "de"))
+    val (en, es, de, fr) =
+      (langScore(t, "en"), langScore(t, "es"), langScore(t, "de"), langScore(t, "fr"))
+    // Java regex script class; the DuckDB oracle mirrors with RE2's \p{Han}
+    val han = length(regexp_replace(t, "[^\\p{IsHan}]", ""))
     docs.select(col(idCol).as("doc_id"),
-      en.as("score_en"), es.as("score_es"), de.as("score_de"),
-      when(en + es + de === 0, lit("und"))
-        .when(en >= es && en >= de, lit("en"))
-        .when(es >= de, lit("es"))
-        .otherwise(lit("de")).as("pred_lang"))
+      en.as("score_en"), es.as("score_es"), de.as("score_de"), fr.as("score_fr"),
+      han.cast("long").as("han_chars"),
+      when(han * 5 > length(t), lit("zh"))
+        .when(en + es + de + fr === 0, lit("und"))
+        .when(en >= es && en >= de && en >= fr, lit("en"))
+        .when(es >= de && es >= fr, lit("es"))
+        .when(de >= fr, lit("de"))
+        .otherwise(lit("fr")).as("pred_lang"))
   }
 
   /** Heuristic quality metrics: token count, char length, letter ratio,

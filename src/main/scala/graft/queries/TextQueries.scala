@@ -84,6 +84,8 @@ object TextQueries {
           col("score_en").cast("long").as("score_en"),
           col("score_es").cast("long").as("score_es"),
           col("score_de").cast("long").as("score_de"),
+          col("score_fr").cast("long").as("score_fr"),
+          col("han_chars"),
           col("pred_lang"))
     },
 
@@ -140,16 +142,20 @@ object TextQueries {
         val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
         s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> ''), x -> x IN ($words))) AS BIGINT)"
       }
-      s"""WITH s AS (SELECT doc_id,
+      s"""WITH s AS (SELECT doc_id, length(text) AS n,
          |  ${score("en")} AS score_en,
          |  ${score("es")} AS score_es,
-         |  ${score("de")} AS score_de
+         |  ${score("de")} AS score_de,
+         |  ${score("fr")} AS score_fr,
+         |  CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT) AS han_chars
          |FROM documents)
-         |SELECT doc_id, score_en, score_es, score_de,
-         |  CASE WHEN score_en + score_es + score_de = 0 THEN 'und'
-         |       WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
-         |       WHEN score_es >= score_de THEN 'es'
-         |       ELSE 'de' END AS pred_lang
+         |SELECT doc_id, score_en, score_es, score_de, score_fr, han_chars,
+         |  CASE WHEN han_chars * 5 > n THEN 'zh'
+         |       WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
+         |       WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |       WHEN score_de >= score_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
          |FROM s""".stripMargin
     },
 

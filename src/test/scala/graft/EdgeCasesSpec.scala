@@ -79,5 +79,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(toks == Seq("héllo", "wörld", "foo", "bar", "über"))
   }
 
+  test("langId: detects en/es/de/fr by stopwords, zh by Han script, und otherwise") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "el perro que vive en la casa es de los vecinos"),
+      (3L, "der Hund ist nicht mit der Katze in das Haus"),
+      (4L, "le chat est dans la maison et les oiseaux"),
+      (5L, "你好世界这是一个测试"),
+      (6L, "xyzzy plugh qwerty"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, "doc_id", "text")
+      .select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr",
+      5L -> "zh", 6L -> "und"))
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 }
