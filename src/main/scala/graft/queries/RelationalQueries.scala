@@ -189,6 +189,19 @@ object RelationalQueries {
           approx_count_distinct(col("l_suppkey")).as("apx_supps"))
     },
 
+    // Explicit GROUPING SETS through the SQL surface (spark.sql over a
+    // temp view) with the grouping_id() indicator — same single-shuffle
+    // Expand-based plan as rollup/cube.
+    "q_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    },
+
     // Correlated EXISTS subquery (TPC-H Q4 shape) — planned as a left
     // semi join, one shuffle.
     "q_exists_subquery" -> { (s, dir) =>
@@ -416,6 +429,13 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
 
     "q_exists_subquery" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
