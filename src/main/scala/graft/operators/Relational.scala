@@ -45,6 +45,37 @@ object Relational {
       .drop("__side")
   }
 
+  /** Backward as-of join on the NATIVE operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
+    * same semantics as [[asOfBackward]], but executed by a dedicated
+    * sort-merge pass (one buffered right row per partition, O(1)
+    * memory) instead of the union+window composition. Keys must be
+    * integral, ts integral/timestamp. */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String, ts: String,
+      carryCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val spark = left.sparkSession
+    graft.plans.AsOfJoin.ensureRegistered(spark)
+    // fresh-alias the right side: when both sides derive from the same
+    // relation (self as-of), left and right would share exprIds and the
+    // custom node is not covered by DeduplicateRelations — Catalyst
+    // would mis-prune the ambiguous right child
+    val sfx = "__asof_r"
+    val rFresh = right.select(right.columns.map(c => col(c).as(c + sfx))
+      .toIndexedSeq: _*)
+    val lPlan = shim.planOf(left)
+    val rPlan = shim.planOf(rFresh)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val joined = shim.ofRows(spark, graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, ts),
+      attr(rPlan, key + sfx), attr(rPlan, ts + sfx),
+      carryCols.map(c => attr(rPlan, c + sfx))))
+    joined.select(left.columns.map(col).toIndexedSeq ++
+      carryCols.map(c => col(c + sfx).as(c)): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSeconds`. Returns one row
     * per key: number of sessions and events. One shuffle on key. */

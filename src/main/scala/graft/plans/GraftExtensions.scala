@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[DotProductQ].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_q"),
       info("dot_q", "dot_q(a, b) - fixed-point (x1000 floored) dot product of two float arrays, exact cross-engine"),

@@ -326,6 +326,20 @@ object RelationalQueries {
         .select(col("purchase_id"), col("user_id"), col("signup_id"))
     },
 
+    // Same as-of semantics through the NATIVE custom operator
+    // (LogicalPlan + SparkStrategy + sort-merge SparkPlan) — one
+    // shuffle per side, O(1) merge memory.
+    "q_asof_native" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      Relational.asOfNative(purchases, signups, "user_id", "ts",
+        carryCols = Seq("signup_id"))
+        .select(col("purchase_id"), col("user_id"), col("signup_id"))
+    },
+
     // Gap-based sessionization (30 min).
     "q_sessionize" -> { (s, dir) =>
       Relational.sessionCounts(events(s, dir), "user_id", "ts", "event_id", 1800)
@@ -520,6 +534,15 @@ object RelationalQueries {
          |GROUP BY band_id""".stripMargin,
 
     "q_asof_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |       g.event_id AS signup_id
+        |FROM p ASOF LEFT JOIN g ON p.user_id = g.user_id AND p.ts >= g.ts""".stripMargin,
+
+    "q_asof_native" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
         |           FROM events WHERE event_type = 'purchase'),
         |     g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -94,6 +94,42 @@ class RelationalSpec extends SparkSpec {
       plain.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("native as-of join == composed union+window as-of join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Q.events(spark, sf)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+    val composed = graft.operators.Relational.asOfBackward(
+        purchases, signups, "user_id", "ts",
+        leftCols = Seq("purchase_id"), carryCols = Seq("signup_id"))
+      .select("purchase_id", "user_id", "signup_id")
+      .collect().map(_.toString).sorted
+    val native = graft.operators.Relational.asOfNative(
+        purchases, signups, "user_id", "ts", carryCols = Seq("signup_id"))
+      .select("purchase_id", "user_id", "signup_id")
+      .collect().map(_.toString).sorted
+    assert(native.toSeq == composed.toSeq)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of join edge semantics: tie visible, pre-first null, key isolation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 20L, 102L),
+      (2L, 10L, 200L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 7L), (1L, 15L, 8L), (3L, 1L, 9L))
+      .toDF("k", "t", "rid")
+    val out = graft.operators.Relational
+      .asOfNative(left, right, "k", "t", Seq("rid"))
+      .collect().map(r => r.getLong(2) -> Option(r.getAs[Any]("rid"))).toMap
+    assert(out(100L).isEmpty, "before first right row")
+    assert(out(101L).contains(7L), "equal ts visible")
+    assert(out(102L).contains(8L), "latest of key 1")
+    assert(out(200L).isEmpty, "key 2 has no right rows (no leak from key 1)")
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
