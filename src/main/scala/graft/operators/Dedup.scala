@@ -56,6 +56,19 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Same signatures via ONE buffer-based native aggregate
+    * ([[graft.functions.expr.MinHashSig]], TypedImperativeAggregate):
+    * bit-identical output, single primitive long[] buffer per group
+    * instead of 64 separate min-columns — half the codegen, less GC at
+    * corpus scale. */
+  def minhashSignaturesAgg(grams: DataFrame, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val sig = shim.column(
+      graft.functions.expr.MinHashSig(shim.expression(col("g")), numHashes)
+        .toAggregateExpression())
+    grams.groupBy(col("doc_id")).agg(sig.as("sig"))
+  }
+
   /** LSH banding: split the signature into `bands` bands of `rows` values;
     * a band's bucket key is the hash of its slice. Docs sharing any
     * band bucket become candidate pairs. */
@@ -109,7 +122,7 @@ object Dedup {
     // corpus scale.
     val grams = gramSets(docs, idCol, textCol, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(grams, numHashes)
+    val sigs = minhashSignaturesAgg(grams, numHashes)
     val cands = candidatePairs(lshBandBuckets(sigs, bands, numHashes / bands))
     jaccard(cands, grams).where(col("jaccard") >= threshold)
   }

@@ -42,6 +42,16 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain near-dups")
   }
 
+  test("native MinHashSig aggregate == composed 64-min-columns signatures, bit-exact") {
+    val grams = Dedup.gramSets(docs.limit(100), "doc_id", "text", 3)
+    val composed = Dedup.minhashSignatures(grams, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val native = Dedup.minhashSignaturesAgg(grams, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
   test("simhash: identical texts get identical signatures; near-dups close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
