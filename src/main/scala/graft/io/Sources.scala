@@ -52,4 +52,15 @@ object Sources {
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** Bucketed managed table: pre-hash-partitioned AND pre-sorted on the
+    * join/agg key. Two tables bucketed the same way join with ZERO
+    * exchanges (verified in BucketingSpec) — at 100 TB this is how a
+    * repeatedly-joined fact table amortizes its shuffle once at write
+    * time instead of paying it per query. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }
