@@ -158,14 +158,17 @@ object Similarity {
     * `__cid`, so the probe reads nProbe/k of the corpus. */
   def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       probeId: Long, k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = ivfTrain(emb, idCol, vecCol, nClusters)
-    val qvec = emb.where(col(idCol) === probeId).select(col(vecCol)).head()
+    // train + assign scan the corpus ~2x per Lloyd iteration — cache it
+    // (caller/driver clears the SQL cache between queries)
+    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = ivfTrain(cached, idCol, vecCol, nClusters)
+    val qvec = cached.where(col(idCol) === probeId).select(col(vecCol)).head()
       .getSeq[Float](0)
     val probes = centroids.zipWithIndex.map { case (c, i) =>
       val d = c.zip(qvec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
       (d, i)
     }.sortBy(_._1).take(nProbe).map(_._2).toSeq
-    assignToCentroids(emb, vecCol, centroids)
+    assignToCentroids(cached, vecCol, centroids)
       .where(col("__cid").isin(probes: _*) && col(idCol) =!= probeId)
       .select(col(idCol).as("vec_id"),
         VectorFns.cosineQ(col(vecCol), typedLit(qvec)).as("cos_sim"))
