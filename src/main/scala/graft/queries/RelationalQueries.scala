@@ -189,6 +189,18 @@ object RelationalQueries {
           approx_count_distinct(col("l_suppkey")).as("apx_supps"))
     },
 
+    // Array functions: per-group collected set (sorted for
+    // determinism), size, membership, indexed access.
+    "q_array_funcs" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+        .select(col("o_orderpriority"), col("statuses"),
+          size(col("statuses")).cast("long").as("n_statuses"),
+          array_contains(col("statuses"), "F").as("has_f"),
+          element_at(col("statuses"), 1).as("first_status"))
+    },
+
     // Explicit GROUPING SETS through the SQL surface (spark.sql over a
     // temp view) with the grouping_id() indicator — same single-shuffle
     // Expand-based plan as rollup/cube.
@@ -443,6 +455,16 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |    list_sort(list(DISTINCT o_orderstatus)) AS statuses
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, statuses,
+        |  CAST(len(statuses) AS BIGINT) AS n_statuses,
+        |  list_contains(statuses, 'F') AS has_f,
+        |  statuses[1] AS first_status
+        |FROM g""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
