@@ -120,6 +120,21 @@ object RelationalQueries {
         .where(col("rn") <= 5)
     },
 
+    // Distribution-rank window family: ntile, percent_rank, cume_dist,
+    // first/last value over explicit frames.
+    "q_window_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").where(col("o_custkey") < 100)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first(col("o_orderkey")).over(wf).as("cheapest"),
+          last(col("o_orderkey")).over(wf).as("priciest"))
+    },
+
     // Running (prefix) aggregate — decimal-exact so the incremental vs
     // segment-tree evaluation strategies of different engines agree.
     "q_window_running" -> { (s, dir) =>
@@ -421,6 +436,20 @@ object RelationalQueries {
         |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
         |    lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         |  FROM orders) WHERE rn <= 5""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER wf AS cheapest,
+        |  last_value(o_orderkey) OVER wf AS priciest
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC),
+        |       wf AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "q_window_running" ->
       s"""SELECT l_suppkey, l_orderkey, l_linenumber,
