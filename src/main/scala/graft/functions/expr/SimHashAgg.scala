@@ -1,0 +1,74 @@
+package graft.functions.expr
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash as one buffer-based Catalyst aggregate: per input
+  * token, hash once (xxhash64, seed 42 — identical to the `xxhash64(t)`
+  * expression) and add ±1 to each bit's counter; the final signature
+  * sets bit j iff counter j is positive. Bit-identical to the composed
+  * 64-`sum`-columns form in [[graft.operators.Dedup.simhash]] (asserted
+  * in tests) with one primitive long[64] buffer instead of 64 aggregate
+  * expressions. */
+case class SimHashAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      val h = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var j = 0
+      while (j < 64) {
+        buf(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 64) { a(j) += b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (buf(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * 64)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SimHashAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(child = newChildren.head)
+}

@@ -129,8 +129,22 @@ object Dedup {
 
   /** 64-bit SimHash per document: for each bit j, sum +1/-1 over token
     * hashes (weighted by occurrence), take the sign. Single shuffle
-    * (group by doc) over 64 codegen'd conditional sums. */
+    * (group by doc) through the native buffer aggregate
+    * ([[graft.functions.expr.SimHashAgg]]); [[simhashComposed]] is the
+    * 64-sum-columns cross-check form. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.letterTokens(col(textCol))).as("t"))
+    val sig = shim.column(
+      graft.functions.expr.SimHashAgg(shim.expression(col("t")))
+        .toAggregateExpression())
+    toks.groupBy(col("doc_id")).agg(sig.as("simhash"))
+  }
+
+  /** Composable-functions form of [[simhash]] (64 conditional sums);
+    * bit-identical, kept as the cross-check in DedupSpec. */
+  def simhashComposed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFns.letterTokens(col(textCol))).as("t"))
     val h = xxhash64(col("t"))

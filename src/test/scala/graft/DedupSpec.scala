@@ -52,6 +52,15 @@ class DedupSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("native SimHashAgg == composed 64-sum-columns simhash, bit-exact") {
+    val native = Dedup.simhash(docs.limit(200), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simhashComposed(docs.limit(200), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
   test("simhash: identical texts get identical signatures; near-dups close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
