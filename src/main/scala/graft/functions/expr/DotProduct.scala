@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * allocation, primitive arithmetic only — which is the hot inner loop
   * of every similarity/ANN/near-dup operator at corpus scale.
   *
-  * Both are null-strict: null input array, or any null element, yields
-  * null (matching the zip_with/aggregate composition they replace).
+  * Both are null-strict: null input array, any null element, or a
+  * length mismatch between the two arrays yields null (matching the
+  * zip_with/aggregate composition they replace — zip_with pads the
+  * shorter array with nulls, which nulls the fold).
   */
 
 /** floor(x*1000) fixed-point dot product (bit-exact cross-engine — see
@@ -31,7 +33,8 @@ case class DotProductQ(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -49,9 +52,10 @@ case class DotProductQ(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (long) Math.floor((double) $x.getFloat($i) * 1000.0)
          |        * (long) Math.floor((double) $y.getFloat($i) * 1000.0);
@@ -76,7 +80,8 @@ case class DotProductD(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -93,9 +98,10 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |}

@@ -21,26 +21,36 @@ object Relational {
     * is O(|l|·|r|) per key; this is O((|l|+|r|) log) via sort within
     * partitions.
     *
+    * All carried columns are bundled into ONE struct before the window
+    * `last`, so every carried value comes from the same, truly-latest
+    * right row — including genuinely-null carried fields (a per-column
+    * `last(_, ignoreNulls)` would instead skip nulls and mix values from
+    * different right rows). Matches [[asOfNative]] row semantics exactly.
+    *
     * @param leftCols  left columns to keep (must exist in `left`)
     * @param carryCols right columns to carry onto matched left rows
     */
   def asOfBackward(left: DataFrame, right: DataFrame, key: String, ts: String,
       leftCols: Seq[String], carryCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val rSchema = right.schema
     val lSchema = left.schema
+    val carryType = StructType(carryCols.map(c =>
+      StructField(c, rSchema(c).dataType, nullable = true)))
     val lPart = left.select(
       (Seq(col(key), col(ts), lit(1).as("__side")) ++
-        leftCols.map(col) ++
-        carryCols.map(c => lit(null).cast(rSchema(c).dataType).as(s"__carry_$c"))): _*)
+        leftCols.map(col) :+
+        lit(null).cast(carryType).as("__carry")): _*)
     val rPart = right.select(
       (Seq(col(key), col(ts), lit(0).as("__side")) ++
-        leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
-        carryCols.map(c => col(c).as(s"__carry_$c"))): _*)
+        leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) :+
+        struct(carryCols.map(col): _*).as("__carry")): _*)
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(col("__carry"), ignoreNulls = true).over(w)
     lPart.unionByName(rPart)
       .select((Seq(col(key), col(ts), col("__side")) ++ leftCols.map(col) ++
-        carryCols.map(c => last(col(s"__carry_$c"), ignoreNulls = true).over(w).as(c))): _*)
+        carryCols.map(c => carried.getField(c).as(c))): _*)
       .where(col("__side") === 1)
       .drop("__side")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,18 +44,36 @@ object Similarity {
         Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
   }
 
+  /** Embedding dimensionality probed from the first row — hyperplanes
+    * are generated at plan time, so the dim must be known up front. */
+  private[operators] def probeDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head().getInt(0)
+
+  /** Runtime guard: every vector must match the plane dimension, else
+    * the LSH dot products would be null (length-mismatch semantics of
+    * [[VectorFns.dot]]) and bucketing would silently degrade — fail
+    * loudly instead. The guard is part of the value expression so the
+    * optimizer cannot elide it. */
+  private def dimGuarded(vecCol: String, dim: Int, value: Column): Column =
+    when(size(col(vecCol)) === dim, value)
+      .otherwise(raise_error(concat(
+        lit(s"embedding dim != LSH plane dim $dim: got "),
+        size(col(vecCol)).cast("string"))))
+
   /** 8-bit sign-LSH bucket id for every vector: bit p = sign of
     * dot(vec, plane_p) with ±1 planes, via the native fused dot-product
-    * expression (one loop per plane, no intermediate arrays). */
-  def withLshBucket(emb: DataFrame, vecCol: String, nPlanes: Int = 8): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(nPlanes, dim)
+    * expression (one loop per plane, no intermediate arrays).
+    * @param dim plane dimensionality; <= 0 means probe from the data */
+  def withLshBucket(emb: DataFrame, vecCol: String, nPlanes: Int = 8,
+      dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(emb, vecCol)
+    val planes = hyperplanes(nPlanes, d)
     val bucket = (0 until nPlanes).map { p =>
       val dotP = VectorFns.dot(col(vecCol),
         typedLit(planes(p).map(_.toFloat).toSeq))
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    emb.withColumn("lsh_bucket", bucket)
+    emb.withColumn("lsh_bucket", dimGuarded(vecCol, d, bucket))
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: every (a, b), a < b,
@@ -84,9 +102,10 @@ object Similarity {
     * join key hash-partitions, so cost is ~nBands·n rows shuffled +
     * per-bucket pair generation, vs n² for the exact variant. */
   def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, nBands: Int = 8): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(nPlanes * nBands, dim)
+      threshold: Double, nPlanes: Int = 8, nBands: Int = 8,
+      dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(emb, vecCol)
+    val planes = hyperplanes(nPlanes * nBands, d)
     val bandKeys = array((0 until nBands).map { bnd =>
       (0 until nPlanes).map { p =>
         val dotP = VectorFns.dot(col(vecCol),
@@ -96,7 +115,7 @@ object Similarity {
     }: _*)
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
-      explode(bandKeys).as("bkey"))
+      explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
     // score WHILE the vectors are co-located by the band join, then
     // dedupe band collisions on (id_a, id_b, cos) — the dedup shuffle
     // carries ids + one double instead of two 64-float vectors; a pair

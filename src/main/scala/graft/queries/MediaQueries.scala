@@ -61,7 +61,7 @@ object MediaQueries {
   val oracles: Map[String, String] = Map(
     "q_media_bytes" ->
       s"""SELECT $sqlMediaType AS media_type, COUNT(*) AS n_docs,
-         |  SUM(octet_length(encode(text))) AS total_bytes
+         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q_media_frames" ->

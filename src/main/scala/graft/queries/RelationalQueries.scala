@@ -209,11 +209,14 @@ object RelationalQueries {
     "q_array_funcs" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
-        .select(col("o_orderpriority"), col("statuses"),
-          size(col("statuses")).cast("long").as("n_statuses"),
-          array_contains(col("statuses"), "F").as("has_f"),
-          element_at(col("statuses"), 1).as("first_status"))
+        .agg(sort_array(collect_set(col("o_orderstatus"))).as("__statuses"))
+        .select(col("o_orderpriority"),
+          // serialized (not array-typed) so the driver's pandas-based
+          // row sort can hash it — lists are unhashable there
+          array_join(col("__statuses"), ",").as("statuses"),
+          size(col("__statuses")).cast("long").as("n_statuses"),
+          array_contains(col("__statuses"), "F").as("has_f"),
+          element_at(col("__statuses"), 1).as("first_status"))
     },
 
     // Explicit GROUPING SETS through the SQL surface (spark.sql over a
@@ -489,7 +492,8 @@ object RelationalQueries {
       """WITH g AS (SELECT o_orderpriority,
         |    list_sort(list(DISTINCT o_orderstatus)) AS statuses
         |  FROM orders GROUP BY o_orderpriority)
-        |SELECT o_orderpriority, statuses,
+        |SELECT o_orderpriority,
+        |  array_to_string(statuses, ',') AS statuses,
         |  CAST(len(statuses) AS BIGINT) AS n_statuses,
         |  list_contains(statuses, 'F') AS has_f,
         |  statuses[1] AS first_status
@@ -523,9 +527,9 @@ object RelationalQueries {
 
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_percentile" ->

@@ -46,6 +46,16 @@ object StreamQueries {
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[Streams.Ev]
       Streams.statefulSessionCounts(ds, gapSeconds = 1800L).toDF()
+    },
+
+    // Bounded-state sessionization: one row per completed session
+    // (EventTimeTimeout-evicted state in streaming; single pass in batch).
+    "q_stream_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val ds = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[Streams.Ev]
+      Streams.statefulSessionize(ds, gapSeconds = 1800L).toDF()
     })
 
   val oracles: Map[String, String] = Map(
@@ -93,6 +103,21 @@ object StreamQueries {
         |              > INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM e)
-        |SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
-        |FROM m GROUP BY user_id""".stripMargin)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM m GROUP BY user_id""".stripMargin,
+
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin)
 }

@@ -106,7 +106,7 @@ object VectorQueries {
          |  CAST(len(embedding) AS BIGINT) AS dim,
          |  CAST(embedding[1] AS DOUBLE) AS first_val,
          |  CAST(embedding[-1] AS DOUBLE) AS last_val,
-         |  ${sqlDotQ("embedding", "embedding")} AS qnorm2,
+         |  CAST(${sqlDotQ("embedding", "embedding")} AS BIGINT) AS qnorm2,
          |  label
          |FROM embeddings""".stripMargin)
 }

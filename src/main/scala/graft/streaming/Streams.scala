@@ -95,10 +95,16 @@ object Streams {
   /** Custom stateful sessionization via flatMapGroupsWithState: per-user
     * running (session count, event count) with the same gap semantics as
     * [[graft.operators.Relational.sessionCounts]]. Demonstrates the
-    * arbitrary-state API the reference's Reduce contract generalizes to;
-    * state is one tiny record per user, event-time timeout evicts idle
-    * users. NOTE: within-batch ordering is by event time, so feed one
-    * micro-batch per epoch or rely on the sorted iterator below. */
+    * arbitrary-state API the reference's Reduce contract generalizes to.
+    *
+    * State is one tiny record per user and — because the output is a
+    * CUMULATIVE total over the whole stream — it is intentionally kept
+    * for the stream lifetime (NoTimeout): evicting an idle user would
+    * reset their counts. Bounded-state sessionization with event-time
+    * eviction is [[statefulSessionize]], which emits completed sessions
+    * instead of running totals. The group iterator is buffered+sorted
+    * per batch (groups are per-user, small); within-stream ordering
+    * across batches must be by event time (no late data past a batch). */
   def statefulSessionCounts(events: Dataset[Ev], gapSeconds: Long)
       : Dataset[UserSessions] = {
     import events.sparkSession.implicits._
@@ -118,6 +124,85 @@ object Streams {
         }
         state.update(st)
         Iterator.single(UserSessions(uid, st.sessions, st.events))
+      }
+  }
+
+  case class OpenSession(startMicros: Long, lastMicros: Long, events: Long)
+  case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
+      s_end: java.sql.Timestamp, n_events: Long)
+
+  /** java.sql.Timestamp <-> microseconds, lossless — getTime alone is
+    * millis and would truncate the micros the events table carries. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Bounded-state sessionization: emits each COMPLETED session
+    * (user_id, start, end=last event ts, n_events) once its gap closes.
+    * Strict `> gapSeconds` gap semantics, matching
+    * [[graft.operators.Relational.sessionCounts]].
+    *
+    * Streaming: state per user is only the OPEN session (3 longs);
+    * `EventTimeTimeout` + `setTimeoutTimestamp(last + gap)` evicts an
+    * idle user once the watermark passes their session close, emitting
+    * the final session — so state size is bounded by active users, the
+    * 100 TB-stream requirement. Batch: one pass per user emits every
+    * session including the last (the state a converged stream would
+    * have emitted after its watermark passed). */
+  def statefulSessionize(events: Dataset[Ev], gapSeconds: Long,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, timeoutConf) {
+        (uid, it, state: GroupState[OpenSession]) =>
+        def close(s: OpenSession) = ClosedSession(uid,
+          microsTs(s.startMicros), microsTs(s.lastMicros), s.events)
+        if (state.hasTimedOut) {
+          // idle past gap + watermark: the open session can never grow
+          val out = state.getOption.map(close).toList
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
+          var open = state.getOption
+          val closed = List.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            val t = tsMicros(e.ts)
+            open match {
+              case Some(s) if t - s.lastMicros <= gapSeconds * 1000000L =>
+                open = Some(OpenSession(s.startMicros, t, s.events + 1L))
+              case Some(s) =>
+                closed += close(s)
+                open = Some(OpenSession(t, t, 1L))
+              case None =>
+                open = Some(OpenSession(t, t, 1L))
+            }
+          }
+          open match {
+            case Some(s) if streaming =>
+              state.update(s)
+              // fire once the watermark passes the session close (timeout
+              // API is millis-granular; round up so it never fires early)
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(s.lastMicros + 999L, 1000L) + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs + 1L))
+            case Some(s) =>
+              closed += close(s) // batch: all data seen, session complete
+              state.remove()
+            case None => state.remove()
+          }
+          closed.result().iterator
+        }
       }
   }
 }

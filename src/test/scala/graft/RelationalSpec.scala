@@ -30,6 +30,32 @@ class RelationalSpec extends SparkSpec {
     assert(got === Map(100L -> 900L, 101L -> 902L, 200L -> -1L))
   }
 
+  test("asOfBackward: null carried values come from the truly-latest right row") {
+    // the latest matching right row carries a NULL value; a per-column
+    // last(_, ignoreNulls) would skip it and resurrect the older row's
+    // value — the struct carry must preserve the null (and keep all
+    // carried columns from the same right row)
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 100L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(7L), Option("old")),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Long], Option("new")))
+      .toDF("k", "ts", "rid", "tag")
+    val got = Relational.asOfBackward(left, right, "k", "ts",
+      leftCols = Seq("lid"), carryCols = Seq("rid", "tag")).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.isNullAt(r.fieldIndex("rid")), "null from latest row preserved")
+    assert(r.getString(r.fieldIndex("tag")) === "new")
+
+    // native operator must agree on the same input
+    val native = Relational.asOfNative(left, right, "k", "ts",
+      carryCols = Seq("rid", "tag")).collect()
+    assert(native.length === 1)
+    val n = native.head
+    assert(n.isNullAt(n.fieldIndex("rid")) === r.isNullAt(r.fieldIndex("rid")))
+    assert(n.getString(n.fieldIndex("tag")) === "new")
+  }
+
   test("sessionCounts: gap splits sessions, per key") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),

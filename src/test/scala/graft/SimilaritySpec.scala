@@ -62,6 +62,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dot products: length-mismatched arrays yield null (matches composed forms)") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val r = df.select(
+      VectorFns.dot(col("a"), col("b")).as("nd"),
+      VectorFns.dotComposed(col("a"), col("b")).as("cd"),
+      VectorFns.dotQ(col("a"), col("b")).as("nq"),
+      VectorFns.dotQComposed(col("a"), col("b")).as("cq")).head()
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"col $i must be null"))
+  }
+
+  test("withLshBucket: non-default dim works; mismatched vector fails loudly") {
+    val ok = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(-1f, 0f, 5f)))
+      .toDF("vec_id", "embedding")
+    val buckets = Similarity.withLshBucket(ok, "embedding")
+      .select("lsh_bucket").collect().map(_.getLong(0))
+    assert(buckets.length === 2)
+
+    val mixed = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.withLshBucket(mixed, "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("LSH plane dim")), s"got: ${msgs(ex)}")
+  }
+
   test("nearDupPairsLsh: 100% recall on planted near-duplicates, candidates pruned") {
     // plant 5 exact duplicates of existing vectors under new ids
     val planted = emb.where(col("vec_id") < 5)

@@ -70,6 +70,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("statefulSessionize: streaming (with event-time eviction) == batch sessions") {
+    import spark.implicits._
+    val batchIn = Q.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Streams.Ev]
+    val expected = Streams.statefulSessionize(batchIn, 1800L)
+      .toDF().collect().map(_.toString).sorted
+
+    val rows = eventRows.sortBy(_.ts.getTime)
+    // a sentinel user far in the future advances the watermark past every
+    // real session close, forcing EventTimeTimeout to fire and emit the
+    // final open session of each user (and evict their state)
+    val maxTs = rows.map(_.ts.getTime).max
+    val sentinel = Streams.Ev(-1L,
+      new java.sql.Timestamp(maxTs + 86400000L), "click", 0.0)
+
+    val ms = MemoryStream[Streams.Ev](spark)
+    val sq = Streams.statefulSessionize(ms.toDS(), 1800L)
+      .writeStream.format("memory").queryName("ssz")
+      .outputMode("append").start()
+    val third = rows.length / 3
+    ms.addData(rows.take(third): _*); sq.processAllAvailable()
+    ms.addData(rows.slice(third, 2 * third): _*); sq.processAllAvailable()
+    ms.addData(rows.drop(2 * third): _*); sq.processAllAvailable()
+    ms.addData(sentinel); sq.processAllAvailable()
+    // one more empty-ish pass so the timeout fires after the watermark
+    // from the sentinel batch is committed
+    ms.addData(sentinel); sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("ssz").where(col("user_id") >= 0L)
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("clickPurchaseJoin: stream-stream interval join == batch join") {
     import spark.implicits._
     val full = Q.events(spark, sf)
