@@ -30,11 +30,17 @@ object Dedup {
     * once per gram position × n — O(words²) per doc (measured: 85× the
     * CPU of the factored form at sf0.1). */
   def gramSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    rawGrams(docs, idCol, textCol, n).distinct()
+
+  /** Word n-gram shingles WITHOUT the distinct — one row per gram
+    * occurrence, no shuffle. Feeds aggregations that are insensitive to
+    * duplicates (elementwise-min MinHash), which then need no
+    * corpus-wide dedup shuffle at all. */
+  def rawGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         TextFns.letterTokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         explode(TextFns.wordNGrams(col("__toks"), n)).as("g"))
-      .distinct()
 
   /** MinHash signatures: `numHashes` independent hash views of the gram
     * set, elementwise-min aggregated. The gram string is hashed ONCE
@@ -116,15 +122,27 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    // grams feed three branches (signatures, intersection counts, set
-    // sizes) — persist so the tokenize+explode+distinct shuffle runs
-    // once, not per branch. MEMORY_AND_DISK: spills instead of OOM at
-    // corpus scale.
-    val grams = gramSets(docs, idCol, textCol, ngram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignaturesAgg(grams, numHashes)
+    // Signature path: RAW (non-distinct) grams stream straight into the
+    // per-doc min-aggregate — duplicates cannot change a min, so the
+    // corpus-wide distinct shuffle is skipped entirely. The only
+    // signature-side shuffle is the partial-aggregated groupBy(doc_id),
+    // one 64-long buffer per doc per map partition.
+    val sigs = minhashSignaturesAgg(rawGrams(docs, idCol, textCol, ngram), numHashes)
+    // candidate pairs are tiny (LSH-pruned); persisted because they are
+    // consumed twice (id filter + broadcast join)
     val cands = candidatePairs(lshBandBuckets(sigs, bands, numHashes / bands))
-    jaccard(cands, grams).where(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact-Jaccard rescoring only needs gram SETS of candidate docs:
+    // filter the documents first (broadcast semi-join on candidate ids),
+    // re-tokenize that small slice, and dedup within it — at corpus
+    // scale this beats caching/shuffling the full gram corpus by the
+    // dup-rate factor (candidates ≈ actual near-dups, not the corpus).
+    val candIds = cands.select(col("doc_a").as(idCol))
+      .union(cands.select(col("doc_b").as(idCol))).distinct()
+    val candGrams = gramSets(
+      docs.join(broadcast(candIds), Seq(idCol), "left_semi"),
+      idCol, textCol, ngram)
+    jaccard(cands, candGrams).where(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash per document: for each bit j, sum +1/-1 over token
