@@ -12,18 +12,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warm-up so JIT/codegen/parquet-reader initialization is not
+    // attributed to whichever query happens to run first
+    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // deterministic order → per-query numbers comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // the dedup pipelines persist intermediates; drop them so cached
-      // blocks don't accumulate heap pressure across the 45 queries
+      // blocks don't accumulate heap pressure across the queries
       spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

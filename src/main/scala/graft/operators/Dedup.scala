@@ -145,6 +145,45 @@ object Dedup {
     jaccard(cands, candGrams).where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs — the "cluster duplicates,
+    * keep one representative" step that turns pairwise matches into an
+    * actual dedup decision. Iterative min-label propagation (the Pregel
+    * pattern): each round, every node takes the min label among itself
+    * and its neighbors; converges in O(cluster diameter) rounds — near-
+    * dup clusters are tiny, so a handful. Each round is one join + one
+    * aggregation, all hash-partitioned on node id; the driver only sees
+    * the converged/changed COUNT per round, never the data.
+    *
+    * Returns (doc_id, cluster) for every doc appearing in `pairs`,
+    * cluster = min doc_id of its component (so `cluster == doc_id`
+    * marks the keeper). */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster")).persist(lvl)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist(lvl)
+      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .where(col("cluster") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash per document: for each bit j, sum +1/-1 over token
     * hashes (weighted by occurrence), take the sign. Single shuffle
     * (group by doc) through the native buffer aggregate

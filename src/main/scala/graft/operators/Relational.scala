@@ -116,6 +116,23 @@ object Relational {
     fact.join(broadcast(bands),
       col(factCol) >= col("lo") && col(factCol) < col("hi"), "inner")
 
+  /** Deterministic content-hash sampling: keep rows whose md5(key) hex
+    * prefix is below the 4-hex-digit cut for `fraction` (resolution
+    * 1/65536). No RNG, no seed plumbing: the same row set is selected
+    * on every engine, every run, every partitioning — which makes
+    * samples reproducible AND oracle-checkable. At scale it is a pure
+    * map-side filter (no shuffle, no sort, unlike ORDER BY rand());
+    * stratification is free because the hash is independent of any
+    * grouping column. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    if (fraction >= 1.0) df
+    else {
+      val cut = f"${math.round(fraction * 65536).toInt}%04x"
+      df.where(substring(md5(key.cast("string")), 1, 4) < lit(cut))
+    }
+  }
+
   /** Skew-resistant equi-join: salt the skewed (fact) side's key into
     * `salts` sub-keys and replicate the other side once per salt, so a
     * hot key spreads over `salts` reducers instead of melting one.

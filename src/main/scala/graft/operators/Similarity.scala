@@ -197,6 +197,19 @@ object Similarity {
         Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
   }
 
+  /** Per-label embedding centroids (average pooling over a group) in
+    * fixed-point arithmetic: mean of floor(v*1000) per dimension, so the
+    * result double is bit-identical across engines and summation orders.
+    * One shuffle on (label, pos) with map-side partial sums — the
+    * posexplode's 64x row expansion never crosses the wire uncombined. */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg((sum(VectorFns.qint(col("__v"))).cast("double") / count(lit(1)))
+          .as("mean_q"),
+        count(lit(1)).as("n"))
+
   /** ANN top-k: restrict the scan to the probe's LSH bucket, then exact
     * cosine within it. Recall < 1 by construction; at scale the win is
     * reading 1/2^nPlanes of the corpus. */

@@ -47,6 +47,21 @@ object MediaQueries {
       Multimodal.decodeStub(media).toDF()
     },
 
+    // Partition-batched resize (stub codec: every-4th-byte subsample,
+    // deterministic and content-dependent) — binary in, smaller binary
+    // out, fingerprinted for exact cross-engine comparison.
+    "q_media_resize" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+        .select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow]
+      Multimodal.resizeStub(media, factor = 4).toDF()
+        .select(col("doc_id"), col("media_type"),
+          col("orig_bytes").cast("long").as("orig_bytes"),
+          col("new_bytes").cast("long").as("new_bytes"),
+          md5(col("content")).as("rz_md5"))
+    },
+
     // Byte-histogram features: no SQL mirror (256-dim float array);
     // rows-only here, value-asserted in MultimodalSpec.
     "q_media_features" -> { (s, dir) =>
@@ -71,6 +86,14 @@ object MediaQueries {
          |  md5(substring(text, f.i * 32 + 1, 32)) AS frame_md5
          |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i) f
          |WHERE length(substring(text, f.i * 32 + 1, 32)) > 0""".stripMargin,
+
+    "q_media_resize" ->
+      s"""SELECT doc_id, $sqlMediaType AS media_type,
+         |  CAST(length(text) AS BIGINT) AS orig_bytes,
+         |  CAST((length(text) + 3) // 4 AS BIGINT) AS new_bytes,
+         |  md5(array_to_string(
+         |    list_transform(range(1, length(text) + 1, 4), i -> text[i]), '')) AS rz_md5
+         |FROM documents""".stripMargin,
 
     "q_media_decode" ->
       s"""WITH m AS (SELECT doc_id, $sqlMediaType AS media_type,

@@ -272,6 +272,14 @@ object RelationalQueries {
         .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
     },
 
+    // Deterministic hash-based sampling (~25% by md5 prefix): the
+    // training-data subsampling primitive — reproducible, shuffle-free,
+    // engine-independent row selection.
+    "q_sample_hash" -> { (s, dir) =>
+      Relational.deterministicSample(t(s, dir, "orders"), col("o_orderkey"), 0.25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    },
+
     // Exact interpolated percentiles (median / p90) per group. Integral
     // quantities make the interpolation arithmetic exact cross-engine.
     "q_percentile" -> { (s, dir) =>
@@ -531,6 +539,10 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,

@@ -70,6 +70,16 @@ object TextQueries {
         ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
     },
 
+    // Near-dup clustering: connected components over the MinHash-LSH
+    // pair list (min-label propagation); cluster = min doc_id, so
+    // cluster == doc_id marks the keeper. Oracle: recursive-CTE
+    // transitive closure over the brute-force Jaccard pairs.
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
+    },
+
     // SimHash near-dup pairs (hamming <= 3 on 64-bit signatures).
     // No SQL oracle: signature bits depend on xxhash64. Rows-only check;
     // correctness is asserted in DedupSpec against brute-force.
@@ -136,6 +146,18 @@ object TextQueries {
     "q_dedup_minhash" ->
       s"""WITH ${sqlGrams("")}
          |${sqlJaccard(0.8)}""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${sqlGrams("")},
+         |pr AS (SELECT da, db FROM inter
+         |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s, db AS d FROM pr
+         |          UNION SELECT db, da FROM pr),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |FROM reach GROUP BY s""".stripMargin,
 
     "q_lang_id" -> {
       def score(lang: String): String = {

@@ -64,6 +64,12 @@ object VectorQueries {
         threshold = 0.40)
     },
 
+    // Per-label embedding centroids (average pooling) — fixed-point
+    // means, bit-exact across engines.
+    "q_vector_centroid" -> { (s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+    },
+
     // Per-vector array ops: length, endpoints, quantized norm — scalar
     // array functions with exact cross-engine semantics.
     "q_vector_stats" -> { (s, dir) =>
@@ -100,6 +106,14 @@ object VectorQueries {
          |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) AS cos_sim
          |FROM d
          |WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) >= 0.40""".stripMargin,
+
+    "q_vector_centroid" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        |  CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / COUNT(*) AS mean_q,
+        |  COUNT(*) AS n
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+        |GROUP BY label, i""".stripMargin,
 
     "q_vector_stats" ->
       s"""SELECT vec_id,

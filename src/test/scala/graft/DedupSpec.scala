@@ -28,6 +28,19 @@ class DedupSpec extends SparkSpec {
     assert(k.where(col("n_copies") === 2).agg(max("keep_id")).head().getLong(0) < 5)
   }
 
+  test("dedupClusters: chains merge transitively, singletons pair up, keeper = min id") {
+    // components: {1,2,3,4} (a chain — needs label propagation across
+    // hops), {10,11}, {20,21,22} (a star)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // keepers are exactly the cluster minima
+    assert(got.filter { case (d, c) => d == c }.keySet === Set(1L, 10L, 20L))
+  }
+
   test("minhash-LSH pairs == brute-force n-gram Jaccard pairs at threshold") {
     val grams = Dedup.gramSets(docs, "doc_id", "text", 3)
     val a = grams.toDF("doc_a", "g")

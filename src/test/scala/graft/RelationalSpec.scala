@@ -84,6 +84,22 @@ class RelationalSpec extends SparkSpec {
     assert(got === Map(0 -> 2, 1 -> 2))
   }
 
+  test("deterministicSample: reproducible, near-target fraction, composable strata") {
+    val orders = graft.queries.Q.t(spark, sf, "orders")
+    val s1 = Relational.deterministicSample(orders, col("o_orderkey"), 0.25)
+    val s2 = Relational.deterministicSample(orders, col("o_orderkey"), 0.25)
+    val ids1 = s1.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(ids1 === s2.select("o_orderkey").collect().map(_.getLong(0)).toSet)
+    val frac = ids1.size.toDouble / orders.count()
+    assert(math.abs(frac - 0.25) < 0.05, s"fraction $frac far from 0.25")
+    // a smaller fraction selects a subset of the larger one (nested samples)
+    val ids3 = Relational.deterministicSample(orders, col("o_orderkey"), 0.1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(ids3.subsetOf(ids1))
+    assert(Relational.deterministicSample(orders, col("o_orderkey"), 1.0).count()
+      === orders.count())
+  }
+
   test("driver contract: every query runs on sf0.001 and has a sane schema") {
     val skipEmpty = Set("q_simhash_pairs") // legitimately may be empty
     SparkEntry.queries.foreach { case (name, fn) =>

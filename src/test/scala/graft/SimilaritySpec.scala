@@ -124,6 +124,18 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.length == 8 && c1.forall(_.length == 64))
   }
 
+  test("labelCentroids: hand-computed fixed-point means per label and dimension") {
+    val df = Seq(("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 5.0f)), ("b", Seq(0.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got(("a", 0L)) === ((1000.0 + 3000.0) / 2, 2L))
+    assert(got(("a", 1L)) === ((2000.0 + 5000.0) / 2, 2L))
+    assert(got(("b", 0L)) === (500.0, 1L))
+    assert(got(("b", 1L)) === (500.0, 1L))
+  }
+
   test("lsh bucket ids are stable across invocations (deterministic planes)") {
     val b1 = Similarity.withLshBucket(emb, "embedding")
       .select("vec_id", "lsh_bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
