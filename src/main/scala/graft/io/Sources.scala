@@ -35,6 +35,11 @@ object Sources {
   def binary(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.format("binaryFile").load(pathGlob)
 
+  /** ORC — the other columnar interchange format (predicate pushdown and
+    * column pruning work the same as parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Partitioned parquet sink — the engine's primary output format.
     * `partitionBy` reproduces the reference's per-bucket file layout
     * (`<workerIP>_<bucket>.json`) as directory partitions that later
@@ -52,6 +57,11 @@ object Sources {
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 
   /** Bucketed managed table: pre-hash-partitioned AND pre-sorted on the
     * join/agg key. Two tables bucketed the same way join with ZERO

@@ -158,29 +158,40 @@ object Dedup {
     * cluster = min doc_id of its component (so `cluster == doc_id`
     * marks the keeper). */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (not persist): iterative self-referencing plans
+    // grow EXPONENTIALLY in logical-plan size (labels appears twice per
+    // round), so lineage must be truncated each round, not just cached.
+    // At cluster scale this would be a reliable checkpoint; local blocks
+    // are the single-job equivalent.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(lvl)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster")).persist(lvl)
+      .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
+      // 1-hop neighbor minimum
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      val hopped = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .persist(lvl)
+      // pointer jump: also adopt the label OF the labeled node —
+      // path-halving turns O(diameter) convergence into O(log diameter),
+      // which long dup chains need to finish within maxIters
+      val ptr = hopped.select(col("doc_id").as("p_id"), col("cluster").as("p_cl"))
+      val next = hopped.join(ptr, hopped("cluster") === ptr("p_id"), "left")
+        .select(hopped("doc_id"),
+          least(hopped("cluster"), coalesce(col("p_cl"), hopped("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .where(col("cluster") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iters += 1
     }
-    edges.unpersist()
     labels
   }
 

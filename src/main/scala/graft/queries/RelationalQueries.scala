@@ -272,6 +272,21 @@ object RelationalQueries {
         .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
     },
 
+    // Map-typed columns: build a priority->count map per status, then
+    // map lookups / cardinality / value-fold. Missing key => null.
+    "q_map_funcs" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(map_from_entries(collect_list(struct(col("o_orderpriority"), col("n"))))
+          .as("m"))
+        .select(col("o_orderstatus"),
+          size(col("m")).cast("long").as("n_priorities"),
+          element_at(col("m"), "1-URGENT").as("n_urgent"),
+          aggregate(map_values(col("m")), lit(0L), (a, v) => a + v).as("n_total"))
+    },
+
     // Deterministic hash-based sampling (~25% by md5 prefix): the
     // training-data subsampling primitive — reproducible, shuffle-free,
     // engine-independent row selection.
@@ -539,6 +554,13 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+        |  CAST(NULLIF(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT) AS n_urgent,
+        |  COUNT(*) AS n_total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders

@@ -44,6 +44,16 @@ object TextQueries {
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     },
 
+    // Word bigram frequencies, top-100 with deterministic tie-break —
+    // the n-gram statistics pass of a corpus-analysis pipeline.
+    "q_bigram_counts" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextFns.letterTokens(col("text")).as("__toks"))
+        .select(explode(TextFns.wordNGrams(col("__toks"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc).limit(100)
+    },
+
     // Exact dedup via content hash.
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactKeepers(t(s, dir, "documents"), "doc_id", "text")
@@ -133,6 +143,13 @@ object TextQueries {
       s"""SELECT w AS word, COUNT(*) AS cnt FROM (
          |  SELECT unnest($SQL_TOKS) AS w FROM documents)
          |GROUP BY w""".stripMargin,
+
+    "q_bigram_counts" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+         |      FROM toks, UNNEST(range(1, len(ws))) AS t(i))
+         |SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

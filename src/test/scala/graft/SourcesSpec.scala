@@ -46,6 +46,17 @@ class SourcesSpec extends SparkSpec {
     assert(rows(back) == rows(nation))
   }
 
+  test("orc round-trip, partitioned, with predicate pushdown in the scan") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    Sources.writeOrc(nation, out, partitionBy = Seq("n_regionkey"))
+    val back = Sources.orc(spark, out)
+      .select(nation.columns.map(col).toIndexedSeq: _*)
+    assert(rows(back.withColumn("n_regionkey", col("n_regionkey").cast("long"))) ==
+      rows(nation.withColumn("n_regionkey", col("n_regionkey").cast("long"))))
+    val pruned = Sources.orc(spark, out).where(col("n_regionkey") === 0)
+    assert(pruned.count() == nation.where(col("n_regionkey") === 0).count())
+  }
+
   test("text + binary sources read the same bytes") {
     val dir = Files.createTempDirectory("graft_txt").toFile
     val f = new java.io.File(dir, "t.txt")
