@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{DotProductD, DotProductQ}
+import graft.functions.expr.{DotProductD, DotProductQ, TopKByScore}
 
 /** Engine extension point: registers the native expressions with the
   * Catalyst function registry so they are callable from SQL text, not
@@ -29,5 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       info("dot_d", "dot_d(a, b) - double dot product of two float arrays (strict left-to-right fold)"),
       (children: Seq[Expression]) => DotProductD(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by_score"),
+      info("top_k_by_score",
+        "top_k_by_score(score, id, k) - bounded top-k aggregate: array<struct<score,id>> ranked by (score DESC, id ASC)"),
+      (children: Seq[Expression]) => TopKByScore(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
   }
 }

@@ -155,6 +155,23 @@ object RelationalQueries {
         .withColumn("rk", col("rk").cast("long"))
     },
 
+    // Top-k per group as a NATIVE bounded aggregate (TopKByScore
+    // TypedImperativeAggregate): k-bounded heap buffer, map-side
+    // combine, <= k rows per group per map task on the wire — vs the
+    // window idiom's full shuffle+sort of every row. Same result set.
+    "q_topk_agg" -> { (s, dir) =>
+      import org.apache.spark.sql.graft.shim
+      val agg = shim.column(graft.functions.expr.TopKByScore(
+          shim.expression(col("o_totalprice")),
+          shim.expression(col("o_orderkey")), 3)
+        .toAggregateExpression())
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(agg.as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("o_custkey"), (col("i") + 1).cast("long").as("rk"),
+          col("e.score").as("o_totalprice"), col("e.id").as("o_orderkey"))
+    },
+
     // Global sort + limit → TakeOrderedAndProject (distributed top-k,
     // never a single-partition full sort).
     "q_sort_limit" -> { (s, dir) =>
@@ -554,6 +571,14 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_totalprice, o_orderkey
+        |FROM (SELECT o_custkey, o_totalprice, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT o_orderstatus,

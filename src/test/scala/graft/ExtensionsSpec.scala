@@ -37,6 +37,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - (1.5 * 2.0 + -2.0 * 0.5)) < 1e-12)
   }
 
+  test("top_k_by_score callable from SQL: bounded top-k aggregate") {
+    val r = spark.sql(
+      """SELECT g, top_k_by_score(s, i, 2) AS top FROM VALUES
+        |  (1, 5.0D, 10L), (1, 7.0D, 11L), (1, 5.0D, 9L), (2, 1.0D, 20L)
+        |  AS t(g, s, i)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = r(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(x => (x.getDouble(0), x.getLong(1))) == Seq((7.0, 11L), (5.0, 9L)))
+    val g2 = r(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(g2.map(x => (x.getDouble(0), x.getLong(1))) == Seq((1.0, 20L)))
+  }
+
   test("null semantics: null array or null element yields null") {
     val r = spark.sql(
       """SELECT dot_q(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1 AS FLOAT))) AS a,

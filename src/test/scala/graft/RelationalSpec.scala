@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
@@ -82,6 +83,36 @@ class RelationalSpec extends SparkSpec {
     val got = Relational.bandJoin(facts, "x", bands)
       .groupBy("band_id").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got === Map(0 -> 2, 1 -> 2))
+  }
+
+  test("TopKByScore aggregate == window row_number top-k (ties, small groups)") {
+    import org.apache.spark.sql.graft.shim
+    // group 1: ties on score (id breaks them); group 2: fewer rows than k
+    val df = Seq((1L, 5.0, 10L), (1L, 5.0, 11L), (1L, 7.0, 12L), (1L, 3.0, 13L),
+      (2L, 1.0, 20L)).toDF("g", "score", "id")
+    val agg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression(col("score")), shim.expression(col("id")), 3)
+      .toAggregateExpression())
+    val native = df.groupBy(col("g")).agg(agg.as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("g"), (col("i") + 1).as("rk"), col("e.score"), col("e.id"))
+      .collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val windowed = df.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select(col("g"), col("rk").cast("int"), col("score"), col("id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(native == windowed)
+    // and on real data, against the inventory's window variant
+    val orders = graft.queries.Q.t(spark, sf, "orders")
+    val nat2 = SparkEntry.queries("q_topk_agg")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val w2 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val win2 = orders.withColumn("rk", row_number().over(w2).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_totalprice"), col("o_orderkey"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(nat2 == win2)
   }
 
   test("deterministicSample: reproducible, near-target fraction, composable strata") {
