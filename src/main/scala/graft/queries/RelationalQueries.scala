@@ -312,6 +312,40 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
     },
 
+    // Unpivot (wide -> long): melt the pivoted status counts back into
+    // rows — Dataset.unpivot, the inverse of q_pivot's conditional aggs.
+    "q_unpivot" -> { (s, dir) =>
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")), "status_col", "n")
+    },
+
+    // Fixed-width value histogram (binning): floor-division bin ids are
+    // IEEE-exact cross-engine; min/max per bin come straight from
+    // storage. One partial-agg shuffle.
+    "q_histogram" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 60000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    },
+
+    // Approximate percentiles (GK sketch) — the 100 TB path where exact
+    // percentile's full sort per group is unaffordable. Engine-specific
+    // estimate: rows-only here; accuracy vs exact asserted in
+    // RelationalSpec.
+    "q_approx_percentile" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"))
+    },
+
     // Exact interpolated percentiles (median / p90) per group. Integral
     // quantities make the interpolation arithmetic exact cross-engine.
     "q_percentile" -> { (s, dir) =>
@@ -590,6 +624,21 @@ object RelationalQueries {
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM w
+        |UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM w
+        |UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM w""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 60000) AS BIGINT) AS bin,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,

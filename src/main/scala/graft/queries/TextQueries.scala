@@ -127,6 +127,25 @@ object TextQueries {
           col("char_len").cast("long").as("char_len"))
     },
 
+    // Per-doc top-3 terms by frequency (keyword extraction): integer-
+    // deterministic ranking (tf desc, term asc).
+    "q_top_terms" -> { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.letterTokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      graft.operators.Relational.topKPerGroup(tf, Seq(col("doc_id")),
+          Seq(col("tf").desc, col("term").asc), 3)
+        .withColumn("rk", col("rk").cast("long"))
+    },
+
+    // Structured field extraction via regex: first capitalized word +
+    // occurrence counts — the per-row parse step of a text pipeline.
+    "q_regex_extract" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(col("text"), "[A-Z][a-z]+", 0).as("first_cap"),
+        regexp_count(col("text"), lit("the")).cast("long").as("n_the"))
+    },
+
     // Normalized content fingerprint.
     "q_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
@@ -218,6 +237,23 @@ object TextQueries {
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '')) AS BIGINT) AS alnum_tokens,
         |  CAST(length(text) AS BIGINT) AS char_len
+        |FROM documents""".stripMargin,
+
+    "q_top_terms" ->
+      s"""WITH tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($SQL_TOKS) AS w FROM documents)
+         |  GROUP BY doc_id, w)
+         |SELECT doc_id, term, tf, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT doc_id, term, tf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, term ASC) AS rk
+         |  FROM tf)
+         |WHERE rk <= 3""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '[A-Z][a-z]+') AS first_cap,
+        |  CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the
         |FROM documents""".stripMargin,
 
     "q_fingerprint" ->

@@ -141,6 +141,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 5% of exact percentile per group") {
+    val li = graft.queries.Q.t(spark, sf, "lineitem")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, 0.9, 1000)").as("apx"),
+        expr("percentile(l_quantity, 0.9)").as("exact"))
+      .collect()
+    both.foreach { r =>
+      val apx = r.getDouble(1)
+      val exact = r.getDouble(2)
+      assert(math.abs(apx - exact) / exact < 0.05, s"apx=$apx exact=$exact")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact per group") {
     import org.apache.spark.sql.functions._
     val li = graft.queries.Q.t(spark, sf, "lineitem")
