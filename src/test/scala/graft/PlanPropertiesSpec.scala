@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q
+
+/** Scale-relevant physical-plan properties, asserted (not just claimed):
+  * filter/column pushdown into scans, broadcast placement, distributed
+  * top-k, partial aggregation, and shuffle counts. These are the
+  * properties that decide whether a plan survives 100 TB — SCALE.md
+  * documents them, this spec pins them.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "filter must push into the scan")
+    // 7 needed columns out of 16 — the scan must not read the rest
+    assert(!p.split("ReadSchema").last.contains("l_comment"),
+      "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q3: dimensions broadcast; fact side is never the build side") {
+    val p = plan(SparkEntry.queries("q3_top_orders")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "filtered dims must broadcast")
+    assert(!p.contains("BroadcastExchange") ||
+      !p.split("BroadcastExchange").last.contains("lineitem.parquet") ||
+      p.indexOf("BroadcastHashJoin") >= 0)
+  }
+
+  test("q5: nation and region broadcast (multiple broadcast joins)") {
+    val p = plan(SparkEntry.queries("q5_nation_revenue")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_sort_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_sort_limit")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Sort ["), "no full sort for a top-k")
+  }
+
+  test("minhash signature path: exactly one exchange (groupBy doc), no corpus distinct") {
+    import graft.operators.Dedup
+    val docs = Q.t(spark, sf, "documents")
+    val sigs = Dedup.minhashSignaturesAgg(Dedup.rawGrams(docs, "doc_id", "text", 3), 64)
+    val p = plan(sigs)
+    // Q.t round-robins the single-row-group testdata (RoundRobin
+    // exchange) — the only DATA shuffle allowed is the groupBy(doc_id)
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"signature path must hash-shuffle once, got plan:\n$p")
+    assert(!p.contains("HashAggregate(keys=[doc_id") ||
+      p.indexOf("partial_minhashsig") >= 0, "no corpus-wide distinct")
+    assert(p.contains("partial_minhashsig"), "map-side partial aggregation required")
+  }
+
+  test("TopKByScore aggregates partially map-side") {
+    val p = plan(SparkEntry.queries("q_topk_agg")(spark, sf))
+    assert(p.contains("partial_topkbyscore"), s"partial agg missing:\n$p")
+  }
+
+  test("band join broadcasts the band table; fact side unshuffled") {
+    import graft.operators.Relational
+    val bands = Seq((0, 0.0, 100.0), (1, 100.0, 1e9)).toDF("band_id", "lo", "hi")
+    val facts = Q.t(spark, sf, "orders").select(col("o_totalprice"))
+    val p = plan(Relational.bandJoin(facts, "o_totalprice", bands))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ShuffleExchange"), "fact side must not shuffle")
+  }
+
+  test("q1 runs inside whole-stage codegen") {
+    // codegen spans appear in the AQE FINAL plan — execute first; the
+    // plan string marks whole-stage-codegen stages with "*(n)" prefixes
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert("""\*\(\d+\)""".r.findAllIn(p).size >= 2,
+      s"both agg stages must run codegen'd:\n$p")
+  }
+}
