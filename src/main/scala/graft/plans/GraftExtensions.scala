@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{DotProductD, DotProductQ, TopKByScore}
+import graft.functions.expr.{DotProductD, DotProductQ, MinHashSig, SimHashAgg, TopKByScore}
 
 /** Engine extension point: registers the native expressions with the
   * Catalyst function registry so they are callable from SQL text, not
@@ -35,6 +35,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "top_k_by_score(score, id, k) - bounded top-k aggregate: array<struct<score,id>> ranked by (score DESC, id ASC)"),
       (children: Seq[Expression]) => TopKByScore(children(0), children(1),
         children(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(gram, n) - n-view MinHash signature aggregate over a string column (array<bigint>)"),
+      (children: Seq[Expression]) => MinHashSig(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      info("simhash_agg",
+        "simhash_agg(token) - 64-bit SimHash signature aggregate over a token column"),
+      (children: Seq[Expression]) => SimHashAgg(children(0))
         .toAggregateExpression()))
   }
 }

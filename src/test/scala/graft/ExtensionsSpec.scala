@@ -49,6 +49,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(g2.map(x => (x.getDouble(0), x.getLong(1))) == Seq((1.0, 20L)))
   }
 
+  test("minhash_sig / simhash_agg callable from SQL, agree with Column-API forms") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataset(Seq((1L, "the cat"), (1L, "cat sat"), (2L, "dog")))(
+      org.apache.spark.sql.Encoders.product[(Long, String)])
+      .toDF("doc_id", "g")
+    df.createOrReplaceTempView("grams_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sig(g, 8) AS sig FROM grams_v GROUP BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaApi = graft.operators.Dedup.minhashSignaturesAgg(df, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaApi)
+    val sh = spark.sql(
+      "SELECT doc_id, simhash_agg(g) AS h FROM grams_v GROUP BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.size == 2 && sh(1L) != 0L)
+  }
+
   test("null semantics: null array or null element yields null") {
     val r = spark.sql(
       """SELECT dot_q(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1 AS FLOAT))) AS a,

@@ -115,6 +115,40 @@ class RelationalSpec extends SparkSpec {
     assert(nat2 == win2)
   }
 
+  test("TopKBuf heap == sort-based reference on randomized inputs (fuzz)") {
+    // deterministic LCG fuzz (no scalacheck in the offline cache)
+    var seed = 0x2545F4914F6CDD1DL
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    for (trial <- 1 to 200) {
+      val n = (math.abs(next()) % 40).toInt
+      val k = 1 + (math.abs(next()) % 6).toInt
+      // small score space forces ties; id space forces tie-breaks
+      val items = Array.fill(n)((math.abs(next()) % 5).toDouble, math.abs(next()) % 20)
+      val buf = new graft.functions.expr.TopKBuf(k)
+      items.foreach { case (s, i) => buf.offer(s, i) }
+      val want = items.sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(k).toSeq
+      assert(buf.sortedBestFirst.toSeq == want, s"trial $trial n=$n k=$k")
+    }
+  }
+
+  test("TopKBuf merge (partial aggregation) == single-pass result") {
+    var seed = 42L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    for (trial <- 1 to 50) {
+      val items = Array.fill(30)((math.abs(next()) % 7).toDouble, math.abs(next()) % 50)
+      val (a, b) = items.splitAt(15)
+      val whole = new graft.functions.expr.TopKBuf(4)
+      items.foreach { case (s, i) => whole.offer(s, i) }
+      val pa = new graft.functions.expr.TopKBuf(4)
+      a.foreach { case (s, i) => pa.offer(s, i) }
+      val pb = new graft.functions.expr.TopKBuf(4)
+      b.foreach { case (s, i) => pb.offer(s, i) }
+      pa.absorb(pb)
+      assert(pa.sortedBestFirst.toSeq == whole.sortedBestFirst.toSeq, s"trial $trial")
+    }
+  }
+
   test("deterministicSample: reproducible, near-target fraction, composable strata") {
     val orders = graft.queries.Q.t(spark, sf, "orders")
     val s1 = Relational.deterministicSample(orders, col("o_orderkey"), 0.25)
