@@ -289,6 +289,42 @@ object RelationalQueries {
         .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
     },
 
+    // Co-located (bucketed) join: both sides pre-hash-partitioned AND
+    // pre-sorted on the key at write time, so the join itself needs
+    // ZERO exchanges — how a repeatedly-joined 100 TB fact table
+    // amortizes its shuffle once instead of per query (zero-exchange
+    // property proven in BucketingSpec; result correctness proven here).
+    "q_bucketed_join" -> { (s, dir) =>
+      import graft.io.Sources
+      Sources.writeBucketed(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")), "bk_cust_q", "c_custkey", 8)
+      Sources.writeBucketed(t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+        "bk_ord_q", "c_custkey", 8)
+      s.table("bk_cust_q").join(s.table("bk_ord_q"), "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(money(col("o_totalprice"))), 4).cast("double").as("total"))
+    },
+
+    // Typed cogroup (the generalized MapReduce contract over TWO
+    // inputs): per-key custom fold across both sides in one function.
+    "q_cogroup" -> { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .as[(Long, Long)].groupByKey(_._1)
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Double)].groupByKey(_._1)
+      cust.cogroup(ord) { (key, cs, os) =>
+        val nation = cs.map(_._2).toSeq.headOption
+        val prices = os.map(_._2).toArray
+        nation.map(n => (key, n, prices.length.toLong,
+          if (prices.isEmpty) 0.0 else prices.max)).iterator
+      }.toDF("c_custkey", "c_nationkey", "n_orders", "max_price")
+    },
+
     // Map-typed columns: build a priority->count map per status, then
     // map lookups / cardinality / value-fold. Missing key => null.
     "q_map_funcs" -> { (s, dir) =>
@@ -605,6 +641,19 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,6))), 4) AS DOUBLE) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q_cogroup" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+        |  COALESCE(MAX(o_totalprice), 0.0) AS max_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_nationkey""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_totalprice, o_orderkey
