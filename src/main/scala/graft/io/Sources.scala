@@ -69,8 +69,18 @@ object Sources {
     * repeatedly-joined fact table amortizes its shuffle once at write
     * time instead of paying it per query. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a managed table dropped by metastore loss (new session, same
+    // warehouse dir) leaves an orphan location that Overwrite refuses —
+    // clear both the catalog entry and any stale directory
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+  }
 }
