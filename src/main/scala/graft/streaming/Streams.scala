@@ -127,6 +127,22 @@ object Streams {
       }
   }
 
+  /** foreachBatch sink with per-batch-directory overwrite: each micro
+    * batch lands in `<path>/batch=<id>` with Overwrite mode, so a batch
+    * REPLAYED after a failure/restart overwrites its own directory
+    * instead of duplicating rows — the idempotent-sink pattern for
+    * targets without transactional appends (plain parquet here; the
+    * same shape drives MERGE upserts on transactional stores). */
+  def foreachBatchParquetSink(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$id")
+      }
+      .outputMode("append")
+      .start()
+
   case class OpenSession(startMicros: Long, lastMicros: Long, events: Long)
   case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
       s_end: java.sql.Timestamp, n_events: Long)

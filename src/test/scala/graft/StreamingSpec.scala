@@ -167,6 +167,31 @@ class StreamingSpec extends SparkSpec {
         .select("user_id", "ts", "value").distinct().count())
   }
 
+  test("foreachBatch per-batch-overwrite sink: restart does not duplicate rows") {
+    import spark.implicits._
+    val rows = eventRows.toArray
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
+    val ms = MemoryStream[Streams.Ev](spark)
+    def start() = Streams.foreachBatchParquetSink(
+      ms.toDF().select(col("user_id"), col("ts"), col("value")), out, ckpt)
+    val third = rows.length / 3
+    val q1 = start()
+    ms.addData(rows.take(third): _*); q1.processAllAvailable()
+    q1.stop()
+    // restart from checkpoint; later batches get fresh ids, and any
+    // replayed batch would overwrite its own directory (idempotent)
+    val q2 = start()
+    ms.addData(rows.slice(third, 2 * third): _*); q2.processAllAvailable()
+    ms.addData(rows.drop(2 * third): _*); q2.processAllAvailable()
+    q2.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() == rows.length.toLong)
+    assert(written.select("user_id", "ts", "value").except(
+      spark.createDataset(rows.toIndexedSeq).toDF()
+        .select("user_id", "ts", "value")).count() == 0)
+  }
+
   test("sessionWindowStats batch == manual gaps-and-islands") {
     val ev = Q.events(spark, sf)
     val got = Streams.sessionWindowStats(ev).groupBy("user_id")
