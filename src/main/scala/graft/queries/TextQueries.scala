@@ -17,6 +17,13 @@ object TextQueries {
     * [[TextFns.letterTokens]] (split on non-\p{L}, drop empties). */
   private val SQL_TOKS = """list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')"""
 
+  /** DuckDB stopword score for a language — mirror of
+    * [[TextAnalysis.langId]]'s per-language token membership count. */
+  private def sqlScore(lang: String): String = {
+    val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> ''), x -> x IN ($words))) AS BIGINT)"
+  }
+
   /** DuckDB CTEs producing distinct word 3-gram shingles per doc —
     * the mirror of [[Dedup.gramSets]]. */
   private def sqlGrams(where: String): String =
@@ -151,6 +158,33 @@ object TextQueries {
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // THE end-to-end curation pipeline a training-data corpus runs:
+    // quality filter ∧ language filter ∧ exact-dedup keepers ∧ near-dup
+    // cluster keepers (MinHash-LSH → clusters), then a deterministic
+    // 50% subsample. Composed entirely from the inventory's operators;
+    // the oracle re-derives every stage in SQL (incl. the recursive
+    // transitive closure for clusters).
+    "q_curation" -> { (s, dir) =>
+      import graft.operators.Relational
+      val docs = t(s, dir, "documents")
+      val qual = TextAnalysis.quality(docs, "doc_id", "text")
+        .where(col("verdict") === "keep").select("doc_id")
+      val lang = TextAnalysis.langId(docs, "doc_id", "text")
+        .where(col("pred_lang") === "en").select("doc_id")
+      val exactKeep = Dedup.exactKeepers(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val nearDupDrop = Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
+        .where(col("doc_id") =!= col("cluster")).select("doc_id")
+      val kept = docs.select(col("doc_id"))
+        .join(qual, Seq("doc_id"), "left_semi")
+        .join(lang, Seq("doc_id"), "left_semi")
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      Relational.deterministicSample(kept, col("doc_id"), 0.5)
+    },
+
     // Bottom-8 winnowing-style sketch over word 3-grams (md5-ranked —
     // identical in both engines, so exactly oracle-checkable).
     "q_doc_sketch" -> { (s, dir) =>
@@ -196,15 +230,11 @@ object TextQueries {
          |FROM reach GROUP BY s""".stripMargin,
 
     "q_lang_id" -> {
-      def score(lang: String): String = {
-        val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
-        s"CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> ''), x -> x IN ($words))) AS BIGINT)"
-      }
       s"""WITH s AS (SELECT doc_id, length(text) AS n,
-         |  ${score("en")} AS score_en,
-         |  ${score("es")} AS score_es,
-         |  ${score("de")} AS score_de,
-         |  ${score("fr")} AS score_fr,
+         |  ${sqlScore("en")} AS score_en,
+         |  ${sqlScore("es")} AS score_es,
+         |  ${sqlScore("de")} AS score_de,
+         |  ${sqlScore("fr")} AS score_fr,
          |  CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT) AS han_chars
          |FROM documents)
          |SELECT doc_id, score_en, score_es, score_de, score_fr, han_chars,
@@ -260,6 +290,37 @@ object TextQueries {
       """SELECT doc_id,
         |  substring(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp
         |FROM documents""".stripMargin,
+
+    "q_curation" ->
+      s"""WITH RECURSIVE ${sqlGrams("")},
+         |pr AS (SELECT da, db FROM inter
+         |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s, db AS d FROM pr
+         |          UNION SELECT db, da FROM pr),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |drop_nd AS (SELECT s AS doc_id FROM reach GROUP BY s
+         |            HAVING LEAST(s, MIN(d)) <> s),
+         |qual AS (SELECT doc_id FROM documents
+         |  WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5
+         |    AND CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) >= 0.5),
+         |lng AS (SELECT doc_id FROM (
+         |    SELECT doc_id, length(text) AS n,
+         |      ${sqlScore("en")} AS s_en, ${sqlScore("es")} AS s_es,
+         |      ${sqlScore("de")} AS s_de, ${sqlScore("fr")} AS s_fr,
+         |      CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT) AS han
+         |    FROM documents) x
+         |  WHERE NOT (han * 5 > n) AND s_en + s_es + s_de + s_fr > 0
+         |    AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr),
+         |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id FROM documents d
+         |JOIN qual USING (doc_id)
+         |JOIN lng USING (doc_id)
+         |JOIN ex USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_nd)
+         |  AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < '8000'""".stripMargin,
 
     "q_doc_sketch" ->
       s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
