@@ -210,6 +210,44 @@ object Similarity {
           .as("mean_q"),
         count(lit(1)).as("n"))
 
+  /** Materialize the IVF index as a table PARTITIONED BY the coarse
+    * cluster id — the 100 TB layout: a probe then reads only its
+    * nProbe partitions (directory-level pruning, verified in
+    * SimilaritySpec), instead of scanning the corpus and filtering.
+    * Returns the centroid matrix needed at query time. */
+  def ivfWriteIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, nClusters: Int = 16): Array[Seq[Float]] = {
+    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = ivfTrain(cached, idCol, vecCol, nClusters)
+    assignToCentroids(cached, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("__cid"))
+      .write.mode("overwrite").partitionBy("__cid").parquet(path)
+    cached.unpersist()
+    centroids
+  }
+
+  /** ANN top-k over a materialized [[ivfWriteIndex]] table: pick the
+    * `nProbe` nearest centroids, read ONLY those partitions (the
+    * `__cid isin` filter prunes at the directory level — shows up as
+    * PartitionFilters in the scan), exact cosine within them. */
+  def ivfQueryIndex(spark: SparkSession, path: String,
+      centroids: Array[Seq[Float]], idCol: String, vecCol: String,
+      probeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val index = spark.read.parquet(path)
+    val qvec = index.where(col(idCol) === probeId).select(col(vecCol)).head()
+      .getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(qvec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, i)
+    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    index.where(col("__cid").isin(probes: _*) && col(idCol) =!= probeId)
+      .select(col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), typedLit(qvec)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+  }
+
   /** ANN top-k: restrict the scan to the probe's LSH bucket, then exact
     * cosine within it. Recall < 1 by construction; at scale the win is
     * reading 1/2^nPlanes of the corpus. */

@@ -117,6 +117,21 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: ${(brute intersect ivf).size}/10")
   }
 
+  test("ivfWriteIndex + ivfQueryIndex: partition-pruned probe == in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centroids = Similarity.ivfWriteIndex(emb, "vec_id", "embedding", dir, 16)
+    val viaIndex = Similarity.ivfQueryIndex(spark, dir, centroids,
+      "vec_id", "embedding", probeId = 0L, k = 10, nProbe = 8)
+    val inMem = Similarity.ivfTopK(spark, emb, "vec_id", "embedding", 0L, 10,
+      nClusters = 16, nProbe = 8)
+    assert(viaIndex.collect().map(_.toString).toSeq ==
+      inMem.collect().map(_.toString).toSeq)
+    // the probe must PRUNE partitions, not filter post-scan
+    val p = viaIndex.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("__cid"),
+      s"__cid must be a partition filter:\n$p")
+  }
+
   test("ivfTrain: deterministic centroids, every vector assigned") {
     val c1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
     val c2 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
