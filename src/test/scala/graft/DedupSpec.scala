@@ -41,6 +41,11 @@ class DedupSpec extends SparkSpec {
     assert(got.filter { case (d, c) => d == c }.keySet === Set(1L, 10L, 20L))
   }
 
+  test("dedupClusters: empty pair list yields empty clustering") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupClusters(empty).count() === 0)
+  }
+
   test("minhash-LSH pairs == brute-force n-gram Jaccard pairs at threshold") {
     val grams = Dedup.gramSets(docs, "doc_id", "text", 3)
     val a = grams.toDF("doc_a", "g")
