@@ -56,6 +56,16 @@ object StreamQueries {
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[Streams.Ev]
       Streams.statefulSessionize(ds, gapSeconds = 1800L).toDF()
+    },
+
+    // transformWithState (arbitrary-state v2 API): per-user running
+    // totals in a typed ValueState; batch result == groupBy aggregate.
+    "q_stream_tws_totals" -> { (s, dir) =>
+      import s.implicits._
+      val ds = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[Streams.Ev]
+      Streams.twsRunningTotals(ds).toDF()
     })
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +115,11 @@ object StreamQueries {
         |  FROM e)
         |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM m GROUP BY user_id""".stripMargin,
+
+    "q_stream_tws_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR("value" * 1000) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

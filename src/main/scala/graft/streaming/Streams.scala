@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` stream.
   *
@@ -125,6 +126,50 @@ object Streams {
         state.update(st)
         Iterator.single(UserSessions(uid, st.sessions, st.events))
       }
+  }
+
+  case class UserTotals(user_id: Long, n_events: Long, sum_q: Long)
+
+  /** transformWithState processor (the arbitrary-state v2 API): per-user
+    * running (event count, fixed-point value sum) in ONE typed
+    * ValueState record. The v2 API gives composable named state
+    * (value/list/map), TTL, and timers; state lives in the store
+    * (RocksDB in streaming), not the group iterator. */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Ev, UserTotals] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UserTotals] = {
+      var (n, sq) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { e =>
+        n += 1L
+        sq += math.floor(e.value * 1000.0).toLong
+      }
+      totals.update((n, sq))
+      Iterator.single(UserTotals(key, n, sq))
+    }
+  }
+
+  /** Per-user running totals via `transformWithState`. Update mode:
+    * one row per user per batch; the final row per user equals the
+    * batch groupBy aggregate (the oracle check). The operator requires
+    * the RocksDB state store provider in BOTH batch and streaming —
+    * set here so any session can run it. */
+  def twsRunningTotals(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch execution looks the coordinator endpoint up but only
+    // streaming queries create it — init explicitly for batch sessions
+    org.apache.spark.sql.graft.shim.ensureStateStoreCoordinator(events.sparkSession)
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** foreachBatch sink with per-batch-directory overwrite: each micro

@@ -26,4 +26,12 @@ object shim {
   def planOf(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Create-or-lookup the driver's StateStoreCoordinator RPC endpoint.
+    * Streaming queries register it on start; BATCH execution of
+    * stateful operators (transformWithState) looks it up but never
+    * creates it — so a batch-only session must init it explicitly. */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
 }

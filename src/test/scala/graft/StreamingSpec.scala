@@ -167,6 +167,43 @@ class StreamingSpec extends SparkSpec {
         .select("user_id", "ts", "value").distinct().count())
   }
 
+  test("twsRunningTotals: transformWithState streaming (RocksDB) == batch aggregate") {
+    import spark.implicits._
+    val expected = Q.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = eventRows.sortBy(_.ts.getTime)
+      val ms = MemoryStream[Streams.Ev](spark)
+      val sq = Streams.twsRunningTotals(ms.toDS())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      val third = rows.length / 3
+      ms.addData(rows.take(third): _*); sq.processAllAvailable()
+      ms.addData(rows.slice(third, 2 * third): _*); sq.processAllAvailable()
+      ms.addData(rows.drop(2 * third): _*); sq.processAllAvailable()
+      sq.stop()
+      // update mode: last emission per user carries the final state
+      val got = spark.table("tws")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_q"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.sum_q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch per-batch-overwrite sink: restart does not duplicate rows") {
     import spark.implicits._
     val rows = eventRows.toArray
