@@ -325,6 +325,20 @@ object RelationalQueries {
       }.toDF("c_custkey", "c_nationkey", "n_orders", "max_price")
     },
 
+    // Correlated LATERAL subquery (SQL surface): per-customer top-1
+    // order — planned as a DomainJoin rewrite into a window/join, no
+    // per-row re-execution.
+    "q_lateral_topn" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("cust_lat_v")
+      t(s, dir, "orders").createOrReplaceTempView("ord_lat_v")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM cust_lat_v c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM ord_lat_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t""")
+    },
+
     // Map-typed columns: build a priority->count map per status, then
     // map lookups / cardinality / value-fold. Missing key => null.
     "q_map_funcs" -> { (s, dir) =>
@@ -662,6 +676,13 @@ object RelationalQueries {
         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |      FROM orders)
         |WHERE rk <= 3""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT o_orderstatus,
