@@ -166,7 +166,10 @@ object TextQueries {
     // transitive closure for clusters).
     "q_curation" -> { (s, dir) =>
       import graft.operators.Relational
+      // five stages scan the corpus (quality, lang, exact hash, minhash
+      // sigs, candidate grams) — cache the input once for the query
       val docs = t(s, dir, "documents")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qual = TextAnalysis.quality(docs, "doc_id", "text")
         .where(col("verdict") === "keep").select("doc_id")
       val lang = TextAnalysis.langId(docs, "doc_id", "text")
