@@ -80,3 +80,63 @@ case class MinHashSig(child: Expression, numHashes: Int,
       newChildren: IndexedSeq[Expression]): MinHashSig =
     copy(child = newChildren.head)
 }
+
+/** [[MinHashSig]] over an ALREADY-HASHED gram (a long): same view
+  * derivation (`xxhash64(lit(i), h)` seed chain), but the base hash
+  * comes in as the child value instead of being computed from a gram
+  * string. Lets the gram pipeline skip building gram STRINGS entirely —
+  * tokens are hashed once and combined positionally with
+  * `xxhash64(h1..hn)` — removing the dominant allocation of the
+  * signature stage at corpus scale. */
+case class MinHashSigLong(child: Expression, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val hi = XXH64.hashLong(h, XXH64.hashInt(i, 42L))
+        if (hi < buf(i)) buf(i) = hi
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * numHashes)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numHashes)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MinHashSigLong =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MinHashSigLong =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashSigLong =
+    copy(child = newChildren.head)
+}

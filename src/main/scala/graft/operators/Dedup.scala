@@ -62,6 +62,32 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Positionally-combined gram HASHES, no gram strings: hash each
+    * token once (`xxhash64(t)`), then combine each n-window of token
+    * hashes with one more `xxhash64(h_i..h_{i+n-1})`. Set-equivalent to
+    * hashing the concatenated gram (the combine is injective enough for
+    * MinHash) but skips all string concatenation/allocation — the
+    * dominant cost of the signature stage at corpus scale. One row per
+    * gram occurrence, no shuffle. */
+  def gramHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        transform(TextFns.letterTokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .select(col("doc_id"),
+        explode(when(size(col("__th")) >= n,
+          transform(sequence(lit(0), size(col("__th")) - lit(n)),
+            i => xxhash64((1 to n).map(j => element_at(col("__th"), i + lit(j))): _*)))
+          .otherwise(array().cast("array<bigint>"))).as("gh"))
+
+  /** Signatures over pre-hashed grams ([[gramHashes]]) via the long-
+    * input native aggregate — the production signature path. */
+  def minhashSignaturesHashed(gramHs: DataFrame, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val sig = shim.column(
+      graft.functions.expr.MinHashSigLong(shim.expression(col("gh")), numHashes)
+        .toAggregateExpression())
+    gramHs.groupBy(col("doc_id")).agg(sig.as("sig"))
+  }
+
   /** Same signatures via ONE buffer-based native aggregate
     * ([[graft.functions.expr.MinHashSig]], TypedImperativeAggregate):
     * bit-identical output, single primitive long[] buffer per group
@@ -122,12 +148,14 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    // Signature path: RAW (non-distinct) grams stream straight into the
-    // per-doc min-aggregate — duplicates cannot change a min, so the
-    // corpus-wide distinct shuffle is skipped entirely. The only
-    // signature-side shuffle is the partial-aggregated groupBy(doc_id),
-    // one 64-long buffer per doc per map partition.
-    val sigs = minhashSignaturesAgg(rawGrams(docs, idCol, textCol, ngram), numHashes)
+    // Signature path: RAW (non-distinct) gram HASHES stream straight
+    // into the per-doc min-aggregate — duplicates cannot change a min,
+    // so the corpus-wide distinct shuffle is skipped entirely, and no
+    // gram strings are ever built (tokens hashed once, windows combined
+    // hash-to-hash). The only signature-side shuffle is the partial-
+    // aggregated groupBy(doc_id), one 64-long buffer per doc per map
+    // partition.
+    val sigs = minhashSignaturesHashed(gramHashes(docs, idCol, textCol, ngram), numHashes)
     // candidate pairs are tiny (LSH-pruned); persisted because they are
     // consumed twice (id filter + broadcast join)
     val cands = candidatePairs(lshBandBuckets(sigs, bands, numHashes / bands))

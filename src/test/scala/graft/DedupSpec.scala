@@ -70,6 +70,21 @@ class DedupSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("MinHashSigLong over combined token hashes == composed min-columns, bit-exact") {
+    val gh = Dedup.gramHashes(docs, "doc_id", "text", 3)
+    val native = Dedup.minhashSignaturesHashed(gh, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val hashed = gh.select(
+      (col("doc_id") +: (0 until 16).map(i =>
+        xxhash64(lit(i), col("gh")).as(s"h$i"))): _*)
+    val mins = (0 until 16).map(i => min(col(s"h$i")).as(s"m$i"))
+    val composed = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
   test("native SimHashAgg == composed 64-sum-columns simhash, bit-exact") {
     val native = Dedup.simhash(docs.limit(200), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
