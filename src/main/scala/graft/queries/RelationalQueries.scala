@@ -96,6 +96,40 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_nationkey"))
     },
 
+    // Right outer join (orders kept even without a matching filtered
+    // customer) — completes the outer-join family.
+    "q_join_right" -> { (s, dir) =>
+      val bigCust = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_name"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(bigCust, col("c_custkey") === col("o_custkey"), "right")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    },
+
+    // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities (the distinct forms are q_set_ops).
+    "q_set_ops_all" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.exceptAll(sup).groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("k"), col("n"))
+        .unionAll(
+          c.intersectAll(sup).groupBy(col("k")).agg(count(lit(1)).as("n"))
+            .select(lit("intersect_all").as("op"), col("k"), col("n")))
+    },
+
+    // String aggregation: ordered, delimited concatenation per group
+    // (listagg/string_agg) — deterministic via explicit sort.
+    "q_string_agg" -> { (s, dir) =>
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+    },
+
     // Full outer join of two pre-aggregated sides.
     "q_join_full" -> { (s, dir) =>
       val cc = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
@@ -676,6 +710,29 @@ object RelationalQueries {
         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |      FROM orders)
         |WHERE rk <= 3""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+        |ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH c AS (SELECT c_nationkey AS k FROM customer),
+        |sup AS (SELECT s_nationkey AS k FROM supplier)
+        |SELECT 'except_all' AS op, k, COUNT(*) AS n FROM (
+        |  SELECT k FROM c EXCEPT ALL SELECT k FROM sup) GROUP BY k
+        |UNION ALL
+        |SELECT 'intersect_all', k, COUNT(*) FROM (
+        |  SELECT k FROM c INTERSECT ALL SELECT k FROM sup) GROUP BY k""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     "q_lateral_topn" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
