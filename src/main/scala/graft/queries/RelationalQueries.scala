@@ -181,6 +181,20 @@ object RelationalQueries {
             .cast("double").as("running_rev"))
     },
 
+    // RANGE window frame (value-based, not row-based): per supplier,
+    // events within the trailing 7-day VALUE window of each ship date —
+    // rows at equal order-key values share one frame.
+    "q_window_range" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").where(col("l_suppkey") < 20)
+        .withColumn("ship_day", datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+        .rangeBetween(-6, 0)
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship_day"),
+        count(lit(1)).over(w).as("n_trailing_7d"),
+        sum(money(col("l_quantity"))).over(w).cast("double").as("qty_trailing_7d"))
+    },
+
     // Top-k per group: the window-rank idiom (no global sort).
     "q_topk_per_group" -> { (s, dir) =>
       Relational.topKPerGroup(
@@ -710,6 +724,16 @@ object RelationalQueries {
         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |      FROM orders)
         |WHERE rk <= 3""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_7d,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,6))) OVER w AS DOUBLE) AS qty_trailing_7d
+        |FROM lineitem WHERE l_suppkey < 20
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_join_right" ->
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
