@@ -33,10 +33,25 @@ object Bench {
       val d1 = once(fn)
       name -> (if (d1 > 2.0) math.min(d1, once(fn)) else d1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision per-query detail goes to a FILE: the driver only
+    // keeps the last ~2000 chars of stdout, and 80+ full-precision
+    // entries overflow that window (rounds 1-2 parsed as null). Stdout
+    // gets one compact line (3-decimal seconds) as the LAST line so it
+    // always sits inside the captured tail and parses as plain JSON.
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
+    // only the slowest 25 fit comfortably; the full map is in the file
+    val qsCompact = results.sortBy(-_._2).take(25)
+      .map { case (k, v) => f""""$k":${v}%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qsCompact,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

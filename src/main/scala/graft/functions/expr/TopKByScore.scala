@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   * Buffer: k-bounded binary min-heap keyed worst-first (smallest score,
   * then largest id at equal score), so insert/evict is O(log k). Null
   * scores/ids are skipped (same visible result as the window form with
-  * desc_nulls_last when groups have >= k non-null rows).
+  * desc_nulls_last when groups have >= k non-null rows); NaN scores
+  * rank greatest, matching Spark's desc sort order.
   *
   * Output: array<struct<score double, id long>> sorted best-first;
   * posexplode position + 1 = rank.
@@ -91,9 +92,22 @@ final class TopKBuf(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
+  /** NaN-safe score compare with Spark's sort semantics (NaN greatest,
+    * -0.0 == 0.0) so primitive `<` on NaN can't wedge the heap or make
+    * sortWith non-transitive. */
+  @inline private def cmp(sa: Double, sb: Double): Int =
+    if (sa < sb) -1 else if (sa > sb) 1 else if (sa == sb) 0
+    else { // at least one NaN: NaN ranks above everything (matches desc)
+      val aN = java.lang.Double.isNaN(sa)
+      val bN = java.lang.Double.isNaN(sb)
+      if (aN && bN) 0 else if (aN) 1 else -1
+    }
+
   /** a strictly worse than b under (score DESC, id ASC) ranking. */
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = cmp(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def offer(s: Double, i: Long): Unit = {
     if (size < k) {
@@ -133,5 +147,5 @@ final class TopKBuf(val k: Int) {
 
   def sortedBestFirst: Array[(Double, Long)] =
     (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .sortWith((a, b) => worse(b._1, b._2, a._1, a._2))
 }

@@ -71,14 +71,24 @@ object Sources {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit = {
     val spark = df.sparkSession
+    import org.apache.spark.sql.graft.shim
     // a managed table dropped by metastore loss (new session, same
     // warehouse dir) leaves an orphan location that Overwrite refuses —
-    // clear both the catalog entry and any stale directory
+    // clear both the catalog entry and any stale directory. The stale
+    // path is resolved from the CATALOG (works for qualified names) and
+    // cleared only when it is safe: the prior table was MANAGED, or no
+    // table exists but the default managed location is occupied (the
+    // orphan case). An EXTERNAL table's data is never touched.
+    val stale: Option[String] = shim.tableInfo(spark, table) match {
+      case Some((managed, loc)) => if (managed) Some(loc) else None
+      case None                 => Some(shim.defaultTablePath(spark, table))
+    }
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    stale.foreach { l =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(l))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)

@@ -184,8 +184,16 @@ object Dedup {
     *
     * Returns (doc_id, cluster) for every doc appearing in `pairs`,
     * cluster = min doc_id of its component (so `cluster == doc_id`
-    * marks the keeper). */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * marks the keeper).
+    *
+    * Fails loudly if labels have not converged within `maxIters`
+    * (pointer jumping makes that O(log diameter), so 20 rounds covers
+    * components of diameter ~2^20) — partially-propagated labels would
+    * silently keep/drop the WRONG documents downstream. Set
+    * `requireConverged = false` only if a best-effort clustering is
+    * acceptable. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+      requireConverged: Boolean = true): DataFrame = {
     // localCheckpoint (not persist): iterative self-referencing plans
     // grow EXPONENTIALLY in logical-plan size (labels appears twice per
     // round), so lineage must be truncated each round, not just cached.
@@ -220,6 +228,9 @@ object Dedup {
       converged = changed == 0
       iters += 1
     }
+    if (requireConverged) require(converged,
+      s"dedupClusters: label propagation not converged after $maxIters rounds — " +
+        "labels would be inconsistent (cluster != component min); raise maxIters")
     labels
   }
 

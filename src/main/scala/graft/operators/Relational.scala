@@ -126,11 +126,12 @@ object Relational {
     * grouping column. */
   def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
-    if (fraction >= 1.0) df
-    else {
-      val cut = f"${math.round(fraction * 65536).toInt}%04x"
-      df.where(substring(md5(key.cast("string")), 1, 4) < lit(cut))
-    }
+    // round can hit 65536 for fraction in [65535.5/65536, 1.0), which
+    // would format as 5 hex chars and break the 4-char prefix compare —
+    // a full-width cut means keep-all, so short-circuit it instead
+    val c = math.round(fraction * 65536).toInt
+    if (c >= 65536) df
+    else df.where(substring(md5(key.cast("string")), 1, 4) < lit(f"$c%04x"))
   }
 
   /** Skew-resistant equi-join: salt the skewed (fact) side's key into

@@ -55,7 +55,8 @@ object Similarity {
     * loudly instead. The guard is part of the value expression so the
     * optimizer cannot elide it. */
   private def dimGuarded(vecCol: String, dim: Int, value: Column): Column =
-    when(size(col(vecCol)) === dim, value)
+    when(col(vecCol).isNull, lit(null)) // null vector passes through (not a dim error)
+      .when(size(col(vecCol)) === dim, value)
       .otherwise(raise_error(concat(
         lit(s"embedding dim != LSH plane dim $dim: got "),
         size(col(vecCol)).cast("string"))))

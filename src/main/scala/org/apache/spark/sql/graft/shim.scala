@@ -34,4 +34,27 @@ object shim {
   def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
       .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+
+  /** Catalog metadata of `table` (any qualified form the parser accepts):
+    * Some((isManaged, locationUri)) if it exists, None otherwise. */
+  def tableInfo(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Boolean, String)] = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (cat.tableExists(ident)) {
+      val m = cat.getTableMetadata(ident)
+      Some((m.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED,
+        m.location.toString))
+    } else None
+  }
+
+  /** The location the catalog WOULD assign to a managed table of this
+    * name — where a metastore-loss orphan directory would live. */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession,
+      table: String): String = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    cat.defaultTablePath(ident).toString
+  }
 }
