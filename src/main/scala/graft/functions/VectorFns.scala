@@ -53,4 +53,9 @@ object VectorFns {
     * far below Long overflow (|q|<~5e3 → dot <~1.6e9, na*nb <~2.6e18). */
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") / sqrt((dotQ(a, a) * dotQ(b, b)).cast("double"))
+
+  /** Exact integer dot product of two array<bigint> columns (already-
+    * quantized vectors — no further scaling). */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 }

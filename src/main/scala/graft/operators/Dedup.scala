@@ -167,9 +167,14 @@ object Dedup {
     // dup-rate factor (candidates ≈ actual near-dups, not the corpus).
     val candIds = cands.select(col("doc_a").as(idCol))
       .union(cands.select(col("doc_b").as(idCol))).distinct()
+    // jaccard() scans the gram table three times (a-side, b-side, doc
+    // sizes) — persist so candidate docs are tokenized once, not 3x.
+    // Candidate-only grams are small (dup-rate x grams/doc), so this is
+    // cache-friendly at any corpus scale.
     val candGrams = gramSets(
       docs.join(broadcast(candIds), Seq(idCol), "left_semi"),
       idCol, textCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccard(cands, candGrams).where(col("jaccard") >= threshold)
   }
 

@@ -113,4 +113,41 @@ object Multimodal {
       }
     }
   }
+
+  case class AudioWindow(doc_id: Long, win_idx: Long, n_samples: Int,
+      energy: Long, peak: Int)
+
+  /** Sliding analysis windows over an audio payload — the STFT/VAD
+    * framing step of an audio pipeline. The payload is interpreted as
+    * 8-bit PCM samples (the testdata has no real audio; a real decoder
+    * would emit 16-bit PCM here — same framing, different stride);
+    * windows of `winSize` samples every `hop` samples, each summarized
+    * by integer energy (sum of squared centered samples) and peak
+    * amplitude — exact integer arithmetic, deterministic.
+    *
+    * Partition-batched like the other media ops: windows of one payload
+    * never cross rows, so there is NO shuffle — fan-out is row-local,
+    * and at 100 TB each task streams its parquet binary chunk once. */
+  def audioWindows(media: Dataset[MediaRow], winSize: Int, hop: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    require(winSize >= 1 && hop >= 1)
+    media.flatMap { m =>
+      val n = m.content.length
+      val nWin = if (n < winSize) 0 else (n - winSize) / hop + 1
+      (0 until nWin).iterator.map { w =>
+        var energy = 0L
+        var peak = 0
+        var i = w * hop
+        val end = i + winSize
+        while (i < end) {
+          val s = (m.content(i) & 0xFF) - 128 // center unsigned 8-bit PCM
+          energy += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioWindow(m.doc_id, w.toLong, winSize, energy, peak)
+      }
+    }
+  }
 }

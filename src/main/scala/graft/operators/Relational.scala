@@ -151,4 +151,64 @@ object Relational {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** MERGE / upsert (SCD type 1): apply `source` changes to `target` by
+    * `key` — matched rows take the source's values for `updateCols`,
+    * unmatched source rows are inserted (missing target-only columns
+    * null), unmatched target rows pass through.
+    *
+    * This is the batch CDC-apply shape: ONE full-outer shuffle join on
+    * the key (both sides hash-partitioned; AQE handles a skewed key),
+    * then a coalesce projection — semantically `MERGE WHEN MATCHED THEN
+    * UPDATE WHEN NOT MATCHED THEN INSERT`. `source` must be
+    * key-unique (one change per key — pre-compact multi-change batches
+    * with a latest-wins window, as the CDC query does). */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String,
+      updateCols: Seq[String]): DataFrame = {
+    val t = target.columns.foldLeft(target)((d, c) =>
+      if (c == key) d else d.withColumnRenamed(c, s"__t_$c"))
+    val s = updateCols.foldLeft(source.select((key +: updateCols).map(col): _*))(
+      (d, c) => d.withColumnRenamed(c, s"__s_$c"))
+    val joined = t.join(s, Seq(key), "full_outer")
+    val out = target.columns.map { c =>
+      if (c == key) col(key)
+      else if (updateCols.contains(c))
+        coalesce(col(s"__s_$c"), col(s"__t_$c")).as(c)
+      else col(s"__t_$c").as(c)
+    }
+    joined.select(out.toIndexedSeq: _*)
+  }
+
+  /** Semi join with a Bloom-filter runtime pre-filter: build a Bloom
+    * filter over the build side's join keys (Spark's own
+    * `BloomFilterAggregate` sketch — the machinery behind
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled`), broadcast its
+    * bytes as a literal, and pre-filter the probe side with
+    * `might_contain` BEFORE its shuffle; a normal left-semi join then
+    * removes the Bloom's false positives, so the result is EXACTLY the
+    * plain semi join.
+    *
+    * This is the explicit form of a runtime filter for when the
+    * optimizer can't inject one (non-obvious build side, cached
+    * subtrees, or a probe side far more expensive than its scan). At
+    * 100 TB the win is shuffling only the ~matching fraction of the
+    * probe side: the filter costs one codegen'd hash per row, and the
+    * sketch is a few MB for tens of millions of keys (n·log(1/fpp)
+    * bits). */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String, build: DataFrame,
+      buildKey: String, expectedKeys: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.shim
+    val bloomBytes = build
+      .select(shim.column(new BloomFilterAggregate(
+          shim.expression(xxhash64(col(buildKey))), expectedKeys)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    probe
+      .where(shim.column(new BloomFilterMightContain(
+        shim.expression(lit(bloomBytes)),
+        shim.expression(xxhash64(col(probeKey))))))
+      .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
+  }
 }

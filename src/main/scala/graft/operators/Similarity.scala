@@ -267,4 +267,46 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
   }
+
+  /** Symmetric int8 quantization of an embedding column: each vector is
+    * scaled by its own max-abs so components land in [-127, 127],
+    * `q_i = floor((x_i * 127) / max_abs)` — the storage/compute
+    * compression step of a quantized ANN index (4x smaller vectors,
+    * integer SIMD dot products downstream). Deterministic: two
+    * correctly-rounded IEEE ops then floor, identical on every engine.
+    * Adds `qvec: array<bigint>` (long-typed lanes so downstream integer
+    * dot products cannot overflow: 64·127² « 2^63). All-zero vectors
+    * quantize to zeros. */
+  def quantizeInt8(emb: DataFrame, vecCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    emb.withColumn("qvec",
+      when(mx === 0.0d, transform(col(vecCol), _ => lit(0L)))
+        .otherwise(transform(col(vecCol),
+          x => floor((x.cast("double") * lit(127.0d)) / mx).cast("long"))))
+  }
+
+  /** Top-k neighbors of `probeId` by QUANTIZED cosine: integer dot
+    * products over int8-quantized vectors, normalized by the quantized
+    * norms (one double division + sqrt — deterministic). This is the
+    * rescoring arithmetic of an int8 ANN index: at 100 TB the index
+    * stores only qvec (4x less IO), and ranking quality degrades
+    * gracefully (~1e-2 cosine error), which the spec checks against
+    * float brute force. */
+  def quantizedTopK(emb: DataFrame, idCol: String, vecCol: String,
+      probeId: Long, k: Int): DataFrame = {
+    val q = quantizeInt8(emb, vecCol)
+    val qvec = q.where(col(idCol) === probeId).select(col("qvec")).head()
+      .getSeq[Long](0)
+    val probe = typedLit(qvec)
+    val dot = VectorFns.dotLong(col("qvec"), probe)
+    val na = VectorFns.dotLong(col("qvec"), col("qvec"))
+    val nq = VectorFns.dotLong(probe, probe)
+    q.where(col(idCol) =!= probeId)
+      .select(col(idCol).as("vec_id"),
+        (dot.cast("double") / sqrt((na * nq).cast("double"))).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("qcos").desc, col("vec_id").asc)))
+  }
 }

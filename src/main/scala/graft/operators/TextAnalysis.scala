@@ -96,4 +96,83 @@ object TextAnalysis {
       .where(col("rk") <= m)
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("fp_hash"))
   }
+
+  /** TF-IDF top-k terms per document, in pure integer arithmetic so the
+    * ranking is bit-stable across engines: idf_q = (N * 1e6) DIV df
+    * (floor division), score = tf * idf_q. Monotone in the real
+    * tf·log-idf ranking for fixed tf and strictly decreasing in df —
+    * the same keeper set as float TF-IDF except at ties, which the
+    * (score, term) ordering breaks deterministically.
+    *
+    * Two shuffles: (doc, term) tf aggregation, then term df aggregation
+    * joined back on term (term-partitioned, partial-agg'd). The corpus
+    * size N is a one-row aggregate, broadcast. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(TextFns.letterTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf is (doc, term)-unique, so df = row count per term
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * expr("(n_docs * 1000000L) DIV df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Per-document n-gram repetition stats — the "most repeated phrase"
+    * quality signal (high ratios mark boilerplate/spam for filtering).
+    * rep_ratio = occurrences of the most frequent n-gram / total
+    * n-grams; a single double division of two exact integers, so
+    * bit-stable. Docs with fewer than n tokens (no grams) are absent.
+    * One (doc, gram) aggregation + one per-doc aggregation — both
+    * doc-partitioned, no window. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val counts = Dedup.rawGrams(docs, idCol, textCol, n)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("n_grams").cast("double"))
+          .as("rep_ratio"))
+  }
+
+  /** Fuzzy string matching with blocking: pairs of distinct values of
+    * `strCol` within Levenshtein distance `maxDist`, compared only
+    * inside a (length-band) block with an |len(a)-len(b)| <= maxDist
+    * prefilter — edit distance >= length difference, so no true pair is
+    * lost, and the O(n²) comparison runs per block, not per corpus.
+    * At scale, add a coarser block key (first char, phonetic key, or a
+    * q-gram LSH) the same way; the shape stays block-join + exact
+    * rescore — the same candidate/verify split as MinHash dedup. */
+  def fuzzyPairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
+    val names = df.select(col(strCol).as("name"))
+      .where(col("name").isNotNull).distinct()
+      .withColumn("len", length(col("name")))
+      // block on length band: bands overlap by sliding the band key so
+      // cross-band neighbors (len diff <= maxDist) still meet once —
+      // floor((len-d)/(d+1)) .. floor(len/(d+1)) always intersects the
+      // same range of any length within d
+      .withColumn("band", explode(sequence(
+        floor((col("len") - lit(maxDist)) / lit(maxDist + 1)).cast("int"),
+        floor(col("len") / lit(maxDist + 1)).cast("int"))))
+    val a = names.select(col("band"), col("name").as("name_a"), col("len").as("len_a"))
+    val b = names.select(col("band"), col("name").as("name_b"), col("len").as("len_b"))
+    a.join(b, Seq("band"))
+      .where(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct() // a pair can share several sliding bands
+  }
 }

@@ -71,6 +71,21 @@ object MediaQueries {
         .as[Multimodal.MediaRow]
       Multimodal.byteHistogram(media).toDF()
         .select(col("doc_id"), round(col("entropy"), 6).as("entropy_r"))
+    },
+
+    // Sliding audio analysis windows (256-sample frames, 128 hop) over
+    // the audio payloads: integer energy + peak per window. The ASCII
+    // payload lets the oracle mirror the byte arithmetic via ord().
+    "q_audio_windows" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+        .where(col("media_type") === "audio")
+        .select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow]
+      Multimodal.audioWindows(media, winSize = 256, hop = 128).toDF()
+        .select(col("doc_id"), col("win_idx"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("energy"), col("peak").cast("long").as("peak"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +117,21 @@ object MediaQueries {
          |  CAST(n % 317 + 1 AS INTEGER) AS width,
          |  CAST(n // (n % 317 + 1) + 1 AS INTEGER) AS height,
          |  CAST((n % 317 + 1) * (n // (n % 317 + 1) + 1) AS BIGINT) AS n_pixels
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin,
+
+    "q_audio_windows" ->
+      """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, text,
+        |    unnest(range(0, (length(text) - 256) // 128 + 1)) AS win_idx
+        |  FROM m WHERE length(text) >= 256)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(1, 257),
+        |    i -> (ord(text[CAST(win_idx * 128 + i AS INTEGER)]) - 128)
+        |       * (ord(text[CAST(win_idx * 128 + i AS INTEGER)]) - 128))) AS BIGINT)
+        |    AS energy,
+        |  CAST(list_max(list_transform(range(1, 257),
+        |    i -> abs(ord(text[CAST(win_idx * 128 + i AS INTEGER)]) - 128))) AS BIGINT)
+        |    AS peak
+        |FROM w""".stripMargin)
 }

@@ -545,6 +545,71 @@ object RelationalQueries {
     // Gap-based sessionization (30 min).
     "q_sessionize" -> { (s, dir) =>
       Relational.sessionCounts(events(s, dir), "user_id", "ts", "event_id", 1800)
+    },
+
+    // MERGE / CDC upsert: latest event value per user applied to the
+    // customer table (keys shifted so both MATCHED-update and
+    // NOT-MATCHED-insert branches fire). One full-outer shuffle join.
+    "q_merge_upsert" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val source = events(s, dir)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select((col("user_id") + 1400).as("c_custkey"),
+          col("value").as("c_acctbal"))
+      Relational.mergeUpsert(t(s, dir, "customer"), source,
+        "c_custkey", Seq("c_acctbal"))
+    },
+
+    // Dense hourly grid with zero-filled gaps (215 real gaps at sf0.01).
+    "q_gap_fill" -> { (s, dir) =>
+      graft.operators.Timeseries.gapFillHourlyCounts(events(s, dir))
+    },
+
+    // Last-observation-carried-forward on a dense per-user daily grid.
+    "q_ffill" -> { (s, dir) =>
+      graft.operators.Timeseries.forwardFillDaily(events(s, dir))
+    },
+
+    // Bloom-filter runtime pre-filter + exact semi join: lineitem rows
+    // whose supplier is in a ~1/7 build-side subset (key-modulus pick:
+    // non-empty at every SF), aggregated. Result is exactly the plain
+    // semi join (Bloom FPs removed).
+    "q_bloom_join" -> { (s, dir) =>
+      val build = t(s, dir, "supplier").where(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"))
+      Relational.bloomSemiJoin(t(s, dir, "lineitem"), "l_suppkey",
+          build, "s_suppkey", expectedKeys = 10000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(money(col("l_quantity"))).as("sum_qty"))
+    },
+
+    // PII-style masking/anonymization: digits in the JSON props blanked
+    // out, with a per-row redaction count — pure map-side expressions.
+    "q_redact" -> { (s, dir) =>
+      events(s, dir).select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]", "#").as("props_masked"),
+        (length(col("props")) -
+          length(regexp_replace(col("props"), "[0-9]", "")))
+          .cast("long").as("n_redacted"))
+    },
+
+    // Data profiling: per-column null/distinct/min/max summary in ONE
+    // scan (multi-aggregate + driver-side melt of the single agg row).
+    "q_profile" -> { (s, dir) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val li = t(s, dir, "lineitem")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      cols.map(c => one.select(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}_nulls").as("n_null"), col(s"${c}_ndv").as("n_distinct"),
+          col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v")))
+        .reduce(_ union _)
     })
 
   val oracles: Map[String, String] = Map(
@@ -874,5 +939,78 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN prev_ts IS NULL
         |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
-        |FROM l GROUP BY user_id""".stripMargin)
+        |FROM l GROUP BY user_id""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id + 1400 AS c_custkey, "value" AS new_bal
+        |  FROM (SELECT user_id, "value", event_id,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |        FROM events)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(c.c_custkey, l.c_custkey) AS c_custkey,
+        |  c.c_name, c.c_nationkey,
+        |  COALESCE(l.new_bal, c.c_acctbal) AS c_acctbal,
+        |  c.c_mktsegment
+        |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.c_custkey""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |hours AS (SELECT unnest(generate_series(min(h), max(h),
+        |    INTERVAL '1 hour')) AS h FROM e),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT t.event_type, hr.h AS h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        |FROM types t CROSS JOIN hours hr
+        |LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = hr.h""".stripMargin,
+
+    "q_ffill" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, "value" FROM events),
+        |daily AS (SELECT user_id, d, MAX("value") AS obs FROM e GROUP BY 1, 2),
+        |days AS (SELECT CAST(unnest(generate_series(CAST(min(d) AS TIMESTAMP),
+        |    CAST(max(d) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM e),
+        |users AS (SELECT DISTINCT user_id FROM e),
+        |grid AS (SELECT u.user_id, dy.d, da.obs
+        |  FROM users u CROSS JOIN days dy
+        |  LEFT JOIN daily da ON da.user_id = u.user_id AND da.d = dy.d)
+        |SELECT user_id, d, obs,
+        |  last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM grid""".stripMargin,
+
+    "q_bloom_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sqlSumMoney(sqlMoney("l_quantity"))} AS sum_qty
+         |FROM lineitem
+         |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]', '#', 'g') AS props_masked,
+        |  CAST(length(props) -
+        |    length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_redacted
+        |FROM events""".stripMargin,
+
+    "q_profile" ->
+      """WITH one AS (SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+        |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS q_ndv,
+        |  MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+        |  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+        |  CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS p_ndv,
+        |  MIN(l_extendedprice) AS p_min, MAX(l_extendedprice) AS p_max,
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+        |  CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS d_ndv,
+        |  MIN(l_discount) AS d_min, MAX(l_discount) AS d_max
+        |FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, n_rows, q_nulls AS n_null,
+        |  q_ndv AS n_distinct, q_min AS min_v, q_max AS max_v FROM one
+        |UNION ALL
+        |SELECT 'l_extendedprice', n_rows, p_nulls, p_ndv, p_min, p_max FROM one
+        |UNION ALL
+        |SELECT 'l_discount', n_rows, d_nulls, d_ndv, d_min, d_max FROM one""".stripMargin)
 }

@@ -66,6 +66,13 @@ object StreamQueries {
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[Streams.Ev]
       Streams.twsRunningTotals(ds).toDF()
+    },
+
+    // Stream-static enrichment: events broadcast-joined to the static
+    // customer dimension, then watermarked 6-hour windowed counts per
+    // market segment.
+    "q_stream_enrich" -> { (s, dir) =>
+      Streams.enrichedSegmentCounts(events(s, dir), t(s, dir, "customer"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +127,14 @@ object StreamQueries {
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(FLOOR("value" * 1000) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start,
+        |  time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) + INTERVAL '6 hours' AS w_end,
+        |  c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR("value" * 1000) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

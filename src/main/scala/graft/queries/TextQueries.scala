@@ -192,6 +192,34 @@ object TextQueries {
     // identical in both engines, so exactly oracle-checkable).
     "q_doc_sketch" -> { (s, dir) =>
       TextAnalysis.bottomMSketch(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // TF-IDF top-3 terms per doc — integer-arithmetic scoring so the
+    // ranking is bit-stable cross-engine.
+    "q_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+    },
+
+    // Most-repeated-trigram ratio: the boilerplate/spam quality signal.
+    "q_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Fuzzy string matching (edit distance <= 3) over distinct part
+    // names, length-band blocked — the candidate/verify shape at scale.
+    "q_fuzzy_match" -> { (s, dir) =>
+      TextAnalysis.fuzzyPairs(t(s, dir, "part"), "p_name", 3)
+        .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+    },
+
+    // Vocabulary frequency spectrum (frequency-of-frequencies): how
+    // many terms occur exactly f times — the Zipf/vocab-growth summary
+    // a corpus report includes. Two partial-agg'd shuffles.
+    "q_freq_spectrum" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFns.letterTokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("n_terms"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -333,5 +361,43 @@ object TextQueries {
          |r AS (SELECT doc_id, fp_hash,
          |        row_number() OVER (PARTITION BY doc_id ORDER BY fp_hash) AS rk
          |      FROM h)
-         |SELECT doc_id, rk, fp_hash FROM r WHERE rk <= 8""".stripMargin)
+         |SELECT doc_id, rk, fp_hash FROM r WHERE rk <= 8""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($SQL_TOKS) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |        tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+         |      FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  CAST(score AS BIGINT) AS score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS BIGINT) AS rk
+         |FROM s QUALIFY rk <= 3""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |      FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |  COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio
+         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    "q_freq_spectrum" ->
+      s"""SELECT f, COUNT(*) AS n_terms FROM (
+         |  SELECT w, COUNT(*) AS f FROM (
+         |    SELECT unnest($SQL_TOKS) AS w FROM documents)
+         |  GROUP BY w)
+         |GROUP BY f""".stripMargin)
 }

@@ -14,6 +14,20 @@ object VectorQueries {
 
   private val K = 10
 
+  /** DuckDB CTEs mirroring [[graft.operators.Similarity.quantizeInt8]]:
+    * `v(vec_id, qv)` with int8-quantized BIGINT lanes. */
+  private val sqlQuantized: String =
+    """q AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings),
+      |v AS (SELECT vec_id,
+      |    CASE WHEN mx = 0
+      |         THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding,
+      |           x -> CAST(FLOOR((CAST(x AS DOUBLE) * 127.0) / mx) AS BIGINT))
+      |    END AS qv
+      |  FROM q)""".stripMargin
+
   /** DuckDB fixed-point dot product mirror of
     * [[graft.functions.VectorFns.dotQ]]. */
   private def sqlDotQ(a: String, b: String): String =
@@ -80,6 +94,26 @@ object VectorQueries {
         element_at(col("embedding"), -1).cast("double").as("last_val"),
         VectorFns.dotQ(col("embedding"), col("embedding")).as("qnorm2"),
         col("label"))
+    },
+
+    // Symmetric int8 quantization (per-vector max-abs scale): the
+    // 4x-compression step of a quantized ANN index. Deterministic
+    // float→int mapping, bit-exact cross-engine; the lane values are
+    // serialized to a string (array columns break the driver compare).
+    "q_vec_quantize" -> { (s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec_str"),
+          aggregate(col("qvec"), lit(0L), (a, v) => a + v).as("qsum"),
+          array_max(col("qvec")).as("qmax"))
+    },
+
+    // Top-k neighbors by QUANTIZED cosine — int8 index rescoring
+    // arithmetic, exactly mirrored in SQL.
+    "q_quant_topk" -> { (s, dir) =>
+      Similarity.quantizedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          probeId = 0L, k = K)
+        .select(col("vec_id"), col("qcos"), col("rk").cast("long").as("rk"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +156,27 @@ object VectorQueries {
          |  CAST(embedding[-1] AS DOUBLE) AS last_val,
          |  CAST(${sqlDotQ("embedding", "embedding")} AS BIGINT) AS qnorm2,
          |  label
-         |FROM embeddings""".stripMargin)
+         |FROM embeddings""".stripMargin,
+
+    "q_vec_quantize" ->
+      s"""WITH $sqlQuantized
+         |SELECT vec_id, array_to_string(qv, ',') AS qvec_str,
+         |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+         |  CAST(list_max(qv) AS BIGINT) AS qmax
+         |FROM v""".stripMargin,
+
+    "q_quant_topk" ->
+      s"""WITH $sqlQuantized,
+         |p AS (SELECT qv AS pq FROM v WHERE vec_id = 0),
+         |d AS (SELECT v.vec_id,
+         |    CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+         |      i -> v.qv[i] * p.pq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(v.qv, x -> x * x)) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(p.pq, x -> x * x)) AS BIGINT) AS nq
+         |  FROM v, p WHERE v.vec_id <> 0)
+         |SELECT vec_id, CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) AS qcos,
+         |  CAST(row_number() OVER (
+         |    ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) DESC,
+         |    vec_id) AS BIGINT) AS rk
+         |FROM d QUALIFY rk <= $K""".stripMargin)
 }

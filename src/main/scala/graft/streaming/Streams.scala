@@ -88,6 +88,26 @@ object Streams {
       .select(col("user_id"), col("click_id"), col("p_id"), col("value"))
   }
 
+  /** Stream-static enrichment: events joined to a STATIC dimension
+    * (user → market segment), then watermarked tumbling-window counts
+    * per segment. The static side needs no watermark and holds no join
+    * state — the planner broadcasts it into every micro-batch, so this
+    * is the canonical "enrich the stream with reference data" shape;
+    * state is only the windowed aggregate, evicted by the watermark.
+    * In batch the identical plan is broadcast-join + group-by. */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame,
+      windowDur: String = "6 hours", watermark: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    val seg = dim.select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    src.join(broadcast(seg), Seq("user_id"))
+      .groupBy(window(col("ts"), windowDur), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_q"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("c_mktsegment"), col("n_events"), col("sum_q"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String,
       value: Double)
   case class SessState(lastTsMicros: Long, sessions: Long, events: Long)

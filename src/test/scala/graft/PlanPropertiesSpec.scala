@@ -82,4 +82,36 @@ class PlanPropertiesSpec extends SparkSpec {
     assert("""\*\(\d+\)""".r.findAllIn(p).size >= 2,
       s"both agg stages must run codegen'd:\n$p")
   }
+
+  test("bloomSemiJoin: might_contain filter sits below the probe-side exchange") {
+    import graft.operators.Relational
+    val build = Q.t(spark, sf, "supplier").where(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey"))
+    val probe = Q.t(spark, sf, "lineitem")
+    val p = plan(Relational.bloomSemiJoin(probe, "l_suppkey", build, "s_suppkey",
+      expectedKeys = 1000L))
+    assert(p.contains("might_contain"), s"bloom pre-filter missing:\n$p")
+    // the filter must prune BEFORE any shuffle of the probe side: in the
+    // plan tree (printed top-down) the first exchange below the semi
+    // join must come AFTER the might_contain filter line
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "bloom filter must be on the probe subtree, below the semi join")
+  }
+
+  test("gap fill: dense axis broadcasts; counts aggregate partially map-side") {
+    val p = plan(SparkEntry.queries("q_gap_fill")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"dense axis must broadcast:\n$p")
+    assert(p.contains("partial_count"), "per-bucket counts must combine map-side")
+  }
+
+  test("quantized top-k: no shuffle of the corpus (scan + TakeOrdered)") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.quantizedTopK(emb, "vec_id", "embedding", 0L, 10))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("hashpartitioning"), "corpus must not shuffle for brute-force ANN")
+  }
 }

@@ -44,6 +44,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("enrichedSegmentCounts: stream-static join == batch result") {
+    import spark.implicits._
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    val expected = Streams.enrichedSegmentCounts(Q.events(spark, sf), dim)
+      .collect().map(_.toString).sorted
+
+    val ms = MemoryStream[Streams.Ev](spark)
+    val rows = eventRows.toArray
+    val (a, b) = rows.sortBy(_.ts.getTime).splitAt(rows.length / 2)
+    val sq = Streams.enrichedSegmentCounts(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    ms.addData(a: _*); sq.processAllAvailable()
+    ms.addData(b: _*); sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("enrich").collect().map(_.toString).sorted
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("statefulSessionCounts: streaming update-mode final state == batch sessionize") {
     import spark.implicits._
     val rows = eventRows.sortBy(_.ts.getTime)
