@@ -170,9 +170,12 @@ object TextAnalysis {
     a.join(b, Seq("band"))
       .where(col("name_a") < col("name_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
+      // thresholded levenshtein runs the banded O(len·d) DP with early
+      // exit (-1 when above), not the full O(len²) matrix — the rescore
+      // cost that dominates at corpus scale
       .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"))
-      .where(col("dist") <= maxDist)
+        levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"))
+      .where(col("dist") >= 0)
       .distinct() // a pair can share several sliding bands
   }
 }

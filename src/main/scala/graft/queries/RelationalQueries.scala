@@ -595,6 +595,32 @@ object RelationalQueries {
           .cast("long").as("n_redacted"))
     },
 
+    // Correlation / covariance per group, bit-stable: the moment sums
+    // are exact BIGINTs over quantized values (quantity x100 <= 5e3,
+    // price x1 <= 1e5 — squares sum far below 2^63 at any realistic
+    // SF), and the final Pearson/covariance formula is a fixed sequence
+    // of correctly-rounded double ops — identical on every engine.
+    "q_corr" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val x = floor(col("l_quantity") * 100).cast("long")
+      val y = floor(col("l_extendedprice")).cast("long")
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val g = li.select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      g.select(col("l_returnflag"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+           sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("corr_q"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("n")))).as("covar_q"))
+    },
+
     // Data profiling: per-column null/distinct/min/max summary in ONE
     // scan (multi-aggregate + driver-side melt of the single agg row).
     "q_profile" -> { (s, dir) =>
@@ -987,6 +1013,25 @@ object RelationalQueries {
          |FROM lineitem
          |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
          |GROUP BY l_returnflag""".stripMargin,
+
+    "q_corr" ->
+      """WITH v AS (SELECT l_returnflag,
+        |    CAST(FLOOR(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM v GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_q,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_q
+        |FROM g""".stripMargin,
 
     "q_redact" ->
       """SELECT event_id,

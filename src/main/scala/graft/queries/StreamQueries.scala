@@ -73,6 +73,16 @@ object StreamQueries {
     // market segment.
     "q_stream_enrich" -> { (s, dir) =>
       Streams.enrichedSegmentCounts(events(s, dir), t(s, dir, "customer"))
+    },
+
+    // transformWithState with COMPOSABLE named state (ListState top-k +
+    // ValueState counter): per-user all-time top-3 event values.
+    "q_stream_tws_topk" -> { (s, dir) =>
+      import s.implicits._
+      val ds = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[Streams.EvV]
+      Streams.twsTopKValues(ds, k = 3).toDF()
     })
 
   val oracles: Map[String, String] = Map(
@@ -135,6 +145,16 @@ object StreamQueries {
         |  CAST(SUM(CAST(FLOOR("value" * 1000) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_tws_topk" ->
+      """WITH v AS (SELECT user_id, event_id,
+        |    CAST(FLOOR("value" * 1000) AS BIGINT) AS vq FROM events),
+        |n AS (SELECT user_id, COUNT(*) AS n_seen FROM v GROUP BY 1)
+        |SELECT v.user_id, n.n_seen,
+        |  CAST(row_number() OVER (PARTITION BY v.user_id
+        |    ORDER BY vq DESC, event_id) AS BIGINT) AS rk,
+        |  vq, event_id
+        |FROM v JOIN n USING (user_id) QUALIFY rk <= 3""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -192,6 +192,59 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class EvV(user_id: Long, event_id: Long, value: Double)
+  case class UserTopV(user_id: Long, n_seen: Long, rk: Long, vq: Long,
+      event_id: Long)
+
+  /** transformWithState processor using COMPOSABLE named state — a
+    * bounded ListState (the current top-k (value, id) pairs) plus a
+    * ValueState counter — the v2-API shape for "keep the best k per
+    * key forever" (leaderboards, best-examples-per-class mining).
+    * State is O(k) per key regardless of stream length; emissions
+    * carry n_seen so downstream can identify each key's final rows. */
+  class TopKValuesProcessor(k: Int) extends StatefulProcessor[Long, EvV, UserTopV] {
+    @transient private var top: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[(Long, Long)]("top",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EvV],
+        timers: TimerValues): Iterator[UserTopV] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      top.get().foreach(buf += _)
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { e =>
+        buf += ((math.floor(e.value * 1000.0).toLong, e.event_id))
+        n += 1L
+      }
+      // rank: value desc, event_id asc — deterministic under ties
+      val kept = buf.sortBy(t => (-t._1, t._2)).take(k)
+      top.put(kept.toArray)
+      seen.update(n)
+      kept.iterator.zipWithIndex.map { case ((vq, id), i) =>
+        UserTopV(key, n, i + 1L, vq, id)
+      }
+    }
+  }
+
+  /** Per-user all-time top-k event values via `transformWithState`
+    * (ListState + ValueState). Batch mode: one pass, final top-k —
+    * equals the window row_number idiom (the oracle). */
+  def twsTopKValues(events: Dataset[EvV], k: Int = 3): Dataset[UserTopV] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.graft.shim.ensureStateStoreCoordinator(events.sparkSession)
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKValuesProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** foreachBatch sink with per-batch-directory overwrite: each micro
     * batch lands in `<path>/batch=<id>` with Overwrite mode, so a batch
     * REPLAYED after a failure/restart overwrites its own directory

@@ -95,5 +95,39 @@ class EdgeCasesSpec extends SparkSpec {
       5L -> "zh", 6L -> "und"))
   }
 
+  test("gapFill/forwardFill: empty input yields empty output, no crash") {
+    import graft.operators.Timeseries
+    val empty = Seq.empty[(String, Timestamp)].toDF("event_type", "ts")
+    assert(Timeseries.gapFillHourlyCounts(empty).count() === 0L)
+    val emptyU = Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "value")
+    assert(Timeseries.forwardFillDaily(emptyU).count() === 0L)
+  }
+
+  test("mergeUpsert: empty source passes target through; empty target inserts all") {
+    val target = Seq((1L, 5.0)).toDF("k", "bal")
+    val empty = Seq.empty[(Long, Double)].toDF("k", "bal")
+    assert(Relational.mergeUpsert(target, empty, "k", Seq("bal"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((1L, 5.0)))
+    assert(Relational.mergeUpsert(empty, target, "k", Seq("bal"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet === Set((1L, 5.0)))
+  }
+
+  test("quantizeInt8: null vector stays null; single-element vector maps to +/-127") {
+    import graft.operators.Similarity
+    val df = Seq((1L, Some(Array(-0.25f))), (2L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "embedding").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getSeq[Long](2)))
+      .toMap
+    assert(got(1L) === Seq(-127L))
+    assert(got(2L) === null)
+  }
+
+  test("bloomSemiJoin: empty build side returns no rows") {
+    val probe = Seq((1L, "x")).toDF("k", "v")
+    val build = Seq.empty[Long].toDF("bk")
+    assert(Relational.bloomSemiJoin(probe, "k", build, "bk", 10L).count() === 0L)
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 }

@@ -223,6 +223,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("twsTopKValues: ListState top-k streaming == batch window top-k") {
+    import spark.implicits._
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("vq").desc, col("event_id").asc)
+      Q.events(spark, sf)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vq"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .collect().map(r => (r.getLong(0), r.getInt(3).toLong, r.getLong(2), r.getLong(1)))
+        .sorted
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val rows = Q.events(spark, sf)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[Streams.EvV].collect().sortBy(_.event_id)
+      val ms = MemoryStream[Streams.EvV](spark)
+      val sq = Streams.twsTopKValues(ms.toDS(), k = 3)
+        .writeStream.format("memory").queryName("twstopk")
+        .outputMode("update").start()
+      val half = rows.length / 2
+      ms.addData(rows.take(half): _*); sq.processAllAvailable()
+      ms.addData(rows.drop(half): _*); sq.processAllAvailable()
+      sq.stop()
+      // final emission per user = rows carrying that user's max n_seen
+      val w2 = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val got = spark.table("twstopk")
+        .withColumn("mx", max(col("n_seen")).over(w2))
+        .where(col("n_seen") === col("mx"))
+        .select("user_id", "rk", "vq", "event_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch per-batch-overwrite sink: restart does not duplicate rows") {
     import spark.implicits._
     val rows = eventRows.toArray
