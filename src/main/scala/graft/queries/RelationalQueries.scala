@@ -631,7 +631,9 @@ object RelationalQueries {
         countDistinct(col(c)).as(s"${c}_ndv"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max")))
-      val one = li.agg(aggs.head, aggs.tail: _*)
+      // the 1-row aggregate feeds three union branches — persist so the
+      // scan+agg runs once, not per branch
+      val one = li.agg(aggs.head, aggs.tail: _*).persist()
       cols.map(c => one.select(lit(c).as("col_name"), col("n_rows"),
           col(s"${c}_nulls").as("n_null"), col(s"${c}_ndv").as("n_distinct"),
           col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v")))

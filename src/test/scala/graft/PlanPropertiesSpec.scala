@@ -114,4 +114,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
     assert(!p.contains("hashpartitioning"), "corpus must not shuffle for brute-force ANN")
   }
+
+  test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
+    // cross joins are legitimate only against generated/one-row axes
+    // (dense time grids, corpus-size scalars) — those broadcast. A
+    // CartesianProduct of two big relations anywhere in the inventory
+    // is a 100 TB death sentence.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = plan(fn(spark, sf))
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(failures.isEmpty,
+      s"queries planning CartesianProduct: ${failures.mkString(", ")}")
+  }
 }
