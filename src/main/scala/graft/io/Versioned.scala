@@ -106,4 +106,20 @@ object Versioned {
       throw new IllegalArgumentException(s"no committed versions at $root"))
     spark.read.parquet(manifest(spark, root, v)("path"))
   }
+
+  /** Retention: drop all but the newest `keepLast` versions — manifest
+    * first (the version disappears atomically for readers), data
+    * second (space reclaim; a crash in between leaves only unreferenced
+    * orphan files, never a manifest pointing at deleted data). Returns
+    * the vacuumed version ids. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val fs = hadoopFs(spark, root)
+    val old = versions(spark, root).dropRight(keepLast)
+    old.foreach { v =>
+      fs.delete(new Path(s"${manifestDir(root)}/${vname(v)}.json"), false)
+      fs.delete(new Path(dataDir(root, v)), true)
+    }
+    old
+  }
 }

@@ -146,6 +146,33 @@ object TextAnalysis {
           .as("rep_ratio"))
   }
 
+  /** EXACT heavy hitters via an approximate candidate pass: one
+    * streaming-sketch scan (`stat.freqItems`, Karp-Papadimitriou-
+    * Shenker — guarantees NO false negatives for items with frequency
+    * > support·n) produces a small candidate set, then one exact
+    * count over candidates verifies. The result is exactly "terms with
+    * count >= minCount" provided minCount >= support·n_tokens — the
+    * same candidate/verify split as MinHash dedup, and the 100 TB
+    * shape: the exact groupBy only aggregates rows matching ~dozens of
+    * candidate terms (filter pushed to the scan), never the full
+    * vocabulary.
+    *
+    * The candidate array crosses the driver (bounded by 1/support
+    * items — KBs); at scale it broadcasts back into the filter. */
+  def heavyHitterTerms(docs: DataFrame, idCol: String, textCol: String,
+      minShare: Double = 0.01): DataFrame = {
+    val toks = docs.select(explode(TextFns.letterTokens(col(textCol))).as("term"))
+    val nTokens = toks.count()
+    val minCount = math.ceil(nTokens * minShare).toLong
+    // sketch support at half the target share → candidate set provably
+    // covers every term at or above minCount
+    val candidates = toks.stat.freqItems(Seq("term"), minShare / 2)
+      .head().getSeq[String](0)
+    toks.where(col("term").isin(candidates: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** Fuzzy string matching with blocking: pairs of distinct values of
     * `strCol` within Levenshtein distance `maxDist`, compared only
     * inside a (length-band) block with an |len(a)-len(b)| <= maxDist

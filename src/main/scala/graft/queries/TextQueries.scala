@@ -220,6 +220,14 @@ object TextQueries {
         .select(explode(TextFns.letterTokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("f"))
         .groupBy("f").agg(count(lit(1)).as("n_terms"))
+    },
+
+    // EXACT heavy hitters (terms with >= 1% of all tokens) via the
+    // approximate-candidates / exact-verify split: freqItems sketch
+    // (no false negatives) then one candidate-filtered count.
+    "q_heavy_hitters" -> { (s, dir) =>
+      TextAnalysis.heavyHitterTerms(t(s, dir, "documents"), "doc_id", "text",
+        minShare = 0.01)
     })
 
   val oracles: Map[String, String] = Map(
@@ -399,5 +407,12 @@ object TextQueries {
          |  SELECT w, COUNT(*) AS f FROM (
          |    SELECT unnest($SQL_TOKS) AS w FROM documents)
          |  GROUP BY w)
-         |GROUP BY f""".stripMargin)
+         |GROUP BY f""".stripMargin,
+
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($SQL_TOKS) AS term FROM documents),
+         |n AS (SELECT COUNT(*) AS nt FROM toks)
+         |SELECT term, COUNT(*) AS cnt
+         |FROM toks, n GROUP BY term, nt
+         |HAVING COUNT(*) >= CEIL(nt * 0.01)""".stripMargin)
 }

@@ -147,6 +147,24 @@ class Round3Spec extends SparkSpec {
     assert(ratio === 3.0 / 7.0)
   }
 
+  test("heavyHitterTerms == exact groupBy-having result (sketch loses nothing)") {
+    val docs = Q_r3.embeddings(spark).sparkSession
+      .read.parquet(TestSpark.sf0001 + "/documents.parquet")
+    val exact = {
+      val toks = docs.select(explode(
+        graft.functions.TextFns.letterTokens(col("text"))).as("term"))
+      val n = toks.count()
+      val minCount = math.ceil(n * 0.01).toLong
+      toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= minCount)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val got = TextAnalysis.heavyHitterTerms(docs, "doc_id", "text", 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+    assert(got.nonEmpty, "testdata word salad must have >=1% terms")
+  }
+
   // ---------- int8 quantization ----------
 
   test("quantizeInt8: lanes in [-127,127], max-abs lane hits +/-127, zeros stay zero") {

@@ -59,6 +59,18 @@ class VersionedSpec extends SparkSpec {
       Map(1L -> 11.0, 2L -> 99.0, 9L -> 9.0))
   }
 
+  test("vacuum: old versions disappear atomically, newest survive, write continues") {
+    val root = tmp("vt-vac")
+    (0 to 3).foreach(i => Versioned.write(Seq((i.toLong, i.toString)).toDF("k", "s"), root))
+    val dropped = Versioned.vacuum(spark, root, keepLast = 2)
+    assert(dropped === Seq(0L, 1L))
+    assert(Versioned.versions(spark, root) === Seq(2L, 3L))
+    assert(Versioned.read(spark, root).collect().head.getLong(0) === 3L)
+    intercept[Exception] { Versioned.read(spark, root, Some(0L)).collect() }
+    // next write continues the version sequence past the vacuumed range
+    assert(Versioned.write(Seq((9L, "z")).toDF("k", "s"), root) === 4L)
+  }
+
   test("applyStream: end-to-end streaming upserts land, one version per batch") {
     val root = tmp("cdc-stream")
     val ckpt = tmp("cdc-ckpt")
