@@ -339,4 +339,77 @@ object Streams {
         }
       }
   }
+
+  /** The v2-API (transformWithState) form of [[statefulSessionize]]:
+    * ValueState holds the open session; an EVENT-TIME TIMER registered
+    * at (last event + gap, millis-rounded-up) fires once the watermark
+    * passes a session's close, emitting the final session and clearing
+    * state — registerTimer/handleExpiredTimer replacing the v1
+    * EventTimeTimeout. Stale timers are deleted on every update, so
+    * exactly one timer is live per open session. Streaming-only
+    * (TimeMode.EventTime requires a watermark); batch semantics are
+    * covered by [[statefulSessionize]]. */
+  class TimerSessionizeProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Ev, ClosedSession] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def close(uid: Long, s: OpenSession) = ClosedSession(uid,
+      microsTs(s.startMicros), microsTs(s.lastMicros), s.events)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.value))
+      var cur = if (open.exists()) Some(open.get()) else None
+      val closed = List.newBuilder[ClosedSession]
+      sorted.foreach { e =>
+        val t = tsMicros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastMicros <= gapSeconds * 1000000L =>
+            cur = Some(OpenSession(s.startMicros, t, s.events + 1L))
+          case Some(s) =>
+            closed += close(uid, s)
+            cur = Some(OpenSession(t, t, 1L))
+          case None =>
+            cur = Some(OpenSession(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // timer API is millis-granular: round UP so it never fires early
+        getHandle.registerTimer(
+          Math.floorDiv(s.lastMicros + 999L, 1000L) + gapSeconds * 1000L)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(close(uid, s))
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer-driven sessionization via `transformWithState`
+    * (TimeMode.EventTime + named timers on RocksDB state). */
+  def twsSessionizeTimers(events: Dataset[Ev], gapSeconds: Long,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.graft.shim.ensureStateStoreCoordinator(events.sparkSession)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionizeProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

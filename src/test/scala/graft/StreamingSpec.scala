@@ -123,6 +123,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("twsSessionizeTimers: event-time timers == batch sessions (v2 API)") {
+    import spark.implicits._
+    val batchIn = Q.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Streams.Ev]
+    val expected = Streams.statefulSessionize(batchIn, 1800L)
+      .toDF().collect().map(_.toString).sorted
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val rows = eventRows.sortBy(_.ts.getTime)
+      val maxTs = rows.map(_.ts.getTime).max
+      val sentinel = Streams.Ev(-1L,
+        new java.sql.Timestamp(maxTs + 86400000L), "click", 0.0)
+      val ms = MemoryStream[Streams.Ev](spark)
+      val sq = Streams.twsSessionizeTimers(ms.toDS(), 1800L)
+        .writeStream.format("memory").queryName("twstimer")
+        .outputMode("append").start()
+      val third = rows.length / 3
+      ms.addData(rows.take(third): _*); sq.processAllAvailable()
+      ms.addData(rows.slice(third, 2 * third): _*); sq.processAllAvailable()
+      ms.addData(rows.drop(2 * third): _*); sq.processAllAvailable()
+      // sentinel advances the watermark past every session close; one
+      // more batch so the committed watermark drives the timers
+      ms.addData(sentinel); sq.processAllAvailable()
+      ms.addData(sentinel); sq.processAllAvailable()
+      sq.stop()
+      val got = spark.table("twstimer").where(col("user_id") >= 0L)
+        .collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("clickPurchaseJoin: stream-stream interval join == batch join") {
     import spark.implicits._
     val full = Q.events(spark, sf)
