@@ -83,6 +83,15 @@ object StreamQueries {
         .select(col("user_id"), col("event_id"), col("value"))
         .as[Streams.EvV]
       Streams.twsTopKValues(ds, k = 3).toDF()
+    },
+
+    // transformWithState with MAP state: per-user event-type histogram.
+    "q_stream_tws_map" -> { (s, dir) =>
+      import s.implicits._
+      val ds = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[Streams.Ev]
+      Streams.twsTypeCounts(ds).toDF()
     })
 
   val oracles: Map[String, String] = Map(
@@ -155,6 +164,10 @@ object StreamQueries {
         |    ORDER BY vq DESC, event_id) AS BIGINT) AS rk,
         |  vq, event_id
         |FROM v JOIN n USING (user_id) QUALIFY rk <= 3""".stripMargin,
+
+    "q_stream_tws_map" ->
+      """SELECT user_id, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

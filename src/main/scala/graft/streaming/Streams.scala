@@ -398,6 +398,46 @@ object Streams {
     }
   }
 
+  case class TypeCount(user_id: Long, event_type: String, cnt: Long)
+
+  /** transformWithState with MAP-typed state — the third v2 state
+    * shape: per-user MapState[event_type → running count]. Map entries
+    * are point-readable/writable in the store (no full-map
+    * deserialization per row, unlike a ValueState[Map] — the reason
+    * MapState exists); emissions carry the full current map, so the
+    * last emission per user is the converged per-type histogram. */
+  class TypeCountsProcessor extends StatefulProcessor[Long, Ev, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+      }
+      counts.iterator().map { case (t, c) => TypeCount(uid, t, c) }
+        .toSeq.iterator
+    }
+  }
+
+  /** Per-(user, event_type) running counts via `transformWithState`
+    * MapState. Batch: one pass per key == the groupBy aggregate. */
+  def twsTypeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.graft.shim.ensureStateStoreCoordinator(events.sparkSession)
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Timer-driven sessionization via `transformWithState`
     * (TimeMode.EventTime + named timers on RocksDB state). */
   def twsSessionizeTimers(events: Dataset[Ev], gapSeconds: Long,

@@ -123,6 +123,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("twsTypeCounts: MapState histogram streaming == batch groupBy") {
+    import spark.implicits._
+    val expected = Q.events(spark, sf)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val rows = eventRows.sortBy(_.ts.getTime)
+      val ms = MemoryStream[Streams.Ev](spark)
+      val sq = Streams.twsTypeCounts(ms.toDS())
+        .writeStream.format("memory").queryName("twsmap")
+        .outputMode("update").start()
+      val half = rows.length / 2
+      ms.addData(rows.take(half): _*); sq.processAllAvailable()
+      ms.addData(rows.drop(half): _*); sq.processAllAvailable()
+      sq.stop()
+      // counts only grow: max per (user, type) = final histogram
+      val got = spark.table("twsmap")
+        .groupBy("user_id", "event_type").agg(max(col("cnt")).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("twsSessionizeTimers: event-time timers == batch sessions (v2 API)") {
     import spark.implicits._
     val batchIn = Q.events(spark, sf)
