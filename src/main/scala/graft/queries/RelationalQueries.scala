@@ -595,6 +595,38 @@ object RelationalQueries {
           .cast("long").as("n_redacted"))
     },
 
+    // Funnel analysis: the ordered signup → click → purchase milestones
+    // per user (each stage's timestamp is the EARLIEST occurrence after
+    // the previous stage). Three stage aggregates, each a partial-agg'd
+    // shuffle on user_id joined back — funnel depth scales linearly,
+    // never a per-user sort of the whole event log.
+    "q_funnel" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val s1 = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+      val s2 = e.where(col("event_type") === "click")
+        .join(s1, "user_id").where(col("ts") > col("t_signup"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val s3 = e.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+          (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+            + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+    },
+
+    // Cohort retention: users grouped by first-seen day, activity
+    // counted per day-offset — the (cohort, offset) retention matrix.
+    "q_cohort" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = e.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
     // Correlation / covariance per group, bit-stable: the moment sums
     // are exact BIGINTs over quantized values (quantity x100 <= 5e3,
     // price x1 <= 1e5 — squares sum far below 2^63 at any realistic
@@ -1015,6 +1047,34 @@ object RelationalQueries {
          |FROM lineitem
          |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
          |GROUP BY l_returnflag""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_signup GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+        |SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+        |  CAST(1 + CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  CAST(e.d - c.cohort_day AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_corr" ->
       """WITH v AS (SELECT l_returnflag,
