@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{MapReduceQueries, MediaQueries, Q, RelationalQueries, StreamQueries, TextQueries, VectorQueries}
+import graft.queries.{GraphQueries, MapReduceQueries, MediaQueries, Q, RelationalQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MapReduceQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
-      StreamQueries.queries ++ MediaQueries.queries
+      StreamQueries.queries ++ MediaQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose outputs depend on
@@ -36,5 +36,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MapReduceQueries.oracles ++ RelationalQueries.oracles ++
       TextQueries.oracles ++ VectorQueries.oracles ++
-      StreamQueries.oracles ++ MediaQueries.oracles
+      StreamQueries.oracles ++ MediaQueries.oracles ++ GraphQueries.oracles
 }

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+import graft.queries.Q._
+
+/** Graph / fixpoint queries: iterative frontier BFS (the scale path) and
+  * the declarative `WITH RECURSIVE` SQL surface (Spark 4 recursive CTEs,
+  * which DuckDB mirrors verbatim — the whole query IS its oracle).
+  *
+  * The synthetic graph lives on `part`: each key points at `key DIV 2`
+  * and `key DIV 3` — a DAG whose components span all scale factors, so
+  * the queries are non-degenerate at every SF without extra fixtures.
+  */
+object GraphQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // Min-hop BFS from a seed set (every 97th part) over the DIV-2/DIV-3
+    // DAG — iterative frontier expansion, O(edges touched) total work.
+    // Oracle: DuckDB recursive CTE enumerating ALL paths + MIN(hops) —
+    // exponential in path count, which is exactly why the engine side
+    // uses BFS instead.
+    "q_bfs_hops" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val edges = part.select(col("p_partkey").cast("long").as("src"),
+          expr("p_partkey DIV 2").as("dst"))
+        .unionByName(part.select(col("p_partkey").cast("long").as("src"),
+          expr("p_partkey DIV 3").as("dst")))
+        .where(col("dst") > 0)
+      val seeds = part.where(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").cast("long").as("id"))
+      Graph.bfsHops(edges, seeds)
+    },
+
+    // Ancestor-chain rollup via Spark 4's native WITH RECURSIVE: each
+    // part walks key -> key DIV 10 -> ... -> 0; per part, the chain
+    // depth, length, and ancestor-key sum. Purely declarative recursion
+    // — Catalyst plans each step as a join-free self-union, bounded by
+    // spark.sql.cteRecursionLevelLimit.
+    "q_recursive_chain" -> { (s, dir) =>
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""
+        WITH RECURSIVE anc(p_partkey, anc, depth) AS (
+          SELECT p_partkey, p_partkey DIV 10, CAST(1 AS BIGINT) FROM part
+          UNION ALL
+          SELECT p_partkey, anc DIV 10, depth + 1 FROM anc WHERE anc > 0
+        )
+        SELECT p_partkey, max(depth) AS depth,
+               count(*) AS n_anc, sum(anc) AS sum_anc
+        FROM anc GROUP BY p_partkey""")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS src,
+        |         CAST(p_partkey // 2 AS BIGINT) AS dst
+        |  FROM part WHERE p_partkey // 2 > 0
+        |  UNION ALL
+        |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+        |  FROM part WHERE p_partkey // 3 > 0),
+        |r AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS hops
+        |  FROM part WHERE p_partkey % 97 = 0
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id)
+        |SELECT id, MIN(hops) AS hops FROM r GROUP BY id""".stripMargin,
+
+    "q_recursive_chain" ->
+      """WITH RECURSIVE anc(p_partkey, anc, depth) AS (
+        |  SELECT p_partkey, p_partkey // 10, CAST(1 AS BIGINT) FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, anc // 10, depth + 1 FROM anc WHERE anc > 0
+        |)
+        |SELECT p_partkey, MAX(depth) AS depth,
+        |       CAST(COUNT(*) AS BIGINT) AS n_anc,
+        |       CAST(SUM(anc) AS BIGINT) AS sum_anc
+        |FROM anc GROUP BY p_partkey""".stripMargin)
+}

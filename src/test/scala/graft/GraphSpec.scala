@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bfsHops: shortest hop distances on a known graph") {
+    // 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3 and a cycle 4 -> 1;
+    // 9 -> 10 is unreachable from the seed
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L),
+      (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsHops: multiple seeds take the nearest one; seeds dedup") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L, 5L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds).as[(Long, Long)].collect().toMap
+    // node 3: 2 hops via 1->2->3 but 1 hop via 5->3
+    assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsHops: empty seed set yields empty result") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq.empty[Long].toDF("id")
+    assert(Graph.bfsHops(edges, seeds).count() === 0L)
+  }
+
+  test("bfsHops fails loudly when maxIters is too small for the diameter") {
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Graph.bfsHops(chain, seeds, maxIters = 2)
+    }
+    assert(e.getMessage.contains("frontier still non-empty"))
+  }
+
+  test("recursive CTE chain matches an iterative computation") {
+    // q_recursive_chain semantics on a tiny in-memory "part" table
+    spark.range(1, 50).select(col("id").as("p_partkey"))
+      .createOrReplaceTempView("part")
+    val got = spark.sql("""
+      WITH RECURSIVE anc(p_partkey, anc, depth) AS (
+        SELECT p_partkey, p_partkey DIV 10, CAST(1 AS BIGINT) FROM part
+        UNION ALL
+        SELECT p_partkey, anc DIV 10, depth + 1 FROM anc WHERE anc > 0
+      )
+      SELECT p_partkey, max(depth) AS depth, count(*) AS n_anc,
+             sum(anc) AS sum_anc
+      FROM anc GROUP BY p_partkey""")
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    def chain(p: Long): Seq[Long] =
+      Iterator.iterate(p / 10)(_ / 10).takeWhile(_ > 0).toSeq :+ 0L
+    (1L until 50L).foreach { p =>
+      val c = chain(p)
+      assert(got(p) === ((c.length.toLong, c.length.toLong, c.sum)),
+        s"part $p chain $c")
+    }
+  }
+
+  implicit class Tup4Map(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}
