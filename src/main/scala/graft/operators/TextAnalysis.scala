@@ -173,6 +173,68 @@ object TextAnalysis {
       .where(col("cnt") >= minCount)
   }
 
+  /** Exact heavy hitters via a Count-Min sketch pre-filter — the
+    * streaming-classic alternative to [[heavyHitterTerms]]'s freqItems
+    * path, using Spark's own `count_min_sketch` aggregate (the sketch
+    * behind `DataFrameStatFunctions.countMinSketch`).
+    *
+    * Two passes: (1) one map-side-combined aggregation builds a CMS of
+    * the whole token stream (a few hundred KB regardless of corpus
+    * size); (2) the probe pass keeps only occurrences whose ESTIMATE
+    * reaches the threshold — CMS never underestimates, so every true
+    * heavy hitter survives (no false negatives) — then an exact count
+    * over that candidate-only stream drops the sketch's false
+    * positives. At 100 TB the win is the same as [[heavyHitterTerms]]:
+    * the exact-count shuffle carries only near-heavy tokens, never the
+    * full vocabulary; unlike freqItems the sketch size is independent
+    * of the candidate count, and the estimate filter is a pure map-side
+    * predicate (sketch ships once per executor via the closure).
+    *
+    * The estimate runs through a tiny Scala UDF wrapping the sketch's
+    * own `estimateCount` (depth hash probes per token) — the one place
+    * a UDF is the right tool: the probe must bit-match the library
+    * sketch it queries, and it touches only the probe column. */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String,
+      minShare: Double = 0.01, eps: Double = 1e-4,
+      confidence: Double = 0.999): DataFrame = {
+    val toks = docs.select(explode(TextFns.letterTokens(col(textCol))).as("term"))
+    val nTokens = toks.count()
+    val minCount = math.ceil(nTokens * minShare).toLong
+    val sketchBytes = toks
+      .select(expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, 42)").as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val estimate = udf((t: String) => cms.estimateCount(t))
+    toks.where(estimate(col("term")) >= minCount)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * one word `n`-gram with an evaluation set — the standard guard
+    * against test-set leakage in a pretraining corpus (n-gram overlap
+    * decontamination, as in the GPT-3/PaLM data papers).
+    *
+    * Returns one row per CONTAMINATED training doc:
+    * (doc_id, n_shared_grams) — the count of distinct eval grams it
+    * contains.
+    *
+    * Scale shape: the eval side is a benchmark suite — fixed size,
+    * independent of corpus scale — so its distinct gram set is
+    * broadcast; the training corpus is scanned once, map-side
+    * gram-joined (no shuffle of train grams), and only the matching
+    * gram hits shuffle into the per-doc count. At 100 TB: one pass over
+    * the corpus, shuffle ∝ contamination volume. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val trainGrams = Dedup.gramSets(train, idCol, textCol, n)
+    val evalGrams = Dedup.gramSets(eval, idCol, textCol, n)
+      .select(col("g")).distinct()
+    trainGrams.join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Fuzzy string matching with blocking: pairs of distinct values of
     * `strCol` within Levenshtein distance `maxDist`, compared only
     * inside a (length-band) block with an |len(a)-len(b)| <= maxDist

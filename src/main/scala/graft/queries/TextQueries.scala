@@ -228,6 +228,25 @@ object TextQueries {
     "q_heavy_hitters" -> { (s, dir) =>
       TextAnalysis.heavyHitterTerms(t(s, dir, "documents"), "doc_id", "text",
         minShare = 0.01)
+    },
+
+    // Same exact heavy hitters via the Count-Min-sketch pre-filter path
+    // (one-pass CMS build, map-side estimate filter, exact verify).
+    // Same oracle as q_heavy_hitters: both are EXACT algorithms.
+    "q_cms_heavy" -> { (s, dir) =>
+      TextAnalysis.cmsHeavyHitters(t(s, dir, "documents"), "text",
+        minShare = 0.01)
+    },
+
+    // Benchmark decontamination: every 20th doc is the held-out eval
+    // suite; training docs sharing any word 5-gram with it are flagged
+    // with their distinct-shared-gram count.
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
     })
 
   val oracles: Map[String, String] = Map(
@@ -414,5 +433,27 @@ object TextQueries {
          |n AS (SELECT COUNT(*) AS nt FROM toks)
          |SELECT term, COUNT(*) AS cnt
          |FROM toks, n GROUP BY term, nt
-         |HAVING COUNT(*) >= CEIL(nt * 0.01)""".stripMargin)
+         |HAVING COUNT(*) >= CEIL(nt * 0.01)""".stripMargin,
+
+    "q_cms_heavy" ->
+      s"""WITH toks AS (SELECT unnest($SQL_TOKS) AS term FROM documents),
+         |n AS (SELECT COUNT(*) AS nt FROM toks)
+         |SELECT term, COUNT(*) AS cnt
+         |FROM toks, n GROUP BY term, nt
+         |HAVING COUNT(*) >= CEIL(nt * 0.01)""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH tr AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents
+         |            WHERE doc_id % 20 <> 0),
+         |ev AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents
+         |       WHERE doc_id % 20 = 0),
+         |gt AS (SELECT DISTINCT doc_id,
+         |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |       FROM tr, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |ge AS (SELECT DISTINCT
+         |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |       FROM ev, UNNEST(range(1, len(ws) - 3)) AS t(i))
+         |SELECT gt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+         |FROM gt JOIN ge ON gt.g = ge.g
+         |GROUP BY gt.doc_id""".stripMargin)
 }

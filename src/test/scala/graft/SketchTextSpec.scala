@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** CMS heavy hitters + benchmark decontamination. */
+class SketchTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cmsHeavyHitters matches brute-force exact heavy hitters") {
+    val docs = Seq(
+      "aa bb aa cc aa dd", "aa bb ee ff", "gg aa bb hh",
+      "ii jj kk ll", "aa mm bb nn").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.cmsHeavyHitters(docs, "text", minShare = 0.15)
+      .as[(String, Long)].collect().toMap
+    // brute force: 22 tokens total, threshold ceil(22*0.15)=4
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    val want = toks.filter(_._2 >= 4)
+    assert(got === want)
+    assert(got.keySet === Set("aa", "bb")) // aa:7, bb:4
+  }
+
+  test("cmsHeavyHitters at a threshold nothing reaches is empty") {
+    val docs = Seq((0L, "x y z w")).toDF("doc_id", "text")
+    assert(TextAnalysis.cmsHeavyHitters(docs, "text", minShare = 0.9)
+      .count() === 0L)
+  }
+
+  test("decontaminate flags exactly the train docs sharing an n-gram") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-gram
+      (2L, "completely different words here nothing shared at all"),
+      (3L, "quick brown fox jumps over something else entirely"), // shares
+      (4L, "short doc")).toDF("doc_id", "text") // < 5 tokens: no grams
+    val eval = Seq(
+      (100L, "we saw the quick brown fox jumps over a fence"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1: "the quick brown fox jumps" + "quick brown fox jumps over"
+    // doc 3: "quick brown fox jumps over"
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("decontaminate counts DISTINCT shared grams (repeats count once)") {
+    val train = Seq((1L, "a b c d e x a b c d e")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L))
+  }
+}
