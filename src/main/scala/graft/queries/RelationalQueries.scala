@@ -195,6 +195,40 @@ object RelationalQueries {
         sum(money(col("l_quantity"))).over(w).cast("double").as("qty_trailing_7d"))
     },
 
+    // Distribution-rank window family: ntile buckets, percent_rank,
+    // cume_dist, nth_value — the remaining ANSI window functions. The
+    // (price, key) ordering is a total order, so every value is
+    // deterministic; percent_rank/cume_dist are single correctly-
+    // rounded divisions of exact ints (bit-stable cross-engine).
+    "q_window_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(8).over(w).cast("long").as("octile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value(col("o_totalprice"), 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("second_low"))
+    },
+
+    // Burst anomaly detection: user-days whose event count exceeds 2x
+    // the user's average daily rate — the comparison is pure integer
+    // cross-multiplication (cnt * n_days > 2 * total), no division, so
+    // exact on every engine. One shuffle for the daily counts, one
+    // window pass for the per-user totals.
+    "q_anomaly_bursts" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy("user_id", "d").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+      daily.select(col("user_id"), col("d"), col("cnt"),
+          sum(col("cnt")).over(w).as("total"),
+          count(lit(1)).over(w).as("n_days"))
+        .where(col("cnt") * col("n_days") > lit(2) * col("total"))
+    },
+
     // Top-k per group: the window-rank idiom (no global sort).
     "q_topk_per_group" -> { (s, dir) =>
       Relational.topKPerGroup(
@@ -849,6 +883,31 @@ object RelationalQueries {
         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |      FROM orders)
         |WHERE rk <= 3""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(8) OVER w AS BIGINT) AS octile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(o_totalprice, 2) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_low
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "q_anomaly_bursts" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, d, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_days
+        |  FROM daily)
+        |SELECT user_id, d, cnt, total, n_days
+        |FROM w WHERE cnt * n_days > 2 * total""".stripMargin,
 
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
