@@ -222,17 +222,19 @@ object TextAnalysis {
     *
     * Scale shape: the eval side is a benchmark suite — fixed size,
     * independent of corpus scale — so its distinct gram set is
-    * broadcast; the training corpus is scanned once, map-side
-    * gram-joined (no shuffle of train grams), and only the matching
-    * gram hits shuffle into the per-doc count. At 100 TB: one pass over
-    * the corpus, shuffle ∝ contamination volume. */
+    * broadcast; the training corpus is scanned once and map-side
+    * gram-joined with NO pre-shuffle (the per-doc gram dedup happens
+    * inside the count-distinct, AFTER the match filter), so the only
+    * shuffled rows are actual contamination hits. At 100 TB: one pass
+    * over the corpus, shuffle ∝ contamination volume — a corpus-wide
+    * distinct-gram shuffle here would dwarf the whole job. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
-    val trainGrams = Dedup.gramSets(train, idCol, textCol, n)
+    val trainGrams = Dedup.rawGrams(train, idCol, textCol, n)
     val evalGrams = Dedup.gramSets(eval, idCol, textCol, n)
       .select(col("g")).distinct()
     trainGrams.join(broadcast(evalGrams), "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared_grams"))
   }
 
   /** Fuzzy string matching with blocking: pairs of distinct values of

@@ -115,6 +115,64 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), "corpus must not shuffle for brute-force ANN")
   }
 
+  test("mergeUpsert: one co-partitioned full-outer join, no extra shuffles") {
+    import graft.operators.Relational
+    val target = Q.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val source = Q.t(spark, sf, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice").as("c_acctbal"))
+    val p = plan(Relational.mergeUpsert(target, source, "c_custkey", Seq("c_acctbal")))
+    assert(p.contains("FullOuter"), s"merge must full-outer join:\n$p")
+    // one exchange per side on the merge key — nothing else
+    assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size == 2,
+      s"merge must shuffle each side exactly once, on the key:\n$p")
+  }
+
+  test("tfidf: the tf subtree is computed once (runtime exchange reuse)") {
+    val df = SparkEntry.queries("q_tfidf")(spark, sf)
+    // the tf aggregate feeds both the score probe and the df build; the
+    // initial plan prints it twice, but AQE must collapse the identical
+    // exchange so the corpus is tokenized+aggregated ONCE
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"tf subtree must be exchange-reused, not recomputed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "n_docs scalar must broadcast, never shuffle")
+  }
+
+  test("decontaminate: eval grams broadcast; train grams never shuffle pre-join") {
+    val p = plan(SparkEntry.queries("q_decontaminate")(spark, sf))
+    val bhj = p.indexOf("BroadcastHashJoin")
+    assert(bhj >= 0, s"eval gram set must broadcast:\n$p")
+    // every doc-keyed exchange (the count-distinct phases) sits ABOVE
+    // the broadcast join — i.e. over matched rows only; the sole
+    // exchange BELOW the join is the tiny eval-side distinct on g
+    val docEx = "Exchange hashpartitioning\\(doc_id".r
+      .findAllMatchIn(p).map(_.start).toList
+    assert(docEx.nonEmpty && docEx.forall(_ < bhj),
+      s"train-side shuffles must be post-match only:\n$p")
+    assert(!p.substring(bhj).contains("Exchange hashpartitioning(doc_id"),
+      s"no corpus-wide gram shuffle below the join:\n$p")
+  }
+
+  test("cmsHeavyHitters: estimate filter prunes below the term exchange") {
+    val df = SparkEntry.queries("q_cms_heavy")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("UDF(term"), s"estimate filter missing:\n$p")
+    val exIdx = p.indexOf("Exchange hashpartitioning(term")
+    val fIdx = p.indexOf("UDF(term")
+    // tree prints top-down: the filter must be DEEPER than the exchange
+    assert(exIdx >= 0 && fIdx > exIdx,
+      s"estimate filter must sit below the exact-count shuffle:\n$p")
+  }
+
+  test("q_window_ntile: all four window functions share one exchange") {
+    val p = plan(SparkEntry.queries("q_window_ntile")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"rank-family windows over the same spec must share a shuffle:\n$p")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
