@@ -150,4 +150,31 @@ object Multimodal {
       }
     }
   }
+
+  /** [[audioWindows]] for 16-bit little-endian PCM payloads: byte pairs
+    * decode to signed int16 samples (a trailing odd byte is ignored),
+    * then the same winSize/hop sliding energy+peak. Same scale shape:
+    * row-local fan-out, no shuffle, windows stream out of each task. */
+  def audioWindowsPcm16(media: Dataset[MediaRow], winSize: Int, hop: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    require(winSize >= 1 && hop >= 1)
+    media.flatMap { m =>
+      val nSamples = m.content.length / 2
+      val nWin = if (nSamples < winSize) 0 else (nSamples - winSize) / hop + 1
+      (0 until nWin).iterator.map { w =>
+        var energy = 0L
+        var peak = 0
+        var i = w * hop
+        val end = i + winSize
+        while (i < end) {
+          val s = ((m.content(2 * i) & 0xFF) | (m.content(2 * i + 1) << 8)).toShort.toInt
+          energy += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioWindow(m.doc_id, w.toLong, winSize, energy, peak)
+      }
+    }
+  }
 }

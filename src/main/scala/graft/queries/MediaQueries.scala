@@ -86,6 +86,21 @@ object MediaQueries {
         .select(col("doc_id"), col("win_idx"),
           col("n_samples").cast("long").as("n_samples"),
           col("energy"), col("peak").cast("long").as("peak"))
+    },
+
+    // 16-bit little-endian PCM: byte pairs -> signed int16 samples,
+    // 128-sample windows with 64 hop. The oracle rebuilds each sample
+    // from two ord() bytes.
+    "q_audio_pcm16" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+        .where(col("media_type") === "audio")
+        .select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow]
+      Multimodal.audioWindowsPcm16(media, winSize = 128, hop = 64).toDF()
+        .select(col("doc_id"), col("win_idx"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("energy"), col("peak").cast("long").as("peak"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -133,5 +148,23 @@ object MediaQueries {
         |  CAST(list_max(list_transform(range(1, 257),
         |    i -> abs(ord(text[CAST(win_idx * 128 + i AS INTEGER)]) - 128))) AS BIGINT)
         |    AS peak
-        |FROM w""".stripMargin)
+        |FROM w""".stripMargin,
+
+    "q_audio_pcm16" ->
+      """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, text,
+        |    unnest(range(0, (length(text) // 2 - 128) // 64 + 1)) AS win_idx
+        |  FROM m WHERE length(text) // 2 >= 128),
+        |s AS (SELECT doc_id, win_idx,
+        |    list_transform(range(1, 129), i ->
+        |      (ord(text[CAST(2 * (win_idx * 64 + i) - 1 AS INTEGER)])
+        |       + 256 * ord(text[CAST(2 * (win_idx * 64 + i) AS INTEGER)]))
+        |      - CASE WHEN ord(text[CAST(2 * (win_idx * 64 + i) AS INTEGER)]) >= 128
+        |             THEN 65536 ELSE 0 END) AS vals
+        |  FROM w)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+        |  CAST(128 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT) AS energy,
+        |  CAST(list_max(list_transform(vals, v -> abs(v))) AS BIGINT) AS peak
+        |FROM s""".stripMargin)
 }

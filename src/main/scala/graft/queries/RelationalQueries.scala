@@ -538,6 +538,34 @@ object RelationalQueries {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     },
 
+    // Semi-structured VARIANT path (Spark 4's binary JSON encoding —
+    // parse once, typed path extraction at column speed, no per-access
+    // re-parse like get_json_object): props parsed to a variant, k
+    // pulled out typed, a missing path proving null-safe try-access.
+    "q_variant_events" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'long')").as("miss"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          count(col("miss")).as("n_missing_hits"),
+          count(lit(1)).as("n"))
+    },
+
+    // Native XML round-trip (Spark 4 built-in to_xml/from_xml): encode
+    // a row to XML, parse it back with an explicit schema, and return
+    // the extracted fields — the oracle is the plain projection, so any
+    // encode/parse infidelity (including double formatting) fails the
+    // bit-exact compare.
+    "q_xml_roundtrip" -> { (s, dir) =>
+      t(s, dir, "orders").where(col("o_orderkey") % 13 === 0)
+        .select(expr("to_xml(named_struct('k', o_orderkey, 'p', o_orderpriority, 'tp', o_totalprice))").as("xml"))
+        .select(expr("from_xml(xml, 'k BIGINT, p STRING, tp DOUBLE')").as("r"))
+        .select(col("r.k").as("o_orderkey"), col("r.p").as("o_orderpriority"),
+          col("r.tp").as("o_totalprice"))
+    },
+
     // Range (band) join: fact column into broadcast [lo,hi) buckets.
     "q_range_join_bands" -> { (s, dir) =>
       val bands = s.createDataFrame(Seq(
@@ -1022,6 +1050,18 @@ object RelationalQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_variant_events" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT) AS n_missing_hits,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_xml_roundtrip" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
 
     "q_range_join_bands" ->
       s"""SELECT band_id, COUNT(*) AS n_parts,

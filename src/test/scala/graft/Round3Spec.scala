@@ -211,6 +211,25 @@ class Round3Spec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("audioWindowsPcm16: little-endian int16 decode incl. negative samples") {
+    // samples: 0x0100=256, 0x80FF=-32513 (sign bit), 0x7FFF=32767, 0xFFFF=-1
+    val bytes = Array[Byte](0x00, 0x01, 0xFF.toByte, 0x80.toByte,
+      0xFF.toByte, 0x7F, 0xFF.toByte, 0xFF.toByte,
+      0x42) // trailing odd byte must be ignored
+    val media = Seq(Multimodal.MediaRow(1L, "audio", bytes)).toDS()
+    val got = Multimodal.audioWindowsPcm16(media, winSize = 4, hop = 4).collect()
+    assert(got.length === 1)
+    val samples = Seq(256L, -32513L, 32767L, -1L)
+    assert(got.head.energy === samples.map(s => s * s).sum)
+    assert(got.head.peak === 32767)
+    // hop smaller than window: overlapping windows over 6 samples
+    val six = Array[Byte](1, 0, 2, 0, 3, 0, 4, 0, 5, 0, 6, 0)
+    val wins = Multimodal.audioWindowsPcm16(
+      Seq(Multimodal.MediaRow(2L, "audio", six)).toDS(), winSize = 4, hop = 2)
+      .collect().sortBy(_.win_idx)
+    assert(wins.map(_.energy).toSeq === Seq(1L + 4 + 9 + 16, 9L + 16 + 25 + 36))
+  }
+
   // ---------- stream-static enrichment (batch parity is the oracle's
   // job; here: the streaming path produces the same rows) ----------
 
