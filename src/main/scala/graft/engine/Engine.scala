@@ -44,6 +44,20 @@ class Engine(val spark: SparkSession) {
       .select("content").as[Array[Byte]]
     MapReduce.reduceByKey(MapReduce.mapFlat(blobs)(mapFn))(reduceFn)
   }
+
+  /** Zero-extra-pass pipeline metrics (`Dataset.observe`): attach named
+    * aggregate metrics to a dataset; they accumulate DURING whatever
+    * action next runs — no second scan, no collect. The returned
+    * [[org.apache.spark.sql.Observation]] yields the metric row after
+    * the action. At 100 TB this is how a pipeline self-reports row
+    * counts, null rates, and bounds without doubling its I/O. */
+  def observed[T](ds: Dataset[T], name: String,
+      metrics: org.apache.spark.sql.Column*)
+      : (Dataset[T], org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "at least one metric column")
+    val obs = org.apache.spark.sql.Observation(name)
+    (ds.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }
 
 object Engine {

@@ -538,6 +538,18 @@ object RelationalQueries {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     },
 
+    // Mergeable HLL sketch rollup (DataSketches): daily distinct-user
+    // sketches union into weekly estimates without rescanning events.
+    // Rows-only (estimates are engine-internal); union-equals-direct
+    // and error bounds are asserted in SketchTextSpec.
+    "q_hll_rollup" -> { (s, dir) =>
+      val daily = graft.operators.Sketches.hllBuckets(
+        events(s, dir), to_date(col("ts")), col("user_id"))
+      graft.operators.Sketches.hllRollup(daily,
+          date_trunc("week", col("bucket")).cast("date"))
+        .select(col("grain"), col("est_distinct"), col("n_buckets"))
+    },
+
     // Semi-structured VARIANT path (Spark 4's binary JSON encoding —
     // parse once, typed path extraction at column speed, no per-access
     // re-parse like get_json_object): props parsed to a variant, k

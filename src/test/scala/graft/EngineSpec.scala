@@ -50,4 +50,20 @@ class EngineSpec extends SparkSpec {
 
     assert(result == Map(1 -> 1L, 2 -> 3L, 3 -> 1L, 5 -> 1L))
   }
+
+  test("observed: metrics accumulate during the action, no second scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", when(col("id") % 10 === 0, lit(null)).otherwise(col("id")))
+    val (instrumented, obs) = Engine(spark).observed(df, "stats",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      max(col("id")).as("max_id"))
+    // the ONLY action is this count — metrics ride along with it
+    assert(instrumented.count() === 1000L)
+    val m = obs.get
+    assert(m("n_rows") === 1000L)
+    assert(m("n_null") === 100L)
+    assert(m("max_id") === 999L)
+  }
 }

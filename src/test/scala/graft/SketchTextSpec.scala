@@ -52,4 +52,21 @@ class SketchTextSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L))
   }
+
+  test("HLL sketches: rollup estimates are partition-invariant and in-bounds") {
+    import graft.operators.Sketches
+    val base = (1 to 3000).map(i => (i % 7, (i % 450).toLong)).toDF("b", "u")
+    def est(df: org.apache.spark.sql.DataFrame): Long = Sketches.hllRollup(
+      Sketches.hllBuckets(df, col("b"), col("u")), lit(0))
+      .select(col("est_distinct")).head().getLong(0)
+    val estimates = Seq(est(base), est(base.repartition(3)),
+      est(base.repartition(17, col("u"))), est(base.orderBy(col("u").desc)))
+    // same input set => same unioned register state => same estimate,
+    // however the input was partitioned or ordered
+    assert(estimates.distinct.size === 1,
+      s"union estimate must not depend on layout: $estimates")
+    // and it sits within the lgK=12 sketch's error bounds of true 450
+    assert(math.abs(estimates.head - 450L) <= 450L * 5 / 100,
+      s"estimate ${estimates.head} too far from 450")
+  }
 }
