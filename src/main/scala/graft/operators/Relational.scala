@@ -134,6 +134,28 @@ object Relational {
     else df.where(substring(md5(key.cast("string")), 1, 4) < lit(f"$c%04x"))
   }
 
+  /** Deterministic train/val/test split assignment — the n-way
+    * generalization of [[deterministicSample]]: each row's split is a
+    * pure function of its key's md5, so the assignment is reproducible
+    * across runs, engines, and scale-ups, needs no shuffle, and any
+    * subset can be re-derived independently (filter, don't store).
+    * Fractions are quantized to 1/65536 like the sampler; the last
+    * split absorbs the remainder. */
+  def splitAssign(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = substring(md5(key.cast("string")), 1, 4)
+    val cuts = splits.init.scanLeft(0.0)(_ + _._2).tail
+      .map(f => f"${math.min(math.round(f * 65536).toInt, 65535)}%04x")
+    val assigned = splits.init.zip(cuts).foldRight(
+        lit(splits.last._1)) { case (((name, _), cut), rest) =>
+      when(h < lit(cut), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Skew-resistant equi-join: salt the skewed (fact) side's key into
     * `salts` sub-keys and replicate the other side once per salt, so a
     * hot key spreads over `salts` reducers instead of melting one.

@@ -237,6 +237,33 @@ object TextAnalysis {
       .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared_grams"))
   }
 
+  /** Sequence packing for LLM pretraining: concatenate documents in
+    * deterministic (doc_id) order and chunk the token stream into
+    * fixed-`budget` context windows — each doc's bin is where its FIRST
+    * token lands (concat-and-chunk packing, the GPT-style scheme where
+    * documents may straddle window boundaries).
+    *
+    * Packing is per `shard` (`doc_id DIV docsPerShard`): a GLOBAL
+    * running token sum would serialize the corpus through one
+    * partition, and real pipelines pack per output shard anyway. Each
+    * shard's window is an independent partition of the prefix-sum
+    * window — embarrassingly parallel, deterministic, reproducible.
+    *
+    * Returns (doc_id, shard, n_tokens, start_tok, bin). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, docsPerShard: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1 && docsPerShard >= 1)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"),
+        size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id DIV $docsPerShard"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"start_tok DIV $budget"))
+  }
+
   /** Fuzzy string matching with blocking: pairs of distinct values of
     * `strCol` within Levenshtein distance `maxDist`, compared only
     * inside a (length-band) block with an |len(a)-len(b)| <= maxDist

@@ -538,6 +538,30 @@ object RelationalQueries {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     },
 
+    // Event-transition matrix (first-order Markov counts): per user,
+    // consecutive event-type pairs under a (ts, event_id) total order —
+    // the clickstream path-analysis primitive. One shuffle on user_id.
+    "q_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Deterministic 80/10/10 train/val/test split: each event's split
+    // is a pure md5 function of its id — reproducible, shuffle-free,
+    // re-derivable at any scale. Per-(event_type, split) counts.
+    "q_split_assign" -> { (s, dir) =>
+      Relational.splitAssign(events(s, dir), col("event_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("event_type"), col("split"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Mergeable HLL sketch rollup (DataSketches): daily distinct-user
     // sketches union into weekly estimates without rescanning events.
     // Rows-only (estimates are engine-internal); union-equals-direct
@@ -1062,6 +1086,26 @@ object RelationalQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type FROM events),
+        |p AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM e)
+        |SELECT event_type, next_type, COUNT(*) AS n
+        |FROM p WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT event_type,
+        |  CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 4) < 'cccd'
+        |       THEN 'train'
+        |       WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 4) < 'e666'
+        |       THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_variant_events" ->
       """SELECT event_type,

@@ -238,6 +238,17 @@ object TextQueries {
         minShare = 0.01)
     },
 
+    // Sequence packing: concat-and-chunk token binning into 2048-token
+    // context windows, packed per 100-doc shard; per-(shard, bin)
+    // occupancy stats. Bit-exact integer arithmetic end to end.
+    "q_pack_sequences" -> { (s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2048, docsPerShard = 100)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
+
     // Benchmark decontamination: every 20th doc is the held-out eval
     // suite; training docs sharing any word 5-gram with it are flagged
     // with their distinct-shared-gram count.
@@ -441,6 +452,18 @@ object TextQueries {
          |SELECT term, COUNT(*) AS cnt
          |FROM toks, n GROUP BY term, nt
          |HAVING COUNT(*) >= CEIL(nt * 0.01)""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens,
+         |    doc_id // 100 AS shard FROM documents),
+         |c AS (SELECT shard, doc_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM d)
+         |SELECT shard, CAST(start_tok // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH tr AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents
