@@ -156,6 +156,53 @@ object Relational {
     df.withColumn("split", assigned)
   }
 
+  /** Per-group winsorization: clip `valueCol` to its group's exact
+    * interpolated [pLo, pHi] percentiles — outlier damping before
+    * statistics or training. Two passes: the per-group bounds table is
+    * GROUPS-sized (tiny), so it broadcasts back onto the fact rows and
+    * the clip itself is map-side — one aggregation shuffle, zero fact
+    * shuffle. Appends `<valueCol>_w` (clipped value). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo <= pHi && pHi <= 1, "0 <= pLo <= pHi <= 1")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, ${pLo}d)").as("__lo"),
+        expr(s"percentile($valueCol, ${pHi}d)").as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** All overlapping interval pairs via a bucket grid — the inequality
+    * join `a.start <= b.end AND b.start <= a.end` turned into an
+    * EQUI-join so it hash-partitions: each interval explodes to the
+    * grid buckets it touches, candidates meet inside a bucket, and a
+    * pair is owned by exactly ONE bucket (the one containing the later
+    * start) so no distinct pass is needed. Work is O(sum of interval
+    * spans / bucket) + O(true pairs), never O(n²); `bucket` trades
+    * explode fan-out against per-bucket candidate count and should be
+    * on the order of the typical interval length.
+    *
+    * Input columns: (id, start, end) as NON-NEGATIVE longs (DIV
+    * bucketing), end inclusive. Returns (id_a, id_b, overlap) with
+    * id_a < id_b. Self-overlap excluded. */
+  def intervalOverlapPairs(iv: DataFrame, bucket: Long): DataFrame = {
+    require(bucket >= 1)
+    def grid(side: String) =
+      iv.select(col("id").as(s"id_$side"), col("start").as(s"s_$side"),
+          col("end").as(s"e_$side"))
+        .withColumn("bk", explode(sequence(
+          expr(s"s_$side DIV $bucket"), expr(s"e_$side DIV $bucket"))))
+    grid("a").join(grid("b"), Seq("bk"))
+      .where(col("id_a") < col("id_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+        col("bk") === expr(s"GREATEST(s_a, s_b) DIV $bucket"))
+      .select(col("id_a"), col("id_b"),
+        (least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b")) + lit(1L)).as("overlap"))
+  }
+
   /** Skew-resistant equi-join: salt the skewed (fact) side's key into
     * `salts` sub-keys and replicate the other side once per salt, so a
     * hot key spreads over `salts` reducers instead of melting one.

@@ -538,6 +538,35 @@ object RelationalQueries {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     },
 
+    // Per-group winsorization: prices clipped to exact [p05, p95];
+    // group stats over the damped values. Bounds broadcast; clip is
+    // map-side.
+    "q_winsorize" -> { (s, dir) =>
+      Relational.winsorize(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", 0.05, 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(money(col("l_extendedprice_w"))).as("sum_w"),
+          sum(when(col("l_extendedprice") < col("l_extendedprice_w"), 1L)
+            .otherwise(0L)).as("n_lo"),
+          sum(when(col("l_extendedprice") > col("l_extendedprice_w"), 1L)
+            .otherwise(0L)).as("n_hi"))
+    },
+
+    // Interval-overlap self join on a bucket grid: every pair of
+    // overlapping order "activity windows" without an O(n^2) inequality
+    // join — the grid turns it into an equi-join, and the later-start
+    // ownership rule dedups without a distinct. Oracle: the brute-force
+    // inequality join.
+    "q_interval_overlap" -> { (s, dir) =>
+      val iv = t(s, dir, "orders").where(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").cast("long").as("id"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("start"))
+        .withColumn("end", col("start") + col("id") % 30)
+      Relational.intervalOverlapPairs(iv, bucket = 32)
+    },
+
     // Event-transition matrix (first-order Markov counts): per user,
     // consecutive event-type pairs under a (ts, event_id) total order —
     // the clickstream path-analysis primitive. One shuffle on user_id.
@@ -1086,6 +1115,31 @@ object RelationalQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+        |    percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l.l_returnflag, l_extendedprice AS v,
+        |    LEAST(GREATEST(l_extendedprice, lo), hi) AS vw
+        |  FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(vw AS DECIMAL(14,6))), 4) AS DOUBLE) AS sum_w,
+        |  CAST(SUM(CASE WHEN v < vw THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN v > vw THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH iv AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS s
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |iv2 AS (SELECT id, s, s + id % 30 AS e FROM iv)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS BIGINT) AS overlap
+        |FROM iv2 a JOIN iv2 b
+        |  ON a.id < b.id AND a.s <= b.e AND b.s <= a.e""".stripMargin,
 
     "q_event_transitions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

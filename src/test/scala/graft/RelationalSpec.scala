@@ -259,4 +259,33 @@ class RelationalSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("intervalOverlapPairs matches brute force on random intervals, any bucket") {
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(7)
+    val ivs = (0L until 120L).map(i =>
+      (i, rnd.nextInt(500).toLong)).map { case (i, s) =>
+      (i, s, s + rnd.nextInt(40).toLong) }
+    val df = ivs.toDF("id", "start", "end")
+    val want = (for {
+      (a, sa, ea) <- ivs; (b, sb, eb) <- ivs
+      if a < b && sa <= eb && sb <= ea
+    } yield (a, b, math.min(ea, eb) - math.max(sa, sb) + 1)).toSet
+    for (bucket <- Seq(1L, 7L, 32L, 1000L)) {
+      val got = Relational.intervalOverlapPairs(df, bucket)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"bucket=$bucket")
+    }
+  }
+
+  test("winsorize clips to the exact interpolated percentiles per group") {
+    import graft.operators.Relational
+    val df = (1 to 100).map(i => ("g", i.toDouble)) // p05=5.95, p95=95.05
+      .toDF("grp", "v")
+    val w = Relational.winsorize(df, "grp", "v", 0.05, 0.95)
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    assert(w(1.0) === 5.95 && w(5.0) === 5.95)
+    assert(w(50.0) === 50.0)
+    assert(w(96.0) === 95.05 && w(100.0) === 95.05)
+  }
 }
