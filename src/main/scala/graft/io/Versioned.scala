@@ -81,6 +81,24 @@ object Versioned {
     v
   }
 
+  /** Small-file compaction: rewrite a snapshot's data as a NEW version
+    * with `targetFiles` files — the answer to streaming/CDC appends
+    * accreting thousands of KB-sized parquet files (each file is a
+    * task + an open + a footer read at scan time; at 100 TB the
+    * metadata and task-scheduling overhead of tiny files dominates the
+    * scan). The rewrite is one distributed read + coalesced write +
+    * manifest commit: readers of older versions are untouched, a crash
+    * leaves orphan data but no visible half-version, and vacuum later
+    * reclaims the fragmented snapshot. Returns the new version id. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int,
+      version: Option[Long] = None): Long = {
+    require(targetFiles >= 1)
+    val src = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    write(read(spark, root, Some(src)).coalesce(targetFiles), root,
+      Map("compacted_from" -> src.toString))
+  }
+
   /** Commit point: manifest written to a temp name, then atomically
     * renamed into place. */
   private def commit(spark: SparkSession, root: String, v: Long,

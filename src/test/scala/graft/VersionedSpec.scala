@@ -71,6 +71,25 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.write(Seq((9L, "z")).toDF("k", "s"), root) === 4L)
   }
 
+  test("compact: same rows, fewer files, old versions untouched") {
+    val root = tmp("compact")
+    val frag = spark.range(0, 1000).toDF("k").repartition(8)
+    Versioned.write(frag, root)
+    def nFiles(v: Long): Int = new java.io.File(s"$root/data/" + f"v$v%05d")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles(0L) === 8)
+    val v = Versioned.compact(spark, root, targetFiles = 1)
+    assert(v === 1L)
+    assert(nFiles(1L) === 1)
+    // identical contents, and the fragmented snapshot still time-travels
+    assert(Versioned.read(spark, root, Some(1L)).as[Long].collect().sorted
+      === (0L until 1000L).toArray)
+    assert(Versioned.read(spark, root, Some(0L)).count() === 1000L)
+    assert(Versioned.manifest(spark, root, 1L)("compacted_from") === "0")
+    // vacuum now reclaims the fragmented version
+    assert(Versioned.vacuum(spark, root, keepLast = 1) === Seq(0L))
+  }
+
   test("applyStream: end-to-end streaming upserts land, one version per batch") {
     val root = tmp("cdc-stream")
     val ckpt = tmp("cdc-ckpt")
