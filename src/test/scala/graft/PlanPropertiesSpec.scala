@@ -129,6 +129,9 @@ class PlanPropertiesSpec extends SparkSpec {
   }
 
   test("tfidf: the tf subtree is computed once (runtime exchange reuse)") {
+    // hermetic: a doc-table cache left by another suite would swap the
+    // scan for InMemoryTableScan and change which reuse node appears
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("q_tfidf")(spark, sf)
     // the tf aggregate feeds both the score probe and the df build; the
     // initial plan prints it twice, but AQE must collapse the identical
