@@ -538,6 +538,61 @@ object RelationalQueries {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     },
 
+    // Catalog SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN): a scalar
+    // charge function and a TABLE function, both resolved by Catalyst
+    // into plain expressions/plans — zero closure shipping, full
+    // codegen, unlike JVM UDFs. Oracle: the inlined expressions.
+    "q_sql_udf" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION charge(
+              |  p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DECIMAL(18,8)
+              |RETURN CAST(p AS DECIMAL(14,6)) * CAST(1.0 - d AS DECIMAL(8,6))""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION flags()
+              |RETURNS TABLE(f STRING)
+              |RETURN SELECT explode(array('A', 'R'))""".stripMargin)
+      s.sql("""SELECT l_returnflag, COUNT(*) AS n,
+              |  CAST(ROUND(SUM(charge(l_extendedprice, l_discount, l_tax)), 4)
+              |    AS DOUBLE) AS sum_charge
+              |FROM lineitem
+              |WHERE l_returnflag IN (SELECT f FROM flags())
+              |GROUP BY l_returnflag""".stripMargin)
+    },
+
+    // approx_top_k with the tracker sized past the NDV: the sketch
+    // degenerates to exact counts (deterministic, oracle-checkable) —
+    // the same candidates-cover-truth trick as the heavy-hitter paths.
+    "q_approx_topk" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT t.item AS l_returnflag, t.count AS cnt FROM (
+              |  SELECT explode(approx_top_k(l_returnflag, 5, 1000)) AS t
+              |  FROM lineitem)""".stripMargin)
+    },
+
+    // Null-safe equi-join (<=>): NULL keys match NULL — the join
+    // variant plain equality silently drops.
+    "q_nullsafe_join" -> { (s, dir) =>
+      val a = t(s, dir, "lineitem")
+        .select(expr("nullif(l_linestatus, 'O')").as("k"), col("l_quantity"))
+      val b = a.select(col("k")).distinct().withColumnRenamed("k", "bk")
+      a.join(b, a("k") <=> col("bk"))
+        .groupBy(col("bk"))
+        .agg(count(lit(1)).as("n"), sumMoney(money(col("l_quantity"))).as("sum_qty"))
+    },
+
+    // Deterministic per-group reservoir: exactly k rows per group,
+    // chosen by md5 order — reproducible group-stratified sampling,
+    // composed from the bounded top-k window idiom.
+    "q_group_sample" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"), col("o_orderstatus"))
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("o_orderkey"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("o_orderkey"),
+          col("rk").cast("long").as("rk"))
+    },
+
     // Per-group winsorization: prices clipped to exact [p05, p95];
     // group stats over the damped values. Bounds broadcast; clip is
     // map-side.
@@ -1115,6 +1170,38 @@ object RelationalQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_sql_udf" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,6))
+        |    * CAST(1.0 - l_discount AS DECIMAL(8,6))), 4) AS DOUBLE) AS sum_charge
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_approx_topk" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH a AS (SELECT nullif(l_linestatus, 'O') AS k, l_quantity
+        |  FROM lineitem),
+        |b AS (SELECT DISTINCT k AS bk FROM a)
+        |SELECT bk, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,6))), 4) AS DOUBLE)
+        |    AS sum_qty
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.bk
+        |GROUP BY bk""".stripMargin,
+
+    "q_group_sample" ->
+      """SELECT o_orderpriority, o_orderstatus, o_orderkey,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT o_orderpriority, o_orderstatus, o_orderkey,
+        |        row_number() OVER (
+        |          PARTITION BY o_orderpriority, o_orderstatus
+        |          ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 2""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (SELECT l_returnflag,
