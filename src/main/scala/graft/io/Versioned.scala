@@ -99,6 +99,33 @@ object Versioned {
       Map("compacted_from" -> src.toString))
   }
 
+  /** Change feed BETWEEN two snapshots: per key, whether it was
+    * inserted, deleted, or updated (any non-key column differs) from
+    * `vOld` to `vNew` — the EMIT side of CDC ([[graft.streaming.Cdc]]
+    * is the apply side). Consumers resync incrementally from any
+    * version they last saw instead of re-reading the whole table.
+    *
+    * One full-outer join of the two snapshots, hash-partitioned on the
+    * key; the value columns are compared as single structs (null-safe
+    * `<=>`), so any schema's row compares in one expression. Returns
+    * (key, op ∈ insert|delete|update) — unchanged keys are absent. */
+  def diff(spark: SparkSession, root: String, vOld: Long, vNew: Long,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def packed(v: Long, tag: String) = {
+      val df = read(spark, root, Some(v))
+      df.select(col(key),
+        struct(df.columns.filter(_ != key).map(col).toIndexedSeq: _*)
+          .as(s"__$tag"))
+    }
+    packed(vOld, "o").join(packed(vNew, "n"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__o").isNull, lit("insert"))
+          .when(col("__n").isNull, lit("delete"))
+          .when(!(col("__o") <=> col("__n")), lit("update")).as("op"))
+      .where(col("op").isNotNull)
+  }
+
   /** Commit point: manifest written to a temp name, then atomically
     * renamed into place. */
   private def commit(spark: SparkSession, root: String, v: Long,

@@ -538,6 +538,48 @@ object RelationalQueries {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     },
 
+    // SCD2 temporal join: facts joined to the dimension VERSION valid
+    // at fact time. Dimension history = 3 versions per supplier with
+    // contiguous validity windows; the join is the native as-of
+    // operator (sort-merge, O(1) memory per partition) — the scale-safe
+    // plan for effective-dated dimensions, vs the O(|l|·|r|)-per-key
+    // BETWEEN join. Oracle: the windows tile time, so the valid version
+    // has the closed form least(ship_day DIV 800, 2).
+    "q_scd2_join" -> { (s, dir) =>
+      val facts = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("k"),
+          datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("t"),
+          col("l_returnflag"), col("l_quantity"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("ver"),
+          floor(col("s_acctbal")).cast("long").as("bal0"))
+        .select(col("k"), (col("ver") * 800).as("t"), col("ver"),
+          (col("bal0") + col("ver")).as("bal_v"))
+      Relational.asOfNative(facts, dim, "k", "t", Seq("ver", "bal_v"))
+        .groupBy(col("l_returnflag"), col("ver"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(money(col("l_quantity"))).as("sum_qty"),
+          sum(col("bal_v")).as("sum_bal"))
+    },
+
+    // ANSI-safe try_* family: division by zero, bad casts, and
+    // out-of-bounds array access yield NULL instead of failing the job
+    // — the per-row error-tolerance a dirty-corpus pipeline needs under
+    // ANSI mode.
+    "q_try_funcs" -> { (s, dir) =>
+      t(s, dir, "lineitem").where(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+          expr("try_divide(CAST(floor(l_quantity * 100) AS BIGINT), " +
+            "CAST(l_linenumber - 1 AS BIGINT))").as("qpd"),
+          expr("try_cast(CASE WHEN l_linenumber % 2 = 0 " +
+            "THEN CAST(l_linenumber AS STRING) ELSE l_returnflag END AS BIGINT)")
+            .as("maybe_int"),
+          expr("try_element_at(array(l_returnflag, l_linestatus), 3)")
+            .as("oob"))
+    },
+
     // Catalog SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN): a scalar
     // charge function and a TABLE function, both resolved by Catalyst
     // into plain expressions/plans — zero closure shipping, full
@@ -1170,6 +1212,32 @@ object RelationalQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_scd2_join" ->
+      """WITH f AS (SELECT l_suppkey AS k,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      AS BIGINT) AS t,
+        |    l_returnflag, l_quantity FROM lineitem),
+        |v AS (SELECT f.*, LEAST(t // 800, 2) AS ver FROM f),
+        |j AS (SELECT v.l_returnflag, CAST(v.ver AS BIGINT) AS ver,
+        |    v.l_quantity,
+        |    CAST(FLOOR(s.s_acctbal) AS BIGINT) + v.ver AS bal_v
+        |  FROM v JOIN supplier s ON s.s_suppkey = v.k)
+        |SELECT l_returnflag, ver, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,6))), 4) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(bal_v) AS BIGINT) AS sum_bal
+        |FROM j GROUP BY 1, 2""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  CASE WHEN l_linenumber = 1 THEN NULL
+        |       ELSE CAST(FLOOR(l_quantity * 100) AS DOUBLE)
+        |            / CAST(l_linenumber - 1 AS DOUBLE) END AS qpd,
+        |  CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_linenumber AS BIGINT)
+        |       ELSE TRY_CAST(l_returnflag AS BIGINT) END AS maybe_int,
+        |  CAST(NULL AS VARCHAR) AS oob
+        |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
 
     "q_sql_udf" ->
       """SELECT l_returnflag, COUNT(*) AS n,

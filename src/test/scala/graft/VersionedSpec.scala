@@ -90,6 +90,24 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.vacuum(spark, root, keepLast = 1) === Seq(0L))
   }
 
+  test("diff: insert/delete/update change feed between any two versions") {
+    val root = tmp("diff")
+    Versioned.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "x"), root)
+    Versioned.write(Seq((2L, "b", 2.0), (3L, "c", 30.0), (4L, "d", 4.0))
+      .toDF("k", "s", "x"), root)
+    val got = Versioned.diff(spark, root, 0L, 1L, "k")
+      .as[(Long, String)].collect().toSet
+    // 1 gone, 2 unchanged (absent), 3 changed, 4 new
+    assert(got === Set((1L, "delete"), (3L, "update"), (4L, "insert")))
+    // reversed direction flips the ops
+    val rev = Versioned.diff(spark, root, 1L, 0L, "k")
+      .as[(Long, String)].collect().toSet
+    assert(rev === Set((1L, "insert"), (3L, "update"), (4L, "delete")))
+    // identical versions diff to nothing
+    assert(Versioned.diff(spark, root, 1L, 1L, "k").count() === 0L)
+  }
+
   test("applyStream: end-to-end streaming upserts land, one version per batch") {
     val root = tmp("cdc-stream")
     val ckpt = tmp("cdc-ckpt")
