@@ -55,6 +55,37 @@ object Relational {
       .drop("__side")
   }
 
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with
+    * the same `key` and `right.ts >= left.ts` (a right row at exactly
+    * left.ts matches). The mirror of [[asOfBackward]]: same one-shuffle
+    * union, but the carry window looks ahead (`first` over
+    * [current, unbounded following]) and right rows sort AFTER left at
+    * equal ts so they stay inside the frame. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftCols: Seq[String], carryCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rSchema = right.schema
+    val lSchema = left.schema
+    val carryType = StructType(carryCols.map(c =>
+      StructField(c, rSchema(c).dataType, nullable = true)))
+    val lPart = left.select(
+      (Seq(col(key), col(ts), lit(0).as("__side")) ++
+        leftCols.map(col) :+
+        lit(null).cast(carryType).as("__carry")): _*)
+    val rPart = right.select(
+      (Seq(col(key), col(ts), lit(1).as("__side")) ++
+        leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) :+
+        struct(carryCols.map(col): _*).as("__carry")): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = first(col("__carry"), ignoreNulls = true).over(w)
+    lPart.unionByName(rPart)
+      .select((Seq(col(key), col(ts), col("__side")) ++ leftCols.map(col) ++
+        carryCols.map(c => carried.getField(c).as(c))): _*)
+      .where(col("__side") === 0)
+      .drop("__side")
+  }
+
   /** Backward as-of join on the NATIVE operator
     * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]):
     * same semantics as [[asOfBackward]], but executed by a dedicated
@@ -154,6 +185,19 @@ object Relational {
       when(h < lit(cut), lit(name)).otherwise(rest)
     }
     df.withColumn("split", assigned)
+  }
+
+  /** Deterministic WEIGHTED Bernoulli sampling: keep each row with its
+    * own probability `cut/65536` (cut an integral column in [0, 65536]),
+    * decided by the row key's md5 — the quality-weighted corpus
+    * subsampling move (keep high-quality docs with high probability,
+    * boilerplate rarely) with [[deterministicSample]]'s guarantees:
+    * pure map-side, reproducible at any partitioning, no RNG state.
+    * Rows with cut >= 65536 are always kept, cut <= 0 never. */
+  def weightedSample(df: DataFrame, key: Column, cut: Column): DataFrame = {
+    val cutHex = lower(lpad(hex(least(greatest(cut, lit(0L)), lit(65536L))),
+      5, "0"))
+    df.where(lpad(substring(md5(key.cast("string")), 1, 4), 5, "0") < cutHex)
   }
 
   /** Per-group winsorization: clip `valueCol` to its group's exact

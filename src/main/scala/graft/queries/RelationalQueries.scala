@@ -752,6 +752,29 @@ object RelationalQueries {
         .select(col("purchase_id"), col("user_id"), col("signup_id"))
     },
 
+    // FORWARD as-of: each signup's NEXT purchase at/after it — the
+    // mirror window (first over [current, following]).
+    "q_asof_forward" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      Relational.asOfForward(signups, purchases, "user_id", "ts",
+        leftCols = Seq("signup_id"), carryCols = Seq("purchase_id"))
+        .select(col("signup_id"), col("user_id"), col("purchase_id"))
+    },
+
+    // Deterministic weighted Bernoulli sample: keep probability scales
+    // with a per-row quality proxy (here doc length), decided by md5 —
+    // reproducible quality-weighted corpus subsampling.
+    "q_weighted_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Relational.weightedSample(docs, col("doc_id"),
+          (length(col("text")) % 128).cast("long") * 512)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    },
+
     // Same as-of semantics through the NATIVE custom operator
     // (LogicalPlan + SparkStrategy + sort-merge SparkPlan) — one
     // shuffle per side, O(1) merge memory.
@@ -1344,6 +1367,21 @@ object RelationalQueries {
         |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
         |       g.event_id AS signup_id
         |FROM p ASOF LEFT JOIN g ON p.user_id = g.user_id AND p.ts >= g.ts""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT g.event_id AS signup_id, g.user_id AS user_id,
+        |       p.event_id AS purchase_id
+        |FROM g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts <= p.ts""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE lpad(substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), 5, '0')
+        |    < lpad(printf('%x', (length(text) % 128) * 512), 5, '0')""".stripMargin,
 
     "q_asof_native" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

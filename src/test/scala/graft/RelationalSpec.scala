@@ -278,6 +278,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("asOfForward: earliest right at/after left; equal ts matches; none -> null") {
+    import graft.operators.Relational
+    val left = Seq((1L, 10L, "l10"), (1L, 20L, "l20"), (2L, 5L, "l5"))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 3L, "r3"))
+      .toDF("k", "t", "rid")
+    val got = Relational.asOfForward(left, right, "k", "t",
+        Seq("lid"), Seq("rid"))
+      .select("lid", "rid").as[(String, String)].collect().toMap
+    // l10: r10 (equal ts, not r15); l20: nothing after -> null; l5: no key-2 rows
+    assert(got === Map("l10" -> "r10", "l20" -> null, "l5" -> null))
+  }
+
+  test("weightedSample: cut 65536 keeps all, 0 keeps none, monotone in cut") {
+    import graft.operators.Relational
+    val df = spark.range(0, 2000).toDF("id")
+    def n(cut: Long): Long =
+      Relational.weightedSample(df, col("id"), lit(cut)).count()
+    assert(n(65536L) === 2000L)
+    assert(n(0L) === 0L)
+    val quarter = n(16384L)
+    val half = n(32768L)
+    assert(quarter > 350 && quarter < 650, s"~25% expected: $quarter")
+    assert(half > 850 && half < 1150, s"~50% expected: $half")
+    // monotone: the quarter sample is a subset of the half sample
+    val qs = Relational.weightedSample(df, col("id"), lit(16384L))
+      .as[Long].collect().toSet
+    val hs = Relational.weightedSample(df, col("id"), lit(32768L))
+      .as[Long].collect().toSet
+    assert(qs.subsetOf(hs))
+  }
+
   test("winsorize clips to the exact interpolated percentiles per group") {
     import graft.operators.Relational
     val df = (1 to 100).map(i => ("g", i.toDouble)) // p05=5.95, p95=95.05
