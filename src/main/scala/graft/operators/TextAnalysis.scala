@@ -237,6 +237,34 @@ object TextAnalysis {
       .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared_grams"))
   }
 
+  /** RAG-style document chunking: split each doc's token stream into
+    * overlapping windows of `chunkSize` tokens every `stride` tokens
+    * (overlap = chunkSize - stride). The last chunk covers the tail and
+    * may be shorter; docs shorter than one chunk yield exactly one.
+    *
+    * Row-local fan-out (explode over a generated index sequence) — no
+    * shuffle at all, chunks stream out of the scan at any corpus size.
+    * Emits (doc_id, chunk_idx, start_tok, n_tok, chunk_md5): the hash
+    * commits to the exact chunk text without shipping it. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize)
+    docs.select(col(idCol).as("doc_id"),
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .withColumn("n", size(col("__toks")).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        when(col("n") <= chunkSize, lit(0L))
+          .otherwise(expr(s"(n - $chunkSize + $stride - 1) DIV $stride")))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("n_tok",
+        least(lit(chunkSize.toLong), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("n_tok"),
+        md5(concat_ws(" ", slice(col("__toks"),
+          (col("start_tok") + 1).cast("int"), col("n_tok").cast("int"))))
+          .as("chunk_md5"))
+  }
+
   /** Sequence packing for LLM pretraining: concatenate documents in
     * deterministic (doc_id) order and chunk the token stream into
     * fixed-`budget` context windows — each doc's bin is where its FIRST

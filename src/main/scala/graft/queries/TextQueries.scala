@@ -238,6 +238,14 @@ object TextQueries {
         minShare = 0.01)
     },
 
+    // RAG chunking: 64-token windows every 48 tokens (16 overlap);
+    // chunk content committed via md5 so the compare is exact without
+    // shipping chunk text.
+    "q_chunk_docs" -> { (s, dir) =>
+      TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+    },
+
     // Sequence packing: concat-and-chunk token binning into 2048-token
     // context windows, packed per 100-doc shard; per-(shard, bin)
     // occupancy stats. Bit-exact integer arithmetic end to end.
@@ -452,6 +460,22 @@ object TextQueries {
          |SELECT term, COUNT(*) AS cnt
          |FROM toks, n GROUP BY term, nt
          |HAVING COUNT(*) >= CEIL(nt * 0.01)""".stripMargin,
+
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $SQL_TOKS AS ws,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, ws, n,
+         |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+         |      ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
+         |  FROM t WHERE n > 0)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+         |  CAST(LEAST(64, n - chunk_idx * 48) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(
+         |    ws[CAST(chunk_idx * 48 + 1 AS INTEGER) :
+         |       CAST(chunk_idx * 48 + LEAST(64, n - chunk_idx * 48) AS INTEGER)],
+         |    ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
 
     "q_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens,

@@ -35,6 +35,33 @@ class PipelineSpec extends SparkSpec {
       (100L, 1L, 0L, 0L)))
   }
 
+  test("chunkDocs: overlapping windows, short tail, sub-chunk doc") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 11).map(i => "w" * i).mkString(" ")), // 11 letter tokens
+      (2L, "a b c"),                                   // shorter than chunk
+      (3L, "")).toDF("doc_id", "text")                 // empty: no chunks
+    val got = TextAnalysis.chunkDocs(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: full windows at 0,3,6; short tail at 9 covers tokens 10-11
+    assert(got.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 2L)))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 3L)))
+    assert(!got.exists(_._1 == 3L))
+    // overlap: chunk i starts stride into chunk i-1; content hash of a
+    // known window matches a direct computation
+    val h = TextAnalysis.chunkDocs(docs.where(col("doc_id") === 1L),
+        "doc_id", "text", 4, 3)
+      .where(col("chunk_idx") === 1L).select("chunk_md5").as[String].head()
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(Seq("w" * 4, "w" * 5, "w" * 6, "w" * 7).mkString(" ")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h === want)
+  }
+
   test("splitAssign: partitions are exhaustive, disjoint, and reproducible") {
     val df = spark.range(0, 5000).toDF("id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
