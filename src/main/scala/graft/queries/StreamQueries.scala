@@ -32,6 +32,13 @@ object StreamQueries {
       Streams.clickPurchaseJoin(events(s, dir))
     },
 
+    // LEFT OUTER stream-stream join: clicks with no purchase in the
+    // window survive with NULLs (in streaming, emitted once the
+    // watermark proves no match can arrive — state-bounded).
+    "q_stream_join_outer" -> { (s, dir) =>
+      Streams.clickPurchaseLeftJoin(events(s, dir))
+    },
+
     // Streaming dedup (dropDuplicatesWithinWatermark in stream mode;
     // distinct in batch — same key set either way).
     "q_stream_dedup" -> { (s, dir) =>
@@ -129,6 +136,16 @@ object StreamQueries {
         |FROM e c JOIN e p
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         | AND c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    "q_stream_join_outer" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, "value"
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS p_id, p."value"
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin,
 
     "q_stream_stateful_sessions" ->

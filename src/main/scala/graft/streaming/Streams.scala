@@ -72,7 +72,7 @@ object Streams {
     * batch the identical plan is a plain range-condition equi-join on
     * user_id. One shuffle per side. */
   def clickPurchaseJoin(events: DataFrame, windowMinutes: Int = 30,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", watermark)
               else events
     val clicks = src.where(col("event_type") === "click")
@@ -84,9 +84,20 @@ object Streams {
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("click_ts") &&
-        col("p_ts") < col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("p_ts") < col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("p_id"), col("value"))
   }
+
+  /** LEFT OUTER stream-stream join: every click, with its matching
+    * purchase or NULLs. In streaming the unmatched side is emitted only
+    * once the watermark proves no match can still arrive (click_ts +
+    * window < watermark) — the state-bounded outer join; in batch the
+    * identical plan is a plain left join. The inner variant is
+    * [[clickPurchaseJoin]]. */
+  def clickPurchaseLeftJoin(events: DataFrame, windowMinutes: Int = 30,
+      watermark: String = "10 minutes"): DataFrame =
+    clickPurchaseJoin(events, windowMinutes, watermark, "left_outer")
 
   /** Stream-static enrichment: events joined to a STATIC dimension
     * (user → market segment), then watermarked tumbling-window counts

@@ -210,6 +210,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("clickPurchaseLeftJoin: unmatched clicks emit NULLs once watermark passes") {
+    import spark.implicits._
+    val full = Q.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val expected = Streams.clickPurchaseLeftJoin(full)
+      .collect().map(_.toString).sorted
+    val rows = full.as[EvId].collect().sortBy(_.ts.getTime)
+    // sentinel far in the future: the watermark passes every click's
+    // match window, so all unmatched clicks flush their NULL rows
+    val maxTs = rows.map(_.ts.getTime).max
+    val sentinel = EvId(-1L, -1L,
+      new java.sql.Timestamp(maxTs + 86400000L), "noop", 0.0)
+    val ms = MemoryStream[EvId](spark)
+    val sq = Streams.clickPurchaseLeftJoin(ms.toDF())
+      .writeStream.format("memory").queryName("cplj")
+      .outputMode("append").start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a.toIndexedSeq: _*); sq.processAllAvailable()
+    ms.addData(b.toIndexedSeq: _*); sq.processAllAvailable()
+    ms.addData(sentinel); sq.processAllAvailable()
+    ms.addData(sentinel); sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("cplj").where(col("user_id") >= 0)
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == expected.toSeq)
+    // and it genuinely contains unmatched (NULL-extended) clicks
+    assert(spark.table("cplj").where(col("p_id").isNull).count() > 0)
+  }
+
   test("dedupEvents: streaming dropDuplicatesWithinWatermark == batch distinct") {
     import spark.implicits._
     val expected = Streams.dedupEvents(Q.events(spark, sf))
