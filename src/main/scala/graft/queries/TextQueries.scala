@@ -238,6 +238,31 @@ object TextQueries {
         minShare = 0.01)
     },
 
+    // End-to-end corpus assembly v2 (the modern pretraining prep):
+    // training split (eval held out) -> exact-dedup keepers -> quality
+    // floor -> decontaminate vs the eval set -> RAG-chunk the
+    // survivors. Four operators composed; the oracle mirrors the whole
+    // pipeline with a CLOSED-FORM chunk count (no window expansion).
+    "q_corpus_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 20 =!= 0)
+      val eval = docs.where(col("doc_id") % 20 === 0)
+      val keepers = Dedup.exactKeepers(train, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val contaminated = TextAnalysis.decontaminate(train, eval,
+        "doc_id", "text", n = 5).select(col("doc_id"))
+      val kept = train
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .where(size(TextFns.letterTokens(col("text"))) >= 20)
+      TextAnalysis.chunkDocs(kept, "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          // the final chunk ends exactly at the token count
+          max(col("start_tok") + col("n_tok")).as("n_tokens"))
+    },
+
     // RAG chunking: 64-token windows every 48 tokens (16 overlap);
     // chunk content committed via md5 so the compare is exact without
     // shipping chunk text.
@@ -460,6 +485,29 @@ object TextQueries {
          |SELECT term, COUNT(*) AS cnt
          |FROM toks, n GROUP BY term, nt
          |HAVING COUNT(*) >= CEIL(nt * 0.01)""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      s"""WITH tr AS (SELECT doc_id, text, $SQL_TOKS AS ws FROM documents
+         |            WHERE doc_id % 20 <> 0),
+         |ev AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents
+         |       WHERE doc_id % 20 = 0),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM tr GROUP BY md5(text)),
+         |gt AS (SELECT DISTINCT doc_id,
+         |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |       FROM tr, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |ge AS (SELECT DISTINCT
+         |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |       FROM ev, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |dirty AS (SELECT DISTINCT gt.doc_id FROM gt JOIN ge ON gt.g = ge.g),
+         |kept AS (SELECT tr.doc_id, CAST(len(tr.ws) AS BIGINT) AS n FROM tr
+         |  WHERE tr.doc_id IN (SELECT doc_id FROM keep)
+         |    AND tr.doc_id NOT IN (SELECT doc_id FROM dirty)
+         |    AND len(tr.ws) >= 20)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END
+         |    AS BIGINT) AS n_chunks,
+         |  n AS n_tokens
+         |FROM kept""".stripMargin,
 
     "q_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, $SQL_TOKS AS ws,

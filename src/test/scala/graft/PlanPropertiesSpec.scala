@@ -176,6 +176,14 @@ class PlanPropertiesSpec extends SparkSpec {
       s"rank-family windows over the same spec must share a shuffle:\n$p")
   }
 
+  test("global sort plans a sampled range exchange, never one partition") {
+    val p = plan(Q.t(spark, sf, "orders").orderBy(col("o_totalprice")))
+    assert(p.contains("rangepartitioning"),
+      s"total order must range-partition (sampled bounds):\n$p")
+    assert(!p.contains("SinglePartition"),
+      "a single-partition sort dies at scale")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
