@@ -57,6 +57,16 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == nation.where(col("n_regionkey") === 0).count())
   }
 
+  test("xml file round-trip with explicit schema (Spark 4 native source)") {
+    val out = Files.createTempDirectory("graft_xml").toString + "/nation"
+    nation.write.format("xml").option("rootTag", "nations")
+      .option("rowTag", "nation").save(out)
+    val back = spark.read.format("xml").option("rowTag", "nation")
+      .schema(nation.schema).load(out)
+      .select(nation.columns.map(col).toIndexedSeq: _*)
+    assert(rows(back) == rows(nation))
+  }
+
   test("text + binary sources read the same bytes") {
     val dir = Files.createTempDirectory("graft_txt").toFile
     val f = new java.io.File(dir, "t.txt")
