@@ -72,3 +72,66 @@ case class SimHashAgg(child: Expression,
       newChildren: IndexedSeq[Expression]): SimHashAgg =
     copy(child = newChildren.head)
 }
+
+/** SimHash over PRE-HASHED tokens: the child is a LongType token hash
+  * (any derivation — the portable pipeline uses a 60-bit md5 prefix so
+  * an external SQL engine can replay it), `nBits` the signature width.
+  * Same ±1 bit-counter algebra as [[SimHashAgg]]; decoupling the hash
+  * from the aggregate is what lets the signature be oracle-checked
+  * while keeping the single-buffer native aggregation path. */
+case class SimHashAggLong(child: Expression, nBits: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBits)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < nBits) {
+        buf(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < nBits) { a(j) += b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var j = 0
+    while (j < nBits) { if (buf(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * nBits)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(nBits)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): SimHashAggLong =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SimHashAggLong =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashAggLong =
+    copy(child = newChildren.head)
+}

@@ -271,18 +271,41 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxDist (<= 15).
-    * Pigeonhole banding: split the 64-bit hash into 4 16-bit chunks; any
-    * pair within distance 3 shares at least one exact chunk, so the join
-    * is an equi-join on (chunk index, chunk value) — never all-pairs. */
-  def simhashPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+  /** Portable SimHash: same ±1 bit-counter algorithm as [[simhash]],
+    * but tokens are hashed to 60-bit longs via an md5 hex prefix
+    * (`conv(substr(md5(t), 1, 15), 16, 10)`) and aggregated by the
+    * long-input native buffer aggregate
+    * ([[graft.functions.expr.SimHashAggLong]]). Every step — md5,
+    * hex parse, bit sums — replays in plain SQL, so the signature (and
+    * the pair list built from it) hash-matches an external oracle;
+    * xxhash-based [[simhash]] stays the throughput path. */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.letterTokens(col(textCol))).as("t"))
+    val h = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+    val sig = shim.column(
+      graft.functions.expr.SimHashAggLong(shim.expression(h), nBits = 60)
+        .toAggregateExpression())
+    toks.groupBy(col("doc_id")).agg(sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist (<= 3).
+    * Pigeonhole banding: split the `bits`-wide hash into 4 equal chunks;
+    * any pair within distance 3 shares at least one exact chunk, so the
+    * join is an equi-join on (chunk index, chunk value) — never
+    * all-pairs. */
+  def simhashPairs(hashes: DataFrame, maxDist: Int = 3, bits: Int = 64): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
+    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, <= 64")
+    val w = bits / 4
+    val mask = (1L << w) - 1L
     // both sides of the self-join read `hashes`; persist so the 64-sum
     // signature aggregation upstream runs once.
     val cached = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = cached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftrightunsigned(col("simhash"), c * w).bitwiseAND(lit(mask))): _*)))
       .toDF("doc_id", "simhash", "chunk", "cv")
     val a = chunked.toDF("doc_a", "sh_a", "chunk", "cv")
     val b = chunked.toDF("doc_b", "sh_b", "chunk", "cv")

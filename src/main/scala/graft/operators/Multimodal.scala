@@ -49,7 +49,13 @@ object Multimodal {
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
   case class Decoded(doc_id: Long, media_type: String, width: Int, height: Int,
       n_pixels: Long)
-  case class Featured(doc_id: Long, histogram: Array[Float], entropy: Double)
+  /** Byte-level features: float histogram + entropy (spec-asserted;
+    * transcendental, so not oracle-hashable) and exact integer
+    * summaries (distinct byte values, modal byte + its count, weighted
+    * checksum) that any SQL engine reproduces bit-for-bit. */
+  case class Featured(doc_id: Long, histogram: Array[Float], entropy: Double,
+      n_distinct_bytes: Int, mode_byte: Int, mode_count: Long,
+      byte_checksum: Long)
 
   /** STUB decode — the real implementation would call an image/audio
     * codec on `content` here (none is installed in this container). The
@@ -109,7 +115,21 @@ object Multimodal {
           if (c == 0) acc
           else { val p = c.toDouble / n; acc - p * math.log(p) / math.log(2) }
         }
-        Featured(m.doc_id, hist, entropy)
+        var distinct = 0
+        var modeByte = 0
+        var modeCount = 0L
+        var checksum = 0L
+        var b = 0
+        while (b < 256) {
+          val c = counts(b)
+          if (c > 0) {
+            distinct += 1
+            checksum += b.toLong * c
+            if (c > modeCount) { modeCount = c; modeByte = b } // lowest byte wins ties
+          }
+          b += 1
+        }
+        Featured(m.doc_id, hist, entropy, distinct, modeByte, modeCount, checksum)
       }
     }
   }

@@ -18,12 +18,18 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
-  /** Deterministic ±1 hyperplanes (LCG, fixed seed) — no RNG at plan
-    * time, identical across runs and executors. */
+  /** Deterministic ±1 hyperplanes — no RNG at plan time, identical
+    * across runs and executors. Entry (p, i) is the parity of the first
+    * hex digit of md5("p_i"), a derivation any engine can replay in
+    * plain SQL (`md5` + hex parse), which is what lets the LSH queries
+    * carry full DuckDB oracles instead of rows-only checks. */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Int]] = {
-    var state = 0x9E3779B97F4A7C15L
-    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
-    Array.fill(nPlanes, dim)(if (((next() >>> 32) & 1L) == 1L) 1 else -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val h = md.digest(s"${p}_${i}".getBytes("UTF-8"))
+      md.reset()
+      if (((h(0) >> 4) & 1) == 1) 1 else -1
+    }
   }
 
   /** Exact top-k by quantized cosine (bit-stable across engines).
@@ -63,14 +69,18 @@ object Similarity {
 
   /** 8-bit sign-LSH bucket id for every vector: bit p = sign of
     * dot(vec, plane_p) with ±1 planes, via the native fused dot-product
-    * expression (one loop per plane, no intermediate arrays).
+    * expression (one loop per plane, no intermediate arrays). The dot
+    * is the QUANTIZED integer form (dotQ): with ±1 planes its sign is
+    * an exact integer comparison, bit-reproducible in any engine —
+    * float summation order can flip a near-zero sign, an integer sum
+    * cannot.
     * @param dim plane dimensionality; <= 0 means probe from the data */
   def withLshBucket(emb: DataFrame, vecCol: String, nPlanes: Int = 8,
       dim: Int = 0): DataFrame = {
     val d = if (dim > 0) dim else probeDim(emb, vecCol)
     val planes = hyperplanes(nPlanes, d)
     val bucket = (0 until nPlanes).map { p =>
-      val dotP = VectorFns.dot(col(vecCol),
+      val dotP = VectorFns.dotQ(col(vecCol),
         typedLit(planes(p).map(_.toFloat).toSeq))
       when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
@@ -109,7 +119,9 @@ object Similarity {
     val planes = hyperplanes(nPlanes * nBands, d)
     val bandKeys = array((0 until nBands).map { bnd =>
       (0 until nPlanes).map { p =>
-        val dotP = VectorFns.dot(col(vecCol),
+        // quantized integer dot: exact sign, SQL-replayable (see
+        // withLshBucket)
+        val dotP = VectorFns.dotQ(col(vecCol),
           typedLit(planes(bnd * nPlanes + p).map(_.toFloat).toSeq))
         when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)) + lit(bnd.toLong * 256L)

@@ -62,15 +62,22 @@ object MediaQueries {
           md5(col("content")).as("rz_md5"))
     },
 
-    // Byte-histogram features: no SQL mirror (256-dim float array);
-    // rows-only here, value-asserted in MultimodalSpec.
+    // Byte-histogram features. The float histogram/entropy have no
+    // bit-stable SQL mirror (transcendental log2; value-asserted in
+    // MultimodalSpec); the oracle instead hash-checks the exact integer
+    // features — distinct byte values, modal byte + count (lowest byte
+    // wins ties), weighted checksum — which DuckDB recomputes from the
+    // same ASCII payloads character by character.
     "q_media_features" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaTable(t(s, dir, "documents"))
         .select(col("doc_id"), col("media_type"), col("content"))
         .as[Multimodal.MediaRow]
       Multimodal.byteHistogram(media).toDF()
-        .select(col("doc_id"), round(col("entropy"), 6).as("entropy_r"))
+        .select(col("doc_id"),
+          col("n_distinct_bytes").cast("long").as("n_distinct_bytes"),
+          col("mode_byte").cast("long").as("mode_byte"),
+          col("mode_count"), col("byte_checksum"))
     },
 
     // Sliding audio analysis windows (256-sample frames, 128 hop) over
@@ -124,6 +131,20 @@ object MediaQueries {
          |  md5(array_to_string(
          |    list_transform(range(1, length(text) + 1, 4), i -> text[i]), '')) AS rz_md5
          |FROM documents""".stripMargin,
+
+    // per-character counting over the ASCII payload; mode tie-break =
+    // lowest byte, exactly as the Scala loop scans 0..255
+    "q_media_features" ->
+      """WITH c AS (SELECT doc_id, ord(ch) AS b, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        |        FROM documents)
+        |  WHERE ch <> '' GROUP BY doc_id, ord(ch))
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+        |  CAST(arg_min(b, -cnt * 256 + b) AS BIGINT) AS mode_byte,
+        |  CAST(MAX(cnt) AS BIGINT) AS mode_count,
+        |  CAST(SUM(b * cnt) AS BIGINT) AS byte_checksum
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q_media_decode" ->
       s"""WITH m AS (SELECT doc_id, $sqlMediaType AS media_type,

@@ -294,13 +294,24 @@ object RelationalQueries {
     },
 
     // HLL sketch distinct (the 100 TB path where exact countDistinct's
-    // shuffle is unaffordable). Engine-specific estimate: no SQL oracle;
-    // accuracy vs exact asserted in RelationalSpec (<5% rel. error).
+    // shuffle is unaffordable). The HLL estimate itself is engine-
+    // internal, so the oracle checks it as a PROPERTY: the query emits
+    // the exact counts plus a boolean asserting the sketch landed
+    // within its documented 5% relative error; the oracle recomputes
+    // the exact counts and expects TRUE. A sketch regression (wrong
+    // hashing, wrong merge) flips the boolean and fails the hash match.
     "q_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("apx_supps"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          approx_count_distinct(col("l_partkey")).as("__apx_p"),
+          approx_count_distinct(col("l_suppkey")).as("__apx_s"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+          (abs(col("__apx_p") - col("n_parts")).cast("double") <=
+             col("n_parts") * lit(0.05) &&
+           abs(col("__apx_s") - col("n_supps")).cast("double") <=
+             col("n_supps") * lit(0.05)).as("apx_ok"))
     },
 
     // Array functions: per-group collected set (sorted for
@@ -468,14 +479,28 @@ object RelationalQueries {
     },
 
     // Approximate percentiles (GK sketch) — the 100 TB path where exact
-    // percentile's full sort per group is unaffordable. Engine-specific
-    // estimate: rows-only here; accuracy vs exact asserted in
-    // RelationalSpec.
+    // percentile's full sort per group is unaffordable. The sketch
+    // value is engine-internal, so the oracle checks the documented
+    // rank-error guarantee as a property: with accuracy 1000 the
+    // estimate must sit within the exact [q-0.01, q+0.01] quantile
+    // envelope; the query emits the exact interpolated percentiles plus
+    // the envelope boolean, the oracle recomputes the exact side and
+    // expects TRUE.
     "q_approx_percentile" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
-          expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("__ap50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("__ap90"),
+          expr("percentile(l_quantity, 0.49)").as("__lo50"),
+          expr("percentile(l_quantity, 0.51)").as("__hi50"),
+          expr("percentile(l_quantity, 0.89)").as("__lo90"),
+          expr("percentile(l_quantity, 0.91)").as("__hi90"))
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          (col("__ap50") >= col("__lo50") && col("__ap50") <= col("__hi50") &&
+           col("__ap90") >= col("__lo90") && col("__ap90") <= col("__hi90"))
+            .as("apx_ok"))
     },
 
     // Exact interpolated percentiles (median / p90) per group. Integral
@@ -690,14 +715,24 @@ object RelationalQueries {
 
     // Mergeable HLL sketch rollup (DataSketches): daily distinct-user
     // sketches union into weekly estimates without rescanning events.
-    // Rows-only (estimates are engine-internal); union-equals-direct
-    // and error bounds are asserted in SketchTextSpec.
+    // The estimate is engine-internal, so the oracle checks it as a
+    // property: the query joins the rollup against the exact weekly
+    // distinct count and emits (exact count, n_buckets, within-5%
+    // boolean); the oracle recomputes the exact side and expects TRUE.
+    // Union-equals-direct and error bounds are asserted in
+    // SketchTextSpec.
     "q_hll_rollup" -> { (s, dir) =>
       val daily = graft.operators.Sketches.hllBuckets(
         events(s, dir), to_date(col("ts")), col("user_id"))
-      graft.operators.Sketches.hllRollup(daily,
-          date_trunc("week", col("bucket")).cast("date"))
-        .select(col("grain"), col("est_distinct"), col("n_buckets"))
+      val rolled = graft.operators.Sketches.hllRollup(daily,
+        date_trunc("week", col("bucket")).cast("date"))
+      val exact = events(s, dir)
+        .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("grain"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      rolled.join(exact, "grain")
+        .select(col("grain"), col("n_exact"), col("n_buckets"),
+          (abs(col("est_distinct") - col("n_exact")) <=
+            col("n_exact").cast("double") * lit(0.05)).as("est_ok"))
     },
 
     // Semi-structured VARIANT path (Spark 4's binary JSON encoding —
@@ -1194,6 +1229,30 @@ object RelationalQueries {
         |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
         |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // property oracle: exact counts recomputed, sketch-accuracy boolean
+    // expected TRUE (see the query comment)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  TRUE AS apx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+        |  TRUE AS apx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_hll_rollup" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS grain,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+        |    AS n_buckets,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_salted_join" ->
       """SELECT p_brand, COUNT(*) AS n_items,

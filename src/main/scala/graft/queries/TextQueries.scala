@@ -97,11 +97,18 @@ object TextQueries {
       Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
     },
 
-    // SimHash near-dup pairs (hamming <= 3 on 64-bit signatures).
-    // No SQL oracle: signature bits depend on xxhash64. Rows-only check;
-    // correctness is asserted in DedupSpec against brute-force.
+    // SimHash near-dup pairs (hamming <= 3 on 60-bit portable
+    // signatures: md5-derived token hashes through the native
+    // long-input buffer aggregate). The banded pair search returns
+    // exactly the pairs an all-pairs hamming scan finds (pigeonhole is
+    // lossless at dist <= 3), so the oracle recomputes signature AND
+    // pair list verbatim in SQL. The xxhash64 throughput variant stays
+    // asserted in DedupSpec.
     "q_simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashPairs(Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"))
+      Dedup.simhashPairs(
+          Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text"),
+          maxDist = 3, bits = 60)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
     },
 
     // Language ID (stopword heuristic).
@@ -298,6 +305,25 @@ object TextQueries {
       s"""SELECT w AS word, COUNT(*) AS cnt FROM (
          |  SELECT unnest($SQL_TOKS) AS w FROM documents)
          |GROUP BY w""".stripMargin,
+
+    // full SimHash replay: md5-prefix token hashes, ±1 bit sums,
+    // signature pack, all-pairs hamming via bit_count(xor) — the banded
+    // Spark search is lossless at dist <= 3, so the sets coincide
+    "q_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($SQL_TOKS) AS t FROM documents),
+         |th AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks),
+         |bits AS (SELECT doc_id, j,
+         |    CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END AS b
+         |  FROM th CROSS JOIN range(0, 60) r(j)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q_bigram_counts" ->
       s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),

@@ -44,8 +44,11 @@ object VectorQueries {
     },
 
     // ANN: same probe, but the scan is pruned to the probe's 8-bit
-    // sign-LSH bucket. Rows-only (bucket contents depend on the LSH
-    // planes); recall vs brute force is asserted in SimilaritySpec.
+    // sign-LSH bucket. The planes are md5-parity-derived and the bucket
+    // bits are signs of exact integer dots, so the whole pipeline —
+    // planes, buckets, probe pruning, rescore — is replayed verbatim by
+    // the DuckDB oracle. Recall vs brute force additionally asserted in
+    // SimilaritySpec.
     "q_ann_lsh" -> { (s, dir) =>
       Similarity.lshBucketTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding",
           probeId = 0L, k = K)
@@ -53,13 +56,24 @@ object VectorQueries {
     },
 
     // IVF ANN: k-means coarse quantizer (3 Lloyd iterations, k=16),
-    // probe the 4 nearest inverted lists, exact rescore. Rows-only
-    // (centroids are engine-internal); recall vs brute force asserted
-    // in SimilaritySpec.
+    // probe the 4 nearest inverted lists, exact rescore. The centroids
+    // come from float k-means (engine-internal, not SQL-replayable), so
+    // the oracle checks the retrieval PROPERTY instead: k results come
+    // back and recall@k vs the exact brute-force top-k clears 0.7 —
+    // computed Spark-side by intersecting with [[bruteForceTopK]]; the
+    // oracle expects the literal row. A broken quantizer/probe drops
+    // recall and fails the hash match.
     "q_ann_ivf" -> { (s, dir) =>
-      Similarity.ivfTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding",
-          probeId = 0L, k = K)
-        .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+      val emb = t(s, dir, "embeddings")
+      val ivf = Similarity.ivfTopK(s, emb, "vec_id", "embedding",
+        probeId = 0L, k = K)
+      val exact = Similarity.bruteForceTopK(s, emb, "vec_id", "embedding",
+        probeId = 0L, k = K)
+      val n = ivf.count()
+      val hits = ivf.select(col("vec_id"))
+        .intersect(exact.select(col("vec_id"))).count()
+      s.range(1).select(lit(K.toLong).as("k"), lit(n).as("n_results"),
+        lit(hits >= math.ceil(0.7 * K).toLong).as("recall_ok"))
     },
 
     // Embedding-cosine near-duplicate pairs, exact all-pairs baseline
@@ -70,9 +84,10 @@ object VectorQueries {
     },
 
     // Banded sign-LSH near-dup: candidates from an equi-join on
-    // (band, bucket) keys, exact rescore. Rows-only (bucket membership
-    // depends on engine-internal planes); recall asserted in
-    // SimilaritySpec with planted duplicates.
+    // (band, bucket) keys, exact rescore. md5-parity planes + integer
+    // sign dots make bucket membership engine-independent, so the
+    // oracle replays the full band join + rescore in SQL. Recall with
+    // planted duplicates additionally asserted in SimilaritySpec.
     "q_neardup_lsh" -> { (s, dir) =>
       Similarity.nearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.40)
@@ -116,7 +131,76 @@ object VectorQueries {
         .select(col("vec_id"), col("qcos"), col("rk").cast("long").as("rk"))
     })
 
+  /** DuckDB CTE mirroring [[graft.operators.Similarity.hyperplanes]]:
+    * ±1 plane entries from md5("p_i") first-hex-digit parity.
+    * `nP` planes × 64 dims, plane index column named `p`. */
+  private def sqlPlanes(nP: Int): String =
+    s"""planes AS (SELECT CAST(p AS INTEGER) AS p, CAST(i AS INTEGER) AS i,
+       |    CASE WHEN CAST(('0x' || substr(md5(p || '_' || i), 1, 1)) AS INTEGER)
+       |           % 2 = 1
+       |         THEN 1 ELSE -1 END AS s
+       |  FROM range(0, $nP) t1(p) CROSS JOIN range(0, 64) t2(i))""".stripMargin
+
+  /** Per-(vec, plane) quantized dot: floor(±1 * 1000) × floor(x*1000),
+    * the exact arithmetic of dotQ(vec, plane). */
+  private val sqlPlaneDots: String =
+    """pd AS (SELECT e.vec_id, pl.p,
+      |    SUM(pl.s * 1000
+      |        * CAST(FLOOR(CAST(e.embedding[pl.i + 1] AS DOUBLE) * 1000)
+      |               AS BIGINT)) AS dp
+      |  FROM embeddings e CROSS JOIN planes pl
+      |  GROUP BY e.vec_id, pl.p)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH ${sqlPlanes(8)},
+         |$sqlPlaneDots,
+         |bk AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM pd GROUP BY vec_id),
+         |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id,
+         |    ${sqlDotQ("e.embedding", "q.qe")} AS dot,
+         |    ${sqlDotQ("e.embedding", "e.embedding")} AS na,
+         |    ${sqlDotQ("q.qe", "q.qe")} AS nq
+         |  FROM embeddings e, bk, qb, q
+         |  WHERE e.vec_id = bk.vec_id AND bk.bucket = qb.bucket
+         |    AND e.vec_id <> 0)
+         |SELECT vec_id,
+         |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) AS cos_sim,
+         |  CAST(row_number() OVER (
+         |    ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) DESC,
+         |    vec_id) AS BIGINT) AS rk
+         |FROM sc QUALIFY rk <= $K""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""SELECT CAST($K AS BIGINT) AS k, CAST($K AS BIGINT) AS n_results,
+         |  TRUE AS recall_ok""".stripMargin,
+
+    "q_neardup_lsh" ->
+      s"""WITH ${sqlPlanes(64)},
+         |$sqlPlaneDots,
+         |bk AS (SELECT vec_id, p // 8 AS bnd,
+         |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM pd GROUP BY vec_id, p // 8),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT c.id_a, c.id_b,
+         |    ${sqlDotQ("ea.embedding", "eb.embedding")} AS dot,
+         |    ${sqlDotQ("ea.embedding", "ea.embedding")} AS na,
+         |    ${sqlDotQ("eb.embedding", "eb.embedding")} AS nb
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+         |SELECT id_a, id_b,
+         |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) AS cos_sim
+         |FROM sc
+         |WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) >= 0.40""".stripMargin,
+
     "q_embedding_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id,

@@ -39,14 +39,26 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
-  test("lshBucketTopK results are a subset of a wider brute-force ranking") {
-    val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", 0L, 200)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+  test("lshBucketTopK = exact cosine ranking restricted to the probe's bucket") {
     val ann = Similarity.lshBucketTopK(spark, emb, "vec_id", "embedding", 0L, 10)
-      .select("vec_id").collect().map(_.getLong(0))
+      .orderBy("rk").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(ann.nonEmpty, "probe bucket must contain neighbors")
-    // every ANN hit is a genuinely similar vector (top-200 of 500)
-    assert(ann.forall(brute.contains))
+    // the operator's contract: prune the scan to the probe's bucket,
+    // then EXACT quantized-cosine ranking within it — recompute that
+    // reference set independently from withLshBucket + bruteForceTopK
+    // over the bucket members and demand identical (id, score) lists
+    val bucketed = Similarity.withLshBucket(emb, "embedding")
+    val qBucket = bucketed.where(col("vec_id") === 0L)
+      .select("lsh_bucket").head().getLong(0)
+    val bucketMembers = bucketed.where(col("lsh_bucket") === qBucket)
+      .drop("lsh_bucket")
+    // probe vector must be scored against bucket members only
+    val withProbe = bucketMembers.union(
+      emb.where(col("vec_id") === 0L)).distinct()
+    val exactInBucket = Similarity.bruteForceTopK(spark, withProbe,
+        "vec_id", "embedding", 0L, 10)
+      .orderBy("rk").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ann.toSeq === exactInBucket.toSeq)
   }
 
   test("native dot expressions match the composed zip_with/aggregate forms") {
