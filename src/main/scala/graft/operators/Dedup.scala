@@ -110,13 +110,55 @@ object Dedup {
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .toDF("doc_id", "band", "bucket")
 
-  /** Candidate pairs from shared band buckets (deduplicated). The
-    * self-join shuffles on (band, bucket) — uniformly hashed keys. */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bucket")).where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+  /** Candidate pairs from shared band buckets (deduplicated), with the
+    * per-bucket hot-key guard of [[cappedBucketPairs]]: LSH bucket keys
+    * are uniform for DISTINCT documents, but a cluster of m identical
+    * documents shares one signature → one bucket, and an unguarded
+    * self-join would materialize m² pairs in a single reducer (10¹²
+    * rows for a million-copy boilerplate page at 100 TB). */
+  def candidatePairs(buckets: DataFrame, maxBucket: Int = 64): DataFrame =
+    cappedBucketPairs(buckets, Seq("band", "bucket"), "doc_id", maxBucket)
+      .toDF("doc_a", "doc_b").distinct()
+
+  /** Bounded pair generation within equi-join buckets — the standard
+    * MinHash-at-scale guard against hot buckets. Members of each bucket
+    * are ranked by id; pairs are
+    *   - ALL pairs among the first `maxBucket` members (exhaustive
+    *     where the bucket is small), plus
+    *   - a representative star: (rank-1 member, m) for every overflow
+    *     member m beyond the cap.
+    * Per-bucket output (and work) is ≤ maxBucket²/2 + (size − maxBucket)
+    * — LINEAR in bucket size beyond the cap, vs quadratic unguarded. An
+    * over-full bucket is by definition a near-dup cluster (its members
+    * share a whole signature band), so star edges to one representative
+    * keep the cluster connected for downstream transitive clustering;
+    * only borderline overflow-overflow pairs lose their direct rescore.
+    * Both join inputs derive from one ranked plan, so the window's
+    * hash-partitioning on the bucket key is computed once and reused by
+    * the self-join (ReusedExchange).
+    *
+    * Returns (id_a, id_b) with id_a < id_b, NOT deduplicated across
+    * buckets. */
+  private[operators] def cappedBucketPairs(buckets: DataFrame,
+      keyCols: Seq[String], idCol: String, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must allow at least one pair")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    val ranked = buckets.withColumn("__r", row_number().over(w))
+    val a = ranked.select((keyCols :+ idCol :+ "__r").map(col): _*)
+      .toDF(keyCols :+ "id_a" :+ "r_a": _*)
+    val b = ranked.select((keyCols :+ idCol :+ "__r").map(col): _*)
+      .toDF(keyCols :+ "id_b" :+ "r_b": _*)
+    // ranks follow id order, so id_a < id_b ⇔ r_a < r_b. Both joins
+    // filter BOTH sides before the join, so per-bucket work is
+    // cap²/2 + (m − cap) — never cap·m, let alone m².
+    val core = a.where(col("r_a") <= maxBucket)
+      .join(b.where(col("r_b") <= maxBucket), keyCols)
+      .where(col("id_a") < col("id_b"))
+    val star = a.where(col("r_a") === 1)
+      .join(b.where(col("r_b") > maxBucket), keyCols)
+    core.select(col("id_a"), col("id_b"))
+      .unionByName(star.select(col("id_a"), col("id_b")))
   }
 
   /** Exact Jaccard for given pairs, from the gram sets. The candidate
@@ -147,7 +189,7 @@ object Dedup {
     * (and this testdata) contain. */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
     // Signature path: RAW (non-distinct) gram HASHES stream straight
     // into the per-doc min-aggregate — duplicates cannot change a min,
     // so the corpus-wide distinct shuffle is skipped entirely, and no
@@ -158,7 +200,8 @@ object Dedup {
     val sigs = minhashSignaturesHashed(gramHashes(docs, idCol, textCol, ngram), numHashes)
     // candidate pairs are tiny (LSH-pruned); persisted because they are
     // consumed twice (id filter + broadcast join)
-    val cands = candidatePairs(lshBandBuckets(sigs, bands, numHashes / bands))
+    val cands = candidatePairs(lshBandBuckets(sigs, bands, numHashes / bands),
+        maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Exact-Jaccard rescoring only needs gram SETS of candidate docs:
     // filter the documents first (broadcast semi-join on candidate ids),
@@ -295,7 +338,8 @@ object Dedup {
     * any pair within distance 3 shares at least one exact chunk, so the
     * join is an equi-join on (chunk index, chunk value) — never
     * all-pairs. */
-  def simhashPairs(hashes: DataFrame, maxDist: Int = 3, bits: Int = 64): DataFrame = {
+  def simhashPairs(hashes: DataFrame, maxDist: Int = 3, bits: Int = 64,
+      maxBucket: Int = 64): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
     require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, <= 64")
     val w = bits / 4
@@ -307,12 +351,19 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * w).bitwiseAND(lit(mask))): _*)))
       .toDF("doc_id", "simhash", "chunk", "cv")
-    val a = chunked.toDF("doc_a", "sh_a", "chunk", "cv")
-    val b = chunked.toDF("doc_b", "sh_b", "chunk", "cv")
-    a.join(b, Seq("chunk", "cv")).where(col("doc_a") < col("doc_b"))
+    // hot-bucket guard (see cappedBucketPairs): a cluster of identical
+    // docs shares every chunk value, so unguarded this join is m² in one
+    // reducer. Pairs then rejoin the signatures to score hamming — the
+    // capped pair stream carries only ids, so the extra joins shuffle
+    // ids + one long, and both probe the same cached signature table.
+    val sigsOnly = cached.select(col("doc_id"), col("simhash"))
+    cappedBucketPairs(chunked.select(col("chunk"), col("cv"), col("doc_id")),
+        Seq("chunk", "cv"), "doc_id", maxBucket)
+      .toDF("doc_a", "doc_b").distinct()
+      .join(sigsOnly.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sigsOnly.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxDist)
   }
 }

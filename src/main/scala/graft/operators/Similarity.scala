@@ -114,7 +114,7 @@ object Similarity {
     * per-bucket pair generation, vs n² for the exact variant. */
   def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 8, nBands: Int = 8,
-      dim: Int = 0): DataFrame = {
+      dim: Int = 0, maxBucket: Int = 64): DataFrame = {
     val d = if (dim > 0) dim else probeDim(emb, vecCol)
     val planes = hyperplanes(nPlanes * nBands, d)
     val bandKeys = array((0 until nBands).map { bnd =>
@@ -126,21 +126,34 @@ object Similarity {
         when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)) + lit(bnd.toLong * 256L)
     }: _*)
+    // hot-bucket guard (cf. Dedup.cappedBucketPairs): an embedding
+    // cluster of m near-identical vectors lands in ONE bucket per band;
+    // rank members by id within each bucket, pair all-pairs among the
+    // first maxBucket, and link overflow members only to the rank-1
+    // representative — per-bucket work cap²/2 + (m − cap), not m².
+    import org.apache.spark.sql.expressions.Window
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
-      explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
+        VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
+        explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("bkey")).orderBy(col("id").asc)))
     // score WHILE the vectors are co-located by the band join, then
     // dedupe band collisions on (id_a, id_b, cos) — the dedup shuffle
     // carries ids + one double instead of two 64-float vectors; a pair
     // colliding in b bands costs b cheap fused dots, not b vector-row
     // shuffles. Threshold applied before the shuffle prunes further.
-    keyed.as("x").join(keyed.as("y"), Seq("bkey"))
-      .where(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        (VectorFns.dotQ(col("x.v"), col("y.v")).cast("double") /
-          sqrt((col("x.nq") * col("y.nq")).cast("double"))).as("cos_sim"))
-      .where(col("cos_sim") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+    def scored(x: DataFrame, y: DataFrame): DataFrame =
+      x.as("x").join(y.as("y"), Seq("bkey"))
+        .where(col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          (VectorFns.dotQ(col("x.v"), col("y.v")).cast("double") /
+            sqrt((col("x.nq") * col("y.nq")).cast("double"))).as("cos_sim"))
+        .where(col("cos_sim") >= threshold)
+    val core = scored(keyed.where(col("r") <= maxBucket),
+      keyed.where(col("r") <= maxBucket))
+    val star = scored(keyed.where(col("r") === 1),
+      keyed.where(col("r") > maxBucket))
+    core.unionByName(star).dropDuplicates("id_a", "id_b")
   }
 
   /** IVF coarse quantizer: k-means centroids trained with a few Lloyd
@@ -237,6 +250,28 @@ object Similarity {
       .write.mode("overwrite").partitionBy("__cid").parquet(path)
     cached.unpersist()
     centroids
+  }
+
+  /** Centroid matrices of already-built [[ivfWriteIndex]] tables, keyed
+    * by index path. The index build is an OFFLINE step (one k-means
+    * training + one partitioned write per corpus version); queries are
+    * directory-pruned probes. The memo makes repeated query invocations
+    * in one session pay the build exactly once — the same lifecycle a
+    * production deployment has, where the index is built by an ingest
+    * job and queried by everyone else. */
+  private val ivfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Float]]]()
+
+  /** IVF ANN top-k THROUGH the materialized index: build-once (memoized
+    * per `indexPath`), then [[ivfQueryIndex]]'s partition-pruned probe.
+    * This is the form a query inventory should expose — per-query
+    * k-means training ([[ivfTopK]]) is a non-starter at corpus scale. */
+  def ivfTopKIndexed(spark: SparkSession, emb: => DataFrame, idCol: String,
+      vecCol: String, indexPath: String, probeId: Long, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = ivfIndexes.computeIfAbsent(indexPath,
+      _ => ivfWriteIndex(emb, idCol, vecCol, indexPath, nClusters))
+    ivfQueryIndex(spark, indexPath, centroids, idCol, vecCol, probeId, k, nProbe)
   }
 
   /** ANN top-k over a materialized [[ivfWriteIndex]] table: pick the

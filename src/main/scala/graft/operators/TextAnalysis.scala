@@ -162,12 +162,19 @@ object TextAnalysis {
   def heavyHitterTerms(docs: DataFrame, idCol: String, textCol: String,
       minShare: Double = 0.01): DataFrame = {
     val toks = docs.select(explode(TextFns.letterTokens(col(textCol))).as("term"))
-    val nTokens = toks.count()
-    val minCount = math.ceil(nTokens * minShare).toLong
+    // the total token count rides the SKETCH pass as an observed metric
+    // (CollectMetrics node on the freqItems scan) — two corpus passes
+    // total (sketch, verify), not three; freqItems is a Dataset
+    // aggregation (CollectFrequentItems), so its action fills the
+    // observation
+    val obs = org.apache.spark.sql.Observation()
+    val observed = toks.observe(obs, count(lit(1)).as("n_tokens"))
     // sketch support at half the target share → candidate set provably
     // covers every term at or above minCount
-    val candidates = toks.stat.freqItems(Seq("term"), minShare / 2)
+    val candidates = observed.stat.freqItems(Seq("term"), minShare / 2)
       .head().getSeq[String](0)
+    val nTokens = obs.get("n_tokens").asInstanceOf[Long]
+    val minCount = math.ceil(nTokens * minShare).toLong
     toks.where(col("term").isin(candidates: _*))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
@@ -198,11 +205,14 @@ object TextAnalysis {
       minShare: Double = 0.01, eps: Double = 1e-4,
       confidence: Double = 0.999): DataFrame = {
     val toks = docs.select(explode(TextFns.letterTokens(col(textCol))).as("term"))
-    val nTokens = toks.count()
-    val minCount = math.ceil(nTokens * minShare).toLong
-    val sketchBytes = toks
-      .select(expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, 42)").as("s"))
-      .head().getAs[Array[Byte]](0)
+    // sketch and total token count in ONE aggregation — two corpus
+    // passes total (sketch+count, verify), not three
+    val sketchRow = toks
+      .select(expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, 42)").as("s"),
+        count(lit(1)).as("n"))
+      .head()
+    val sketchBytes = sketchRow.getAs[Array[Byte]](0)
+    val minCount = math.ceil(sketchRow.getLong(1) * minShare).toLong
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
     val estimate = udf((t: String) => cms.estimateCount(t))

@@ -55,8 +55,11 @@ object VectorQueries {
         .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
     },
 
-    // IVF ANN: k-means coarse quantizer (3 Lloyd iterations, k=16),
-    // probe the 4 nearest inverted lists, exact rescore. The centroids
+    // IVF ANN through the MATERIALIZED index (the 100 TB form): k-means
+    // coarse quantizer trained ONCE per corpus by ivfWriteIndex, table
+    // partitioned by cluster id, every query a directory-pruned probe
+    // of the 4 nearest inverted lists (PartitionFilters on __cid —
+    // asserted in SimilaritySpec) with exact rescore. The centroids
     // come from float k-means (engine-internal, not SQL-replayable), so
     // the oracle checks the retrieval PROPERTY instead: k results come
     // back and recall@k vs the exact brute-force top-k clears 0.7 —
@@ -65,8 +68,10 @@ object VectorQueries {
     // recall and fails the hash match.
     "q_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val ivf = Similarity.ivfTopK(s, emb, "vec_id", "embedding",
-        probeId = 0L, k = K)
+      val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val ivf = Similarity.ivfTopKIndexed(s, emb, "vec_id", "embedding",
+        indexPath, probeId = 0L, k = K)
       val exact = Similarity.bruteForceTopK(s, emb, "vec_id", "embedding",
         probeId = 0L, k = K)
       val n = ivf.count()
@@ -179,6 +184,10 @@ object VectorQueries {
       s"""SELECT CAST($K AS BIGINT) AS k, CAST($K AS BIGINT) AS n_results,
          |  TRUE AS recall_ok""".stripMargin,
 
+    // the rk CTE + (b.r <= 64 OR a.r = 1) predicate replay the Spark
+    // side's hot-bucket guard verbatim (all-pairs among the first 64
+    // bucket members by id, star edges from the rank-1 representative
+    // to the overflow) — see Similarity.nearDupPairsLsh
     "q_neardup_lsh" ->
       s"""WITH ${sqlPlanes(64)},
          |$sqlPlaneDots,
@@ -186,9 +195,13 @@ object VectorQueries {
          |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT)
          |      AS bucket
          |  FROM pd GROUP BY vec_id, p // 8),
+         |rk AS (SELECT vec_id, bnd, bucket,
+         |    row_number() OVER (PARTITION BY bnd, bucket ORDER BY vec_id) AS r
+         |  FROM bk),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bk a JOIN bk b
-         |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |  FROM rk a JOIN rk b
+         |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |    AND (b.r <= 64 OR a.r = 1)),
          |sc AS (SELECT c.id_a, c.id_b,
          |    ${sqlDotQ("ea.embedding", "eb.embedding")} AS dot,
          |    ${sqlDotQ("ea.embedding", "ea.embedding")} AS na,

@@ -123,6 +123,52 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got(2L) === null)
   }
 
+  test("hot-bucket guard: 1k-copy cluster yields linear pair counts, stays connected") {
+    // A boilerplate page duplicated m times shares ONE MinHash signature
+    // → one bucket per band; unguarded that's m(m-1)/2 pairs in a single
+    // reducer. The cap bounds it at cap(cap-1)/2 + (m - cap) and the
+    // representative star keeps the cluster connected.
+    val m = 1000
+    val cap = 8
+    val docs = (0 until m)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesHashed(
+      Dedup.gramHashes(docs, "doc_id", "text", 3), 64)
+    val pairs = Dedup.candidatePairs(Dedup.lshBandBuckets(sigs, 16, 4),
+      maxBucket = cap)
+    // identical docs → all 16 bands produce the SAME capped pair set
+    val expected = cap * (cap - 1) / 2 + (m - cap)
+    assert(pairs.count() === expected.toLong,
+      s"capped pair count must be $expected (linear), not ${m * (m - 1) / 2} (quadratic)")
+    val clusters = Dedup.dedupClusters(pairs.toDF("doc_a", "doc_b"))
+    assert(clusters.count() === m.toLong)
+    assert(clusters.select("cluster").distinct().count() === 1L,
+      "star edges must keep the dup cluster connected")
+  }
+
+  test("hot-bucket guard: simhash chunk buckets bounded the same way") {
+    val m = 500
+    val cap = 8
+    val docs = (0 until m)
+      .map(i => (i.toLong, "repeat me repeat me repeat me again and again"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"),
+      maxDist = 3, bits = 64, maxBucket = cap)
+    assert(pairs.count() === (cap * (cap - 1) / 2 + (m - cap)).toLong)
+  }
+
+  test("hot-bucket guard: embedding LSH caps identical-vector floods") {
+    import graft.operators.Similarity
+    val m = 400
+    val cap = 16
+    val vec = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val emb = (0 until m).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 8, nBands = 8, maxBucket = cap)
+    assert(pairs.count() === (cap * (cap - 1) / 2 + (m - cap)).toLong)
+  }
+
   test("bloomSemiJoin: empty build side returns no rows") {
     val probe = Seq((1L, "x")).toDF("k", "v")
     val build = Seq.empty[Long].toDF("bk")

@@ -170,6 +170,24 @@ class PlanPropertiesSpec extends SparkSpec {
       s"estimate filter must sit below the exact-count shuffle:\n$p")
   }
 
+  test("candidatePairs: bucket-cap rank filters sit below the self-join") {
+    import graft.operators.Dedup
+    val docs = Q.t(spark, sf, "documents")
+    val sigs = Dedup.minhashSignaturesAgg(
+      Dedup.rawGrams(docs, "doc_id", "text", 3), 64)
+    val p = plan(Dedup.candidatePairs(Dedup.lshBandBuckets(sigs, 16, 4),
+      maxBucket = 64))
+    assert(p.contains("row_number"), s"bucket members must be ranked:\n$p")
+    // the cap is a pre-join FILTER on the rank (both core sides), so no
+    // join task can ever see more than maxBucket core members per bucket
+    assert("""__r#\d+ <= 64""".r.findAllIn(p).size >= 2,
+      s"core join inputs must be rank-capped below the join:\n$p")
+    // and the star side pairs overflow members against rank-1 only
+    assert("""__r#\d+ = 1\)""".r.findAllIn(p).nonEmpty &&
+      """__r#\d+ > 64""".r.findAllIn(p).nonEmpty,
+      s"representative-star inputs must be rank-filtered:\n$p")
+  }
+
   test("q_window_ntile: all four window functions share one exchange") {
     val p = plan(SparkEntry.queries("q_window_ntile")(spark, sf))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

@@ -144,6 +144,22 @@ class SimilaritySpec extends SparkSpec {
       s"__cid must be a partition filter:\n$p")
   }
 
+  test("ivfTopKIndexed: builds the index once, repeat queries only probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_memo").toString
+    val first = Similarity.ivfTopKIndexed(spark, emb, "vec_id", "embedding",
+      dir, probeId = 0L, k = 10).collect().map(_.toString).toSeq
+    // index files exist and the build is memoized: the second call must
+    // not rewrite the directory (mtimes unchanged)
+    val files = new java.io.File(dir).listFiles()
+    assert(files != null && files.nonEmpty, "index directory must be written")
+    val stamps = files.map(f => f.getName -> f.lastModified).toMap
+    val second = Similarity.ivfTopKIndexed(spark, emb, "vec_id", "embedding",
+      dir, probeId = 0L, k = 10).collect().map(_.toString).toSeq
+    assert(first == second)
+    val after = new java.io.File(dir).listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == stamps, "second query must reuse the index, not rebuild it")
+  }
+
   test("ivfTrain: deterministic centroids, every vector assigned") {
     val c1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
     val c2 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)

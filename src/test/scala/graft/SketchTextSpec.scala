@@ -23,6 +23,46 @@ class SketchTextSpec extends SparkSpec {
     assert(got.keySet === Set("aa", "bb")) // aa:7, bb:4
   }
 
+  test("heavy-hitter paths run two corpus actions, not three") {
+    // the standalone pre-count was folded into the sketch pass (observe
+    // for freqItems, combined aggregate for CMS); each path must now
+    // execute exactly 2 SQL actions: sketch(+count), then exact verify
+    val docs = Seq(
+      "aa bb aa cc aa dd", "aa bb ee ff", "gg aa bb hh",
+      "ii jj kk ll", "aa mm bb nn").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def countActions(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = n.incrementAndGet()
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        body
+        // listener delivery is async — poll until the count stabilizes
+        var last = -1
+        var spins = 0
+        while (n.get != last && spins < 50) {
+          last = n.get; Thread.sleep(100); spins += 1
+        }
+        n.get
+      } finally spark.listenerManager.unregister(l)
+    }
+    val cmsActions = countActions {
+      TextAnalysis.cmsHeavyHitters(docs, "text", minShare = 0.15).collect()
+    }
+    assert(cmsActions == 2, s"CMS path must be sketch+verify, got $cmsActions actions")
+    val fiActions = countActions {
+      TextAnalysis.heavyHitterTerms(docs, "doc_id", "text", minShare = 0.15).collect()
+    }
+    assert(fiActions == 2, s"freqItems path must be sketch+verify, got $fiActions actions")
+  }
+
   test("cmsHeavyHitters at a threshold nothing reaches is empty") {
     val docs = Seq((0L, "x y z w")).toDF("doc_id", "text")
     assert(TextAnalysis.cmsHeavyHitters(docs, "text", minShare = 0.9)
