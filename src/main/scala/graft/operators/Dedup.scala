@@ -241,17 +241,22 @@ object Dedup {
     * `requireConverged = false` only if a best-effort clustering is
     * acceptable. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
-      requireConverged: Boolean = true): DataFrame = {
-    // localCheckpoint (not persist): iterative self-referencing plans
-    // grow EXPONENTIALLY in logical-plan size (labels appears twice per
-    // round), so lineage must be truncated each round, not just cached.
-    // At cluster scale this would be a reliable checkpoint; local blocks
-    // are the single-job equivalent.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+      requireConverged: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Lineage must be TRUNCATED each round (not just cached): iterative
+    // self-referencing plans grow exponentially in logical-plan size
+    // (labels appears twice per round). localCheckpoint stores blocks on
+    // executors — fast, but an executor loss mid-job kills the lineage
+    // with it. On a real cluster pass `checkpointDir` (HDFS/object
+    // store) to switch every truncation to a RELIABLE checkpoint.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncated(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = truncated(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = truncated(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -265,11 +270,11 @@ object Dedup {
       // path-halving turns O(diameter) convergence into O(log diameter),
       // which long dup chains need to finish within maxIters
       val ptr = hopped.select(col("doc_id").as("p_id"), col("cluster").as("p_cl"))
-      val next = hopped.join(ptr, hopped("cluster") === ptr("p_id"), "left")
-        .select(hopped("doc_id"),
-          least(hopped("cluster"), coalesce(col("p_cl"), hopped("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
+      val next = truncated(
+        hopped.join(ptr, hopped("cluster") === ptr("p_id"), "left")
+          .select(hopped("doc_id"),
+            least(hopped("cluster"), coalesce(col("p_cl"), hopped("cluster")))
+              .as("cluster")))
       val changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .where(col("cluster") =!= col("prev")).count()
       labels = next

@@ -33,22 +33,27 @@ object Graph {
     * path), append survivors. Terminates when the frontier empties —
     * at most `maxIters` rounds, after which it fails loudly rather than
     * return truncated distances. */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // on a real cluster pass `checkpointDir` for reliable (executor-
+    // loss-safe) lineage truncation; local blocks otherwise
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def truncated(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // one shuffle up front; every round's frontier join reuses it
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
-    var dist = seeds.select(col("id")).distinct()
-      .select(col("id"), lit(0L).as("hops")).localCheckpoint()
+    var dist = truncated(seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("hops")))
     var frontier = dist
     var iters = 0
     while (iters < maxIters && !frontier.isEmpty) {
       val expanded = frontier.join(e, frontier("id") === e("src"))
         .groupBy(e("dst").as("id"))
         .agg((min(col("hops")) + lit(1L)).as("hops"))
-      val fresh = expanded.join(dist.select(col("id").as("seen")),
-          expanded("id") === col("seen"), "left_anti")
-        .localCheckpoint()
-      dist = dist.unionByName(fresh).localCheckpoint()
+      val fresh = truncated(expanded.join(dist.select(col("id").as("seen")),
+          expanded("id") === col("seen"), "left_anti"))
+      dist = truncated(dist.unionByName(fresh))
       frontier = fresh
       iters += 1
     }

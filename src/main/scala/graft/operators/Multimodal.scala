@@ -8,17 +8,17 @@ import org.apache.spark.sql.functions._
   * Media payloads are opaque `binary` columns plus typed metadata —
   * the layout a 100 TB training-data lake uses (parquet binary column
   * chunks; no per-file blob storage round-trips). The testdata has no
-  * real media, so [[mediaTable]] synthesizes payloads from document
-  * text bytes; the *decode* step is an explicitly-marked deterministic
-  * STUB (this container has no image/audio codecs), while everything
-  * Spark-side — schema, binary slicing, partition-batched decode via
-  * `mapPartitions`, feature vectors — is real and tested.
+  * real media, so payloads are synthesized: [[mediaTable]] reuses
+  * document text bytes for the byte-level operators, and [[pngTable]]
+  * encodes REAL PNG images (deterministic dimensions and pixels derived
+  * from `doc_id`) which [[decodeImage]]/[[resizeImage]] decode with
+  * `javax.imageio` — an actual codec round-trip, not a stand-in.
   *
   * Scale notes: `frameSample` is pure codegen'd expressions (substring
-  * on binary, no UDF); `decodeStub`/`byteHistogram` run once per
-  * partition with an iterator (no per-row lambda setup, no driver
-  * collect), which is the Scala analogue of a batched `mapInPandas`
-  * decode.
+  * on binary, no UDF); the decode/resize/feature steps run once per
+  * partition with an iterator (codec initialized per partition, no
+  * per-row lambda setup, no driver collect), which is the Scala
+  * analogue of a batched `mapInPandas` decode.
   */
 object Multimodal {
 
@@ -47,8 +47,6 @@ object Multimodal {
       .where(length(col("frame")) > 0)
 
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
-  case class Decoded(doc_id: Long, media_type: String, width: Int, height: Int,
-      n_pixels: Long)
   /** Byte-level features: float histogram + entropy (spec-asserted;
     * transcendental, so not oracle-hashable) and exact integer
     * summaries (distinct byte values, modal byte + its count, weighted
@@ -57,20 +55,107 @@ object Multimodal {
       n_distinct_bytes: Int, mode_byte: Int, mode_count: Long,
       byte_checksum: Long)
 
-  /** STUB decode — the real implementation would call an image/audio
-    * codec on `content` here (none is installed in this container). The
-    * stand-in derives deterministic fake dimensions from the payload
-    * length so the full pipeline (schema in → partition-batched decode
-    * → typed schema out) is exercised and oracle-checkable. */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[Decoded] = {
+  /** Deterministic grayscale test-image pixel: any engine can replay
+    * this closed form, which is what lets [[decodeImage]] carry a full
+    * SQL oracle over REAL PNG payloads. */
+  private def pixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  private def pngDims(docId: Long): (Int, Int) =
+    ((docId % 29 + 4).toInt, (docId % 17 + 4).toInt)
+
+  /** Synthesize a REAL PNG payload per document id: grayscale, width =
+    * doc_id % 29 + 4, height = doc_id % 17 + 4, pixel(x, y) =
+    * (doc_id·31 + x·7 + y·13) mod 256, encoded with `javax.imageio`.
+    * Grayscale PNG is lossless, so a decoder recovers exactly these
+    * pixels — the generation formula IS the decode oracle. Partition-
+    * batched like every media op; encoder state is per-partition. */
+  def pngTable(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+      it.map { docId =>
+        val (w, h) = pngDims(docId)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(docId, "image", bos.toByteArray)
+      }
+    }
+  }
+
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, px_sum: Long)
+
+  /** Real image decode via `javax.imageio` (PNG/JPEG/BMP/GIF ship in
+    * every JDK — no external codec needed): opaque bytes in, actual
+    * header dimensions and pixel statistics out. Partition-batched
+    * `mapPartitions` — the decoder is exercised once per row inside one
+    * task, payloads never cross the wire undecoded more than once, no
+    * shuffle. Fails loudly on undecodable payloads rather than emitting
+    * garbage rows. */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition setup would open the codec once here
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val nBytes = m.content.length
-        val width = nBytes % 317 + 1   // ??? real codec: decode header
-        val height = nBytes / width + 1 // ??? real codec: decode header
-        Decoded(m.doc_id, m.media_type, width, height, width.toLong * height)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        DecodedImage(m.doc_id, w, h, w.toLong * h, sum)
+      }
+    }
+  }
+
+  /** Real image resize: decode with `javax.imageio`, nearest-neighbor
+    * downsample by `factor` (output pixel (x, y) = source pixel
+    * (x·factor, y·factor) — exact and engine-replayable, unlike
+    * interpolating scalers), re-encode as PNG. Binary in → smaller
+    * binary out, partition-batched, no shuffle. */
+  def resizeImage(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1)
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
+        val w = math.max(1, img.getWidth / factor)
+        val h = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val src = img.getRaster
+        val dst = out.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaRow(m.doc_id, m.media_type, bos.toByteArray)
       }
     }
   }
@@ -78,12 +163,12 @@ object Multimodal {
   case class Resized(doc_id: Long, media_type: String, content: Array[Byte],
       orig_bytes: Int, new_bytes: Int)
 
-  /** STUB resize — a real implementation would decode, scale, re-encode
-    * (no codec in this container). The stand-in subsamples every k-th
-    * byte of the payload (deterministic, content-dependent), keeping the
-    * pipeline shape honest: binary in → smaller binary out, computed
-    * partition-batched with no shuffle. */
-  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[Resized] = {
+  /** Byte-stream decimation: keep every `factor`-th byte of the payload
+    * (deterministic, content-dependent) — the generic binary
+    * down-sampling step (e.g. PCM decimation) as opposed to the real
+    * image resize of [[resizeImage]]. Binary in → smaller binary out,
+    * partition-batched, no shuffle. */
+  def subsampleBytes(media: Dataset[MediaRow], factor: Int): Dataset[Resized] = {
     import media.sparkSession.implicits._
     require(factor >= 1)
     media.mapPartitions { it =>

@@ -302,36 +302,67 @@ object TextAnalysis {
       .withColumn("bin", expr(s"start_tok DIV $budget"))
   }
 
-  /** Fuzzy string matching with blocking: pairs of distinct values of
-    * `strCol` within Levenshtein distance `maxDist`, compared only
-    * inside a (length-band) block with an |len(a)-len(b)| <= maxDist
-    * prefilter — edit distance >= length difference, so no true pair is
-    * lost, and the O(n²) comparison runs per block, not per corpus.
-    * At scale, add a coarser block key (first char, phonetic key, or a
-    * q-gram LSH) the same way; the shape stays block-join + exact
-    * rescore — the same candidate/verify split as MinHash dedup. */
-  def fuzzyPairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
-    val names = df.select(col(strCol).as("name"))
-      .where(col("name").isNotNull).distinct()
-      .withColumn("len", length(col("name")))
-      // block on length band: bands overlap by sliding the band key so
-      // cross-band neighbors (len diff <= maxDist) still meet once —
-      // floor((len-d)/(d+1)) .. floor(len/(d+1)) always intersects the
-      // same range of any length within d
-      .withColumn("band", explode(sequence(
-        floor((col("len") - lit(maxDist)) / lit(maxDist + 1)).cast("int"),
-        floor(col("len") / lit(maxDist + 1)).cast("int"))))
-    val a = names.select(col("band"), col("name").as("name_a"), col("len").as("len_a"))
-    val b = names.select(col("band"), col("name").as("name_b"), col("len").as("len_b"))
-    a.join(b, Seq("band"))
-      .where(col("name_a") < col("name_b") &&
-        abs(col("len_a") - col("len_b")) <= maxDist)
-      // thresholded levenshtein runs the banded O(len·d) DP with early
-      // exit (-1 when above), not the full O(len²) matrix — the rescore
-      // cost that dominates at corpus scale
+  /** Fuzzy string matching with TWO composed block keys: pairs of
+    * distinct values of `strCol` within Levenshtein distance `maxDist`.
+    *
+    *  - Length band (both sides): edit distance >= length difference,
+    *    so only |len(a)-len(b)| <= maxDist pairs survive; the sliding
+    *    band key guarantees cross-band neighbors still meet once.
+    *  - q-gram key (strings of length >= q·(maxDist+1)): a string of
+    *    length L has L-q+1 q-grams and one edit destroys at most q of
+    *    them, so after maxDist edits at least L-q+1 - q·maxDist >= 1
+    *    gram survives verbatim — two long strings within maxDist MUST
+    *    share a q-gram, and the join key becomes (band, gram). This is
+    *    what kills the O(n²)-within-a-band blowup of same-length-heavy
+    *    corpora (part names, product SKUs): unrelated equal-length
+    *    strings share a band but not a gram.
+    *
+    * Strings too short for the pigeonhole (len < q·(maxDist+1)) keep
+    * band-only blocking among themselves — a pair with one short member
+    * has both members < q·(maxDist+1) + maxDist, so the short-side join
+    * covers every such pair and nothing is lost. Candidates are then
+    * exactly rescored with the thresholded levenshtein (banded O(len·d)
+    * DP with early exit) — the same candidate/verify split as MinHash
+    * dedup. */
+  def fuzzyPairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame =
+    fuzzyCandidates(df, strCol, maxDist)
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"))
       .where(col("dist") >= 0)
-      .distinct() // a pair can share several sliding bands
+
+  /** Candidate pairs of [[fuzzyPairs]] BEFORE the exact rescore —
+    * deduplicated (name_a < name_b). Split out so blocking selectivity
+    * is testable. */
+  private[graft] def fuzzyCandidates(df: DataFrame, strCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    val lmin = q * (maxDist + 1)
+    val names = df.select(col(strCol).as("name"))
+      .where(col("name").isNotNull).distinct()
+      .withColumn("len", length(col("name")))
+    // sliding length band: floor((len-d)/(d+1)) .. floor(len/(d+1))
+    // always intersects the same range of any length within d
+    def banded(n: DataFrame): DataFrame = n.withColumn("band", explode(sequence(
+      floor((col("len") - lit(maxDist)) / lit(maxDist + 1)).cast("int"),
+      floor(col("len") / lit(maxDist + 1)).cast("int"))))
+    val short = banded(names.where(col("len") < lmin + maxDist))
+    val shortCands = short.select(col("band"), col("name").as("name_a"),
+        col("len").as("len_a"))
+      .join(short.select(col("band"), col("name").as("name_b"),
+        col("len").as("len_b")), Seq("band"))
+      .select("name_a", "len_a", "name_b", "len_b")
+    val long = banded(names.where(col("len") >= lmin))
+      .withColumn("g", explode(array_distinct(transform(
+        sequence(lit(1), col("len") - lit(q - 1)),
+        i => col("name").substr(i, lit(q))))))
+    val longCands = long.select(col("band"), col("g"), col("name").as("name_a"),
+        col("len").as("len_a"))
+      .join(long.select(col("band"), col("g"), col("name").as("name_b"),
+        col("len").as("len_b")), Seq("band", "g"))
+      .select("name_a", "len_a", "name_b", "len_b")
+    shortCands.unionByName(longCands)
+      .where(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("name_a", "name_b")
+      .distinct() // a pair can share several bands and several grams
   }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -12,42 +12,104 @@ import graft.functions.expr.{DotProductD, DotProductQ, MinHashSig, SimHashAgg, T
   *
   * Activate per-session with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
-  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`; on an
+  * ALREADY-BUILT session call [[GraftExtensions.ensureRegistered]]
+  * (native expressions) and [[GraftExtensions.installSqlMacros]]
+  * (catalog SQL functions for the LLM-pipeline operators).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[DotProductQ].getName, null, name, usage, "")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    ext.injectFunction((
-      FunctionIdentifier("dot_q"),
+  /** The native-expression SQL surface (shared by the extension
+    * injection and [[ensureRegistered]]). */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_q",
       info("dot_q", "dot_q(a, b) - fixed-point (x1000 floored) dot product of two float arrays, exact cross-engine"),
-      (children: Seq[Expression]) => DotProductQ(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("dot_d"),
+      (children: Seq[Expression]) => DotProductQ(children(0), children(1))),
+    ("dot_d",
       info("dot_d", "dot_d(a, b) - double dot product of two float arrays (strict left-to-right fold)"),
-      (children: Seq[Expression]) => DotProductD(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("top_k_by_score"),
+      (children: Seq[Expression]) => DotProductD(children(0), children(1))),
+    ("top_k_by_score",
       info("top_k_by_score",
         "top_k_by_score(score, id, k) - bounded top-k aggregate: array<struct<score,id>> ranked by (score DESC, id ASC)"),
       (children: Seq[Expression]) => TopKByScore(children(0), children(1),
         children(2).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression()))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig"),
+        .toAggregateExpression()),
+    ("minhash_sig",
       info("minhash_sig",
         "minhash_sig(gram, n) - n-view MinHash signature aggregate over a string column (array<bigint>)"),
       (children: Seq[Expression]) => MinHashSig(children(0),
         children(1).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression()))
-    ext.injectFunction((
-      FunctionIdentifier("simhash_agg"),
+        .toAggregateExpression()),
+    ("simhash_agg",
       info("simhash_agg",
         "simhash_agg(token) - 64-bit SimHash signature aggregate over a token column"),
       (children: Seq[Expression]) => SimHashAgg(children(0))
         .toAggregateExpression()))
+
+  /** Register the native expressions on a live session (idempotent —
+    * re-registration overwrites with identical builders). This is the
+    * path for users who did not set `spark.sql.extensions`. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graft.shim.registerFunction(spark, name, i, builder)
+    }
+
+  /** Install the LLM-pipeline operators as catalog SQL functions
+    * (temporary, session-scoped) so a SQL-only user can run the
+    * curation surface without writing Scala — the engine's analogue of
+    * the reference's submit-a-program client
+    * (`/root/reference/mpClient/client.go:15-43`). All are pure SQL
+    * macros: they inline into the caller's plan and stay inside
+    * whole-stage codegen. */
+  def installSqlMacros(spark: SparkSession): Unit = {
+    // letter tokens (the reference tokenizer: split on non-letters,
+    // Q6 semantics) — array<string>
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_tokens(t STRING)
+        |RETURNS ARRAY<STRING>
+        |RETURN filter(split(t, '[^\\p{L}]+'), x -> x <> '')""".stripMargin)
+    // quality verdict (mirrors TextAnalysis.quality)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_quality_keep(t STRING)
+        |RETURNS BOOLEAN
+        |RETURN size(filter(split(t, '\\s+'), x -> x <> '')) >= 5
+        |  AND CAST(length(regexp_replace(t, '[^\\p{L}]', '')) AS DOUBLE)
+        |      / length(t) >= 0.5""".stripMargin)
+    // distinct word n-gram shingles (mirrors Dedup.gramSets row shape)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_grams(t STRING, n INT)
+        |RETURNS ARRAY<STRING>
+        |RETURN CASE WHEN size(graft_tokens(t)) >= n
+        |  THEN array_distinct(transform(
+        |    sequence(1, size(graft_tokens(t)) - n + 1),
+        |    i -> concat_ws(' ', slice(graft_tokens(t), i, n))))
+        |  ELSE array() END""".stripMargin)
+    // RAG chunk bounds (mirrors TextAnalysis.chunkDocs arithmetic):
+    // table function usable in LATERAL position
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_chunk_bounds(
+        |  n_tokens BIGINT, chunk INT, stride INT)
+        |RETURNS TABLE(chunk_idx BIGINT, start_tok BIGINT, n_tok BIGINT)
+        |RETURN SELECT
+        |  idx AS chunk_idx,
+        |  idx * stride AS start_tok,
+        |  least(CAST(chunk AS BIGINT), n_tokens - idx * stride) AS n_tok
+        |FROM (SELECT explode(sequence(0L,
+        |  CASE WHEN n_tokens <= chunk THEN 0L
+        |       ELSE (n_tokens - chunk + stride - 1) DIV stride END)) AS idx)
+        |WHERE n_tokens > 0""".stripMargin)
   }
 }

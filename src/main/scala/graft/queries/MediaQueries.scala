@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import Q._
 
-/** Multimodal-column coverage. Payloads are binary columns synthesized
-  * from document text (the testdata has no real media); the documents
-  * are pure ASCII, so the DuckDB oracle mirrors the binary operations
-  * on VARCHAR byte-for-byte (verified: octet_length(encode(text)) ==
-  * length(text) for every row). The decode step is a deterministic
-  * stub (see [[graft.operators.Multimodal.decodeStub]]); the byte
-  * histogram/entropy feature has no SQL mirror and is asserted in
-  * MultimodalSpec instead (rows-only check here).
+/** Multimodal-column coverage. Byte-level operators run over binary
+  * columns synthesized from document text (the testdata has no real
+  * media); the documents are pure ASCII, so the DuckDB oracle mirrors
+  * the binary operations on VARCHAR byte-for-byte (verified:
+  * octet_length(encode(text)) == length(text) for every row). The
+  * image decode/resize operators run over REAL PNGs generated with a
+  * deterministic pixel formula ([[graft.operators.Multimodal.pngTable]])
+  * and decoded with `javax.imageio`, so their oracles replay the
+  * formula in closed form. The byte histogram/entropy feature has no
+  * SQL mirror and is asserted in MultimodalSpec instead.
   */
 object MediaQueries {
 
@@ -37,25 +39,34 @@ object MediaQueries {
           md5(col("frame")).as("frame_md5"))
     },
 
-    // Partition-batched decode (stub codec, real plumbing): typed
-    // dimensions out of opaque bytes.
+    // REAL image decode: synthesize real grayscale PNGs (deterministic
+    // dims/pixels from doc_id), decode them with javax.imageio, report
+    // actual header dimensions + exact pixel sum. Lossless PNG round-
+    // trip means the generation formula IS the oracle.
     "q_media_decode" -> { (s, dir) =>
-      import s.implicits._
-      val media = Multimodal.mediaTable(t(s, dir, "documents"))
-        .select(col("doc_id"), col("media_type"), col("content"))
-        .as[Multimodal.MediaRow]
-      Multimodal.decodeStub(media).toDF()
+      Multimodal.decodeImage(Multimodal.pngTable(t(s, dir, "documents"))).toDF()
     },
 
-    // Partition-batched resize (stub codec: every-4th-byte subsample,
-    // deterministic and content-dependent) — binary in, smaller binary
-    // out, fingerprinted for exact cross-engine comparison.
+    // REAL image resize: decode the PNG, nearest-neighbor downsample 2x,
+    // re-encode, decode AGAIN and verify dimensions + pixel sum — the
+    // resized pixel grid is exactly the even-coordinate subgrid, so the
+    // oracle replays it in closed form.
+    "q_media_resize_png" -> { (s, dir) =>
+      Multimodal.decodeImage(
+        Multimodal.resizeImage(Multimodal.pngTable(t(s, dir, "documents")),
+          factor = 2)).toDF()
+    },
+
+    // Byte-stream decimation (every 4th byte — the PCM-style generic
+    // binary down-sample; the image-aware resize is q_media_resize_png)
+    // — binary in, smaller binary out, fingerprinted for exact
+    // cross-engine comparison.
     "q_media_resize" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaTable(t(s, dir, "documents"))
         .select(col("doc_id"), col("media_type"), col("content"))
         .as[Multimodal.MediaRow]
-      Multimodal.resizeStub(media, factor = 4).toDF()
+      Multimodal.subsampleBytes(media, factor = 4).toDF()
         .select(col("doc_id"), col("media_type"),
           col("orig_bytes").cast("long").as("orig_bytes"),
           col("new_bytes").cast("long").as("new_bytes"),
@@ -146,14 +157,28 @@ object MediaQueries {
         |  CAST(SUM(b * cnt) AS BIGINT) AS byte_checksum
         |FROM c GROUP BY doc_id""".stripMargin,
 
+    // replays the PNG generation formula: the codec round-trip is
+    // lossless, so decoded dims/pixels equal the closed form
     "q_media_decode" ->
-      s"""WITH m AS (SELECT doc_id, $sqlMediaType AS media_type,
-         |    octet_length(encode(text)) AS n FROM documents)
-         |SELECT doc_id, media_type,
-         |  CAST(n % 317 + 1 AS INTEGER) AS width,
-         |  CAST(n // (n % 317 + 1) + 1 AS INTEGER) AS height,
-         |  CAST((n % 317 + 1) * (n // (n % 317 + 1) + 1) AS BIGINT) AS n_pixels
-         |FROM m""".stripMargin,
+      """WITH m AS (SELECT doc_id, CAST(doc_id % 29 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 17 + 4 AS INTEGER) AS h FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(SUM((doc_id * 31 + x.i * 7 + y.i * 13) % 256) AS BIGINT) AS px_sum
+        |FROM m, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)
+        |GROUP BY doc_id, w, h""".stripMargin,
+
+    // nearest-neighbor 2x downsample = the even-coordinate subgrid of
+    // the generated image
+    "q_media_resize_png" ->
+      """WITH m AS (SELECT doc_id, CAST((doc_id % 29 + 4) // 2 AS INTEGER) AS w,
+        |    CAST((doc_id % 17 + 4) // 2 AS INTEGER) AS h FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(SUM((doc_id * 31 + x.i * 2 * 7 + y.i * 2 * 13) % 256) AS BIGINT)
+        |    AS px_sum
+        |FROM m, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)
+        |GROUP BY doc_id, w, h""".stripMargin,
 
     "q_audio_windows" ->
       """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),

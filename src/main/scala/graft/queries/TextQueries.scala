@@ -111,6 +111,62 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
     },
 
+    // The ENTIRE MinHash-LSH dedup pipeline in pure SQL text — the
+    // surface a SQL-only user gets (the reference's audience submits a
+    // program; this engine's equivalent submits a query). Native
+    // aggregate minhash_sig is registered on the live session; grams,
+    // banding (xxhash64 over signature slices), the hot-bucket cap
+    // (row_number per band bucket, all-pairs among the first 64 + star
+    // edges from the rank-1 representative), candidate-only gram sets
+    // and exact-Jaccard rescore are all plain Spark SQL. Oracle: the
+    // same brute-force all-pairs Jaccard as q_dedup_minhash.
+    "q_sql_dedup" -> { (s, dir) =>
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """WITH toks AS (
+          |  SELECT doc_id, filter(split(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, concat_ws(' ', slice(ws, i, 3)) AS g
+          |  FROM (SELECT * FROM toks WHERE size(ws) >= 3)
+          |  LATERAL VIEW explode(sequence(1, size(ws) - 2)) t AS i),
+          |sigs AS (
+          |  SELECT doc_id, minhash_sig(g, 64) AS sig FROM grams GROUP BY doc_id),
+          |bands AS (
+          |  SELECT doc_id, b, xxhash64(b, slice(sig, b * 4 + 1, 4)) AS bucket
+          |  FROM sigs LATERAL VIEW explode(sequence(0, 15)) t AS b),
+          |rk AS (
+          |  SELECT doc_id, b, bucket,
+          |    row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS r
+          |  FROM bands),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM rk a JOIN rk b
+          |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |    AND (b.r <= 64 OR a.r = 1)),
+          |cids AS (
+          |  SELECT doc_a AS doc_id FROM cand
+          |  UNION SELECT doc_b FROM cand),
+          |gsets AS (
+          |  SELECT DISTINCT doc_id, g FROM grams
+          |  WHERE doc_id IN (SELECT doc_id FROM cids)),
+          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gsets GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          |  FROM cand c
+          |  JOIN gsets ga ON ga.doc_id = c.doc_a
+          |  JOIN gsets gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+          |  GROUP BY c.doc_a, c.doc_b)
+          |SELECT i.doc_a, i.doc_b,
+          |  CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
+          |FROM inter i
+          |JOIN sizes sa ON sa.doc_id = i.doc_a
+          |JOIN sizes sb ON sb.doc_id = i.doc_b
+          |WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.8
+          |""".stripMargin)
+    },
+
     // Language ID (stopword heuristic).
     "q_lang_id" -> { (s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
@@ -139,6 +195,24 @@ object TextQueries {
           col("ws_tokens").cast("long").as("ws_tokens"),
           col("alnum_tokens").cast("long").as("alnum_tokens"),
           col("char_len").cast("long").as("char_len"))
+    },
+
+    // BPE token counting (real greedy byte-pair merges over the
+    // vendored table — see graft.functions.Bpe). The merge table is
+    // engine-internal, so the oracle checks PROPERTIES DuckDB can
+    // predict: doc count; the per-doc invariant ws_tokens <= bpe_tokens
+    // <= char_tokens (each word yields between 1 and len tokens); and
+    // that merging actually happened corpus-wide (bpe strictly below
+    // the character-level count). Exact known-string counts are
+    // asserted in TokenizerSpec.
+    "q_bpe_tokens" -> { (s, dir) =>
+      val counts = graft.functions.Bpe.tokenCountsBpe(
+        t(s, dir, "documents"), "doc_id", "text")
+      counts.agg(count(lit(1)).as("n_docs"),
+        min(when(col("bpe_tokens") >= col("ws_tokens") &&
+          col("bpe_tokens") <= col("char_tokens"), 1L).otherwise(0L))
+          .cast("boolean").as("bounds_ok"),
+        (sum(col("bpe_tokens")) < sum(col("char_tokens"))).as("merges_applied"))
     },
 
     // Per-doc top-3 terms by frequency (keyword extraction): integer-
@@ -345,6 +419,12 @@ object TextQueries {
       s"""WITH ${sqlGrams("")}
          |${sqlJaccard(0.8)}""".stripMargin,
 
+    // same ground truth as q_dedup_minhash: the SQL-text pipeline must
+    // find exactly the brute-force Jaccard pairs
+    "q_sql_dedup" ->
+      s"""WITH ${sqlGrams("")}
+         |${sqlJaccard(0.8)}""".stripMargin,
+
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${sqlGrams("")},
          |pr AS (SELECT da, db FROM inter
@@ -389,6 +469,11 @@ object TextQueries {
          |  CASE WHEN n_tokens >= 5 AND letter_ratio >= 0.5 THEN 'keep' ELSE 'drop' END AS verdict
          |FROM m""".stripMargin
     },
+
+    "q_bpe_tokens" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS bounds_ok,
+        |  TRUE AS merges_applied
+        |FROM documents""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -49,6 +49,18 @@ object shim {
     } else None
   }
 
+  /** Register a Catalyst expression builder as a SQL-callable function
+    * on a LIVE session (the extension-free path: `spark.sql.extensions`
+    * only applies at session build time, but a library user often has a
+    * session already). Overwrites any previous registration of `name`. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info,
+        (exprs: Seq[Expression]) => builder(exprs))
+
   /** The location the catalog WOULD assign to a managed table of this
     * name — where a metastore-loss orphan directory would live. */
   def defaultTablePath(spark: org.apache.spark.sql.SparkSession,

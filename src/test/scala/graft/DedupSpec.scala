@@ -41,6 +41,21 @@ class DedupSpec extends SparkSpec {
     assert(got.filter { case (d, c) => d == c }.keySet === Set(1L, 10L, 20L))
   }
 
+  test("dedupClusters: reliable-checkpoint mode matches local mode") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val reliable = Dedup.dedupClusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    // the reliable mode must actually write checkpoint files
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable mode must persist checkpoints to the dir")
+  }
+
   test("dedupClusters: empty pair list yields empty clustering") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(empty).count() === 0)

@@ -169,6 +169,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(pairs.count() === (cap * (cap - 1) / 2 + (m - cap)).toLong)
   }
 
+  test("fuzzyCandidates: q-gram key prunes same-length-heavy blocks, keeps true pairs") {
+    // 325 equal-length strings with pairwise-disjoint trigram sets:
+    // "ababab..." patterns over distinct (c1 < c2) letter pairs (one
+    // direction only — "abab…" and "baba…" are genuine edit-distance-2
+    // near-dups). Band-only blocking would put all of them in one block
+    // (325·324/2 ≈ 53k candidates); the composed (band, gram) key
+    // yields none of those — only the planted near-duplicates meet.
+    val letters = 'a' to 'z'
+    val decoys = (for {
+      c1 <- letters; c2 <- letters if c1 < c2
+    } yield s"$c1$c2" * 10).toSeq // length 20 each
+    val planted = Seq("zzzzzzzzzzzzzzzzzzzz", "zzzzzzzzzzzzzzzzzzqq") // dist 2
+    val df = (decoys ++ planted).toDF("name")
+    val cands = graft.operators.TextAnalysis.fuzzyCandidates(df, "name", 3)
+    val n = cands.count()
+    assert(n === 1L,
+      s"same-length decoys must be pruned by the gram key, got $n candidates")
+    assert(cands.where(col("name_a") === planted(1) && col("name_b") === planted(0))
+      .count() + cands.where(col("name_a") === planted(0) && col("name_b") === planted(1))
+      .count() === 1L, "the planted near-dup pair must survive blocking")
+    // end-to-end: the rescored pairs are exactly the planted pair
+    val pairs = graft.operators.TextAnalysis.fuzzyPairs(df, "name", 3).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Int]("dist") == 2)
+  }
+
   test("bloomSemiJoin: empty build side returns no rows") {
     val probe = Seq((1L, "x")).toDF("k", "v")
     val build = Seq.empty[Long].toDF("bk")

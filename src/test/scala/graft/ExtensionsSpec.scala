@@ -67,6 +67,56 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh.size == 2 && sh(1L) != 0L)
   }
 
+  test("ensureRegistered: natives become SQL-callable on a live extensionless session") {
+    val s = TestSpark.spark // built WITHOUT the extensions
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val r = s.sql(
+      """SELECT dot_q(array(CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT))) AS q"""
+    ).head()
+    assert(r.getLong(0) == 2000L * 3000L)
+  }
+
+  test("installSqlMacros: quality/tokens/grams/chunk-bounds usable from pure SQL") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    graft.plans.GraftExtensions.installSqlMacros(s)
+    // tokens + quality agree with the Scala operators
+    val docs = s.createDataFrame(Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "x1 2! 3?"),
+      (3L, "one two three four five six seven")))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("docs_macros_v")
+    val viaSql = s.sql(
+      """SELECT doc_id, size(graft_tokens(text)) AS n_toks,
+        |  graft_quality_keep(text) AS keep,
+        |  size(graft_grams(text, 3)) AS n_grams
+        |FROM docs_macros_v""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getInt(3)))).toMap
+    val quality = graft.operators.TextAnalysis.quality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getAs[String]("verdict") == "keep")).toMap
+    assert(viaSql(1L)._2 == quality(1L) && viaSql(2L)._2 == quality(2L) &&
+      viaSql(3L)._2 == quality(3L))
+    assert(viaSql(1L)._1 == 10 && viaSql(2L)._1 == 1)
+    // distinct 3-gram count matches gramSets
+    val gs = graft.operators.Dedup.gramSets(docs, "doc_id", "text", 3)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql(1L)._3.toLong == gs(1L) && viaSql(3L)._3.toLong == gs(3L))
+    // chunk bounds as a LATERAL table function — same arithmetic as chunkDocs
+    val bounds = s.sql(
+      """SELECT doc_id, chunk_idx, start_tok, n_tok
+        |FROM (SELECT doc_id, CAST(size(graft_tokens(text)) AS BIGINT) AS n
+        |      FROM docs_macros_v),
+        |  LATERAL graft_chunk_bounds(n, 4, 3)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = graft.operators.TextAnalysis.chunkDocs(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bounds.sorted.toSeq == expect.sorted.toSeq)
+  }
+
   test("null semantics: null array or null element yields null") {
     val r = spark.sql(
       """SELECT dot_q(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1 AS FLOAT))) AS a,

@@ -25,6 +25,16 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("bfsHops: reliable-checkpoint mode matches local mode") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfs_ckpt").toString
+    val reliable = Graph.bfsHops(edges, seeds, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val local = Graph.bfsHops(edges, seeds).as[(Long, Long)].collect().toMap
+    assert(reliable === local)
+  }
+
   test("bfsHops: empty seed set yields empty result") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val seeds = Seq.empty[Long].toDF("id")

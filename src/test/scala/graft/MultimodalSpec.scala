@@ -32,21 +32,48 @@ class MultimodalSpec extends SparkSpec {
       .count() == 0)
   }
 
-  test("decodeStub: deterministic dims, n_pixels == width*height") {
+  test("pngTable + decodeImage: real PNG codec round-trip recovers formula pixels") {
     import spark.implicits._
-    val decoded = Multimodal.decodeStub(
-      media.select(col("doc_id"), col("media_type"), col("content"))
-        .as[Multimodal.MediaRow])
-    val bad = decoded.toDF().where(
-      col("n_pixels") =!= col("width").cast("long") * col("height") ||
-        col("width") < 1 || col("width") > 317 || col("height") < 1)
-    assert(bad.count() == 0)
-    assert(decoded.count() == media.count())
+    val docs = Seq(0L, 1L, 7L, 28L, 100L).toDF("doc_id")
+    val png = Multimodal.pngTable(docs)
+    // payloads are genuine PNGs (magic bytes)
+    png.collect().foreach { m =>
+      assert((m.content(0) & 0xFF) == 0x89 &&
+        new String(m.content.slice(1, 4)) == "PNG",
+        s"doc ${m.doc_id}: payload must carry the PNG signature")
+    }
+    val got = Multimodal.decodeImage(png).collect()
+      .map(d => d.doc_id -> d).toMap
+    Seq(0L, 1L, 7L, 28L, 100L).foreach { id =>
+      val d = got(id)
+      val (w, h) = ((id % 29 + 4).toInt, (id % 17 + 4).toInt)
+      assert(d.width == w && d.height == h, s"doc $id: header dims must decode")
+      assert(d.n_pixels == w.toLong * h)
+      val expectSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(d.px_sum == expectSum, s"doc $id: pixel sum must survive the round-trip")
+    }
   }
 
-  test("resizeStub: 4x subsample keeps every 4th byte, size is ceil(n/4)") {
+  test("resizeImage: nearest-neighbor 2x = even-coordinate subgrid, re-decodable") {
     import spark.implicits._
-    val resized = Multimodal.resizeStub(
+    val docs = Seq(5L, 12L).toDF("doc_id")
+    val resized = Multimodal.decodeImage(
+      Multimodal.resizeImage(Multimodal.pngTable(docs), factor = 2))
+      .collect().map(d => d.doc_id -> d).toMap
+    Seq(5L, 12L).foreach { id =>
+      val (w, h) = ((id % 29 + 4).toInt / 2, (id % 17 + 4).toInt / 2)
+      val d = resized(id)
+      assert(d.width == w && d.height == h)
+      val expectSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + 2 * x * 7 + 2 * y * 13) % 256).sum
+      assert(d.px_sum == expectSum)
+    }
+  }
+
+  test("subsampleBytes: 4x decimation keeps every 4th byte, size is ceil(n/4)") {
+    import spark.implicits._
+    val resized = Multimodal.subsampleBytes(
       media.select(col("doc_id"), col("media_type"), col("content"))
         .as[Multimodal.MediaRow], factor = 4).collect()
     assert(resized.length == media.count())

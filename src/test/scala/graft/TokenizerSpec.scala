@@ -60,4 +60,33 @@ class TokenizerSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(short === Seq())
   }
+
+  test("BPE: greedy lowest-rank merges produce known counts on fixed strings") {
+    import graft.functions.Bpe
+    // toy table: rank 0 = (t,h), rank 1 = (th,e), rank 2 = (a,t)
+    val rank = Bpe.ranks(Seq(("t", "h"), ("th", "e"), ("a", "t")))
+    assert(Bpe.encodeCount("the", rank) == 1)   // t h e → th e → the
+    assert(Bpe.encodeCount("that", rank) == 2)  // t h a t → th a t → th at
+    assert(Bpe.encodeCount("x", rank) == 1)
+    assert(Bpe.encodeCount("", rank) == 0)
+    assert(Bpe.encodeCount("zzz", rank) == 3)   // no merges apply
+    // lowest rank wins when several pairs are present: in "athe",
+    // (t,h) rank 0 beats (a,t) rank 2 → a th e → a the → 2 tokens
+    assert(Bpe.encodeCount("athe", rank) == 2)
+  }
+
+  test("BPE: default-table dataframe counts respect bounds and memoized batching") {
+    import graft.functions.Bpe
+    val docs = Seq((1L, "the cat and the hat"), (2L, ""), (3L, "zzz qqq"))
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenCountsBpe(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // "the" → 1 token under the default table; 5 words, 15 non-ws chars
+    val (bpe1, ws1, ch1) = got(1L)
+    assert(ws1 == 5 && ch1 == 15 && bpe1 >= ws1 && bpe1 < ch1)
+    assert(got(2L) == ((0L, 0L, 0L)))
+    val (bpe3, ws3, ch3) = got(3L)
+    assert(ws3 == 2 && ch3 == 6 && bpe3 == 6, "no default merge applies to zzz/qqq")
+  }
 }
