@@ -20,7 +20,9 @@ object DumpPlans {
     "q_asof_native" -> "custom AsOfJoinExec: one shuffle+sort per side, O(1) merge",
     "q_cms_heavy" -> "CMS estimate filter below the exact-count exchange",
     "q_window_ntile" -> "four window functions, one shared exchange",
-    "q_scd2_join" -> "SCD2 via as-of: no BETWEEN join blow-up")
+    "q_scd2_join" -> "SCD2 via as-of: no BETWEEN join blow-up",
+    "q_dedup_minhash" -> "hot-bucket guard: rank filters below the band self-join, one reused (band,bucket) exchange",
+    "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
