@@ -146,6 +146,38 @@ object TextAnalysis {
           .as("rep_ratio"))
   }
 
+  /** Corpus-trained bigram language-model fluency score per document —
+    * the KenLM-style perplexity quality filter of a pretraining
+    * pipeline, in exact integer arithmetic so it oracle-checks
+    * bit-for-bit. Per bigram occurrence (w1, w2):
+    * `q = (count(w1 w2) * 10^6) DIV count(w1)` — a scaled conditional
+    * probability in [0, 10^6] (c12 <= c1 always). Per doc:
+    * n_bigrams, sum_q, avg_q = sum_q DIV n_bigrams. Low avg_q marks
+    * improbable token sequences (gibberish, boilerplate mashes); docs
+    * with fewer than 2 tokens have no bigrams and are absent.
+    *
+    * Scale shape (the TF-IDF shape): one (doc, bigram) pass, bigram and
+    * unigram count tables partial-agg'd map-side and equi-joined back
+    * on their keys — shuffle ∝ corpus tokens, never vocabulary².
+    * Natural-language bigram keys are Zipf-skewed but bounded by the
+    * corpus (a hot bigram is one reducer's worth of SUM, not a pair
+    * blow-up). */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.letterTokens(col(textCol)).as("__toks"))
+    val bi = toks.select(col("doc_id"),
+        explode(TextFns.wordNGrams(col("__toks"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val biCounts = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uniCounts = toks.select(explode(col("__toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(biCounts, "bg").join(uniCounts, "w1")
+      .withColumn("q", expr("(c12 * 1000000L) DIV c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .withColumn("avg_q", expr("sum_q DIV n_bigrams"))
+  }
+
   /** EXACT heavy hitters via an approximate candidate pass: one
     * streaming-sketch scan (`stat.freqItems`, Karp-Papadimitriou-
     * Shenker — guarantees NO false negatives for items with frequency

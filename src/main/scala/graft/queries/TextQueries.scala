@@ -293,6 +293,14 @@ object TextQueries {
         .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
     },
 
+    // Corpus-trained bigram LM fluency score (the KenLM-style
+    // perplexity quality filter) in exact integer arithmetic — scaled
+    // conditional probability per bigram, per-doc sum and floor-divided
+    // mean, all DuckDB-replayable.
+    "q_lm_score" -> { (s, dir) =>
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+    },
+
     // Vocabulary frequency spectrum (frequency-of-frequencies): how
     // many terms occur exactly f times — the Zipf/vocab-growth summary
     // a corpus report includes. Two partial-agg'd shuffles.
@@ -575,6 +583,19 @@ object TextQueries {
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    "q_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |uni AS (SELECT w AS w1, COUNT(*) AS c1 FROM (
+         |    SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+         |bi AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
+         |       FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+         |bc AS (SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY bg)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM((c12 * 1000000) // c1) AS BIGINT) AS sum_q,
+         |  CAST(SUM((c12 * 1000000) // c1) // COUNT(*) AS BIGINT) AS avg_q
+         |FROM bi JOIN bc USING (bg) JOIN uni USING (w1)
+         |GROUP BY doc_id""".stripMargin,
 
     "q_freq_spectrum" ->
       s"""SELECT f, COUNT(*) AS n_terms FROM (

@@ -98,6 +98,19 @@ object VectorQueries {
         threshold = 0.40)
     },
 
+    // Embedding near-dup CLUSTERING: connected components over the
+    // banded-LSH pair list (min-label propagation + pointer jumping) —
+    // the "pick one representative per embedding-duplicate cluster"
+    // decision, end to end. The oracle replays the full LSH pair search
+    // in SQL and closes it transitively with a recursive CTE.
+    "q_neardup_clusters" -> { (s, dir) =>
+      val pairs = Similarity.nearDupPairsLsh(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.40)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.operators.Dedup.dedupClusters(pairs)
+        .toDF("vec_id", "cluster")
+    },
+
     // Per-label embedding centroids (average pooling) — fixed-point
     // means, bit-exact across engines.
     "q_vector_centroid" -> { (s, dir) =>
@@ -237,6 +250,38 @@ object VectorQueries {
          |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) AS cos_sim
          |FROM d
          |WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) >= 0.40""".stripMargin,
+
+    // LSH pair replay (same CTEs as q_neardup_lsh, cap included) closed
+    // transitively with a recursive CTE; cluster = component min
+    "q_neardup_clusters" ->
+      s"""WITH RECURSIVE ${sqlPlanes(64)},
+         |$sqlPlaneDots,
+         |bk AS (SELECT vec_id, p // 8 AS bnd,
+         |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM pd GROUP BY vec_id, p // 8),
+         |rk AS (SELECT vec_id, bnd, bucket,
+         |    row_number() OVER (PARTITION BY bnd, bucket ORDER BY vec_id) AS r
+         |  FROM bk),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM rk a JOIN rk b
+         |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |    AND (b.r <= 64 OR a.r = 1)),
+         |sc AS (SELECT c.id_a, c.id_b,
+         |    ${sqlDotQ("ea.embedding", "eb.embedding")} AS dot,
+         |    ${sqlDotQ("ea.embedding", "ea.embedding")} AS na,
+         |    ${sqlDotQ("eb.embedding", "eb.embedding")} AS nb
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+         |pr AS (SELECT id_a, id_b FROM sc
+         |  WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) >= 0.40),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         |SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster
+         |FROM reach GROUP BY s""".stripMargin,
 
     "q_vector_centroid" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
