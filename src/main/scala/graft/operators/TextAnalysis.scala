@@ -334,6 +334,45 @@ object TextAnalysis {
       .withColumn("bin", expr(s"start_tok DIV $budget"))
   }
 
+  /** Source-balanced corpus mixing — the "data mixture" step of a
+    * pretraining pipeline: downsample every source to (approximately)
+    * the TOKEN budget of the smallest source, deterministically.
+    * Per-source keep quota `cut_q = min(65536, (min_tokens * 65536)
+    * DIV n_tokens)`; a doc survives iff the integer value of its id's
+    * first 4 md5 hex digits is below its source's cut — exact integer
+    * arithmetic end to end, reproducible at any partitioning, and the
+    * same md5-prefix decision as [[Relational.deterministicSample]] so
+    * mixtures compose with other deterministic samples.
+    *
+    * Returns one row per source: (source, n_docs, n_tokens, cut_q,
+    * n_kept).
+    *
+    * Scale shape: one token-count scan with a map-side-combined
+    * groupBy(source) (sources are FEW — this aggregate is tiny), the
+    * per-source cuts broadcast back, and the keep decision is a pure
+    * map-side predicate — the corpus is never shuffled. */
+  def sourceBalancedMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val withTok = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = withTok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val minTok = stats.agg(min(col("n_tokens")).as("min_tokens"))
+    val cuts = stats.crossJoin(broadcast(minTok))
+      .withColumn("cut_q",
+        least(lit(65536L), expr("(min_tokens * 65536L) DIV n_tokens")))
+    val kept = withTok
+      .join(broadcast(cuts.select(col("source"), col("cut_q"))), "source")
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") < col("cut_q"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    cuts.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("cut_q"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Fuzzy string matching with TWO composed block keys: pairs of
     * distinct values of `strCol` within Levenshtein distance `maxDist`.
     *

@@ -293,6 +293,25 @@ object TextQueries {
         .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
     },
 
+    // Source-balanced data mixing: every source deterministically
+    // downsampled toward the token budget of the smallest source —
+    // md5-prefix keep decision, exact integer quotas, map-side filter.
+    "q_source_mix" -> { (s, dir) =>
+      TextAnalysis.sourceBalancedMix(t(s, dir, "documents"),
+        "doc_id", "text", "source")
+    },
+
+    // Language-ID audit: confusion matrix of the stopword-heuristic
+    // prediction against the labeled lang column — the QA report a
+    // curation pipeline publishes alongside its filters.
+    "q_lang_confusion" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    },
+
     // Corpus-trained bigram LM fluency score (the KenLM-style
     // perplexity quality filter) in exact integer arithmetic — scaled
     // conditional probability per bigram, per-doc sum and floor-divided
@@ -583,6 +602,45 @@ object TextQueries {
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    "q_source_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tok FROM documents),
+         |stats AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY source),
+         |cuts AS (SELECT source, n_docs, n_tokens,
+         |    LEAST(65536, (SELECT MIN(n_tokens) FROM stats) * 65536 // n_tokens)
+         |      AS cut_q
+         |  FROM stats),
+         |kept AS (SELECT d.source, COUNT(*) AS n_kept
+         |  FROM d JOIN cuts USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+         |          AS BIGINT) < cut_q
+         |  GROUP BY d.source)
+         |SELECT c.source, c.n_docs, c.n_tokens, CAST(c.cut_q AS BIGINT) AS cut_q,
+         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM cuts c LEFT JOIN kept k ON k.source = c.source""".stripMargin,
+
+    "q_lang_confusion" -> {
+      s"""WITH s AS (SELECT doc_id, lang, length(text) AS n,
+         |  ${sqlScore("en")} AS score_en,
+         |  ${sqlScore("es")} AS score_es,
+         |  ${sqlScore("de")} AS score_de,
+         |  ${sqlScore("fr")} AS score_fr,
+         |  CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT)
+         |    AS han_chars
+         |FROM documents)
+         |SELECT lang,
+         |  CASE WHEN han_chars * 5 > n THEN 'zh'
+         |       WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
+         |       WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |       WHEN score_de >= score_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang,
+         |  COUNT(*) AS n
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
 
     "q_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
