@@ -98,6 +98,16 @@ object VectorQueries {
         threshold = 0.40)
     },
 
+    // Multi-probe LSH ANN: probe bucket + its 8 hamming-1 neighbor
+    // buckets — the recall amplifier over q_ann_lsh at ~3.5% corpus
+    // read. Same md5 planes + integer sign dots, so the oracle replays
+    // probe-set expansion, pruning, and rescoring verbatim.
+    "q_ann_multiprobe" -> { (s, dir) =>
+      Similarity.lshMultiProbeTopK(s, t(s, dir, "embeddings"), "vec_id",
+          "embedding", probeId = 0L, k = K)
+        .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
+    },
+
     // Embedding near-dup CLUSTERING: connected components over the
     // banded-LSH pair list (min-label propagation + pointer jumping) —
     // the "pick one representative per embedding-duplicate cluster"
@@ -250,6 +260,32 @@ object VectorQueries {
          |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) AS cos_sim
          |FROM d
          |WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) >= 0.40""".stripMargin,
+
+    "q_ann_multiprobe" ->
+      s"""WITH ${sqlPlanes(8)},
+         |$sqlPlaneDots,
+         |bk AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM pd GROUP BY vec_id),
+         |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+         |probes AS (SELECT bucket FROM qb
+         |  UNION SELECT xor(qb.bucket, CAST(1 << j AS BIGINT))
+         |  FROM qb, range(0, 8) r(j)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id,
+         |    ${sqlDotQ("e.embedding", "q.qe")} AS dot,
+         |    ${sqlDotQ("e.embedding", "e.embedding")} AS na,
+         |    ${sqlDotQ("q.qe", "q.qe")} AS nq
+         |  FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id, q
+         |  WHERE bk.bucket IN (SELECT bucket FROM probes)
+         |    AND e.vec_id <> 0)
+         |SELECT vec_id,
+         |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) AS cos_sim,
+         |  CAST(row_number() OVER (
+         |    ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(na * nq AS DOUBLE)) DESC,
+         |    vec_id) AS BIGINT) AS rk
+         |FROM sc QUALIFY rk <= $K""".stripMargin,
 
     // LSH pair replay (same CTEs as q_neardup_lsh, cap included) closed
     // transitively with a recursive CTE; cluster = component min

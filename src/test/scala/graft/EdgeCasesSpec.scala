@@ -194,6 +194,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getAs[Int]("dist") == 2)
   }
 
+  test("sourceBalancedMix: single source keeps everything; quotas respect budgets") {
+    val one = Seq((1L, "a b c", "web"), (2L, "d e", "web")).toDF("doc_id", "text", "source")
+    val r1 = TextAnalysis.sourceBalancedMix(one, "doc_id", "text", "source").head()
+    assert(r1.getAs[Long]("cut_q") == 65536L && r1.getAs[Long]("n_kept") == 2L,
+      "a lone source is its own minimum: full quota, all docs kept")
+    // two sources, one 4x the tokens of the other: big source's quota ~ 1/4
+    val docs = ((1L to 8L).map(i => (i, "w " * 20, "big")) ++
+      (100L to 101L).map(i => (i, "w " * 20, "small"))).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceBalancedMix(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("small").getAs[Long]("cut_q") == 65536L)
+    assert(got("big").getAs[Long]("cut_q") == 65536L / 4)
+    assert(got("big").getAs[Long]("n_kept") <= got("big").getAs[Long]("n_docs"))
+  }
+
+  test("bigramLmScore: hand-computed scaled probabilities on a tiny corpus") {
+    // corpus: "a b a b" and "a b"; bigrams: (a b)x3, (b a)x1; unigrams a:3, b:3
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val qAB = 3L * 1000000L / 3L // c12(a b)=3, c1(a)=3
+    val qBA = 1L * 1000000L / 3L // c12(b a)=1, c1(b)=3
+    assert(got(1L) == ((3L, 2 * qAB + qBA, (2 * qAB + qBA) / 3)))
+    assert(got(2L) == ((1L, qAB, qAB)))
+  }
+
   test("bloomSemiJoin: empty build side returns no rows") {
     val probe = Seq((1L, "x")).toDF("k", "v")
     val build = Seq.empty[Long].toDF("bk")

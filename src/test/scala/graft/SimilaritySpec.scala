@@ -117,6 +117,20 @@ class SimilaritySpec extends SparkSpec {
     assert(exact == got, "LSH must find all exact-threshold pairs here")
   }
 
+  test("lshMultiProbeTopK: recall >= single-bucket LSH, scans only probe buckets") {
+    val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val single = Similarity.lshBucketTopK(spark, emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val multi = Similarity.lshMultiProbeTopK(spark, emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the single bucket is one of the probe buckets, so everything the
+    // single-bucket search can rank is still a candidate here
+    assert((brute intersect multi).size >= (brute intersect single).size,
+      s"multi-probe recall ${(brute intersect multi).size} < single ${(brute intersect single).size}")
+    assert(multi.size == 10)
+  }
+
   test("ivfTopK: high recall vs brute force while scanning a fraction of lists") {
     val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", 0L, 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
