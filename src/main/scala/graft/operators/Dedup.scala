@@ -133,9 +133,12 @@ object Dedup {
     * share a whole signature band), so star edges to one representative
     * keep the cluster connected for downstream transitive clustering;
     * only borderline overflow-overflow pairs lose their direct rescore.
-    * Both join inputs derive from one ranked plan, so the window's
-    * hash-partitioning on the bucket key is computed once and reused by
-    * the self-join (ReusedExchange).
+    * All four join inputs (core a/b, star rep/overflow) derive from one
+    * ranked plan whose SHUFFLE on the bucket key AQE reuses
+    * (ReusedExchange) — measured faster than persisting the ranked
+    * relation here; contrast Similarity.nearDupPairsLsh, whose inputs
+    * are broadcast subtrees with no exchange to reuse and which
+    * therefore does persist.
     *
     * Returns (id_a, id_b) with id_a < id_b, NOT deduplicated across
     * buckets. */

@@ -132,11 +132,16 @@ object Similarity {
     // first maxBucket, and link overflow members only to the rank-1
     // representative — per-bucket work cap²/2 + (m − cap), not m².
     import org.apache.spark.sql.expressions.Window
+    // persisted: the ranked relation feeds four broadcast-join inputs
+    // (core a/b, star rep/overflow) which share no exchange — without
+    // the persist the 64 plane dots + the rank window recompute per
+    // input (measured 4x the work; callers clear the SQL cache)
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
         explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("bkey")).orderBy(col("id").asc)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // score WHILE the vectors are co-located by the band join, then
     // dedupe band collisions on (id_a, id_b, cos) — the dedup shuffle
     // carries ids + one double instead of two 64-float vectors; a pair
