@@ -390,6 +390,26 @@ object TextQueries {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
     },
 
+    // Cross-modal near-dup verification: the text MinHash-LSH pairs
+    // annotated with their embedding cosine — a multimodal corpus
+    // checks whether textual duplicates are also embedding-space
+    // duplicates (disagreement marks template pages / paraphrases).
+    // Pairs are text-candidates only, so the embedding join touches
+    // O(candidates) vectors, never all pairs.
+    "q_hybrid_neardup" -> { (s, dir) =>
+      import graft.functions.VectorFns
+      val pairs = Dedup.minhashDedupPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.8)
+      val emb = t(s, dir, "embeddings")
+      def side(a: String) = emb.select(col("vec_id").as(a),
+        col("embedding").as(s"v_$a"),
+        VectorFns.dotQ(col("embedding"), col("embedding")).as(s"n_$a"))
+      pairs.join(side("doc_a"), "doc_a").join(side("doc_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          (VectorFns.dotQ(col("v_doc_a"), col("v_doc_b")).cast("double") /
+            sqrt((col("n_doc_a") * col("n_doc_b")).cast("double"))).as("cos_sim"))
+    },
+
     // Benchmark decontamination: every 20th doc is the held-out eval
     // suite; training docs sharing any word 5-gram with it are flagged
     // with their distinct-shared-gram count.
@@ -451,6 +471,24 @@ object TextQueries {
     "q_sql_dedup" ->
       s"""WITH ${sqlGrams("")}
          |${sqlJaccard(0.8)}""".stripMargin,
+
+    // brute-force text pairs joined with the exact fixed-point cosine
+    // (same dotQ arithmetic as the vector queries)
+    "q_hybrid_neardup" -> {
+      def dq(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, len($a) + 1),
+           |  i -> CAST(FLOOR(CAST($a[i] AS DOUBLE) * 1000) AS BIGINT)
+           |     * CAST(FLOOR(CAST($b[i] AS DOUBLE) * 1000) AS BIGINT)))""".stripMargin
+      s"""WITH ${sqlGrams("")},
+         |pr AS (${sqlJaccard(0.8)})
+         |SELECT pr.doc_a, pr.doc_b, pr.jaccard,
+         |  CAST(${dq("ea.embedding", "eb.embedding")} AS DOUBLE)
+         |    / SQRT(CAST(${dq("ea.embedding", "ea.embedding")}
+         |           * ${dq("eb.embedding", "eb.embedding")} AS DOUBLE)) AS cos_sim
+         |FROM pr
+         |JOIN embeddings ea ON ea.vec_id = pr.doc_a
+         |JOIN embeddings eb ON eb.vec_id = pr.doc_b""".stripMargin
+    },
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${sqlGrams("")},
