@@ -97,6 +97,22 @@ object TextQueries {
       Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
     },
 
+    // Incremental dedup — the production ingest shape: docs with
+    // doc_id % 5 == 4 are the "new batch", the rest the existing
+    // corpus, whose signatures live in a MATERIALIZED band-bucket index
+    // (built once, memoized like the IVF index). Query-time signature
+    // work is proportional to the batch; the oracle is the brute-force
+    // ground truth restricted to pairs with a new-batch side.
+    "q_incremental_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 4)
+      val fresh = docs.where(col("doc_id") % 5 === 4)
+      val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_bandidx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.ensureBandIndex(corpus, "doc_id", "text", indexPath)
+      Dedup.incrementalDedupPairs(fresh, corpus, indexPath, "doc_id", "text")
+    },
+
     // SimHash near-dup pairs (hamming <= 3 on 60-bit portable
     // signatures: md5-derived token hashes through the native
     // long-input buffer aggregate). The banded pair search returns
@@ -471,6 +487,12 @@ object TextQueries {
     "q_sql_dedup" ->
       s"""WITH ${sqlGrams("")}
          |${sqlJaccard(0.8)}""".stripMargin,
+
+    // ground truth restricted to pairs with at least one new-batch side
+    "q_incremental_dedup" ->
+      s"""WITH ${sqlGrams("")}
+         |SELECT * FROM (${sqlJaccard(0.8)})
+         |WHERE doc_a % 5 = 4 OR doc_b % 5 = 4""".stripMargin,
 
     // brute-force text pairs joined with the exact fixed-point cosine
     // (same dotQ arithmetic as the vector queries)

@@ -56,6 +56,30 @@ class DedupSpec extends SparkSpec {
     assert(wrote > 0, "reliable mode must persist checkpoints to the dir")
   }
 
+  test("incrementalDedupPairs: new batch vs index == full dedup restricted to new-side pairs") {
+    // corpus: 3 distinct docs + a dup pair (1, 2); new batch: doc 100
+    // duplicates corpus doc 1, docs 101/102 duplicate each other, 103 is novel
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text about weather patterns in the north"),
+      (4L, "yet another unrelated document describing sorting algorithms"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "shared novel content that appears twice in the new batch only"),
+      (102L, "shared novel content that appears twice in the new batch only"),
+      (103L, "a genuinely new document matching nothing else at all here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    Dedup.writeBandIndex(corpus, "doc_id", "text", dir)
+    val got = Dedup.incrementalDedupPairs(fresh, corpus, dir, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // new-side pairs only: corpus pair (1,2) must NOT reappear
+    assert(got === Set((1L, 100L), (2L, 100L), (101L, 102L)))
+  }
+
   test("dedupClusters: empty pair list yields empty clustering") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(empty).count() === 0)
