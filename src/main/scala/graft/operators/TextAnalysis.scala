@@ -373,6 +373,125 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Cross-document repeated-span scrub — the "dedup repeated substrings"
+    * pass of a pretraining pipeline (Lee et al., *Deduplicating Training
+    * Data Makes Language Models Better*): any word `n`-gram occurring at
+    * least `minCount` times across the WHOLE corpus is boilerplate; every
+    * token covered by such a gram is removed from every document, and the
+    * scrubbed text is re-assembled from the surviving tokens in order.
+    *
+    * Returns one row per document:
+    * (doc_id, n_tokens, n_kept, n_removed, scrubbed_md5) — the md5
+    * commits to the exact scrubbed text (space-joined kept tokens)
+    * without shipping it.
+    *
+    * Scale shape — the corpus text is NEVER shuffled:
+    *  1. gram-frequency pass: (gram, count) groupBy with map-side
+    *     combine — shuffle ∝ token volume, same as word count;
+    *  2. gram occurrences equi-join the frequent set on the gram key
+    *     (AQE broadcasts it when small — its size is bounded by
+    *     occurrences/minCount); matches fan out row-locally to the n
+    *     covered positions;
+    *  3. covered positions aggregate per doc (collect_set) — shuffle
+    *     ∝ REMOVED volume only, carrying (doc_id, int) pairs;
+    *  4. reconstruction is a row-local indexed `filter` over the doc's
+    *     own token array after a doc-keyed join with the (small)
+    *     covered-position arrays — no window, no sort, no text shuffle.
+    * A hot gram ("click here to subscribe" × 10⁶) is one reducer's
+    * COUNT in pass 1 and fans out row-locally in pass 2 — never a
+    * pair-join blow-up. */
+  def scrubFrequentSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Long = 2L): DataFrame = {
+    require(n >= 2 && minCount >= 2)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.letterTokens(col(textCol)).as("__toks"))
+    // gram start positions: posexplode gives p = 0-based first-token index
+    val grams = toks.select(col("doc_id"),
+      posexplode(TextFns.wordNGrams(col("__toks"), n)).as(Seq("p", "g")))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("g")
+    val covered = grams.join(freq, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("cp"))
+      .groupBy("doc_id").agg(collect_set(col("cp")).as("__cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__toks"),
+        (w, i) => !array_contains(col("__cov"), i)))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("__kept"))).as("scrubbed_md5"))
+  }
+
+  /** Hashed linear quality-classifier inference — the fastText-style
+    * model-based filter of a curation pipeline, with the hashing trick:
+    * each token's weight is a deterministic function of its hash
+    * (`md5 first 4 hex digits − 32768`, uniform in [−32768, 32767]),
+    * so the "model" needs no weight table at all and the score is
+    * exactly replayable in any engine. score_q = Σ weight(token) over
+    * token OCCURRENCES; avg_w = score_q / n_tokens (one IEEE division
+    * of exact integers — bit-stable); verdict = keep iff avg_w >= 0.
+    *
+    * A real model swaps the md5 mix for a broadcast hash-bucket weight
+    * array (a few MB shipped once per executor) — the plan shape is
+    * identical: per-row `aggregate` over the token array, zero shuffle,
+    * scan speed at any corpus size. */
+  def scoreHashedLinear(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.letterTokens(col(textCol))
+    val weight = (w: Column) =>
+      conv(substring(md5(w), 1, 4), 16, 10).cast("long") - lit(32768L)
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, w) => acc + weight(w)).as("score_q"))
+      .where(col("n_tokens") > 0)
+      .withColumn("avg_w",
+        col("score_q").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("verdict",
+        when(col("avg_w") >= 0, lit("keep")).otherwise(lit("drop")))
+  }
+
+  /** Pairwise corpus overlap between sources: EXACT n-gram Jaccard and
+    * containment for every source pair — the cross-source contamination
+    * / redundancy diagnostic a data-mixture report publishes (e.g. "is
+    * src3 a subset of src1?").
+    *
+    * One distinct over (source, gram), per-source set sizes, and a
+    * gram-keyed self-join counting intersections (source_a < source_b).
+    * Output is one row per source pair — sources are FEW, so the result
+    * is tiny. The distinct-gram shuffle is corpus-sized: this is the
+    * exact diagnostic, priced accordingly; the at-scale estimator is
+    * the [[bottomMSketch]] union (sketch overlap ≈ Jaccard) when a few
+    * percent error is acceptable. A gram present in all k sources
+    * contributes k(k−1)/2 pair rows — bounded by k², never by corpus. */
+  def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(col(sourceCol).as("source"),
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .select(col("source"),
+        explode(TextFns.wordNGrams(col("__toks"), n)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("n_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("n_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
   /** Fuzzy string matching with TWO composed block keys: pairs of
     * distinct values of `strCol` within Levenshtein distance `maxDist`.
     *

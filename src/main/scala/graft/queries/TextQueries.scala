@@ -336,6 +336,28 @@ object TextQueries {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Cross-document repeated-span scrub (Lee et al. dedup-substrings):
+    // every token covered by a corpus-wide repeated 5-gram is removed;
+    // the md5 commits to the scrubbed text. Corpus text never shuffles —
+    // only (doc, covered-position) pairs move.
+    "q_scrub_spans" -> { (s, dir) =>
+      TextAnalysis.scrubFrequentSpans(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Hashed linear classifier inference (fastText-style quality filter
+    // with the hashing trick): per-row aggregate over the token array,
+    // zero shuffle, exact integer score.
+    "q_model_score" -> { (s, dir) =>
+      TextAnalysis.scoreHashedLinear(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Pairwise source overlap: exact 3-gram Jaccard + containment for
+    // every source pair — the cross-source redundancy diagnostic of a
+    // data-mixture report.
+    "q_source_overlap" -> { (s, dir) =>
+      TextAnalysis.sourceOverlap(t(s, dir, "documents"), "text", "source")
+    },
+
     // Vocabulary frequency spectrum (frequency-of-frequencies): how
     // many terms occur exactly f times — the Zipf/vocab-growth summary
     // a corpus report includes. Two partial-agg'd shuffles.
@@ -714,6 +736,61 @@ object TextQueries {
          |  CAST(SUM((c12 * 1000000) // c1) // COUNT(*) AS BIGINT) AS avg_q
          |FROM bi JOIN bc USING (bg) JOIN uni USING (w1)
          |GROUP BY doc_id""".stripMargin,
+
+    "q_scrub_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |grams AS (SELECT doc_id, i - 1 AS p,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |      || ' ' || ws[i+4] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |freq AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |cov AS (SELECT DISTINCT grams.doc_id, grams.p + d AS cp
+         |  FROM grams JOIN freq USING (g), UNNEST(range(0, 5)) AS u(d)),
+         |pos AS (SELECT doc_id, i - 1 AS p, ws[i] AS w
+         |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS r(i)),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.w FROM pos
+         |  LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.cp = pos.p
+         |  WHERE cov.cp IS NULL),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    md5(string_agg(w, ' ' ORDER BY p)) AS m
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(a.m, md5('')) AS scrubbed_md5
+         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_model_score" ->
+      s"""WITH d AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(list_sum(list_transform(ws, w ->
+         |      CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) - 32768)), 0)
+         |      AS BIGINT) AS score_q
+         |  FROM d WHERE len(ws) > 0)
+         |SELECT doc_id, n_tokens, score_q,
+         |  CAST(score_q AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_w,
+         |  CASE WHEN CAST(score_q AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM s""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH toks AS (SELECT source, $SQL_TOKS AS ws FROM documents),
+         |grams AS (SELECT DISTINCT source,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |sizes AS (SELECT source, COUNT(*) AS sz FROM grams GROUP BY source),
+         |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS n_shared
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(sa.sz AS BIGINT) AS n_a,
+         |  CAST(sb.sz AS BIGINT) AS n_b, n_shared,
+         |  CAST(n_shared AS DOUBLE) / CAST(sa.sz + sb.sz - n_shared AS DOUBLE)
+         |    AS jaccard,
+         |  CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+         |    AS containment
+         |FROM inter JOIN sizes sa ON sa.source = inter.source_a
+         |  JOIN sizes sb ON sb.source = inter.source_b""".stripMargin,
 
     "q_freq_spectrum" ->
       s"""SELECT f, COUNT(*) AS n_terms FROM (

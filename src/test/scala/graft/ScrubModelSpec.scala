@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Repeated-span scrub, hashed linear model inference, source overlap. */
+class ScrubModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubFrequentSpans removes exactly the tokens under a repeated 5-gram") {
+    // docs 0 and 1 share the 6-token prefix "a b c d e f" -> two
+    // repeated 5-grams ("a b c d e", "b c d e f") covering positions
+    // 0..5 in both; everything else occurs once
+    val docs = Seq(
+      (0L, "a b c d e f uniqA uniqB uniqC"),
+      (1L, "a b c d e f otherA otherB"),
+      (2L, "totally different words here no repeats at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubFrequentSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._2 === 9 && got(0L)._4 === 6) // 6 covered tokens removed
+    assert(got(1L)._2 === 8 && got(1L)._4 === 6)
+    assert(got(2L)._4 === 0) // untouched
+    // reconstruction commits to the kept tokens in original order
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got(0L)._5 === m("uniqA uniqB uniqC"))
+    assert(got(1L)._5 === m("otherA otherB"))
+    assert(got(2L)._5 === m("totally different words here no repeats at all"))
+  }
+
+  test("scrubFrequentSpans: fully-repeated doc scrubs to the empty string") {
+    val docs = Seq(
+      (0L, "x y z w v"),
+      (1L, "x y z w v"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubFrequentSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._3 === 0) // n_kept
+    assert(got(0L)._5 ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(""))
+    assert(got(2L)._4 === 0)
+  }
+
+  test("scoreHashedLinear: score is the sum of md5-prefix weights per occurrence") {
+    val docs = Seq((7L, "hello world hello")).toDF("doc_id", "text")
+    val got = TextAnalysis.scoreHashedLinear(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, String)].head()
+    def w(t: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(t).take(4), 16) - 32768L
+    val want = 2 * w("hello") + w("world")
+    assert(got._2 === 3 && got._3 === want)
+    assert(got._4 === want.toDouble / 3.0)
+    assert(got._5 === (if (got._4 >= 0) "keep" else "drop"))
+  }
+
+  test("sourceOverlap: exact distinct-3-gram Jaccard and containment per pair") {
+    // srcA: grams {a b c, b c d}; srcB: {a b c, b c x}; srcC subset of A
+    val docs = Seq(
+      ("A", "a b c d"), ("A", "a b c"), // distinct grams: "a b c","b c d"
+      ("B", "a b c"), ("B", "b c x"),
+      ("C", "a b c")).toDF("source", "text")
+    val got = TextAnalysis.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("A", "B"))._5 === 1) // share "a b c"
+    assert(got(("A", "B"))._6 === 1.0 / 3.0)
+    assert(got(("A", "C"))._7 === 1.0) // C fully contained in A
+    assert(got(("B", "C"))._5 === 1)
+    assert(got.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+  }
+}
