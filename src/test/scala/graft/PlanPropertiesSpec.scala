@@ -202,6 +202,35 @@ class PlanPropertiesSpec extends SparkSpec {
       "a single-partition sort dies at scale")
   }
 
+  test("scrubFrequentSpans: no exchange ever ships text or token arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // plain scan (no test-env round-robin, which legitimately ships text);
+    // AQE off so executedPlan exposes the exchanges without running
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (df, exchanges) =
+      try {
+        val d = graft.operators.TextAnalysis.scrubFrequentSpans(docs, "doc_id", "text")
+        (d, d.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e })
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty)
+    for (e <- exchanges; a <- e.output)
+      assert(a.name != "text" && a.name != "__toks" && a.name != "__kept",
+        s"exchange must not carry corpus text, got ${e.output.map(_.name)}")
+    // gram-frequency pass combines map-side
+    assert(plan(df).contains("partial_count"),
+      "gram counts must partially aggregate before the shuffle")
+  }
+
+  test("scoreHashedLinear plans zero exchanges (pure scan-speed map)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.TextAnalysis.scoreHashedLinear(docs, "doc_id", "text")
+    assert(df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.isEmpty, "model inference must be shuffle-free")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
