@@ -101,6 +101,34 @@ object Dedup {
     grams.groupBy(col("doc_id")).agg(sig.as("sig"))
   }
 
+  /** Per-ROW MinHash signatures as a pure Column expression — NO
+    * aggregation, so it runs on an unbounded stream (the signature step
+    * of [[graft.streaming.Streams.nearDupPairsStream]]) and on any
+    * batch slice, at scan speed with zero shuffle. Bit-identical to
+    * [[minhashSignaturesHashed]] (same token-hash → window-combine →
+    * `xxhash64(i, h)` view chain; asserted in DedupSpec): a row's gram
+    * hashes live in one array column, each of the `numHashes` views is
+    * an `array_min` over a per-view mix. Docs with fewer than `ngram`
+    * tokens have no grams — and no signature row (same as the agg path).
+    * Cost is identical to the aggregate path (64 multiply-hash passes
+    * over the row's grams); the difference is WHERE the min runs —
+    * inside the row instead of across a groupBy — which is what makes
+    * it streamable. */
+  def rowSignatures(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, numHashes: Int = 64): DataFrame = {
+    val th = transform(TextFns.letterTokens(col(textCol)), t => xxhash64(t))
+    docs.select(col(idCol).as("doc_id"), th.as("__th"))
+      .where(size(col("__th")) >= ngram)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("__th")) - lit(ngram)),
+          i => xxhash64((1 to ngram).map(j =>
+            element_at(col("__th"), i + lit(j))): _*)).as("__gh"))
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("__gh"), h => xxhash64(lit(i), h)))): _*)
+          .as("sig"))
+  }
+
   /** LSH banding: split the signature into `bands` bands of `rows` values;
     * a band's bucket key is the hash of its slice. Docs sharing any
     * band bucket become candidate pairs. */

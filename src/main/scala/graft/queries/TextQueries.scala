@@ -113,6 +113,17 @@ object TextQueries {
       Dedup.incrementalDedupPairs(fresh, corpus, indexPath, "doc_id", "text")
     },
 
+    // STREAMING near-dup detection, batch-evaluated (the same code path
+    // runs on an unbounded stream; StreamingSpec feeds it via
+    // MemoryStream): per-row signatures -> one stateful shuffle with a
+    // bounded per-bucket ListState (the hot-bucket cap enforced by
+    // construction) -> candidate-only exact-Jaccard verify. Same ground
+    // truth as q_dedup_minhash.
+    "q_stream_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.streaming.Streams.nearDupPairsStream(docs, docs)
+    },
+
     // SimHash near-dup pairs (hamming <= 3 on 60-bit portable
     // signatures: md5-derived token hashes through the native
     // long-input buffer aggregate). The banded pair search returns
@@ -507,6 +518,12 @@ object TextQueries {
     // same ground truth as q_dedup_minhash: the SQL-text pipeline must
     // find exactly the brute-force Jaccard pairs
     "q_sql_dedup" ->
+      s"""WITH ${sqlGrams("")}
+         |${sqlJaccard(0.8)}""".stripMargin,
+
+    // same ground truth again: the streaming code path in batch mode
+    // must find exactly the brute-force Jaccard pairs
+    "q_stream_neardup" ->
       s"""WITH ${sqlGrams("")}
          |${sqlJaccard(0.8)}""".stripMargin,
 

@@ -463,4 +463,114 @@ object Streams {
       .transformWithState(new TimerSessionizeProcessor(gapSeconds),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class BandDoc(band: Int, bucket: Long, doc_id: Long)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Stateful LSH candidate generation for STREAMING near-dup
+    * detection: keyed by (band, bucket), the state is the bucket's
+    * first `cap` member doc ids (a bounded ListState — the hot-bucket
+    * guard of `Dedup.cappedBucketPairs`, here enforced by construction:
+    * state physically cannot exceed `cap` ids per bucket). Each arriving
+    * doc emits
+    *  - a pair against EVERY stored member while the bucket is below
+    *    the cap (exhaustive where small), or
+    *  - one representative-star pair against the bucket's first member
+    *    once the cap is reached — linear in cluster size, so a
+    *    million-copy boilerplate page streaming in costs 10⁶ emitted
+    *    candidates, never 10¹² pairs.
+    * Rows within one invocation are processed in doc_id order, so a
+    * single-batch (= batch-mode) run reproduces `cappedBucketPairs`'s
+    * rank semantics exactly. */
+  class NearDupCandidatesProcessor(cap: Int)
+      extends StatefulProcessor[(Int, Long), BandDoc, CandPair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
+        timers: TimerValues): Iterator[CandPair] = {
+      val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      members.get().foreach(mem += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      for (d <- rows.map(_.doc_id).toArray.sorted) {
+        if (mem.length < cap) {
+          mem.foreach(a => out += CandPair(math.min(a, d), math.max(a, d)))
+          mem += d
+        } else {
+          // over-full bucket = near-dup cluster; star edge to the
+          // representative keeps it connected for downstream clustering
+          out += CandPair(math.min(mem.head, d), math.max(mem.head, d))
+        }
+      }
+      members.put(mem.toArray)
+      out.iterator
+    }
+  }
+
+  /** Streaming near-dup detection — the ONLINE counterpart of
+    * `Dedup.incrementalDedupPairs`: documents stream in, and each is
+    * checked against everything seen before it without ever recomputing
+    * old signatures.
+    *
+    * Pipeline (all stages stream-legal):
+    *  1. per-row MinHash signatures (`Dedup.rowSignatures` — a pure
+    *     Column expression, bit-identical to the batch aggregate path)
+    *     and band buckets: zero shuffle, scan speed;
+    *  2. one stateful shuffle on (band, bucket): bounded ListState per
+    *     bucket emits capped candidate pairs
+    *     ([[NearDupCandidatesProcessor]]);
+    *  3. exact-Jaccard verification of candidates against the static
+    *     corpus table — candidate ids are a broadcast semi-join filter,
+    *     so only candidate docs are re-tokenized (batch mode inline;
+    *     streaming runs it per micro-batch in `foreachBatch`, see
+    *     StreamingSpec).
+    * Returns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard >=
+    * threshold. In batch mode the result equals
+    * `Dedup.minhashDedupPairs` with the same parameters (signature
+    * parity + identical cap semantics). */
+  def nearDupPairsStream(docs: DataFrame, corpus: DataFrame,
+      ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, cap: Int = 64): DataFrame = {
+    val cands = nearDupCandidatesStream(docs, ngram, numHashes, bands, cap)
+    verifyNearDupCandidates(cands.toDF(), corpus, ngram, threshold)
+  }
+
+  /** Stages 1–2 of [[nearDupPairsStream]]: per-row signatures → band
+    * explode → stateful capped candidate emission. Works on a streaming
+    * OR batch `docs` frame. */
+  def nearDupCandidatesStream(docs: DataFrame, ngram: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, cap: Int = 64): Dataset[CandPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.graft.shim.ensureStateStoreCoordinator(s)
+    val sigs = graft.operators.Dedup.rowSignatures(
+      docs, "doc_id", "text", ngram, numHashes)
+    graft.operators.Dedup.lshBandBuckets(sigs, bands, numHashes / bands)
+      .as[BandDoc]
+      .groupByKey(r => (r.band, r.bucket))
+      .transformWithState(new NearDupCandidatesProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Stage 3 of [[nearDupPairsStream]]: exact-Jaccard rescore of a
+    * (batch) candidate-pair frame against the corpus, candidate-only
+    * tokenization. */
+  def verifyNearDupCandidates(cands: DataFrame, corpus: DataFrame,
+      ngram: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    val pairs = cands.select(col("doc_a"), col("doc_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val candGrams = Dedup.gramSets(
+      corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"),
+      "doc_id", "text", ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.jaccard(pairs, candGrams).where(col("jaccard") >= threshold)
+  }
 }

@@ -158,4 +158,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("rowSignatures (streamable per-row path) == aggregate signatures, bit-exact") {
+    val slice = docs.limit(200)
+    val agg = Dedup.minhashSignaturesHashed(
+        Dedup.gramHashes(slice, "doc_id", "text", 3), 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val perRow = Dedup.rowSignatures(slice, "doc_id", "text", 3, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(perRow == agg)
+    assert(perRow.nonEmpty)
+  }
 }

@@ -399,4 +399,34 @@ class StreamingSpec extends SparkSpec {
     assert(diff.count() == 0)
     assert(got.count() == manual.count())
   }
+
+  test("streaming near-dup: incremental candidates + per-batch verify == batch minhash dedup") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val expected = graft.operators.Dedup
+      .minhashDedupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.nearDupCandidatesStream(
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ndcands")
+      .outputMode("append").start()
+    // two ingest batches in doc_id order: batch 2 docs are matched
+    // against batch 1 state WITHOUT recomputing batch 1 signatures
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a: _*); sq.processAllAvailable()
+    ms.addData(b: _*); sq.processAllAvailable()
+    sq.stop()
+
+    val got = Streams.verifyNearDupCandidates(
+        spark.table("ndcands"), docs)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
 }
