@@ -492,6 +492,41 @@ object TextAnalysis {
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
 
+  /** Term-distribution drift between two corpus slices (old snapshot vs
+    * new crawl, source A vs source B): per-term occurrence rates in
+    * parts-per-million, their absolute difference, and each side's
+    * counts — the unigram distribution-shift monitor a data pipeline
+    * runs before admitting a new ingest. Rates are exact integer floor
+    * divisions (`count·10⁶ DIV total`), so ranking and the oracle replay
+    * are bit-stable; summing `rate_diff_ppm` over ALL terms ≈ 2·10⁶ ×
+    * total-variation distance. Terms below `minCount` occurrences in
+    * BOTH slices are dropped (rare-tail noise suppression).
+    *
+    * Scale shape: one token pass per side with map-side-combined
+    * term counts (word-count shape), a full-outer equi-join on term,
+    * and the two scalar totals broadcast — shuffle ∝ vocabulary, never
+    * corpus²; a hot term is one reducer's SUM. */
+  def termDrift(docsA: DataFrame, docsB: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    def counts(d: DataFrame, cn: String) =
+      d.select(explode(TextFns.letterTokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as(cn))
+    val ca = counts(docsA, "c_a")
+    val cb = counts(docsB, "c_b")
+    val na = ca.agg(sum(col("c_a")).as("n_a"))
+    val nb = cb.agg(sum(col("c_b")).as("n_b"))
+    ca.join(cb, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .where(col("c_a") >= minCount || col("c_b") >= minCount)
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("rate_a_ppm", expr("(c_a * 1000000L) DIV n_a"))
+      .withColumn("rate_b_ppm", expr("(c_b * 1000000L) DIV n_b"))
+      .withColumn("rate_diff_ppm",
+        abs(col("rate_a_ppm") - col("rate_b_ppm")))
+      .select("term", "c_a", "c_b", "rate_a_ppm", "rate_b_ppm",
+        "rate_diff_ppm")
+  }
+
   /** Fuzzy string matching with TWO composed block keys: pairs of
     * distinct values of `strCol` within Levenshtein distance `maxDist`.
     *

@@ -369,6 +369,19 @@ object TextQueries {
       TextAnalysis.sourceOverlap(t(s, dir, "documents"), "text", "source")
     },
 
+    // Term-distribution drift between the first source and everything
+    // else — the unigram shift monitor gating a new ingest. Exact ppm
+    // integer rates; top-100 by |rate difference| with deterministic
+    // tie-break.
+    "q_term_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.termDrift(
+          docs.where(col("source") === "src0"),
+          docs.where(col("source") =!= "src0"), "text")
+        .orderBy(col("rate_diff_ppm").desc, col("term").asc)
+        .limit(100)
+    },
+
     // Vocabulary frequency spectrum (frequency-of-frequencies): how
     // many terms occur exactly f times — the Zipf/vocab-growth summary
     // a corpus report includes. Two partial-agg'd shuffles.
@@ -808,6 +821,27 @@ object TextQueries {
          |    AS containment
          |FROM inter JOIN sizes sa ON sa.source = inter.source_a
          |  JOIN sizes sb ON sb.source = inter.source_b""".stripMargin,
+
+    "q_term_drift" ->
+      s"""WITH ta AS (SELECT unnest($SQL_TOKS) AS term FROM documents
+         |  WHERE source = 'src0'),
+         |tb AS (SELECT unnest($SQL_TOKS) AS term FROM documents
+         |  WHERE source <> 'src0'),
+         |ca AS (SELECT term, COUNT(*) AS c_a FROM ta GROUP BY term),
+         |cb AS (SELECT term, COUNT(*) AS c_b FROM tb GROUP BY term),
+         |na AS (SELECT SUM(c_a) AS n_a FROM ca),
+         |nb AS (SELECT SUM(c_b) AS n_b FROM cb),
+         |j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+         |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+         |  WHERE COALESCE(c_a, 0) >= 5 OR COALESCE(c_b, 0) >= 5)
+         |SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         |  CAST((c_a * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+         |  CAST((c_b * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+         |  CAST(ABS((c_a * 1000000) // n_a - (c_b * 1000000) // n_b)
+         |    AS BIGINT) AS rate_diff_ppm
+         |FROM j, na, nb
+         |ORDER BY rate_diff_ppm DESC, term ASC LIMIT 100""".stripMargin,
 
     "q_freq_spectrum" ->
       s"""SELECT f, COUNT(*) AS n_terms FROM (

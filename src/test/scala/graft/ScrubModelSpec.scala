@@ -55,6 +55,19 @@ class ScrubModelSpec extends SparkSpec {
     assert(got._5 === (if (got._4 >= 0) "keep" else "drop"))
   }
 
+  test("termDrift: exact ppm rates and absolute difference, rare tail dropped") {
+    val a = Seq((1L, "x x x x x y")).toDF("doc_id", "text") // x:5 y:1, n_a=6
+    val b = Seq((2L, "x y y y y y")).toDF("doc_id", "text") // x:1 y:5, n_b=6
+    val got = TextAnalysis.termDrift(a, b, "text", minCount = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // y: c_a=1 < 5 but c_b=5 keeps it; both terms survive
+    assert(got.keySet === Set("x", "y"))
+    assert(got("x")._4 === 5000000L / 6 && got("x")._5 === 1000000L / 6)
+    assert(got("x")._6 === 5000000L / 6 - 1000000L / 6)
+    assert(got("y")._6 === got("x")._6) // symmetric corpus
+  }
+
   test("sourceOverlap: exact distinct-3-gram Jaccard and containment per pair") {
     // srcA: grams {a b c, b c d}; srcB: {a b c, b c x}; srcC subset of A
     val docs = Seq(
