@@ -527,6 +527,38 @@ object TextAnalysis {
         "rate_diff_ppm")
   }
 
+  /** Vocabulary induction + out-of-vocabulary coverage audit — the
+    * tokenizer-training companion: the top-`vocabSize` terms by corpus
+    * count (ties broken by term, so the vocab is deterministic) become
+    * the vocabulary; every document then reports how much of its token
+    * stream the vocabulary covers (`oov_ppm`, exact integer
+    * parts-per-million). High-OOV docs are the ones a tokenizer trained
+    * on this corpus would shred into bytes.
+    *
+    * Scale shape: one word-count aggregation, a top-V rank (vocabulary
+    * is a bounded, small relation — it BROADCASTS back), and one
+    * anti-join of the exploded token stream against it, re-aggregated
+    * per doc — word-count-shaped shuffles throughout; the corpus text
+    * itself never shuffles (token totals are row-local sizes). */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.letterTokens(col(textCol))).as("term"))
+    // top-V via orderBy+limit = TakeOrderedAndProject: per-partition
+    // bounded heaps, never a single-partition rank over the vocabulary
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+      .select("term")
+    val oov = toks.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    docs.select(col(idCol).as("doc_id"),
+        size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .join(oov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000L) DIV n_tokens"))
+  }
+
   /** Fuzzy string matching with TWO composed block keys: pairs of
     * distinct values of `strCol` within Levenshtein distance `maxDist`.
     *

@@ -382,6 +382,13 @@ object TextQueries {
         .limit(100)
     },
 
+    // Vocabulary induction + OOV coverage: top-20 corpus terms become
+    // the vocab (deterministic tie-break); each doc reports exact-ppm
+    // out-of-vocabulary rate — the tokenizer-coverage audit.
+    "q_vocab_coverage" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "doc_id", "text", 20)
+    },
+
     // Vocabulary frequency spectrum (frequency-of-frequencies): how
     // many terms occur exactly f times — the Zipf/vocab-growth summary
     // a corpus report includes. Two partial-agg'd shuffles.
@@ -842,6 +849,22 @@ object TextQueries {
          |    AS BIGINT) AS rate_diff_ppm
          |FROM j, na, nb
          |ORDER BY rate_diff_ppm DESC, term ASC LIMIT 100""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($SQL_TOKS) AS term FROM documents),
+         |vocab AS (SELECT term FROM (
+         |    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+         |    ORDER BY cnt DESC, term ASC LIMIT 20)),
+         |oov AS (SELECT doc_id, COUNT(*) AS n_oov FROM toks
+         |  WHERE term NOT IN (SELECT term FROM vocab) GROUP BY doc_id),
+         |n AS (SELECT doc_id, CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT n.doc_id, n.n_tokens,
+         |  CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST((COALESCE(o.n_oov, 0) * 1000000) // n.n_tokens AS BIGINT)
+         |    AS oov_ppm
+         |FROM n LEFT JOIN oov o USING (doc_id)
+         |WHERE n.n_tokens > 0""".stripMargin,
 
     "q_freq_spectrum" ->
       s"""SELECT f, COUNT(*) AS n_terms FROM (

@@ -68,6 +68,19 @@ class ScrubModelSpec extends SparkSpec {
     assert(got("y")._6 === got("x")._6) // symmetric corpus
   }
 
+  test("vocabCoverage: top-V vocab with tie-break; per-doc oov ppm exact") {
+    // counts: aa:4, bb:3, cc:2, dd:1 -> vocab(2) = {aa, bb}
+    val docs = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa bb cc dd"),
+      (3L, "aa bb")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 1L, 250000L))) // cc oov
+    assert(got(2L) === ((2L, 4L, 2L, 500000L))) // cc, dd oov
+    assert(got(3L) === ((3L, 2L, 0L, 0L)))
+  }
+
   test("sourceOverlap: exact distinct-3-gram Jaccard and containment per pair") {
     // srcA: grams {a b c, b c d}; srcB: {a b c, b c x}; srcC subset of A
     val docs = Seq(
