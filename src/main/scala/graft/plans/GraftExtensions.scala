@@ -97,6 +97,15 @@ object GraftExtensions {
         |    sequence(1, size(graft_tokens(t)) - n + 1),
         |    i -> concat_ws(' ', slice(graft_tokens(t), i, n))))
         |  ELSE array() END""".stripMargin)
+    // hashed-linear classifier score (mirrors
+    // TextAnalysis.scoreHashedLinear: md5-prefix weight per token
+    // occurrence, summed) — the SQL surface of model-based filtering
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_model_score(t STRING)
+        |RETURNS BIGINT
+        |RETURN aggregate(graft_tokens(t), 0L,
+        |  (acc, w) -> acc + CAST(conv(substring(md5(w), 1, 4), 16, 10)
+        |    AS BIGINT) - 32768L)""".stripMargin)
     // RAG chunk bounds (mirrors TextAnalysis.chunkDocs arithmetic):
     // table function usable in LATERAL position
     spark.sql(

@@ -117,6 +117,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bounds.sorted.toSeq == expect.sorted.toSeq)
   }
 
+  test("graft_model_score macro == scoreHashedLinear, from pure SQL") {
+    val s = TestSpark.spark
+    graft.plans.GraftExtensions.installSqlMacros(s)
+    val docs = s.createDataFrame(Seq(
+      (1L, "hello world hello"), (2L, "spark scala spark streams")))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("docs_model_v")
+    val viaSql = s.sql(
+      "SELECT doc_id, graft_model_score(text) AS sq FROM docs_model_v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScala = graft.operators.TextAnalysis
+      .scoreHashedLinear(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_q")).toMap
+    assert(viaSql == viaScala)
+  }
+
   test("null semantics: null array or null element yields null") {
     val r = spark.sql(
       """SELECT dot_q(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1 AS FLOAT))) AS a,
