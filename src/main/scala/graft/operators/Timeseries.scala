@@ -65,4 +65,35 @@ object Timeseries {
     grid.select(col("user_id"), col("d"), col("obs"),
       last(col("obs"), ignoreNulls = true).over(w).as("filled"))
   }
+
+  /** Numeric distribution drift — the metric twin of
+    * `TextAnalysis.termDrift`: per-group interpolated quantiles of a
+    * (pre-quantized, exact-integer) value column compared between two
+    * slices (old snapshot vs new ingest, control vs treatment). Both
+    * frames need (`groupCol`, `vq`: long). Emits one row per
+    * (group, quantile): each side's value and the absolute difference —
+    * the per-decile shift report a feature-distribution monitor
+    * publishes. Interpolation runs on exact integer ranks (the same
+    * `percentile` ↔ `percentile_cont` parity the oracle suite already
+    * pins for q_percentile).
+    *
+    * Scale shape: `percentile` is a partial-aggregating sketchless
+    * aggregate (sorted per group at the reducer) over FEW groups — the
+    * shuffle carries (group, vq) pairs with map-side batching; the
+    * quantile fan-out and the full-outer join are group×quantile-sized
+    * (tiny). Groups here are categories, not keys — for high-cardinality
+    * groups use approx_percentile instead. */
+  def quantileDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val qArr = qs.mkString("array(", ", ", ")")
+    def side(d: DataFrame, vn: String) =
+      d.groupBy(col(groupCol))
+        .agg(expr(s"percentile(vq, $qArr)").as("__ps"))
+        .select(col(groupCol), posexplode(col("__ps")).as(Seq("__qi", vn)))
+    side(a, "v_a").join(side(b, "v_b"), Seq(groupCol, "__qi"), "full_outer")
+      .select(col(groupCol),
+        element_at(typedLit(qs), col("__qi") + 1).as("quantile"),
+        col("v_a"), col("v_b"),
+        abs(col("v_a") - col("v_b")).as("v_diff"))
+  }
 }

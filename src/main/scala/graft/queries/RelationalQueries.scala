@@ -514,6 +514,18 @@ object RelationalQueries {
           max(col("l_quantity")).as("qmax"))
     },
 
+    // Numeric distribution drift: per-event-type deciles of the
+    // (fixed-point) value column compared between the even- and
+    // odd-event_id halves of the stream — the feature-distribution
+    // monitor gating a new ingest, numeric twin of q_term_drift.
+    "q_quantile_drift" -> { (s, dir) =>
+      val e = events(s, dir).select(col("event_type"), col("event_id"),
+        expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("vq"))
+      graft.operators.Timeseries.quantileDrift(
+        e.where(col("event_id") % 2 === 0),
+        e.where(col("event_id") % 2 === 1), "event_type")
+    },
+
     // ROLLUP grouping sets.
     "q_rollup_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -1229,6 +1241,25 @@ object RelationalQueries {
         |  percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
         |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_quantile_drift" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(FLOOR("value" * 1000) AS BIGINT) AS vq FROM events),
+        |qa AS (SELECT event_type,
+        |    quantile_cont(vq, [0.1, 0.25, 0.5, 0.75, 0.9]) AS ps
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY event_type),
+        |qb AS (SELECT event_type,
+        |    quantile_cont(vq, [0.1, 0.25, 0.5, 0.75, 0.9]) AS ps
+        |  FROM e WHERE event_id % 2 = 1 GROUP BY event_type),
+        |ua AS (SELECT event_type, qi, ps[qi] AS v_a FROM qa,
+        |  UNNEST(range(1, 6)) AS t(qi)),
+        |ub AS (SELECT event_type, qi, ps[qi] AS v_b FROM qb,
+        |  UNNEST(range(1, 6)) AS t(qi))
+        |SELECT ua.event_type,
+        |  ([0.1, 0.25, 0.5, 0.75, 0.9])[ua.qi] AS quantile,
+        |  v_a, v_b, ABS(v_a - v_b) AS v_diff
+        |FROM ua FULL OUTER JOIN ub
+        |  ON ua.event_type = ub.event_type AND ua.qi = ub.qi""".stripMargin,
 
     // property oracle: exact counts recomputed, sketch-accuracy boolean
     // expected TRUE (see the query comment)

@@ -81,6 +81,20 @@ class ScrubModelSpec extends SparkSpec {
     assert(got(3L) === ((3L, 2L, 0L, 0L)))
   }
 
+  test("quantileDrift: interpolated deciles per group, exact diff") {
+    val a = Seq(("t", 0L), ("t", 10L), ("t", 20L), ("t", 30L), ("t", 40L))
+      .toDF("g", "vq")
+    val b = Seq(("t", 100L), ("t", 200L)).toDF("g", "vq")
+    val got = graft.operators.Timeseries
+      .quantileDrift(a, b, "g", qs = Seq(0.5, 0.75))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got(0.5)._3 === 20.0 && got(0.5)._4 === 150.0)
+    assert(got(0.5)._5 === 130.0)
+    // p75 of a: pos = 0.75*4 = 3 -> interpolated at rank 3 exactly = 30
+    assert(got(0.75)._3 === 30.0 && got(0.75)._4 === 175.0)
+  }
+
   test("sourceOverlap: exact distinct-3-gram Jaccard and containment per pair") {
     // srcA: grams {a b c, b c d}; srcB: {a b c, b c x}; srcC subset of A
     val docs = Seq(
