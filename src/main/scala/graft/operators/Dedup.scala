@@ -161,35 +161,56 @@ object Dedup {
     * share a whole signature band), so star edges to one representative
     * keep the cluster connected for downstream transitive clustering;
     * only borderline overflow-overflow pairs lose their direct rescore.
-    * All four join inputs (core a/b, star rep/overflow) derive from one
-    * ranked plan whose SHUFFLE on the bucket key AQE reuses
-    * (ReusedExchange) — measured faster than persisting the ranked
-    * relation here; contrast Similarity.nearDupPairsLsh, whose inputs
-    * are broadcast subtrees with no exchange to reuse and which
-    * therefore does persist.
+    *
+    * Execution shape (round 5 — replaces the rank-window self-join,
+    * whose unconditional `row_number` shuffled AND sorted the whole
+    * bands×corpus bucket relation although almost every bucket is a
+    * singleton; measured 2.8× the entire pipeline's cost at sf0.1):
+    *  - ONE bounded aggregate per bucket
+    *    ([[graft.functions.expr.BottomKLongs]]): the `maxBucket`
+    *    smallest member ids, k-bounded max-heap buffer, map-side
+    *    combined — at most `maxBucket` longs per bucket per map
+    *    partition cross the (tiny, one-row-per-distinct-bucket)
+    *    shuffle. No sort anywhere.
+    *  - CORE pairs explode row-locally from that sorted array — all
+    *    pairs among the ≤ cap smallest ids, generated once per bucket
+    *    with no join at all.
+    *  - STAR edges (representative → overflow member) only exist for
+    *    buckets with > cap members — by definition boilerplate-cluster
+    *    buckets, vanishingly rare even at 100 TB — so the probe join
+    *    against the bucket relation broadcasts that tiny overflow
+    *    bucket list and keeps `NOT array_contains(kept, id)` members.
+    * Per-bucket output (and work) stays ≤ cap²/2 + (m − cap); the
+    * expensive subtree below `buckets` (signature aggregation) ends in
+    * an exchange shared by the aggregate and star-probe branches, which
+    * AQE computes once (ReusedExchange).
     *
     * Returns (id_a, id_b) with id_a < id_b, NOT deduplicated across
     * buckets. */
   private[operators] def cappedBucketPairs(buckets: DataFrame,
       keyCols: Seq[String], idCol: String, maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, "maxBucket must allow at least one pair")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
-    val ranked = buckets.withColumn("__r", row_number().over(w))
-    val a = ranked.select((keyCols :+ idCol :+ "__r").map(col): _*)
-      .toDF(keyCols :+ "id_a" :+ "r_a": _*)
-    val b = ranked.select((keyCols :+ idCol :+ "__r").map(col): _*)
-      .toDF(keyCols :+ "id_b" :+ "r_b": _*)
-    // ranks follow id order, so id_a < id_b ⇔ r_a < r_b. Both joins
-    // filter BOTH sides before the join, so per-bucket work is
-    // cap²/2 + (m − cap) — never cap·m, let alone m².
-    val core = a.where(col("r_a") <= maxBucket)
-      .join(b.where(col("r_b") <= maxBucket), keyCols)
-      .where(col("id_a") < col("id_b"))
-    val star = a.where(col("r_a") === 1)
-      .join(b.where(col("r_b") > maxBucket), keyCols)
-    core.select(col("id_a"), col("id_b"))
-      .unionByName(star.select(col("id_a"), col("id_b")))
+    import org.apache.spark.sql.graft.shim
+    val bottomK = shim.column(
+      graft.functions.expr.BottomKLongs(
+        shim.expression(col(idCol).cast("long")), maxBucket)
+        .toAggregateExpression())
+    val hot = buckets.groupBy(keyCols.map(col): _*)
+      .agg(bottomK.as("__kept"), count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+    // __kept is sorted ascending, so pairing each element with its
+    // successors yields id_a < id_b directly.
+    val core = hot.select(explode(flatten(transform(col("__kept"), (x, i) =>
+        transform(slice(col("__kept"), i + lit(2), size(col("__kept"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+    val overflow = hot.where(col("__n") > maxBucket)
+      .select((keyCols.map(col) :+ element_at(col("__kept"), 1).as("__rep")
+        :+ col("__kept")): _*)
+    val star = buckets.join(broadcast(overflow), keyCols)
+      .where(!array_contains(col("__kept"), col(idCol).cast("long")))
+      .select(col("__rep").as("id_a"), col(idCol).cast("long").as("id_b"))
+    core.unionByName(star)
   }
 
   /** Exact Jaccard for given pairs, from the gram sets. The candidate
@@ -230,26 +251,53 @@ object Dedup {
     // partition.
     val sigs = minhashSignaturesHashed(gramHashes(docs, idCol, textCol, ngram), numHashes)
     // candidate pairs are tiny (LSH-pruned); persisted because they are
-    // consumed twice (id filter + broadcast join)
-    val cands = candidatePairs(lshBandBuckets(sigs, bands, numHashes / bands),
-        maxBucket)
+    // consumed twice (id filter + membership broadcast). NOT distinct'd:
+    // a pair colliding in several bands reaches the rescore several
+    // times, and the rescore's own per-pair aggregation dedups for free
+    // — one exchange saved.
+    val cands = cappedBucketPairs(lshBandBuckets(sigs, bands, numHashes / bands),
+        Seq("band", "bucket"), "doc_id", maxBucket)
+      .toDF("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Exact-Jaccard rescoring only needs gram SETS of candidate docs:
-    // filter the documents first (broadcast semi-join on candidate ids),
-    // re-tokenize that small slice, and dedup within it — at corpus
-    // scale this beats caching/shuffling the full gram corpus by the
-    // dup-rate factor (candidates ≈ actual near-dups, not the corpus).
+    jaccardRescore(cands, docs, idCol, textCol, ngram)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact-Jaccard rescore of candidate pairs in ONE pass over the
+    * candidate documents: gram SETS are built row-locally as per-doc
+    * arrays (tokenize once, window into grams, `array_distinct` — no
+    * explode, no corpus shuffle), each candidate doc streams past a
+    * broadcast of the pair-membership list, and one pair-keyed
+    * aggregation reunites the two sides; the Jaccard is then a
+    * row-local `array_intersect`. Shuffle volume: one row per candidate
+    * doc per pair membership, carrying its gram array — ∝ near-dups,
+    * never corpus. (The pair list may contain duplicates; the per-pair
+    * aggregation collapses them.) At toy scale this also matters: it is
+    * 4 fewer exchanges and 2 fewer document scans than the exploded
+    * gram-table join ([[jaccard]], kept for set-shaped callers). */
+  def jaccardRescore(cands: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, ngram: Int): DataFrame = {
     val candIds = cands.select(col("doc_a").as(idCol))
-      .union(cands.select(col("doc_b").as(idCol))).distinct()
-    // jaccard() scans the gram table three times (a-side, b-side, doc
-    // sizes) — persist so candidate docs are tokenized once, not 3x.
-    // Candidate-only grams are small (dup-rate x grams/doc), so this is
-    // cache-friendly at any corpus scale.
-    val candGrams = gramSets(
-      docs.join(broadcast(candIds), Seq(idCol), "left_semi"),
-      idCol, textCol, ngram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccard(cands, candGrams).where(col("jaccard") >= threshold)
+      .union(cands.select(col("doc_b").as(idCol)))
+    val sets = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(TextFns.wordNGrams(col("__toks"), ngram)).as("__gs"))
+    val mem = cands.select(col("doc_a"), col("doc_b"),
+        col("doc_a").as("doc_id"), lit(true).as("__is_a"))
+      .unionByName(cands.select(col("doc_a"), col("doc_b"),
+        col("doc_b").as("doc_id"), lit(false).as("__is_a")))
+    sets.join(broadcast(mem), "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("__is_a"), col("__gs")), ignoreNulls = true).as("__gs_a"),
+        first(when(!col("__is_a"), col("__gs")), ignoreNulls = true).as("__gs_b"))
+      .withColumn("__ni", size(array_intersect(col("__gs_a"), col("__gs_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__ni").cast("double") /
+          (size(col("__gs_a")) + size(col("__gs_b")) - col("__ni")).cast("double"))
+          .as("jaccard"))
   }
 
   /** Materialize the corpus MinHash band-bucket index: one row per
@@ -320,17 +368,12 @@ object Dedup {
     val vsNew = cappedBucketPairs(
       newBuckets.select(col("band"), col("bucket"), col("doc_id")),
       Seq("band", "bucket"), "doc_id", maxBucket)
-    val cands = vsCorpus.unionByName(vsNew).toDF("doc_a", "doc_b").distinct()
+    val cands = vsCorpus.unionByName(vsNew).toDF("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = corpusDocs.select(col(idCol), col(textCol))
       .unionByName(newDocs.select(col(idCol), col(textCol)))
-    val candIds = cands.select(col("doc_a").as(idCol))
-      .union(cands.select(col("doc_b").as(idCol))).distinct()
-    val candGrams = gramSets(
-      all.join(broadcast(candIds), Seq(idCol), "left_semi"),
-      idCol, textCol, ngram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccard(cands, candGrams).where(col("jaccard") >= threshold)
+    jaccardRescore(cands, all, idCol, textCol, ngram)
+      .where(col("jaccard") >= threshold)
   }
 
   /** Connected components over near-dup pairs — the "cluster duplicates,

@@ -132,13 +132,26 @@ object Similarity {
     // first maxBucket, and link overflow members only to the rank-1
     // representative — per-bucket work cap²/2 + (m − cap), not m².
     import org.apache.spark.sql.expressions.Window
-    // persisted: the ranked relation feeds four broadcast-join inputs
-    // (core a/b, star rep/overflow) which share no exchange — without
-    // the persist the 64 plane dots + the rank window recompute per
-    // input (measured 4x the work; callers clear the SQL cache)
-    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // Singleton pre-filter (cf. Dedup.cappedBucketPairs): almost every
+    // (band, bucket) key holds one vector and can never pair, so the
+    // rank window must not shuffle+sort the whole nBands×corpus keyed
+    // relation. Bucket sizes are counted first (map-side partial agg)
+    // and only `size >= 2` buckets are ranked — the sort covers rows
+    // ∝ dup rate. The count branch recomputes the plane dots once
+    // (map-side, no shuffle); that 2× dot cost replaces the old full
+    // sort + corpus-sized cache.
+    val exploded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
         explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
+    val pairable = exploded.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+      .select(col("bkey"))
+    // persisted: the ranked relation feeds four broadcast-join inputs
+    // (core a/b, star rep/overflow) which share no exchange — without
+    // the persist the plane dots + semi-join + rank recompute per
+    // input (measured 4x the work; callers clear the SQL cache). The
+    // cache now holds only pair-producing buckets, not the corpus.
+    val keyed = exploded.join(pairable, Seq("bkey"), "left_semi")
       .withColumn("r", row_number().over(
         Window.partitionBy(col("bkey")).orderBy(col("id").asc)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -170,22 +170,30 @@ class PlanPropertiesSpec extends SparkSpec {
       s"estimate filter must sit below the exact-count shuffle:\n$p")
   }
 
-  test("candidatePairs: bucket-cap rank filters sit below the self-join") {
+  test("candidatePairs: bounded aggregate caps buckets, no corpus sort") {
     import graft.operators.Dedup
     val docs = Q.t(spark, sf, "documents")
     val sigs = Dedup.minhashSignaturesAgg(
       Dedup.rawGrams(docs, "doc_id", "text", 3), 64)
     val p = plan(Dedup.candidatePairs(Dedup.lshBandBuckets(sigs, 16, 4),
       maxBucket = 64))
-    assert(p.contains("row_number"), s"bucket members must be ranked:\n$p")
-    // the cap is a pre-join FILTER on the rank (both core sides), so no
-    // join task can ever see more than maxBucket core members per bucket
-    assert("""__r#\d+ <= 64""".r.findAllIn(p).size >= 2,
-      s"core join inputs must be rank-capped below the join:\n$p")
-    // and the star side pairs overflow members against rank-1 only
-    assert("""__r#\d+ = 1\)""".r.findAllIn(p).nonEmpty &&
-      """__r#\d+ > 64""".r.findAllIn(p).nonEmpty,
-      s"representative-star inputs must be rank-filtered:\n$p")
+    // the cap lives in a k-bounded aggregate buffer (BottomKLongs) —
+    // per-bucket state never exceeds maxBucket ids, and no reducer ever
+    // materializes a hot bucket's membership
+    assert(p.contains("bottom_k_longs"),
+      s"bucket members must flow through the bounded aggregate:\n$p")
+    // the old rank-window shape shuffled AND sorted the whole
+    // bands-x-corpus bucket relation although nearly every bucket is a
+    // singleton; the aggregate shape must plan NO window at all
+    assert(!p.contains("row_number"),
+      s"no corpus-wide rank window may remain:\n$p")
+    // star edges exist only for overflow buckets (__n > cap), and that
+    // tiny relation is the BUILD side of a broadcast join — the bucket
+    // relation itself is never re-shuffled for the star probe
+    assert("""__n#\d+L > 64""".r.findAllIn(p).nonEmpty,
+      s"star build side must be filtered to overflow buckets:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"star probe must be a broadcast join:\n$p")
   }
 
   test("q_window_ntile: all four window functions share one exchange") {
