@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{DotProductD, DotProductQ, MinHashSig, SimHashAgg, TopKByScore}
+import graft.functions.expr.{BottomKLongs, DotProductD, DotProductQ, MinHashSig, MinHashSigLong, SimHashAgg, TopKByScore}
 
 /** Engine extension point: registers the native expressions with the
   * Catalyst function registry so they are callable from SQL text, not
@@ -57,6 +57,18 @@ object GraftExtensions {
       info("simhash_agg",
         "simhash_agg(token) - 64-bit SimHash signature aggregate over a token column"),
       (children: Seq[Expression]) => SimHashAgg(children(0))
+        .toAggregateExpression()),
+    ("minhash_sig_long",
+      info("minhash_sig_long",
+        "minhash_sig_long(gram_hash, n) - n-view MinHash signature aggregate over pre-hashed (bigint) grams (array<bigint>); the string-free production signature path"),
+      (children: Seq[Expression]) => MinHashSigLong(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
+    ("bottom_k_longs",
+      info("bottom_k_longs",
+        "bottom_k_longs(id, k) - bounded aggregate: the k smallest ids per group as a sorted array; the hot-bucket guard's buffer"),
+      (children: Seq[Expression]) => BottomKLongs(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
 
   /** Register the native expressions on a live session (idempotent —
@@ -88,15 +100,43 @@ object GraftExtensions {
         |RETURN size(filter(split(t, '\\s+'), x -> x <> '')) >= 5
         |  AND CAST(length(regexp_replace(t, '[^\\p{L}]', '')) AS DOUBLE)
         |      / length(t) >= 0.5""".stripMargin)
-    // distinct word n-gram shingles (mirrors Dedup.gramSets row shape)
+    // distinct word n-gram shingles over a PRE-MATERIALIZED token array
+    // (mirrors Dedup.gramSets row shape). The parameter is referenced
+    // several times, but callers pass a materialized array column, so
+    // each reference is an attribute read, not a re-tokenization.
+    // (the body re-binds `ws` to the lambda variable `a` before any
+    // nested lambda touches it: Spark 4.1's SQL-UDF analysis mis-binds
+    // an ARRAY parameter referenced inside a nested lambda as a free
+    // lambda variable — MISSING_ATTRIBUTES at creation)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_grams_arr(
+        |  ws ARRAY<STRING>, n INT)
+        |RETURNS ARRAY<STRING>
+        |RETURN flatten(transform(array(ws),
+        |  a -> CASE WHEN size(a) >= n
+        |    THEN array_distinct(transform(
+        |      sequence(1, size(a) - n + 1),
+        |      i -> concat_ws(' ', slice(a, i, n))))
+        |    ELSE array() END))""".stripMargin)
+    // string form: tokenize ONCE. SQL-macro inlining substitutes
+    // arguments textually, so a body that wrote `graft_tokens(t)` at
+    // each of its three use sites would re-run split+filter per gram
+    // position — the O(words²)-per-doc hazard Dedup.rawGrams documents
+    // (measured 85× the CPU on the Scala side). The one-element
+    // `transform` is SQL's let-binding: the lambda variable `ws` binds
+    // the token array exactly once per row. (The body repeats
+    // graft_grams_arr's logic rather than calling it: UDF inlining
+    // wraps arguments in a Project, and a lambda variable cannot cross
+    // that boundary — MISSING_ATTRIBUTES at analysis.)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION graft_grams(t STRING, n INT)
         |RETURNS ARRAY<STRING>
-        |RETURN CASE WHEN size(graft_tokens(t)) >= n
-        |  THEN array_distinct(transform(
-        |    sequence(1, size(graft_tokens(t)) - n + 1),
-        |    i -> concat_ws(' ', slice(graft_tokens(t), i, n))))
-        |  ELSE array() END""".stripMargin)
+        |RETURN flatten(transform(array(graft_tokens(t)),
+        |  ws -> CASE WHEN size(ws) >= n
+        |    THEN array_distinct(transform(
+        |      sequence(1, size(ws) - n + 1),
+        |      i -> concat_ws(' ', slice(ws, i, n))))
+        |    ELSE array() END))""".stripMargin)
     // hashed-linear classifier score (mirrors
     // TextAnalysis.scoreHashedLinear: md5-prefix weight per token
     // occurrence, summed) — the SQL surface of model-based filtering
@@ -106,6 +146,31 @@ object GraftExtensions {
         |RETURN aggregate(graft_tokens(t), 0L,
         |  (acc, w) -> acc + CAST(conv(substring(md5(w), 1, 4), 16, 10)
         |    AS BIGINT) - 32768L)""".stripMargin)
+    // benchmark decontamination (mirrors TextAnalysis.decontaminate's
+    // verdict): shared distinct n-grams between a training doc and the
+    // eval suite's gram set. The eval side of a decontamination run is
+    // fixed-size (a benchmark, not a corpus), so the SQL user passes it
+    // as an array — `(SELECT collect_set(g) FROM eval_grams)` — which
+    // Catalyst evaluates once as a scalar subquery and ships like the
+    // Scala operator's broadcast; the corpus side stays one scan.
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_shared_grams(
+        |  t STRING, eval_grams ARRAY<STRING>, n INT)
+        |RETURNS INT
+        |RETURN size(array_intersect(graft_grams(t, n), eval_grams))""".stripMargin)
+    // term-drift arithmetic (mirrors TextAnalysis.termDrift): exact
+    // integer parts-per-million rate and absolute rate difference, so a
+    // SQL drift query is just word counts + these two macros
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_rate_ppm(
+        |  cnt BIGINT, total BIGINT)
+        |RETURNS BIGINT
+        |RETURN (cnt * 1000000L) DIV total""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_rate_diff_ppm(
+        |  c_a BIGINT, n_a BIGINT, c_b BIGINT, n_b BIGINT)
+        |RETURNS BIGINT
+        |RETURN abs(graft_rate_ppm(c_a, n_a) - graft_rate_ppm(c_b, n_b))""".stripMargin)
     // RAG chunk bounds (mirrors TextAnalysis.chunkDocs arithmetic):
     // table function usable in LATERAL position
     spark.sql(

@@ -141,12 +141,20 @@ object TextQueries {
     // The ENTIRE MinHash-LSH dedup pipeline in pure SQL text — the
     // surface a SQL-only user gets (the reference's audience submits a
     // program; this engine's equivalent submits a query). Native
-    // aggregate minhash_sig is registered on the live session; grams,
-    // banding (xxhash64 over signature slices), the hot-bucket cap
-    // (row_number per band bucket, all-pairs among the first 64 + star
-    // edges from the rank-1 representative), candidate-only gram sets
-    // and exact-Jaccard rescore are all plain Spark SQL. Oracle: the
-    // same brute-force all-pairs Jaccard as q_dedup_minhash.
+    // aggregates minhash_sig_long / bottom_k_longs are registered on
+    // the live session, and the SQL mirrors the Scala path stage for
+    // stage: tokens hashed ONCE and window-combined (no gram strings
+    // ever built), banding via xxhash64 over signature slices, the
+    // hot-bucket cap as the BOUNDED bottom_k_longs aggregate — per-
+    // bucket work is capped by the aggregate's k-slot buffer, so a
+    // million-copy bucket costs k longs, never m² join-task
+    // comparisons (the round-4 form wrote the cap as a join residual
+    // `(b.r <= 64 OR a.r = 1)` that Catalyst could not push below the
+    // join — output was capped but WORK was not). Core pairs explode
+    // row-locally from the kept array; star edges probe the rare
+    // overflow buckets only; the rescore builds per-doc gram-set
+    // ARRAYS and intersects them row-locally. Oracle: the same
+    // brute-force all-pairs Jaccard as q_dedup_minhash.
     "q_sql_dedup" -> { (s, dir) =>
       graft.plans.GraftExtensions.ensureRegistered(s)
       t(s, dir, "documents").createOrReplaceTempView("documents")
@@ -154,43 +162,53 @@ object TextQueries {
         """WITH toks AS (
           |  SELECT doc_id, filter(split(text, '[^\\p{L}]+'), x -> x <> '') AS ws
           |  FROM documents),
-          |grams AS (
-          |  SELECT doc_id, concat_ws(' ', slice(ws, i, 3)) AS g
-          |  FROM (SELECT * FROM toks WHERE size(ws) >= 3)
-          |  LATERAL VIEW explode(sequence(1, size(ws) - 2)) t AS i),
+          |th AS (
+          |  SELECT doc_id, transform(ws, t -> xxhash64(t)) AS hs
+          |  FROM toks WHERE size(ws) >= 3),
+          |gh AS (
+          |  SELECT doc_id, xxhash64(hs[i], hs[i + 1], hs[i + 2]) AS g
+          |  FROM th LATERAL VIEW explode(sequence(0, size(hs) - 3)) t AS i),
           |sigs AS (
-          |  SELECT doc_id, minhash_sig(g, 64) AS sig FROM grams GROUP BY doc_id),
+          |  SELECT doc_id, minhash_sig_long(g, 64) AS sig FROM gh GROUP BY doc_id),
           |bands AS (
           |  SELECT doc_id, b, xxhash64(b, slice(sig, b * 4 + 1, 4)) AS bucket
           |  FROM sigs LATERAL VIEW explode(sequence(0, 15)) t AS b),
-          |rk AS (
-          |  SELECT doc_id, b, bucket,
-          |    row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS r
-          |  FROM bands),
+          |hot AS (
+          |  SELECT b, bucket, bottom_k_longs(doc_id, 64) AS kept,
+          |    COUNT(*) AS cnt
+          |  FROM bands GROUP BY b, bucket HAVING COUNT(*) >= 2),
+          |core AS (
+          |  SELECT p.a AS doc_a, p.b AS doc_b FROM hot
+          |  LATERAL VIEW explode(flatten(transform(kept, (x, i) ->
+          |    transform(slice(kept, i + 2, size(kept)),
+          |      y -> named_struct('a', x, 'b', y))))) t AS p),
+          |star AS (
+          |  SELECT h.kept[0] AS doc_a, d.doc_id AS doc_b
+          |  FROM bands d JOIN hot h
+          |    ON d.b = h.b AND d.bucket = h.bucket AND h.cnt > 64
+          |  WHERE NOT array_contains(h.kept, d.doc_id)),
           |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM rk a JOIN rk b
-          |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-          |    AND (b.r <= 64 OR a.r = 1)),
+          |  SELECT DISTINCT doc_a, doc_b
+          |  FROM (SELECT * FROM core UNION ALL SELECT * FROM star)),
           |cids AS (
           |  SELECT doc_a AS doc_id FROM cand
           |  UNION SELECT doc_b FROM cand),
-          |gsets AS (
-          |  SELECT DISTINCT doc_id, g FROM grams
-          |  WHERE doc_id IN (SELECT doc_id FROM cids)),
-          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gsets GROUP BY doc_id),
-          |inter AS (
-          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-          |  FROM cand c
-          |  JOIN gsets ga ON ga.doc_id = c.doc_a
-          |  JOIN gsets gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
-          |  GROUP BY c.doc_a, c.doc_b)
-          |SELECT i.doc_a, i.doc_b,
-          |  CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) AS jaccard
-          |FROM inter i
-          |JOIN sizes sa ON sa.doc_id = i.doc_a
-          |JOIN sizes sb ON sb.doc_id = i.doc_b
-          |WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.8
+          |sets AS (
+          |  SELECT t.doc_id, array_distinct(transform(
+          |    sequence(1, size(ws) - 2),
+          |    i -> concat_ws(' ', slice(ws, i, 3)))) AS gs
+          |  FROM toks t JOIN cids c ON t.doc_id = c.doc_id
+          |  WHERE size(ws) >= 3)
+          |SELECT c.doc_a, c.doc_b,
+          |  CAST(size(array_intersect(sa.gs, sb.gs)) AS DOUBLE) /
+          |    (size(sa.gs) + size(sb.gs) - size(array_intersect(sa.gs, sb.gs)))
+          |    AS jaccard
+          |FROM cand c
+          |JOIN sets sa ON sa.doc_id = c.doc_a
+          |JOIN sets sb ON sb.doc_id = c.doc_b
+          |WHERE CAST(size(array_intersect(sa.gs, sb.gs)) AS DOUBLE) /
+          |    (size(sa.gs) + size(sb.gs) - size(array_intersect(sa.gs, sb.gs)))
+          |    >= 0.8
           |""".stripMargin)
     },
 

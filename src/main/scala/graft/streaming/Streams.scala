@@ -481,14 +481,26 @@ object Streams {
     *    candidates, never 10¹² pairs.
     * Rows within one invocation are processed in doc_id order, so a
     * single-batch (= batch-mode) run reproduces `cappedBucketPairs`'s
-    * rank semantics exactly. */
-  class NearDupCandidatesProcessor(cap: Int)
+    * rank semantics exactly.
+    *
+    * State lifecycle: per-bucket state is bounded at `cap` ids by
+    * construction, but the NUMBER of (band, bucket) keys grows with
+    * every distinct document ever seen — unbounded on a continuous
+    * ingest. `ttl` bounds it: a bucket idle (not written) for longer
+    * than the TTL is evicted from the store, so live state ∝ documents
+    * seen within the dedup horizon, not ever. RECALL CONTRACT: a
+    * duplicate arriving after its bucket expired pairs with nothing —
+    * it is admitted as novel and SEEDS the bucket again (the standard
+    * windowed-dedup trade; every write refreshes the bucket's TTL, so
+    * steadily-recurring boilerplate never expires). */
+  class NearDupCandidatesProcessor(cap: Int,
+      ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[(Int, Long), BandDoc, CandPair] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[Long]("members",
-        Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.scalaLong, ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
         timers: TimerValues): Iterator[CandPair] = {
@@ -540,9 +552,22 @@ object Streams {
 
   /** Stages 1–2 of [[nearDupPairsStream]]: per-row signatures → band
     * explode → stateful capped candidate emission. Works on a streaming
-    * OR batch `docs` frame. */
+    * OR batch `docs` frame.
+    *
+    * `stateTtl` (recommended on continuous streams): evict buckets idle
+    * longer than the dedup horizon — see [[NearDupCandidatesProcessor]]
+    * for the recall contract. TTL state requires processing-time
+    * semantics, so the processor runs in `TimeMode.ProcessingTime` when
+    * a TTL is set. Operational note: in ProcessingTime mode
+    * `shouldRunAnotherBatch` is always true, so with the default
+    * unbounded trigger the engine schedules no-data micro-batches
+    * back-to-back (each replanning the signature expressions) purely to
+    * advance TTL cleanup. Run TTL'd queries with a trigger interval
+    * (`Trigger.ProcessingTime("30 seconds")` or similar); expiry itself
+    * is enforced on state read either way. */
   def nearDupCandidatesStream(docs: DataFrame, ngram: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, cap: Int = 64): Dataset[CandPair] = {
+      numHashes: Int = 64, bands: Int = 16, cap: Int = 64,
+      stateTtl: Option[java.time.Duration] = None): Dataset[CandPair] = {
     val s = docs.sparkSession
     import s.implicits._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -553,8 +578,9 @@ object Streams {
     graft.operators.Dedup.lshBandBuckets(sigs, bands, numHashes / bands)
       .as[BandDoc]
       .groupByKey(r => (r.band, r.bucket))
-      .transformWithState(new NearDupCandidatesProcessor(cap),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new NearDupCandidatesProcessor(cap, stateTtl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Stage 3 of [[nearDupPairsStream]]: exact-Jaccard rescore of a
@@ -563,14 +589,11 @@ object Streams {
   def verifyNearDupCandidates(cands: DataFrame, corpus: DataFrame,
       ngram: Int = 3, threshold: Double = 0.8): DataFrame = {
     import graft.operators.Dedup
-    val pairs = cands.select(col("doc_a"), col("doc_b")).distinct()
+    // no distinct: the rescore's per-pair aggregation collapses
+    // multi-band duplicates (see Dedup.jaccardRescore)
+    val pairs = cands.select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val candGrams = Dedup.gramSets(
-      corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"),
-      "doc_id", "text", ngram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.jaccard(pairs, candGrams).where(col("jaccard") >= threshold)
+    Dedup.jaccardRescore(pairs, corpus, "doc_id", "text", ngram)
+      .where(col("jaccard") >= threshold)
   }
 }

@@ -117,6 +117,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bounds.sorted.toSeq == expect.sorted.toSeq)
   }
 
+  test("graft_grams tokenizes ONCE per doc; graft_grams_arr form agrees") {
+    val s = TestSpark.spark
+    graft.plans.GraftExtensions.installSqlMacros(s)
+    val docs = s.createDataFrame(Seq(
+      (1L, "one two three four five six"), (2L, "a b"), (3L, "")))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("docs_grams_once_v")
+    // macro inlining substitutes arguments textually; the form must
+    // bind the token array once (the one-element transform
+    // let-binding), never re-run split+filter per gram position.
+    // Plan check runs over the parquet table: a LocalRelation would be
+    // constant-folded away, leaving no expressions to count.
+    s.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .createOrReplaceTempView("docs_grams_plan_v")
+    val p = s.sql("SELECT graft_grams(text, 3) AS gs FROM docs_grams_plan_v")
+      .queryExecution.optimizedPlan.toString
+    val nSplit = "split\\(".r.findAllIn(p).length
+    assert(nSplit == 1,
+      s"tokenization must appear exactly once in the plan, found $nSplit:\n$p")
+    // array form == string form on the same docs
+    val viaArr = s.sql(
+      """SELECT doc_id, graft_grams_arr(graft_tokens(text), 3) AS gs
+        |FROM docs_grams_once_v""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaStr = s.sql(
+      "SELECT doc_id, graft_grams(text, 3) AS gs FROM docs_grams_once_v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaArr == viaStr)
+    assert(viaStr(1L).size == 4 && viaStr(2L).isEmpty && viaStr(3L).isEmpty)
+  }
+
   test("graft_model_score macro == scoreHashedLinear, from pure SQL") {
     val s = TestSpark.spark
     graft.plans.GraftExtensions.installSqlMacros(s)
@@ -131,6 +162,70 @@ class ExtensionsSpec extends AnyFunSuite {
       .scoreHashedLinear(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_q")).toMap
     assert(viaSql == viaScala)
+  }
+
+  test("graft_shared_grams macro == decontaminate, from pure SQL") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    graft.plans.GraftExtensions.installSqlMacros(s)
+    val docs = s.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val eval = docs.where(col("doc_id") % 10 === 0)
+    train.createOrReplaceTempView("decon_train_v")
+    eval.createOrReplaceTempView("decon_eval_v")
+    // (no WITH here: a CTE referenced from a scalar subquery inside an
+    // inlined SQL UDF trips InlineCTE in Spark 4.1 — key not found)
+    val viaSql = s.sql(
+      """SELECT doc_id, n_shared_grams FROM (
+        |  SELECT doc_id, graft_shared_grams(text,
+        |    (SELECT array_distinct(flatten(collect_list(graft_grams(text, 5))))
+        |     FROM decon_eval_v), 5) AS n_shared_grams
+        |  FROM decon_train_v)
+        |WHERE n_shared_grams > 0""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val viaScala = graft.operators.TextAnalysis
+      .decontaminate(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_shared_grams")).toMap
+    assert(viaSql == viaScala)
+  }
+
+  test("graft_rate_ppm / graft_rate_diff_ppm macros == termDrift, from pure SQL") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    graft.plans.GraftExtensions.installSqlMacros(s)
+    val docs = s.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    a.createOrReplaceTempView("drift_a_v")
+    b.createOrReplaceTempView("drift_b_v")
+    val viaSql = s.sql(
+      """WITH ca AS (
+        |  SELECT term, COUNT(*) AS c_a
+        |  FROM (SELECT graft_tokens(text) AS ws FROM drift_a_v)
+        |  LATERAL VIEW explode(ws) t AS term
+        |  GROUP BY term),
+        |cb AS (
+        |  SELECT term, COUNT(*) AS c_b
+        |  FROM (SELECT graft_tokens(text) AS ws FROM drift_b_v)
+        |  LATERAL VIEW explode(ws) t AS term
+        |  GROUP BY term),
+        |j AS (
+        |  SELECT coalesce(ca.term, cb.term) AS term,
+        |    coalesce(c_a, 0L) AS c_a, coalesce(c_b, 0L) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        |na AS (SELECT sum(c_a) AS n_a FROM ca),
+        |nb AS (SELECT sum(c_b) AS n_b FROM cb)
+        |SELECT term, c_a, c_b,
+        |  graft_rate_ppm(c_a, n_a) AS rate_a_ppm,
+        |  graft_rate_ppm(c_b, n_b) AS rate_b_ppm,
+        |  graft_rate_diff_ppm(c_a, n_a, c_b, n_b) AS rate_diff_ppm
+        |FROM j CROSS JOIN na CROSS JOIN nb
+        |WHERE c_a >= 5 OR c_b >= 5""".stripMargin)
+      .collect().map(_.toString).sorted
+    val viaScala = graft.operators.TextAnalysis
+      .termDrift(a, b, "text", minCount = 5L)
+      .collect().map(_.toString).sorted
+    assert(viaSql.toSeq == viaScala.toSeq)
   }
 
   test("null semantics: null array or null element yields null") {

@@ -196,6 +196,22 @@ class PlanPropertiesSpec extends SparkSpec {
       s"star probe must be a broadcast join:\n$p")
   }
 
+  test("q_sql_dedup: the SQL cap caps WORK — bounded aggregate, no rank window") {
+    // the pure-SQL pipeline must mirror the Scala guard's shape: the
+    // round-4 form wrote the cap as a join residual `(b.r <= 64 OR
+    // a.r = 1)` that Catalyst could not push below the join, so a hot
+    // bucket still paid m² predicate evaluations inside one join task
+    val p = plan(graft.SparkEntry.queries("q_sql_dedup")(spark, sf))
+    assert(p.contains("bottom_k_longs"),
+      s"SQL bucket membership must flow through the bounded aggregate:\n$p")
+    assert(!p.contains("row_number"),
+      s"no corpus-wide rank window may remain in the SQL form:\n$p")
+    // star edges probe only overflow buckets: the kept/cnt relation is
+    // filtered to cnt > 64 BEFORE joining the bands side
+    assert("""cnt#\d+L? > 64""".r.findAllIn(p).nonEmpty,
+      s"star join must prefilter to overflow buckets:\n$p")
+  }
+
   test("q_window_ntile: all four window functions share one exchange") {
     val p = plan(SparkEntry.queries("q_window_ntile")(spark, sf))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

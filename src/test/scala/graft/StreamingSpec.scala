@@ -429,4 +429,57 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected)
   }
+
+  test("streaming near-dup TTL: dups pair within horizon; idle buckets evict and reseed") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta"
+
+    // TTL state forces TimeMode.ProcessingTime, under which
+    // transformWithState's shouldRunAnotherBatch is always true — with
+    // no-data micro-batches enabled the engine schedules empty batches
+    // forever and processAllAvailable never unblocks (production runs
+    // set a trigger interval, so this only bites test-style unbounded
+    // triggers). Disable no-data batches for the duration: TTL expiry
+    // is enforced on state READ, so eviction semantics are unchanged.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // within the horizon (generous TTL): a dup in the next batch pairs
+      val msA = MemoryStream[(Long, String)](spark)
+      val sqA = Streams.nearDupCandidatesStream(
+          msA.toDF().toDF("doc_id", "text"),
+          stateTtl = Some(java.time.Duration.ofMinutes(10)))
+        .writeStream.format("memory").queryName("ndttl_a")
+        .outputMode("append").start()
+      msA.addData((1L, txt)); sqA.processAllAvailable()
+      msA.addData((2L, txt)); sqA.processAllAvailable()
+      sqA.stop()
+      val gotA = spark.table("ndttl_a").as[Streams.CandPair]
+        .collect().map(p => (p.doc_a, p.doc_b)).toSet
+      assert(gotA == Set((1L, 2L)),
+        s"dup within the TTL horizon must pair, got $gotA")
+
+      // past the horizon (short TTL + sleep): the bucket evicts — the
+      // late dup pairs with NOTHING (recall contract) but reseeds the
+      // bucket, so a same-batch follower pairs with the reseeder, not
+      // the expired original
+      val msB = MemoryStream[(Long, String)](spark)
+      val sqB = Streams.nearDupCandidatesStream(
+          msB.toDF().toDF("doc_id", "text"),
+          stateTtl = Some(java.time.Duration.ofSeconds(3)))
+        .writeStream.format("memory").queryName("ndttl_b")
+        .outputMode("append").start()
+      msB.addData((1L, txt)); sqB.processAllAvailable()
+      Thread.sleep(4000) // > ttl: doc 1's buckets expire
+      msB.addData((3L, txt), (4L, txt)); sqB.processAllAvailable()
+      sqB.stop()
+      val gotB = spark.table("ndttl_b").as[Streams.CandPair]
+        .collect().map(p => (p.doc_a, p.doc_b)).toSet
+      assert(!gotB.contains((1L, 3L)) && !gotB.contains((1L, 4L)),
+        s"a dup arriving after its bucket expired must not pair with it, got $gotB")
+      assert(gotB.contains((3L, 4L)),
+        s"the expired bucket must reseed so fresh dups still pair, got $gotB")
+    } finally {
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    }
+  }
 }
