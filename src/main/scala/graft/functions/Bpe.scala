@@ -38,6 +38,137 @@ object Bpe {
   def ranks(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  /** Parse a merges table in the GPT-2 `merges.txt` layout: an optional
+    * header block of `#` lines (`#version:`, provenance comments), then
+    * one merge per line — two symbols separated by a single space,
+    * rank = line order. Only the LEADING run of `#` lines is a header:
+    * once data starts, a `#`-initial line is a merge whose symbols are
+    * literally `#` (markdown-heavy corpora learn `# #`), so comment
+    * stripping cannot corrupt a learned table. Blank lines are skipped
+    * throughout. */
+  def parseMerges(lines: Iterator[String]): Seq[(String, String)] = {
+    var inHeader = true
+    val out = Seq.newBuilder[(String, String)]
+    lines.foreach { raw =>
+      val l = raw.trim
+      if (l.nonEmpty) {
+        if (inHeader && l.startsWith("#")) () // header/provenance line
+        else {
+          inHeader = false
+          val sp = l.indexOf(' ')
+          require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+            s"malformed merges line (want 'sym1 sym2'): '$l'")
+          out += ((l.substring(0, sp), l.substring(sp + 1)))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Render merges in the same `merges.txt` layout ([[parseMerges]]
+    * round-trips it). */
+  def formatMerges(merges: Seq[(String, String)],
+      header: Seq[String] = Seq("#version: 0.2")): String =
+    (header ++ merges.map { case (a, b) => s"$a $b" }).mkString("\n") + "\n"
+
+  /** The vendored learned table: a few-thousand-rank BPE table in the
+    * `merges.txt` format, trained by [[trainFromWordCounts]] (the
+    * standard Sennrich frequency-merge loop) over public English prose
+    * available in this build environment (see the resource's `#`
+    * header for exact provenance + regeneration command). The toy
+    * [[defaultMerges]] stays the zero-dependency default; production
+    * token budgeting loads the MODEL'S OWN merges file through
+    * [[parseMerges]] — this table exercises that path at realistic
+    * scale without shipping a third-party artifact. */
+  lazy val vendoredMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "missing resource /graft/bpe_merges.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parseMerges(src.getLines()) finally src.close()
+  }
+
+  /** Learn a merge table from word frequencies — the Sennrich et al.
+    * 2016 training loop: repeatedly merge the most frequent adjacent
+    * symbol pair (occurrence-weighted by word count), deterministic
+    * tie-break on the pair itself. Stops early when no pair reaches
+    * `minPairCount`. Driver-side on an already-aggregated vocabulary —
+    * see [[train]] for why that is the scale-correct split. */
+  def trainFromWordCounts(wordCounts: Iterable[(String, Long)],
+      numMerges: Int, minPairCount: Long = 2L): Seq[(String, String)] = {
+    // mutable vocabulary: symbol sequences with their word's count
+    val vocab = wordCounts.iterator
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // max count; ties broken by the pair (lexicographic) so the
+        // learned table is bit-deterministic across runs
+        val ((l, r), cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minPairCount) exhausted = true
+        else {
+          merges += ((l, r))
+          val merged = l + r
+          var vi = 0
+          while (vi < vocab.length) {
+            val (syms, c) = vocab(vi)
+            // apply left-to-right, mirroring encodeCount's merge pass
+            var has = false
+            var i = 0
+            while (!has && i < syms.length - 1) {
+              has = syms(i) == l && syms(i + 1) == r; i += 1
+            }
+            if (has) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                  out += merged; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              vocab(vi) = (out.toArray, c)
+            }
+            vi += 1
+          }
+          round += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenizer training over a corpus: ONE distributed word-count pass
+    * (map-side-combined groupBy — the only shuffle, word-count shaped),
+    * then the merge loop on the collected vocabulary. This is the
+    * architecture real BPE trainers use at scale: the corpus —
+    * arbitrarily large — is touched exactly once; the training loop is
+    * O(vocab × merges), and a natural-language vocabulary is bounded
+    * (Heaps' law) at millions of entries independent of corpus size,
+    * so it fits one driver. A per-merge distributed recount would
+    * instead shuffle the corpus once PER MERGE — thousands of passes. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    val counts = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainFromWordCounts(counts, numMerges, minPairCount)
+  }
+
   /** BPE token count of ONE word: greedy lowest-rank-first merging over
     * the word's symbol sequence. O(len²) worst case on the symbol
     * array — words are short, and callers memoize per distinct word. */

@@ -251,8 +251,11 @@ object TextQueries {
     // the character-level count). Exact known-string counts are
     // asserted in TokenizerSpec.
     "q_bpe_tokens" -> { (s, dir) =>
+      // runs under the vendored LEARNED table (3000 ranks, merges.txt
+      // format) — the realistic-scale merge path, not the toy default
       val counts = graft.functions.Bpe.tokenCountsBpe(
-        t(s, dir, "documents"), "doc_id", "text")
+        t(s, dir, "documents"), "doc_id", "text",
+        merges = graft.functions.Bpe.vendoredMerges)
       counts.agg(count(lit(1)).as("n_docs"),
         min(when(col("bpe_tokens") >= col("ws_tokens") &&
           col("bpe_tokens") <= col("char_tokens"), 1L).otherwise(0L))

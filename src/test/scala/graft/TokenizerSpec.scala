@@ -89,4 +89,69 @@ class TokenizerSpec extends SparkSpec {
     val (bpe3, ws3, ch3) = got(3L)
     assert(ws3 == 2 && ch3 == 6 && bpe3 == 6, "no default merge applies to zzz/qqq")
   }
+
+  test("BPE: merges.txt parser — header/comment skip, round-trip, malformed rejected") {
+    import graft.functions.Bpe
+    val txt = "#version: 0.2\n# provenance comment\nt h\nth e\n\na t\n"
+    val parsed = Bpe.parseMerges(txt.linesIterator)
+    assert(parsed == Seq(("t", "h"), ("th", "e"), ("a", "t")))
+    // format → parse round-trips, header included
+    assert(Bpe.parseMerges(Bpe.formatMerges(parsed).linesIterator) == parsed)
+    // a '#'-initial line AFTER data starts is a merge, not a comment —
+    // markdown-heavy corpora genuinely learn ("#","#")
+    val withHash = Seq(("t", "h"), ("#", "#"), ("##", "#"))
+    assert(Bpe.parseMerges(Bpe.formatMerges(withHash).linesIterator) == withHash)
+    intercept[IllegalArgumentException] {
+      Bpe.parseMerges(Iterator("a b c"))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.parseMerges(Iterator("nospace"))
+    }
+  }
+
+  test("BPE: trainer learns the classic corpus's merges in frequency order") {
+    import graft.functions.Bpe
+    // Sennrich et al.'s worked example shape. Hand-computed pair
+    // frequencies: round 1 has (e,s)=9 tied with (s,t)=9 — the
+    // deterministic tie-break (count desc, then pair asc) picks (e,s);
+    // merging es leaves (es,t)=9 the unique max; then (l,o)=7 ties
+    // (o,w)=7 → (l,o); merging lo leaves (lo,w)=7.
+    val counts = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.trainFromWordCounts(counts, numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      s"learned prefix must match the hand-computed sequence, got $merges")
+    // under that table: n e w e s t → n e w es t → n e w est = 4 tokens
+    assert(Bpe.encodeCount("newest", Bpe.ranks(merges)) == 4)
+    // determinism: retraining yields the identical table
+    assert(Bpe.trainFromWordCounts(counts, numMerges = 4) == merges)
+  }
+
+  test("BPE: vendored learned table — size, format, exact counts on known strings") {
+    import graft.functions.Bpe
+    val merges = Bpe.vendoredMerges
+    assert(merges.size == 3000, s"vendored table must carry 3000 ranks, got ${merges.size}")
+    // the table must start from character-pair merges (a learned table
+    // ranks the most frequent digraphs first; multi-char symbols can
+    // only appear after their parts merged)
+    assert(merges.take(4).forall { case (a, b) => a.length == 1 && b.length == 1 })
+    val rank = Bpe.ranks(merges)
+    // golden counts pinned against the committed table: corpus-frequent
+    // words collapse to one token; unseen words split into learned
+    // subwords; alphabet noise stays character-level
+    assert(Bpe.encodeCount("the", rank) == 1)
+    assert(Bpe.encodeCount("license", rank) == 1)
+    assert(Bpe.encodeCount("copyright", rank) == 1)
+    assert(Bpe.encodeCount("relicensed", rank) == 2)  // re + licensed
+    assert(Bpe.encodeCount("sparkly", rank) == 2)     // spark + ly
+    assert(Bpe.encodeCount("tokenizer", rank) == 4)   // to + ken + iz + er
+    assert(Bpe.encodeCount("xyzzyq", rank) == 6)      // no merges apply
+    // dataframe path under the vendored table keeps the bound contract
+    val docs = Seq((1L, "the license is sparkly"), (2L, "xyzzyq"))
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenCountsBpe(docs, "doc_id", "text", merges = merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((5L, 4L, 19L))) // 1+1+1+2 tokens, 4 words, 19 chars
+    assert(got(2L) == ((6L, 1L, 6L)))
+  }
 }
