@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracked persistence for operator intermediates.
+  *
+  * The pair-generation operators (`minhashDedupPairs`,
+  * `incrementalDedupPairs`, `simhashPairs`, `nearDupPairsLsh`,
+  * `verifyNearDupCandidates`) persist intermediates that BOTH sides of
+  * a self-join (or a downstream rescore) re-read — recomputing them
+  * doubles the dominant scan. Those frames feed the lazily-returned
+  * result, so the operator itself cannot unpersist them; in library use
+  * each invocation would otherwise pin MEMORY_AND_DISK blocks until the
+  * caller happened to clear the whole SQL cache.
+  *
+  * This registry makes the contract explicit: operators persist through
+  * [[Caches.persist]], and callers release everything tracked with
+  * [[Caches.release]] after the consuming action (a query harness does
+  * it between queries; `spark.catalog.clearCache()` remains the
+  * blunt equivalent). Release is idempotent and safe mid-stream — an
+  * unpersisted frame silently recomputes if re-used. */
+object Caches {
+
+  private val tracked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Persist `df` at MEMORY_AND_DISK and track it for [[release]]. */
+  def persist(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(df)
+    df
+  }
+
+  /** Unpersist (non-blocking) every tracked intermediate. */
+  def release(): Unit = {
+    val it = tracked.iterator()
+    while (it.hasNext) { it.next().unpersist(false); it.remove() }
+  }
+
+  /** Number of currently-tracked intermediates (test hook). */
+  def trackedCount: Int = tracked.size()
+}

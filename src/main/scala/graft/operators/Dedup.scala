@@ -238,7 +238,9 @@ object Dedup {
     * n-gram Jaccard >= threshold, found via LSH (not all-pairs).
     * 16 bands × 4 rows: P(catch | J=t) = 1-(1-t^4)^16 — ≥0.9998 at
     * t=0.8, indistinguishable from 1 at the J≈0.95 dups real corpora
-    * (and this testdata) contain. */
+    * (and this testdata) contain.
+    * Persists the candidate list through [[Caches]] — release with
+    * `Caches.release()` after the consuming action. */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
@@ -255,10 +257,10 @@ object Dedup {
     // a pair colliding in several bands reaches the rescore several
     // times, and the rescore's own per-pair aggregation dedups for free
     // — one exchange saved.
-    val cands = cappedBucketPairs(lshBandBuckets(sigs, bands, numHashes / bands),
-        Seq("band", "bucket"), "doc_id", maxBucket)
-      .toDF("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Caches.persist(
+      cappedBucketPairs(lshBandBuckets(sigs, bands, numHashes / bands),
+          Seq("band", "bucket"), "doc_id", maxBucket)
+        .toDF("doc_a", "doc_b"))
     jaccardRescore(cands, docs, idCol, textCol, ngram)
       .where(col("jaccard") >= threshold)
   }
@@ -319,6 +321,47 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Fold an admitted batch's signatures INTO the stored band index —
+    * the step that closes the production ingest loop (ingest → dedup vs
+    * index via [[incrementalDedupPairs]] → admit → index += batch, so
+    * batch N+1 dedups against batch N without any corpus recompute).
+    *
+    * New members extend each bucket's rank sequence: rank = the
+    * bucket's stored max rank + the member's rank within the batch.
+    * Ranks thus follow ARRIVAL order across batches rather than global
+    * doc_id order — the guard's contract (a bounded, deterministic kept
+    * set with a stable rank-1 representative) is preserved, and the
+    * representative is the earliest-ingested member, which is exactly
+    * what a streaming-ingest dedup wants.
+    *
+    * Cost per batch: the batch's own signatures, one index SCAN
+    * semi-joined (broadcast, batch-side keys) down to the buckets the
+    * batch actually touches, a batch-sized rank window, and an APPEND
+    * write — the stored corpus index is never rewritten or re-sorted. */
+  def appendToBandIndex(newDocs: DataFrame, path: String, idCol: String,
+      textCol: String, ngram: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDocs.sparkSession
+    val newBuckets = lshBandBuckets(
+      minhashSignaturesHashed(gramHashes(newDocs, idCol, textCol, ngram), numHashes),
+      bands, numHashes / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = newBuckets.select(col("band"), col("bucket")).distinct()
+      val base = spark.read.parquet(path)
+        .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+        .groupBy(col("band"), col("bucket")).agg(max(col("__r")).as("__base"))
+      val w = Window.partitionBy(col("band"), col("bucket"))
+        .orderBy(col("doc_id").asc)
+      newBuckets.withColumn("__nr", row_number().over(w))
+        .join(base, Seq("band", "bucket"), "left")
+        .select(col("doc_id"), col("band"), col("bucket"),
+          (col("__nr") + coalesce(col("__base"), lit(0))).as("__r"))
+        .write.mode("append").parquet(path)
+    } finally newBuckets.unpersist()
+  }
+
   private val bandIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -331,6 +374,13 @@ object Dedup {
       writeBandIndex(docs, idCol, textCol, path, ngram, numHashes, bands)
       java.lang.Boolean.TRUE
     })
+
+  /** Drop the build-once memo for `path` so the next
+    * [[ensureBandIndex]] rebuilds (e.g. after deleting the index dir
+    * mid-session). Content-addressed paths ([[graft.io.IndexPaths]])
+    * make this unnecessary for source changes — a changed source IS a
+    * new path. */
+  def invalidateBandIndex(path: String): Unit = bandIndexes.remove(path)
 
   /** Incremental near-dup detection — the production dedup shape: a NEW
     * batch (daily ingest) is matched against an EXISTING corpus through
@@ -346,16 +396,17 @@ object Dedup {
     * the (pre-shuffled, pre-ranked) index read and the candidate-id
     * text fetch. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
     * at least one side in the new batch, jaccard >= threshold.
-    * `corpusDocs` and `newDocs` must have disjoint ids. */
+    * `corpusDocs` and `newDocs` must have disjoint ids.
+    * Persists intermediates through [[Caches]] — release with
+    * `Caches.release()` after the consuming action. */
   def incrementalDedupPairs(newDocs: DataFrame, corpusDocs: DataFrame,
       indexPath: String, idCol: String, textCol: String, ngram: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       maxBucket: Int = 64): DataFrame = {
     val spark = newDocs.sparkSession
-    val newBuckets = lshBandBuckets(
+    val newBuckets = Caches.persist(lshBandBuckets(
       minhashSignaturesHashed(gramHashes(newDocs, idCol, textCol, ngram), numHashes),
-      bands, numHashes / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bands, numHashes / bands))
     val idx = spark.read.parquet(indexPath)
     val vsCorpus = newBuckets.select(col("band"), col("bucket"),
         col("doc_id").as("n_id"))
@@ -368,8 +419,8 @@ object Dedup {
     val vsNew = cappedBucketPairs(
       newBuckets.select(col("band"), col("bucket"), col("doc_id")),
       Seq("band", "bucket"), "doc_id", maxBucket)
-    val cands = vsCorpus.unionByName(vsNew).toDF("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Caches.persist(
+      vsCorpus.unionByName(vsNew).toDF("doc_a", "doc_b"))
     val all = corpusDocs.select(col(idCol), col(textCol))
       .unionByName(newDocs.select(col(idCol), col(textCol)))
     jaccardRescore(cands, all, idCol, textCol, ngram)
@@ -497,16 +548,29 @@ object Dedup {
     * Pigeonhole banding: split the `bits`-wide hash into 4 equal chunks;
     * any pair within distance 3 shares at least one exact chunk, so the
     * join is an equi-join on (chunk index, chunk value) — never
-    * all-pairs. */
+    * all-pairs.
+    *
+    * `maxBucket` recall contract — WEAKER than the MinHash cap: a
+    * shared MinHash band implies the pair is (with high probability) a
+    * near-dup, so capped overflow members losing their mutual edges
+    * still cluster through the rank-1 star. A shared 16-bit simhash
+    * CHUNK is only weak evidence (the other 48 bits may differ), so two
+    * overflow members of a hot chunk bucket can be genuine
+    * hamming<=maxDist pairs that the cap DROPS, and the star edge to
+    * the representative may fail the hamming rescore — a real recall
+    * loss, not just edge thinning. Hence the default cap is larger than
+    * the MinHash guard's (256 vs 64), and `None` disables it entirely
+    * (exact pigeonhole recall; only safe when no 16-bit chunk value is
+    * shared by an unbounded document cluster). */
   def simhashPairs(hashes: DataFrame, maxDist: Int = 3, bits: Int = 64,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Option[Int] = Some(256)): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
     require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, <= 64")
     val w = bits / 4
     val mask = (1L << w) - 1L
     // both sides of the self-join read `hashes`; persist so the 64-sum
     // signature aggregation upstream runs once.
-    val cached = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = Caches.persist(hashes)
     val chunked = cached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * w).bitwiseAND(lit(mask))): _*)))
@@ -517,9 +581,18 @@ object Dedup {
     // capped pair stream carries only ids, so the extra joins shuffle
     // ids + one long, and both probe the same cached signature table.
     val sigsOnly = cached.select(col("doc_id"), col("simhash"))
-    cappedBucketPairs(chunked.select(col("chunk"), col("cv"), col("doc_id")),
-        Seq("chunk", "cv"), "doc_id", maxBucket)
-      .toDF("doc_a", "doc_b").distinct()
+    val bucketCols = chunked.select(col("chunk"), col("cv"), col("doc_id"))
+    val rawPairs = maxBucket match {
+      case Some(cap) =>
+        cappedBucketPairs(bucketCols, Seq("chunk", "cv"), "doc_id", cap)
+          .toDF("doc_a", "doc_b")
+      case None => // exact pigeonhole: plain capped-free equi-self-join
+        bucketCols.toDF("chunk", "cv", "doc_a")
+          .join(bucketCols.toDF("chunk", "cv", "doc_b"), Seq("chunk", "cv"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+    }
+    rawPairs.distinct()
       .join(sigsOnly.toDF("doc_a", "sh_a"), "doc_a")
       .join(sigsOnly.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),

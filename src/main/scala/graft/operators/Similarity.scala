@@ -151,10 +151,10 @@ object Similarity {
     // the persist the plane dots + semi-join + rank recompute per
     // input (measured 4x the work; callers clear the SQL cache). The
     // cache now holds only pair-producing buckets, not the corpus.
-    val keyed = exploded.join(pairable, Seq("bkey"), "left_semi")
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("bkey")).orderBy(col("id").asc)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = graft.operators.Caches.persist(
+      exploded.join(pairable, Seq("bkey"), "left_semi")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("bkey")).orderBy(col("id").asc))))
     // score WHILE the vectors are co-located by the band join, then
     // dedupe band collisions on (id_a, id_b, cos) — the dedup shuffle
     // carries ids + one double instead of two 64-float vectors; a pair
@@ -222,8 +222,8 @@ object Similarity {
   def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       probeId: Long, k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     // train + assign scan the corpus ~2x per Lloyd iteration — cache it
-    // (caller/driver clears the SQL cache between queries)
-    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (tracked: callers release via Caches.release after the action)
+    val cached = Caches.persist(emb)
     val centroids = ivfTrain(cached, idCol, vecCol, nClusters)
     val qvec = cached.where(col(idCol) === probeId).select(col(vecCol)).head()
       .getSeq[Float](0)
@@ -279,6 +279,13 @@ object Similarity {
     * job and queried by everyone else. */
   private val ivfIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Seq[Float]]]()
+
+  /** Drop the build-once memo for `indexPath` so the next
+    * [[ivfTopKIndexed]] rebuilds (e.g. after deleting the index dir
+    * mid-session). With content-addressed paths
+    * ([[graft.io.IndexPaths]]) source changes rebuild automatically —
+    * a changed source is a new path. */
+  def invalidateIvfIndex(indexPath: String): Unit = ivfIndexes.remove(indexPath)
 
   /** IVF ANN top-k THROUGH the materialized index: build-once (memoized
     * per `indexPath`), then [[ivfQueryIndex]]'s partition-pruned probe.

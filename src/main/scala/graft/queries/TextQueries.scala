@@ -107,8 +107,11 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val corpus = docs.where(col("doc_id") % 5 =!= 4)
       val fresh = docs.where(col("doc_id") % 5 === 4)
-      val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_bandidx_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      // content-addressed: distinct source dirs never alias, and
+      // regenerated testdata yields a fresh path (stale-index hazard
+      // of the old dir.hashCode key)
+      val indexPath = graft.io.IndexPaths.indexPath("bandidx",
+        s"$dir/documents.parquet", "n3h64b16")
       Dedup.ensureBandIndex(corpus, "doc_id", "text", indexPath)
       Dedup.incrementalDedupPairs(fresh, corpus, indexPath, "doc_id", "text")
     },

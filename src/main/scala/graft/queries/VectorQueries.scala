@@ -68,8 +68,10 @@ object VectorQueries {
     // recall and fails the hash match.
     "q_ann_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val indexPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      // content-addressed path (see graft.io.IndexPaths): no cross-dir
+      // aliasing, regenerated embeddings invalidate naturally
+      val indexPath = graft.io.IndexPaths.indexPath("ivf",
+        s"$dir/embeddings.parquet", "c16")
       val ivf = Similarity.ivfTopKIndexed(s, emb, "vec_id", "embedding",
         indexPath, probeId = 0L, k = K)
       val exact = Similarity.bruteForceTopK(s, emb, "vec_id", "embedding",

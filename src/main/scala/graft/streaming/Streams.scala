@@ -591,8 +591,8 @@ object Streams {
     import graft.operators.Dedup
     // no distinct: the rescore's per-pair aggregation collapses
     // multi-band duplicates (see Dedup.jaccardRescore)
-    val pairs = cands.select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.operators.Caches.persist(
+      cands.select(col("doc_a"), col("doc_b")))
     Dedup.jaccardRescore(pairs, corpus, "doc_id", "text", ngram)
       .where(col("jaccard") >= threshold)
   }

@@ -80,6 +80,65 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 100L), (2L, 100L), (101L, 102L)))
   }
 
+  test("appendToBandIndex closes the ingest loop: batch 2 dedups against batch 1") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about weather patterns in the north"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "fresh boilerplate paragraph that later batches will repeat verbatim"),
+      (11L, "one more unrelated piece of writing about compiler construction"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "fresh boilerplate paragraph that later batches will repeat verbatim"),
+      (21L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx_append").toString
+    Dedup.writeBandIndex(corpus, "doc_id", "text", dir)
+    // ingest batch 1: dedup vs index (no hits expected), then admit
+    val hits1 = Dedup.incrementalDedupPairs(batch1, corpus, dir, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits1.isEmpty, s"batch 1 plants no dups, got $hits1")
+    Dedup.appendToBandIndex(batch1, dir, "doc_id", "text")
+    // ingest batch 2: doc 20 duplicates BATCH-1 doc 10 (only findable
+    // through the appended index) and doc 21 duplicates corpus doc 1
+    val hits2 = Dedup.incrementalDedupPairs(batch2,
+        corpus.unionByName(batch1), dir, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 === Set((10L, 20L), (1L, 21L)))
+    // appended ranks extend each bucket's sequence: within every
+    // (band, bucket) the ranks are exactly 1..n with no collisions
+    val idx = spark.read.parquet(dir)
+    val bad = idx.groupBy("band", "bucket")
+      .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("n"),
+        org.apache.spark.sql.functions.countDistinct(col("__r")).as("d"),
+        smax(col("__r")).as("m"))
+      .where(col("n") =!= col("d") || col("m") =!= col("n"))
+      .count()
+    assert(bad == 0, "every bucket's ranks must stay a dense 1..n sequence")
+  }
+
+  test("Caches: operator intermediates are tracked and released, results unaffected") {
+    import graft.operators.Caches
+    Caches.release() // clean slate (other suites may have tracked frames)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text about weather patterns in the north"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text")
+    assert(pairs.count() == 1)
+    assert(Caches.trackedCount > 0,
+      "the candidate intermediate must be tracked while in use")
+    Caches.release()
+    assert(Caches.trackedCount == 0)
+    // released frames recompute transparently on re-use
+    assert(pairs.count() == 1)
+  }
+
   test("dedupClusters: empty pair list yields empty clustering") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(empty).count() === 0)

@@ -154,8 +154,13 @@ class EdgeCasesSpec extends SparkSpec {
       .map(i => (i.toLong, "repeat me repeat me repeat me again and again"))
       .toDF("doc_id", "text")
     val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"),
-      maxDist = 3, bits = 64, maxBucket = cap)
+      maxDist = 3, bits = 64, maxBucket = Some(cap))
     assert(pairs.count() === (cap * (cap - 1) / 2 + (m - cap)).toLong)
+    // opting out (maxBucket = None) restores exact pigeonhole recall:
+    // every pair of the identical-doc cluster
+    val exact = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"),
+      maxDist = 3, bits = 64, maxBucket = None)
+    assert(exact.count() === (m.toLong * (m - 1) / 2))
   }
 
   test("hot-bucket guard: embedding LSH caps identical-vector floods") {
