@@ -492,6 +492,66 @@ object TextAnalysis {
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
 
+  /** Sketch-based pairwise source overlap — the 100 TB form of
+    * [[sourceOverlap]]: per-source KMV (bottom-m distinct gram hashes)
+    * sketches, then the standard bottom-m union estimator per pair —
+    * take the merged bottom-m X of the two sketches; |X ∩ A ∩ B| / |X|
+    * estimates Jaccard with ~1/√m standard error (±~4.5% at m=512).
+    *
+    * Scale shape vs the exact diagnostic: raw (non-distinct) gram
+    * hashes stream straight off the scan into the bounded
+    * [[graft.functions.expr.BottomKDistinctLongs]] aggregate — the
+    * buffer dedups, combines map-side, and the ONLY shuffle ships ≤ m
+    * longs per source per map partition. No corpus-wide distinct-gram
+    * shuffle (the exact form's documented cost), no gram-keyed
+    * self-join; the pair estimation is a row-local array computation
+    * over a sources² relation, which is tiny.
+    *
+    * `portableHash` picks md5-prefix gram hashing (60-bit, replayable
+    * verbatim in any engine — the full-oracle path) over xxhash64 of
+    * combined token hashes (string-free, the production path;
+    * cross-checked against the exact Jaccard in TextAnalysisSpec).
+    * Returns (source_a, source_b, m_used, n_shared_sketch,
+    * jaccard_est). */
+  def sourceOverlapSketch(docs: DataFrame, textCol: String,
+      sourceCol: String, n: Int = 3, m: Int = 512,
+      portableHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val hashed =
+      if (portableHash)
+        docs.select(col(sourceCol).as("source"),
+            TextFns.letterTokens(col(textCol)).as("__toks"))
+          .select(col("source"),
+            explode(TextFns.wordNGrams(col("__toks"), n)).as("g"))
+          .select(col("source"),
+            conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      else
+        docs.select(col(sourceCol).as("source"),
+            transform(TextFns.letterTokens(col(textCol)), t => xxhash64(t))
+              .as("__th"))
+          .select(col("source"),
+            explode(when(size(col("__th")) >= n,
+              transform(sequence(lit(0), size(col("__th")) - lit(n)),
+                i => xxhash64((1 to n).map(j =>
+                  element_at(col("__th"), i + lit(j))): _*)))
+              .otherwise(array().cast("array<bigint>"))).as("h"))
+    val sketchAgg = shim.column(
+      graft.functions.expr.BottomKDistinctLongs(shim.expression(col("h")), m)
+        .toAggregateExpression())
+    val sk = hashed.groupBy(col("source")).agg(sketchAgg.as("sk"))
+    val merged = slice(array_sort(array_distinct(
+      concat(col("a.sk"), col("b.sk")))), 1, m)
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        merged.as("__x"), col("a.sk").as("__ska"), col("b.sk").as("__skb"))
+      .select(col("source_a"), col("source_b"),
+        size(col("__x")).cast("long").as("m_used"),
+        size(array_intersect(array_intersect(col("__x"), col("__ska")),
+          col("__skb"))).cast("long").as("n_shared_sketch"))
+      .withColumn("jaccard_est",
+        col("n_shared_sketch").cast("double") / col("m_used").cast("double"))
+  }
+
   /** Term-distribution drift between two corpus slices (old snapshot vs
     * new crawl, source A vs source B): per-term occurrence rates in
     * parts-per-million, their absolute difference, and each side's

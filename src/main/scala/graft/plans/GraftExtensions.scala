@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{BottomKLongs, DotProductD, DotProductQ, MinHashSig, MinHashSigLong, SimHashAgg, TopKByScore}
+import graft.functions.expr.{BottomKDistinctLongs, BottomKLongs, DotProductD, DotProductQ, MinHashSig, MinHashSigLong, SimHashAgg, TopKByScore}
 
 /** Engine extension point: registers the native expressions with the
   * Catalyst function registry so they are callable from SQL text, not
@@ -68,6 +68,12 @@ object GraftExtensions {
       info("bottom_k_longs",
         "bottom_k_longs(id, k) - bounded aggregate: the k smallest ids per group as a sorted array; the hot-bucket guard's buffer"),
       (children: Seq[Expression]) => BottomKLongs(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
+    ("bottom_k_distinct",
+      info("bottom_k_distinct",
+        "bottom_k_distinct(h, k) - KMV sketch aggregate: the k smallest DISTINCT longs per group as a sorted array; feed raw hash streams, no upstream distinct needed"),
+      (children: Seq[Expression]) => BottomKDistinctLongs(children(0),
         children(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
 

@@ -393,6 +393,18 @@ object TextQueries {
       TextAnalysis.sourceOverlap(t(s, dir, "documents"), "text", "source")
     },
 
+    // The 100 TB form of q_source_overlap: per-source KMV (bottom-m
+    // distinct gram hash) sketches, union-sketch Jaccard estimate per
+    // pair. No corpus-wide distinct-gram shuffle — the bounded sketch
+    // aggregate dedups in-buffer and ships <= m longs per source per
+    // map partition. md5-portable hashing here so the oracle replays
+    // the whole estimator verbatim; the string-free xxhash production
+    // path is cross-checked against exact Jaccard in TextAnalysisSpec.
+    "q_source_overlap_sketch" -> { (s, dir) =>
+      TextAnalysis.sourceOverlapSketch(t(s, dir, "documents"), "text",
+        "source", m = 256, portableHash = true)
+    },
+
     // Term-distribution drift between the first source and everything
     // else — the unigram shift monitor gating a new ingest. Exact ppm
     // integer rates; top-100 by |rate difference| with deterministic
@@ -852,6 +864,37 @@ object TextQueries {
          |    AS containment
          |FROM inter JOIN sizes sa ON sa.source = inter.source_a
          |  JOIN sizes sb ON sb.source = inter.source_b""".stripMargin,
+
+    "q_source_overlap_sketch" ->
+      s"""WITH toks AS (SELECT source, $SQL_TOKS AS ws FROM documents),
+         |g AS (SELECT DISTINCT source,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |h AS (SELECT DISTINCT source,
+         |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h FROM g),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM h),
+         |sk AS (SELECT source, h FROM rk WHERE r <= 256),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |u AS (SELECT p.sa, p.sb, s.h FROM pairs p
+         |  JOIN sk s ON s.source = p.sa OR s.source = p.sb
+         |  GROUP BY p.sa, p.sb, s.h),
+         |ur AS (SELECT sa, sb, h,
+         |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r FROM u),
+         |x AS (SELECT sa, sb, h FROM ur WHERE r <= 256),
+         |sh AS (SELECT x.sa, x.sb, COUNT(*) AS ns FROM x
+         |  JOIN sk ka ON ka.source = x.sa AND ka.h = x.h
+         |  JOIN sk kb ON kb.source = x.sb AND kb.h = x.h
+         |  GROUP BY x.sa, x.sb),
+         |mu AS (SELECT sa, sb, COUNT(*) AS mu FROM x GROUP BY sa, sb)
+         |SELECT mu.sa AS source_a, mu.sb AS source_b,
+         |  CAST(mu.mu AS BIGINT) AS m_used,
+         |  CAST(COALESCE(sh.ns, 0) AS BIGINT) AS n_shared_sketch,
+         |  CAST(COALESCE(sh.ns, 0) AS DOUBLE) / CAST(mu.mu AS DOUBLE)
+         |    AS jaccard_est
+         |FROM mu LEFT JOIN sh ON sh.sa = mu.sa AND sh.sb = mu.sb""".stripMargin,
 
     "q_term_drift" ->
       s"""WITH ta AS (SELECT unnest($SQL_TOKS) AS term FROM documents

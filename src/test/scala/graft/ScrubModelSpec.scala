@@ -110,4 +110,33 @@ class ScrubModelSpec extends SparkSpec {
     assert(got(("B", "C"))._5 === 1)
     assert(got.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
   }
+
+  test("sourceOverlapSketch: KMV estimate tracks exact Jaccard (both hash paths)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = TextAnalysis.sourceOverlap(docs, "text", "source")
+      .select("source_a", "source_b", "jaccard")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (portable <- Seq(false, true)) {
+      val est = TextAnalysis.sourceOverlapSketch(docs, "text", "source",
+          m = 512, portableHash = portable)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Double]("jaccard_est"), r.getAs[Long]("m_used"))).toMap
+      // every exact pair is estimated (pairs with zero overlap may
+      // appear on the sketch side with est 0 — allowed)
+      assert(exact.keySet.subsetOf(est.keySet))
+      // KMV error is ~1/sqrt(m); 0.15 is a loose >3-sigma bound at
+      // m=512, and when a pair's union fits the sketch the estimate is
+      // EXACT — assert that stronger property where it applies
+      exact.foreach { case (k, j) =>
+        val (e, mUsed) = est(k)
+        assert(math.abs(e - j) <= 0.15,
+          s"pair $k: estimate $e vs exact $j (portable=$portable)")
+      }
+      est.foreach { case (k, (e, mUsed)) =>
+        if (mUsed < 512) // union fully fits: estimator degenerates to exact
+          assert(math.abs(e - exact.getOrElse(k, 0.0)) < 1e-12,
+            s"pair $k: full-union sketch must be exact (portable=$portable)")
+      }
+    }
+  }
 }
