@@ -212,6 +212,22 @@ class PlanPropertiesSpec extends SparkSpec {
       s"star join must prefilter to overflow buckets:\n$p")
   }
 
+  test("q_source_overlap_sketch: bounded KMV aggregate — no distinct-gram shuffle, no gram self-join") {
+    val p = plan(graft.SparkEntry.queries("q_source_overlap_sketch")(spark, sf))
+    // raw gram hashes flow straight into the bounded sketch aggregate
+    // (dedup happens in the buffer) — the exact form's corpus-wide
+    // distinct + gram-keyed self-join must not appear
+    assert(p.contains("bottom_k_distinct_longs"),
+      s"sketch must aggregate through the bounded KMV buffer:\n$p")
+    assert(!p.contains("HashAggregate(keys=[source") ||
+      !p.contains("SortMergeJoin"),
+      s"no gram-keyed sort-merge self-join may remain:\n$p")
+    // partial aggregation: the sketch combines map-side before the
+    // (only) shuffle
+    assert(p.contains("ObjectHashAggregate"),
+      s"KMV aggregate must run as a partial-capable object hash agg:\n$p")
+  }
+
   test("q_window_ntile: all four window functions share one exchange") {
     val p = plan(SparkEntry.queries("q_window_ntile")(spark, sf))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
