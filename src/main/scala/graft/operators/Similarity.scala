@@ -267,7 +267,49 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("__cid"))
       .write.mode("overwrite").partitionBy("__cid").parquet(path)
     cached.unpersist()
+    // persist the centroid matrix NEXT TO the index (sibling path, so
+    // the partitioned parquet dir stays homogeneous): the index is now
+    // self-describing across JVMs — append and query jobs reload
+    // centroids from disk instead of depending on the build JVM's memo
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("__cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
     centroids
+  }
+
+  /** Sibling location of an index's persisted centroid matrix. */
+  def centroidsPath(path: String): String =
+    path.stripSuffix("/") + ".centroids"
+
+  /** Reload the centroid matrix written by [[ivfWriteIndex]]. */
+  def loadCentroids(spark: SparkSession, path: String): Array[Seq[Float]] =
+    spark.read.parquet(centroidsPath(path))
+      .orderBy(col("__cid").asc).collect()
+      .map(_.getSeq[Float](1))
+
+  /** Fold a new batch of embeddings INTO the stored IVF index — the ANN
+    * side of the production ingest loop (cf.
+    * [[graft.operators.Dedup.appendToBandIndex]]): new vectors are
+    * assigned to the EXISTING centroids and appended to their
+    * partitions; the stored corpus is never rewritten and queries see
+    * the union immediately (same directory-pruned probe).
+    *
+    * No re-clustering happens on append — the standard IVF ingest
+    * trade: centroids drift as the distribution shifts, degrading list
+    * balance (probe recall stays correct, since assignment and probe
+    * use the same centroids). Production practice is periodic offline
+    * retraining ([[ivfWriteIndex]] again) when imbalance crosses a
+    * threshold. */
+  def appendToIvfIndex(newEmb: DataFrame, path: String, idCol: String,
+      vecCol: String): Unit = {
+    val spark = newEmb.sparkSession
+    val centroids = Option(ivfIndexes.get(path))
+      .getOrElse(loadCentroids(spark, path))
+    assignToCentroids(newEmb, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("__cid"))
+      .write.mode("append").partitionBy("__cid").parquet(path)
   }
 
   /** Centroid matrices of already-built [[ivfWriteIndex]] tables, keyed
@@ -294,8 +336,14 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, emb: => DataFrame, idCol: String,
       vecCol: String, indexPath: String, probeId: Long, k: Int,
       nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    // a fresh JVM reloads an already-built index's centroids from the
+    // sibling file instead of retraining over it — the index is
+    // self-describing on disk (see ivfWriteIndex)
     val centroids = ivfIndexes.computeIfAbsent(indexPath,
-      _ => ivfWriteIndex(emb, idCol, vecCol, indexPath, nClusters))
+      _ => try loadCentroids(spark, indexPath)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        ivfWriteIndex(emb, idCol, vecCol, indexPath, nClusters)
+      })
     ivfQueryIndex(spark, indexPath, centroids, idCol, vecCol, probeId, k, nProbe)
   }
 

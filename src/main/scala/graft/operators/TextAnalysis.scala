@@ -513,32 +513,43 @@ object TextAnalysis {
     * cross-checked against the exact Jaccard in TextAnalysisSpec).
     * Returns (source_a, source_b, m_used, n_shared_sketch,
     * jaccard_est). */
+  /** Per-(source, gram) hash stream feeding the KMV sketches: one row
+    * per gram OCCURRENCE (no distinct — the bounded sketch aggregate
+    * dedups in-buffer). `portableHash` picks 60-bit md5-prefix hashing
+    * (engine-replayable, the full-oracle path) over xxhash64 of
+    * combined token hashes (string-free, the production path). */
+  private def sourceGramHashes(docs: DataFrame, textCol: String,
+      sourceCol: String, n: Int, portableHash: Boolean): DataFrame =
+    if (portableHash)
+      docs.select(col(sourceCol).as("source"),
+          TextFns.letterTokens(col(textCol)).as("__toks"))
+        .select(col("source"),
+          explode(TextFns.wordNGrams(col("__toks"), n)).as("g"))
+        .select(col("source"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    else
+      docs.select(col(sourceCol).as("source"),
+          transform(TextFns.letterTokens(col(textCol)), t => xxhash64(t))
+            .as("__th"))
+        .select(col("source"),
+          explode(when(size(col("__th")) >= n,
+            transform(sequence(lit(0), size(col("__th")) - lit(n)),
+              i => xxhash64((1 to n).map(j =>
+                element_at(col("__th"), i + lit(j))): _*)))
+            .otherwise(array().cast("array<bigint>"))).as("h"))
+
+  private def kmvSketchAgg(m: Int) = {
+    import org.apache.spark.sql.graft.shim
+    shim.column(
+      graft.functions.expr.BottomKDistinctLongs(shim.expression(col("h")), m)
+        .toAggregateExpression())
+  }
+
   def sourceOverlapSketch(docs: DataFrame, textCol: String,
       sourceCol: String, n: Int = 3, m: Int = 512,
       portableHash: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.graft.shim
-    val hashed =
-      if (portableHash)
-        docs.select(col(sourceCol).as("source"),
-            TextFns.letterTokens(col(textCol)).as("__toks"))
-          .select(col("source"),
-            explode(TextFns.wordNGrams(col("__toks"), n)).as("g"))
-          .select(col("source"),
-            conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
-      else
-        docs.select(col(sourceCol).as("source"),
-            transform(TextFns.letterTokens(col(textCol)), t => xxhash64(t))
-              .as("__th"))
-          .select(col("source"),
-            explode(when(size(col("__th")) >= n,
-              transform(sequence(lit(0), size(col("__th")) - lit(n)),
-                i => xxhash64((1 to n).map(j =>
-                  element_at(col("__th"), i + lit(j))): _*)))
-              .otherwise(array().cast("array<bigint>"))).as("h"))
-    val sketchAgg = shim.column(
-      graft.functions.expr.BottomKDistinctLongs(shim.expression(col("h")), m)
-        .toAggregateExpression())
-    val sk = hashed.groupBy(col("source")).agg(sketchAgg.as("sk"))
+    val hashed = sourceGramHashes(docs, textCol, sourceCol, n, portableHash)
+    val sk = hashed.groupBy(col("source")).agg(kmvSketchAgg(m).as("sk"))
     val merged = slice(array_sort(array_distinct(
       concat(col("a.sk"), col("b.sk")))), 1, m)
     sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
@@ -550,6 +561,35 @@ object TextAnalysis {
           col("__skb"))).cast("long").as("n_shared_sketch"))
       .withColumn("jaccard_est",
         col("n_shared_sketch").cast("double") / col("m_used").cast("double"))
+  }
+
+  /** KMV distinct-count estimate of each source's gram vocabulary —
+    * the cardinality face of the same bottom-m sketch: with v_m the
+    * m-th smallest of a source's distinct 60-bit hashes, D̂ = (m−1) ·
+    * 2⁶⁰ / v_m (standard error ~1/√m); a source whose whole hash set
+    * fits the sketch reports its EXACT count. Emits the exact distinct
+    * count alongside — this query doubles as the estimator's own
+    * validation diagnostic; at corpus scale you run the sketch column
+    * only (word-count-shaped shuffle of ≤ m longs per source per map
+    * partition, vs the exact column's corpus-wide distinct). */
+  def kmvDistinctGrams(docs: DataFrame, textCol: String, sourceCol: String,
+      n: Int = 3, m: Int = 256, portableHash: Boolean = true): DataFrame = {
+    val hashed = sourceGramHashes(docs, textCol, sourceCol, n, portableHash)
+    // D̂ = (m−1)/F(v_m), F = the m-th smallest hash's position in its
+    // hash space: md5-prefix hashes live in [0, 2⁶⁰); xxhash64 spans
+    // the FULL SIGNED 64-bit range, so its fraction is (v+2⁶³)/2⁶⁴
+    // (both 2⁶³ and 2⁶⁴ are exactly representable doubles)
+    val vm = element_at(col("sk"), m).cast("double")
+    val est =
+      if (portableHash) lit((m - 1).toDouble) * lit(math.pow(2, 60)) / vm
+      else lit((m - 1).toDouble) * lit(math.pow(2, 64)) /
+        (vm + lit(math.pow(2, 63)))
+    hashed.groupBy(col("source"))
+      .agg(kmvSketchAgg(m).as("sk"), countDistinct(col("h")).as("n_exact"))
+      .select(col("source"), col("n_exact"),
+        size(col("sk")).cast("long").as("m_used"),
+        when(size(col("sk")) < m, size(col("sk")).cast("double"))
+          .otherwise(est).as("n_est"))
   }
 
   /** Term-distribution drift between two corpus slices (old snapshot vs

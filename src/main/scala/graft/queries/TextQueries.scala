@@ -405,6 +405,16 @@ object TextQueries {
         "source", m = 256, portableHash = true)
     },
 
+    // KMV cardinality: per-source distinct-gram estimate from the same
+    // bottom-m sketch, with the exact count alongside as the built-in
+    // validation diagnostic (at scale only the sketch column runs).
+    // md5-portable hashing → the oracle replays estimator AND exact
+    // count verbatim.
+    "q_kmv_cardinality" -> { (s, dir) =>
+      TextAnalysis.kmvDistinctGrams(t(s, dir, "documents"), "text",
+        "source", m = 256, portableHash = true)
+    },
+
     // Term-distribution drift between the first source and everything
     // else — the unigram shift monitor gating a new ingest. Exact ppm
     // integer rates; top-100 by |rate difference| with deterministic
@@ -895,6 +905,25 @@ object TextQueries {
          |  CAST(COALESCE(sh.ns, 0) AS DOUBLE) / CAST(mu.mu AS DOUBLE)
          |    AS jaccard_est
          |FROM mu LEFT JOIN sh ON sh.sa = mu.sa AND sh.sb = mu.sb""".stripMargin,
+
+    "q_kmv_cardinality" ->
+      s"""WITH toks AS (SELECT source, $SQL_TOKS AS ws FROM documents),
+         |g AS (SELECT DISTINCT source,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |h AS (SELECT DISTINCT source,
+         |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h FROM g),
+         |a AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM h),
+         |sk AS (SELECT source, COUNT(*) AS m_used, MAX(h) AS vm
+         |  FROM rk WHERE r <= 256 GROUP BY source)
+         |SELECT sk.source, CAST(a.n_exact AS BIGINT) AS n_exact,
+         |  CAST(sk.m_used AS BIGINT) AS m_used,
+         |  CASE WHEN sk.m_used < 256 THEN CAST(sk.m_used AS DOUBLE)
+         |       ELSE (255.0 * power(2, 60)) / CAST(sk.vm AS DOUBLE) END
+         |    AS n_est
+         |FROM sk JOIN a ON a.source = sk.source""".stripMargin,
 
     "q_term_drift" ->
       s"""WITH ta AS (SELECT unnest($SQL_TOKS) AS term FROM documents

@@ -158,6 +158,39 @@ class SimilaritySpec extends SparkSpec {
       s"__cid must be a partition filter:\n$p")
   }
 
+  test("appendToIvfIndex closes the ANN ingest loop; centroids persist on disk") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val first = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 =!= 0)
+    val centroids = Similarity.ivfWriteIndex(first, "vec_id", "embedding", dir, 16)
+    // the centroid matrix round-trips bit-exactly through the sibling
+    // file — a fresh JVM can append/query without the build memo
+    val loaded = Similarity.loadCentroids(spark, dir)
+    assert(loaded.length == centroids.length &&
+      loaded.zip(centroids).forall { case (a, b) => a == b })
+    Similarity.appendToIvfIndex(rest, dir, "vec_id", "embedding")
+    // the merged index holds every vector exactly once
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+    // the appended half is reachable through the same directory-pruned
+    // probe: recall vs brute force over the FULL corpus stays high, and
+    // appended (odd-id) vectors appear in the result whenever the true
+    // top-10 contains them
+    val merged = Similarity.ivfQueryIndex(spark, dir, centroids,
+      "vec_id", "embedding", probeId = 0L, k = 10, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(merged.size == 10)
+    val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((brute intersect merged).size >= 5,
+      s"recall too low over the appended index: ${(brute intersect merged).size}/10")
+    val oddHits = brute.filter(_ % 2 != 0)
+    assert(oddHits.isEmpty || (merged intersect oddHits).nonEmpty,
+      "appended vectors must be reachable through the probe")
+  }
+
   test("ivfTopKIndexed: builds the index once, repeat queries only probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_memo").toString
     val first = Similarity.ivfTopKIndexed(spark, emb, "vec_id", "embedding",

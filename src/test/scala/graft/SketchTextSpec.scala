@@ -93,6 +93,26 @@ class SketchTextSpec extends SparkSpec {
     assert(got === Map(1L -> 1L))
   }
 
+  test("kmvDistinctGrams: estimate within KMV error of exact; small sets exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (portable <- Seq(true, false)) {
+      val rows = TextAnalysis.kmvDistinctGrams(docs, "text", "source",
+          m = 128, portableHash = portable)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (src, exact, mUsed, est) =>
+        if (mUsed < 128)
+          assert(est == exact.toDouble,
+            s"$src: sketch-resident set must report exactly (portable=$portable)")
+        else
+          // relative error ~1/sqrt(m) ≈ 8.8%; 30% is a >3-sigma bound
+          assert(math.abs(est - exact) / exact <= 0.30,
+            s"$src: est $est vs exact $exact (portable=$portable)")
+      }
+    }
+  }
+
   test("HLL sketches: rollup estimates are partition-invariant and in-bounds") {
     import graft.operators.Sketches
     val base = (1 to 3000).map(i => (i % 7, (i % 450).toLong)).toDF("b", "u")
