@@ -21,7 +21,9 @@ object DumpPlans {
     "q_cms_heavy" -> "CMS estimate filter below the exact-count exchange",
     "q_window_ntile" -> "four window functions, one shared exchange",
     "q_scd2_join" -> "SCD2 via as-of: no BETWEEN join blow-up",
-    "q_dedup_minhash" -> "hot-bucket guard: rank filters below the band self-join, one reused (band,bucket) exchange",
+    "q_dedup_minhash" -> "hot-bucket guard as bounded bottom_k_longs aggregate: no rank window, core pairs row-local, star probe broadcast to overflow buckets only",
+    "q_sql_dedup" -> "the same guard shape produced from pure SQL text (bounded aggregate, work capped — not just output)",
+    "q_source_overlap_sketch" -> "KMV sketches: bounded distinct aggregate straight off the scan; no corpus distinct, no gram self-join",
     "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore")
 
   def main(args: Array[String]): Unit = {
