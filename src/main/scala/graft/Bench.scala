@@ -18,9 +18,16 @@ object Bench {
     // attributed to whichever query happens to run first
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a query that THROWS must not masquerade as a fast sample — its
+    // name lands in `failed` and the artifact reports it loudly
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def once(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+        failed += name
+        System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // the dedup pipelines persist intermediates; drop them so cached
       // blocks don't accumulate heap pressure across the queries
@@ -45,12 +52,12 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     for (_ <- 1 to RUNS; (name, fn) <- names)
-      samples(name) = samples(name) :+ once(fn)
+      samples(name) = samples(name) :+ once(name, fn)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val med3 = samples.map { case (n, rs) => n -> median(rs) }
     val top = med3.toSeq.sortBy(-_._2).take(20).map(_._1).toSet
     for (_ <- 1 to 2; (name, fn) <- names if top(name))
-      samples(name) = samples(name) :+ once(fn)
+      samples(name) = samples(name) :+ once(name, fn)
     val results: Seq[(String, Seq[Double])] = samples.toSeq
     val medians = results.map { case (name, runs) => name -> median(runs) }
     val mins = results.map { case (name, runs) => name -> runs.min }.toMap
@@ -78,8 +85,9 @@ object Bench {
     val minsFull = results.map { case (k, rs) =>
       s"\"" + k + "\":" + rs.min
     }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"interleaved_median_${RUNS}_top20x5","queries":$qsFull,"mins":$minsFull,"runs":$runsFull,"spread":$spreadFull,"stream_throughput_rows_per_sec":$streamRate,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"interleaved_median_${RUNS}_top20x5","queries":$qsFull,"mins":$minsFull,"runs":$runsFull,"spread":$spreadFull,"failed":$failedJson,"stream_throughput_rows_per_sec":$streamRate,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -95,7 +103,7 @@ object Bench {
     val minCompact = slowest
       .map { case (k, _) => f""""$k":${mins(k)}%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"interleaved_median_${RUNS}_top20x5","n_queries":${medians.size},"queries":$qsCompact,"mins":$minCompact,"stream_throughput_rows_per_sec":$streamRate%.0f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"interleaved_median_${RUNS}_top20x5","n_queries":${medians.size},"n_failed":${failed.size},"queries":$qsCompact,"mins":$minCompact,"stream_throughput_rows_per_sec":$streamRate%.0f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 

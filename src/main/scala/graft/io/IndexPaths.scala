@@ -48,6 +48,17 @@ object IndexPaths {
       .digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Whether the table at `path` is a COMPLETE committed write: the
+    * `_SUCCESS` marker Spark's file committer drops after the last
+    * task. A dir that exists without it is a torn write (build JVM
+    * killed mid-job) — readers must treat it as absent and rebuild,
+    * not silently read partial data. Checked through the Hadoop
+    * FileSystem so non-local roots behave the same. */
+  def complete(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Index path for `kind` (e.g. "bandidx", "ivf") derived from the
     * source file/dir at `sourcePath` and the builder parameter string.
     */

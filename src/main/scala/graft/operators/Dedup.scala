@@ -366,12 +366,19 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Build-once memo around [[writeBandIndex]] (same lifecycle as the
-    * IVF index: an ingest job builds, queries only read). */
+    * IVF index: an ingest job builds, queries only read). A fresh JVM
+    * REUSES a committed on-disk index (`_SUCCESS` present) instead of
+    * rebuilding — content-addressed paths ([[graft.io.IndexPaths]])
+    * guarantee it still describes the current source; a torn dir from
+    * a killed build (no `_SUCCESS`) reads as absent and is rebuilt
+    * with an overwrite. */
   def ensureBandIndex(docs: => DataFrame, idCol: String, textCol: String,
       path: String, ngram: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Unit =
     bandIndexes.computeIfAbsent(path, { _ =>
-      writeBandIndex(docs, idCol, textCol, path, ngram, numHashes, bands)
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!graft.io.IndexPaths.complete(spark, path))
+        writeBandIndex(docs, idCol, textCol, path, ngram, numHashes, bands)
       java.lang.Boolean.TRUE
     })
 

@@ -338,12 +338,16 @@ object Similarity {
       nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     // a fresh JVM reloads an already-built index's centroids from the
     // sibling file instead of retraining over it — the index is
-    // self-describing on disk (see ivfWriteIndex)
+    // self-describing on disk (see ivfWriteIndex). Both the index table
+    // and the centroid sibling must carry their _SUCCESS commit marker:
+    // a torn dir from a killed build job reads as absent and rebuilds
+    // (overwrite), never as silently-partial data.
     val centroids = ivfIndexes.computeIfAbsent(indexPath,
-      _ => try loadCentroids(spark, indexPath)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        ivfWriteIndex(emb, idCol, vecCol, indexPath, nClusters)
-      })
+      _ =>
+        if (graft.io.IndexPaths.complete(spark, indexPath) &&
+            graft.io.IndexPaths.complete(spark, centroidsPath(indexPath)))
+          loadCentroids(spark, indexPath)
+        else ivfWriteIndex(emb, idCol, vecCol, indexPath, nClusters))
     ivfQueryIndex(spark, indexPath, centroids, idCol, vecCol, probeId, k, nProbe)
   }
 

@@ -228,4 +228,28 @@ class DedupSpec extends SparkSpec {
     assert(perRow == agg)
     assert(perRow.nonEmpty)
   }
+
+  test("ensureBandIndex reuses a committed on-disk index; a torn dir rebuilds") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about weather patterns in the north"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx_ensure").toString
+    def stamps() = new java.io.File(dir).listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    Dedup.ensureBandIndex(corpus, "doc_id", "text", dir)
+    assert(graft.io.IndexPaths.complete(spark, dir), "build must commit _SUCCESS")
+    val built = stamps()
+    // simulate a FRESH JVM (memo gone) over the same committed dir: the
+    // index must be reused, not rewritten
+    Dedup.invalidateBandIndex(dir)
+    Dedup.ensureBandIndex(corpus, "doc_id", "text", dir)
+    assert(stamps() == built, "committed index must be reused across JVMs")
+    // a torn write (killed build job — no _SUCCESS) must read as absent
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    Dedup.invalidateBandIndex(dir)
+    Dedup.ensureBandIndex(corpus, "doc_id", "text", dir)
+    assert(graft.io.IndexPaths.complete(spark, dir),
+      "torn index dir must be rebuilt, restoring the commit marker")
+  }
 }

@@ -207,6 +207,21 @@ class SimilaritySpec extends SparkSpec {
     assert(after == stamps, "second query must reuse the index, not rebuild it")
   }
 
+  test("ivfTopKIndexed: torn centroid sibling (no _SUCCESS) forces a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_torn").toString
+    val first = Similarity.ivfTopKIndexed(spark, emb, "vec_id", "embedding",
+      dir, probeId = 0L, k = 10).collect().map(_.toString).toSeq
+    // kill the centroid write's commit marker — the state a build JVM
+    // dying between the index write and the centroid write leaves behind
+    val marker = new java.io.File(Similarity.centroidsPath(dir), "_SUCCESS")
+    assert(marker.delete(), "test setup: centroid _SUCCESS must exist")
+    Similarity.invalidateIvfIndex(dir)
+    val again = Similarity.ivfTopKIndexed(spark, emb, "vec_id", "embedding",
+      dir, probeId = 0L, k = 10).collect().map(_.toString).toSeq
+    assert(first == again, "rebuild over the same corpus must reproduce results")
+    assert(marker.exists(), "rebuild must recommit the centroid sibling")
+  }
+
   test("ivfTrain: deterministic centroids, every vector assigned") {
     val c1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
     val c2 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
