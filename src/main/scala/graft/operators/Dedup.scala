@@ -278,6 +278,18 @@ object Dedup {
     * 4 fewer exchanges and 2 fewer document scans than the exploded
     * gram-table join ([[jaccard]], kept for set-shaped callers). */
   def jaccardRescore(cands: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, ngram: Int): DataFrame =
+    pairGramSets(cands, docs, idCol, textCol, ngram)
+      .select(col("doc_a"), col("doc_b"),
+        (col("__ni").cast("double") /
+          (size(col("__gs_a")) + size(col("__gs_b")) - col("__ni")).cast("double"))
+          .as("jaccard"))
+
+  /** Shared rescore core: rebuilds each candidate doc's distinct-gram
+    * array row-locally and reunites the two pair sides, yielding
+    * (doc_a, doc_b, __gs_a, __gs_b, __ni = |A∩B|). See
+    * [[jaccardRescore]] for the shuffle analysis. */
+  private def pairGramSets(cands: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, ngram: Int): DataFrame = {
     val candIds = cands.select(col("doc_a").as(idCol))
       .union(cands.select(col("doc_b").as(idCol)))
@@ -296,9 +308,113 @@ object Dedup {
         first(when(col("__is_a"), col("__gs")), ignoreNulls = true).as("__gs_a"),
         first(when(!col("__is_a"), col("__gs")), ignoreNulls = true).as("__gs_b"))
       .withColumn("__ni", size(array_intersect(col("__gs_a"), col("__gs_b"))))
+  }
+
+  /** Asymmetric-overlap (containment) near-dup pairs, EXACT: every pair
+    * with max(|A∩B|/|A|, |A∩B|/|B|) >= threshold over distinct word
+    * n-gram sets. This is the boilerplate/quotation case Jaccard
+    * misses: a short document wholly embedded in a long one has
+    * containment ≈ 1 but Jaccard ≈ |A|/|B|, so a Jaccard-thresholded
+    * dedup never pairs them.
+    *
+    * Candidate generation is PREFIX FILTERING (the exact
+    * set-similarity-join technique of SSJoin/PPJoin): each doc's grams
+    * are ordered rarest-first (global document frequency, but the sort
+    * is per-doc and ROW-LOCAL — no global rank or sort), and only a
+    * prefix sized so that a qualifying partner cannot miss ALL of it
+    * enters the inverted-index join. If B shares no prefix gram of A
+    * then B misses more grams of A than containment >= t allows, so
+    * the join provably loses no qualifying pair (100% recall); the
+    * exact rescore then touches candidates only. Candidate work is
+    * sum_g prefix_df(g)·df(g) instead of the naive gram self-join's
+    * sum_g df(g)² — at 100 TB the df table is a word-count-shaped
+    * aggregate, rarest-first prefixes keep hot boilerplate grams out
+    * of the join except for docs that are almost ENTIRELY boilerplate,
+    * and `maxDf` bounds even those (recall contract: a pair whose
+    * qualifying overlap consists exclusively of grams with
+    * df > maxDf is missed — the standard trade; default None = exact). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Long] = None): DataFrame = {
+    // the emptiness filter runs on the TOKEN array (equivalent: the
+    // gram array is empty iff the doc has fewer than `ngram` tokens),
+    // NOT on __gs — a size(__gs) predicate gets pushed below the gram
+    // projection, where substitution re-inlines the tokenizer into
+    // every element_at of the gram lambda: the O(words²) hazard of
+    // [[gramSets]]'s scaladoc, measured 30× this whole pipeline
+    val sets = Caches.persist(docs
+      .select(col(idCol).as("doc_id"),
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= ngram)
+      .select(col("doc_id"),
+        array_distinct(TextFns.wordNGrams(col("__toks"), ngram)).as("__gs")))
+    // grams travel as xxhash64 LONGS through the candidate stages —
+    // strings appear only in the exact rescore. A hash collision can
+    // only OVERCOUNT df, which only widens the candidate set (the
+    // rescore is exact), and the prefix order just needs to be total,
+    // not truly-rarest-first — so hashing preserves exactness.
+    val grams = sets.select(col("doc_id"), explode(col("__gs")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+    // singleton grams (df = 1) can never be shared with a partner, so
+    // they produce no candidates AND need no prefix slots: a partner
+    // holding >= iMin of A's grams holds them among A's SHAREABLE
+    // grams, so the prefix only has to cover those.
+    val shareable = dfreq.where(col("__df") >= lit(2L))
+    val pool = maxDf.map(m => shareable.where(col("__df") <= m))
+      .getOrElse(shareable)
+    val shared = grams.join(pool, Seq("gh"))
+    // the rescore admits i >= iMin where iMin is the smallest integer
+    // with (i: double)/sz >= threshold — computed by probing the SAME
+    // double predicate, so float fuzz at the boundary (ceil(t*sz)
+    // off by one ulp either way) can never open a recall hole. A
+    // partner must then hold >= iMin of A's grams, all within A's
+    // shareable set U, so it misses at most |U| - iMin of U — a prefix
+    // of the |U| - iMin + 1 rarest cannot be missed entirely.
+    val cGuess = ceil(lit(threshold) * col("__sz"))
+    val iMin = when(
+      (cGuess - 1).cast("double") / col("__sz").cast("double") >= threshold,
+      cGuess - 1).otherwise(cGuess)
+    val prefix = shared
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
+      .join(sets.select(col("doc_id"), size(col("__gs")).as("__sz")), Seq("doc_id"))
+      .select(col("doc_id"), explode(slice(col("__ord"), lit(1),
+        greatest((size(col("__ord")) - iMin + 1).cast("int"), lit(0)))).as("__p"))
+      .select(col("doc_id"), col("__p.gh").as("gh"))
+    val cands = prefix.withColumnRenamed("doc_id", "__pa")
+      .join(shared.select(col("doc_id").as("__pb"), col("gh")), Seq("gh"))
+      .where(col("__pa") =!= col("__pb"))
+      .select(least(col("__pa"), col("__pb")).as("doc_a"),
+        greatest(col("__pa"), col("__pb")).as("doc_b"))
+      .distinct()
+    // exact scoring: STRING-gram equi-join (no hash in the scored
+    // intersection), semi-joined against the broadcast candidate set
+    // BEFORE the per-pair count so the aggregation only sees rows of
+    // pairs the prefix filter admitted. Join work is sum_g df(g)^2
+    // over shareable grams — `maxDf` is the knob that bounds it at
+    // corpus scale (same contract as the candidate stage); when
+    // candidates are few but grams are hot, [[jaccardRescore]]'s
+    // per-pair array form is the alternative scoring path.
+    val gstr = sets.select(col("doc_id"), explode(col("__gs")).as("g"))
+    val inter = gstr.select(col("doc_id").as("doc_a"), col("g"))
+      .join(gstr.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .join(broadcast(cands), Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__ni"))
+    val szs = sets.select(col("doc_id"), size(col("__gs")).as("__sz2"))
+    inter
+      .join(szs.select(col("doc_id").as("doc_a"), col("__sz2").as("__sza")), Seq("doc_a"))
+      .join(szs.select(col("doc_id").as("doc_b"), col("__sz2").as("__szb")), Seq("doc_b"))
+      .withColumn("containment_a",
+        col("__ni").cast("double") / col("__sza").cast("double"))
+      .withColumn("containment_b",
+        col("__ni").cast("double") / col("__szb").cast("double"))
+      .where(greatest(col("containment_a"), col("containment_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"),
+        col("containment_a"), col("containment_b"),
         (col("__ni").cast("double") /
-          (size(col("__gs_a")) + size(col("__gs_b")) - col("__ni")).cast("double"))
+          (col("__sza") + col("__szb") - col("__ni")).cast("double"))
           .as("jaccard"))
   }
 

@@ -87,6 +87,15 @@ object TextQueries {
         ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
     },
 
+    // Asymmetric-overlap pairs: max containment >= 0.8 over trigram
+    // sets — the boilerplate/quotation case a Jaccard threshold misses.
+    // Prefix-filtered candidates (rarest-df grams) make this EXACT, so
+    // the oracle is the full brute-force containment in SQL.
+    "q_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, threshold = 0.8)
+    },
+
     // Near-dup clustering: connected components over the MinHash-LSH
     // pair list (min-label propagation); cluster = min doc_id, so
     // cluster == doc_id marks the keeper. Oracle: recursive-CTE
@@ -580,6 +589,19 @@ object TextQueries {
     "q_dedup_minhash" ->
       s"""WITH ${sqlGrams("")}
          |${sqlJaccard(0.8)}""".stripMargin,
+
+    // full brute-force containment: the prefix filter is exact, so the
+    // Spark side must reproduce every max-containment >= 0.8 pair
+    "q_containment" ->
+      s"""WITH ${sqlGrams("")}
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(i AS DOUBLE) / sa.sz AS containment_a,
+         |  CAST(i AS DOUBLE) / sb.sz AS containment_b,
+         |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz,
+         |               CAST(i AS DOUBLE) / sb.sz) >= 0.8""".stripMargin,
 
     // same ground truth as q_dedup_minhash: the SQL-text pipeline must
     // find exactly the brute-force Jaccard pairs

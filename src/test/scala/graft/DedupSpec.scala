@@ -229,6 +229,53 @@ class DedupSpec extends SparkSpec {
     assert(perRow.nonEmpty)
   }
 
+  test("containmentPairs finds a short doc embedded in a long one (Jaccard misses it)") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val long = base + " kilo lima mike november oscar papa quebec romeo sierra" +
+      " tango uniform victor whiskey xray yankee zulu aaa bbb ccc ddd eee fff"
+    val df = Seq(
+      (1L, base),
+      (2L, long),
+      (3L, "totally unrelated words about something else entirely happening"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", ngram = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    val (ca, cb, j) = got((1L, 2L))
+    assert(ca === 1.0, "every trigram of the short doc appears in the long one")
+    assert(cb < 0.9 && j < 0.5, "the long side and Jaccard stay low")
+    // a Jaccard-thresholded dedup never pairs them
+    val jpairs = Dedup.minhashDedupPairs(df, "doc_id", "text",
+      ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jpairs.contains((1L, 2L)))
+  }
+
+  test("containmentPairs == brute-force containment on a corpus slice (prefix filter is exact)") {
+    import org.apache.spark.sql.functions.{array_distinct, array_intersect, col, greatest, size}
+    val slice = docs.limit(150)
+    val got = Dedup.containmentPairs(slice, "doc_id", "text", ngram = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val sets = slice.select(col("doc_id"),
+        array_distinct(graft.functions.TextFns.wordNGrams(
+          graft.functions.TextFns.letterTokens(col("text")), 3)).as("gs"))
+      .where(size(col("gs")) > 0)
+    val brute = sets.toDF("da", "ga").crossJoin(sets.toDF("db", "gb"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(col("ga")).cast("double")).as("ca"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(col("gb")).cast("double")).as("cb"))
+      .where(greatest(col("ca"), col("cb")) >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got === brute)
+    assert(brute.nonEmpty, "testdata plants near-dup pairs; the slice must contain some")
+  }
+
   test("ensureBandIndex reuses a committed on-disk index; a torn dir rebuilds") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
