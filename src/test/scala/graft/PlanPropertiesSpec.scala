@@ -271,6 +271,27 @@ class PlanPropertiesSpec extends SparkSpec {
     }.isEmpty, "model inference must be shuffle-free")
   }
 
+  test("containment: no rank window; candidate semi-join caps the scoring agg") {
+    val p = plan(SparkEntry.queries("q_containment")(spark, sf))
+    // the candidate path is aggregates + joins only — a window over the
+    // gram relation would shuffle+sort the corpus (the r4 dedup-guard
+    // regression shape)
+    assert(!p.contains("Window"),
+      s"containment must not rank-window the gram relation:\n$p")
+    // the per-pair count aggregates only rows that survived the
+    // broadcast candidate semi-join (pairs the prefix filter admitted)
+    val semi = p.indexOf("LeftSemi")
+    assert(semi >= 0, s"candidate set must semi-join the scoring rows:\n$p")
+    // the scoring count's pair-keyed exchange is a PARENT of the semi
+    // join (prints before it): the agg only sees semi-joined rows. The
+    // candidate distinct's own pair exchange inside the broadcast build
+    // side (prints after) is expected.
+    val pairAgg = "Exchange hashpartitioning\\(doc_a".r
+      .findAllMatchIn(p).map(_.start).toList
+    assert(pairAgg.exists(_ < semi),
+      s"the scoring agg must sit above the candidate semi-join:\n$p")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
