@@ -332,7 +332,10 @@ object Dedup {
     * of the join except for docs that are almost ENTIRELY boilerplate,
     * and `maxDf` bounds even those (recall contract: a pair whose
     * qualifying overlap consists exclusively of grams with
-    * df > maxDf is missed — the standard trade; default None = exact). */
+    * df > maxDf is missed — the standard trade; default None = exact).
+    *
+    * Persists the gram-set intermediate through [[Caches]] — release
+    * with `Caches.release()` after the consuming action. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Long] = None): DataFrame = {

@@ -24,6 +24,7 @@ object DumpPlans {
     "q_dedup_minhash" -> "hot-bucket guard as bounded bottom_k_longs aggregate: no rank window, core pairs row-local, star probe broadcast to overflow buckets only",
     "q_sql_dedup" -> "the same guard shape produced from pure SQL text (bounded aggregate, work capped — not just output)",
     "q_source_overlap_sketch" -> "KMV sketches: bounded distinct aggregate straight off the scan; no corpus distinct, no gram self-join",
+    "q_containment" -> "prefix-filtered exact containment join: no rank window; scoring count above the broadcast candidate semi-join",
     "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore")
 
   def main(args: Array[String]): Unit = {
