@@ -345,19 +345,21 @@ object Dedup {
     // projection, where substitution re-inlines the tokenizer into
     // every element_at of the gram lambda: the O(words²) hazard of
     // [[gramSets]]'s scaladoc, measured 30× this whole pipeline
+    // grams travel as xxhash64 LONGS through the candidate and
+    // pre-score stages — strings appear only in the final exact
+    // verification. A hash collision can only OVERCOUNT df and the
+    // pre-scored intersection, which only widens the candidate set
+    // (the verification is exact), and the prefix order just needs to
+    // be total, not truly-rarest-first — so hashing preserves
+    // exactness.
     val sets = Caches.persist(docs
       .select(col(idCol).as("doc_id"),
         TextFns.letterTokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= ngram)
       .select(col("doc_id"),
-        array_distinct(TextFns.wordNGrams(col("__toks"), ngram)).as("__gs")))
-    // grams travel as xxhash64 LONGS through the candidate stages —
-    // strings appear only in the exact rescore. A hash collision can
-    // only OVERCOUNT df, which only widens the candidate set (the
-    // rescore is exact), and the prefix order just needs to be total,
-    // not truly-rarest-first — so hashing preserves exactness.
-    val grams = sets.select(col("doc_id"), explode(col("__gs")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        array_distinct(TextFns.wordNGrams(col("__toks"), ngram)).as("__gs"))
+      .withColumn("__hs", transform(col("__gs"), g => xxhash64(g))))
+    val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
     // singleton grams (df = 1) can never be shared with a partner, so
     // they produce no candidates AND need no prefix slots: a partner
@@ -385,39 +387,54 @@ object Dedup {
       .select(col("doc_id"), explode(slice(col("__ord"), lit(1),
         greatest((size(col("__ord")) - iMin + 1).cast("int"), lit(0)))).as("__p"))
       .select(col("doc_id"), col("__p.gh").as("gh"))
-    val cands = prefix.withColumnRenamed("doc_id", "__pa")
+    val cands = Caches.persist(prefix.withColumnRenamed("doc_id", "__pa")
       .join(shared.select(col("doc_id").as("__pb"), col("gh")), Seq("gh"))
       .where(col("__pa") =!= col("__pb"))
       .select(least(col("__pa"), col("__pb")).as("doc_a"),
         greatest(col("__pa"), col("__pb")).as("doc_b"))
-      .distinct()
-    // exact scoring: STRING-gram equi-join (no hash in the scored
-    // intersection), semi-joined against the broadcast candidate set
-    // BEFORE the per-pair count so the aggregation only sees rows of
-    // pairs the prefix filter admitted. Join work is sum_g df(g)^2
-    // over shareable grams — `maxDf` is the knob that bounds it at
-    // corpus scale (same contract as the candidate stage); when
-    // candidates are few but grams are hot, [[jaccardRescore]]'s
-    // per-pair array form is the alternative scoring path.
-    val gstr = sets.select(col("doc_id"), explode(col("__gs")).as("g"))
-    val inter = gstr.select(col("doc_id").as("doc_a"), col("g"))
-      .join(gstr.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
-      .where(col("doc_a") < col("doc_b"))
-      .join(broadcast(cands), Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__ni"))
-    val szs = sets.select(col("doc_id"), size(col("__gs")).as("__sz2"))
-    inter
-      .join(szs.select(col("doc_id").as("doc_a"), col("__sz2").as("__sza")), Seq("doc_a"))
-      .join(szs.select(col("doc_id").as("doc_b"), col("__sz2").as("__szb")), Seq("doc_b"))
+      .distinct())
+    // scoring is CANDIDATE-BOUNDED, never a gram self-join: a gram
+    // equi-join scoring pass would cost sum_g df(g)^2 — maxDf·(corpus
+    // gram rows) even when capped, i.e. work NOT bounded by the
+    // candidate set. Instead (1) candidate pairs pre-score on per-doc
+    // LONG hash arrays (shuffle = candidate docs × one long array;
+    // hash collisions only INFLATE the intersection, so no qualifying
+    // pair is lost), then (2) the rare threshold-passers re-verify on
+    // STRING grams through [[pairGramSets]] — exact end to end, with
+    // string work ∝ near-dups, not candidates.
+    val hsets = sets.select(col("doc_id"),
+      col("__hs"), size(col("__gs")).as("__sz2"))
+    val mem = cands.select(col("doc_a"), col("doc_b"),
+        col("doc_a").as("doc_id"), lit(true).as("__is_a"))
+      .unionByName(cands.select(col("doc_a"), col("doc_b"),
+        col("doc_b").as("doc_id"), lit(false).as("__is_a")))
+    val prepass = hsets.join(broadcast(mem), "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("__is_a"), col("__hs")), ignoreNulls = true).as("__ha"),
+        first(when(!col("__is_a"), col("__hs")), ignoreNulls = true).as("__hb"),
+        first(when(col("__is_a"), col("__sz2")), ignoreNulls = true).as("__sza"),
+        first(when(!col("__is_a"), col("__sz2")), ignoreNulls = true).as("__szb"))
+      .withColumn("__hi", size(array_intersect(col("__ha"), col("__hb"))))
+      .where(greatest(
+          col("__hi").cast("double") / col("__sza").cast("double"),
+          col("__hi").cast("double") / col("__szb").cast("double"))
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // prepass is tiny (∝ near-dups) but feeds pairGramSets THREE times
+    // (both broadcast sides + the stream) — persist so the candidate
+    // pipeline above it runs once
+    val passed = Caches.persist(prepass)
+    pairGramSets(passed, docs, idCol, textCol, ngram)
       .withColumn("containment_a",
-        col("__ni").cast("double") / col("__sza").cast("double"))
+        col("__ni").cast("double") / size(col("__gs_a")).cast("double"))
       .withColumn("containment_b",
-        col("__ni").cast("double") / col("__szb").cast("double"))
+        col("__ni").cast("double") / size(col("__gs_b")).cast("double"))
       .where(greatest(col("containment_a"), col("containment_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"),
         col("containment_a"), col("containment_b"),
         (col("__ni").cast("double") /
-          (col("__sza") + col("__szb") - col("__ni")).cast("double"))
+          (size(col("__gs_a")) + size(col("__gs_b")) - col("__ni")).cast("double"))
           .as("jaccard"))
   }
 
