@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -339,26 +339,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Long] = None): DataFrame = {
-    // the emptiness filter runs on the TOKEN array (equivalent: the
-    // gram array is empty iff the doc has fewer than `ngram` tokens),
-    // NOT on __gs — a size(__gs) predicate gets pushed below the gram
-    // projection, where substitution re-inlines the tokenizer into
-    // every element_at of the gram lambda: the O(words²) hazard of
-    // [[gramSets]]'s scaladoc, measured 30× this whole pipeline
-    // grams travel as xxhash64 LONGS through the candidate and
-    // pre-score stages — strings appear only in the final exact
-    // verification. A hash collision can only OVERCOUNT df and the
-    // pre-scored intersection, which only widens the candidate set
-    // (the verification is exact), and the prefix order just needs to
-    // be total, not truly-rarest-first — so hashing preserves
-    // exactness.
-    val sets = Caches.persist(docs
-      .select(col(idCol).as("doc_id"),
-        TextFns.letterTokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) >= ngram)
-      .select(col("doc_id"),
-        array_distinct(TextFns.wordNGrams(col("__toks"), ngram)).as("__gs"))
-      .withColumn("__hs", transform(col("__gs"), g => xxhash64(g))))
+    val sets = Caches.persist(gramSetArrays(docs, idCol, textCol, ngram))
     val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
     // singleton grams (df = 1) can never be shared with a partner, so
@@ -369,17 +350,7 @@ object Dedup {
     val pool = maxDf.map(m => shareable.where(col("__df") <= m))
       .getOrElse(shareable)
     val shared = grams.join(pool, Seq("gh"))
-    // the rescore admits i >= iMin where iMin is the smallest integer
-    // with (i: double)/sz >= threshold — computed by probing the SAME
-    // double predicate, so float fuzz at the boundary (ceil(t*sz)
-    // off by one ulp either way) can never open a recall hole. A
-    // partner must then hold >= iMin of A's grams, all within A's
-    // shareable set U, so it misses at most |U| - iMin of U — a prefix
-    // of the |U| - iMin + 1 rarest cannot be missed entirely.
-    val cGuess = ceil(lit(threshold) * col("__sz"))
-    val iMin = when(
-      (cGuess - 1).cast("double") / col("__sz").cast("double") >= threshold,
-      cGuess - 1).otherwise(cGuess)
+    val iMin = iMinOf(col("__sz"), threshold)
     val prefix = shared
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
@@ -393,17 +364,54 @@ object Dedup {
       .select(least(col("__pa"), col("__pb")).as("doc_a"),
         greatest(col("__pa"), col("__pb")).as("doc_b"))
       .distinct())
-    // scoring is CANDIDATE-BOUNDED, never a gram self-join: a gram
-    // equi-join scoring pass would cost sum_g df(g)^2 — maxDf·(corpus
-    // gram rows) even when capped, i.e. work NOT bounded by the
-    // candidate set. Instead (1) candidate pairs pre-score on per-doc
-    // LONG hash arrays (shuffle = candidate docs × one long array;
-    // hash collisions only INFLATE the intersection, so no qualifying
-    // pair is lost), then (2) the rare threshold-passers re-verify on
-    // STRING grams through [[pairGramSets]] — exact end to end, with
-    // string work ∝ near-dups, not candidates.
-    val hsets = sets.select(col("doc_id"),
-      col("__hs"), size(col("__gs")).as("__sz2"))
+    scoreContainment(cands,
+      sets.select(col("doc_id"), col("__hs"), size(col("__gs")).as("__sz2")),
+      docs.select(col(idCol), col(textCol)), idCol, textCol, ngram, threshold)
+  }
+
+  /** Per-doc distinct gram-set arrays: (doc_id, __gs string array,
+    * __hs xxhash64 long array, __sz). The emptiness filter runs on the
+    * TOKEN array (equivalent: the gram array is empty iff the doc has
+    * fewer than `ngram` tokens), NOT on __gs — a size(__gs) predicate
+    * gets pushed below the gram projection, where substitution
+    * re-inlines the tokenizer into every element_at of the gram
+    * lambda: the O(words²) hazard of [[gramSets]]'s scaladoc, measured
+    * 30× the whole containment pipeline. */
+  private def gramSetArrays(docs: DataFrame, idCol: String,
+      textCol: String, ngram: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= ngram)
+      .select(col("doc_id"),
+        array_distinct(TextFns.wordNGrams(col("__toks"), ngram)).as("__gs"))
+      .withColumn("__hs", transform(col("__gs"), g => xxhash64(g)))
+      .withColumn("__sz", size(col("__gs")))
+
+  /** Smallest integer i with (i: double) / sz >= threshold — computed
+    * by probing the scoring predicate's OWN double arithmetic, so
+    * float fuzz at the boundary (ceil(t·sz) off by one ulp either
+    * way) can never open a recall hole in a prefix sized from it. */
+  private def iMinOf(sz: Column, threshold: Double): Column = {
+    val cGuess = ceil(lit(threshold) * sz)
+    when((cGuess - 1).cast("double") / sz.cast("double") >= threshold,
+      cGuess - 1).otherwise(cGuess)
+  }
+
+  /** CANDIDATE-BOUNDED containment scoring — never a gram self-join (a
+    * gram equi-join scoring pass costs sum_g df(g)^2: maxDf·(corpus
+    * gram rows) even when capped, i.e. work NOT bounded by the
+    * candidate set). (1) candidate pairs pre-score on per-doc LONG
+    * hash arrays (shuffle = candidate docs × one long array; hash
+    * collisions only INFLATE the intersection, so no qualifying pair
+    * is lost), then (2) the rare threshold-passers re-verify on STRING
+    * grams through [[pairGramSets]] — exact end to end, with string
+    * work ∝ near-dups, not candidates.
+    * `hsets` = (doc_id, __hs, __sz2) for every id candidates mention;
+    * `docsAll` supplies (idCol, textCol) for the string verify. */
+  private def scoreContainment(cands: DataFrame, hsets: DataFrame,
+      docsAll: DataFrame, idCol: String, textCol: String, ngram: Int,
+      threshold: Double): DataFrame = {
     val mem = cands.select(col("doc_a"), col("doc_b"),
         col("doc_a").as("doc_id"), lit(true).as("__is_a"))
       .unionByName(cands.select(col("doc_a"), col("doc_b"),
@@ -425,7 +433,7 @@ object Dedup {
     // (both broadcast sides + the stream) — persist so the candidate
     // pipeline above it runs once
     val passed = Caches.persist(prepass)
-    pairGramSets(passed, docs, idCol, textCol, ngram)
+    pairGramSets(passed, docsAll, idCol, textCol, ngram)
       .withColumn("containment_a",
         col("__ni").cast("double") / size(col("__gs_a")).cast("double"))
       .withColumn("containment_b",
@@ -436,6 +444,125 @@ object Dedup {
         (col("__ni").cast("double") /
           (size(col("__gs_a")) + size(col("__gs_b")) - col("__ni")).cast("double"))
           .as("jaccard"))
+  }
+
+  /** Materialize the containment-join index for a corpus: one postings
+    * table at `path` with (gh, doc_id, __df, __r, __sz) — EVERY gram
+    * of every doc (no df pruning: a corpus-singleton gram can still be
+    * shared with a future batch), ranked rarest-first within its doc
+    * by corpus df — plus a gram-set sibling at `path + ".gsets"` with
+    * (doc_id, __hs, __sz2) for candidate-bounded prescoring. Storing
+    * the full ranked postings (not a cut prefix) keeps the index
+    * THRESHOLD-FLEXIBLE: query time derives each doc's prefix as
+    * `__r <= __sz - iMin + 1` for ITS threshold. */
+  def writeContainmentIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String, ngram: Int = 3): Unit = {
+    val sets = Caches.persist(gramSetArrays(docs, idCol, textCol, ngram))
+    val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
+    val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
+      .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
+      .select(col("doc_id"), col("__sz"),
+        posexplode(col("__ord")).as(Seq("__p0", "__p")))
+      .select(col("__p.gh").as("gh"), col("doc_id"),
+        col("__p.__df").as("__df"), (col("__p0") + 1).as("__r"), col("__sz"))
+      .write.mode("overwrite").parquet(path)
+    sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2"))
+      .write.mode("overwrite").parquet(path + ".gsets")
+  }
+
+  private val containmentIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around [[writeContainmentIndex]]; committed
+    * on-disk indexes (`_SUCCESS` on both tables) are reused across
+    * JVMs, torn dirs rebuild — same contract as [[ensureBandIndex]]. */
+  def ensureContainmentIndex(docs: => DataFrame, idCol: String,
+      textCol: String, path: String, ngram: Int = 3): Unit =
+    containmentIndexes.computeIfAbsent(path, { _ =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!graft.io.IndexPaths.complete(spark, path) ||
+          !graft.io.IndexPaths.complete(spark, path + ".gsets"))
+        writeContainmentIndex(docs, idCol, textCol, path, ngram)
+      java.lang.Boolean.TRUE
+    })
+
+  /** Drop the build-once memo for `path` (cf. [[invalidateBandIndex]]). */
+  def invalidateContainmentIndex(path: String): Unit =
+    containmentIndexes.remove(path)
+
+  /** Incremental containment join — the production ingest shape (cf.
+    * [[incrementalDedupPairs]]): a NEW batch is matched against an
+    * EXISTING corpus through the materialized
+    * [[writeContainmentIndex]] WITHOUT recomputing corpus grams.
+    * Exact (same guarantees as [[containmentPairs]]); returns pairs
+    * with at least one batch side. Work at query time:
+    *  - gram arrays + prefixes for the batch only (batch-side prefixes
+    *    use plain gh order — ANY total order is sound; the stored
+    *    corpus-df order is a join-size heuristic, not a correctness
+    *    requirement);
+    *  - batch→corpus candidates: batch prefixes × stored postings;
+    *  - corpus→batch candidates: stored prefix rows (`__r` cut at the
+    *    query's threshold) × batch grams;
+    *  - batch×batch pairs via [[containmentPairs]] on the batch;
+    *  - candidate-bounded prescore reads the gram-set sibling only for
+    *    candidate ids; the string verify re-tokenizes only
+    *    threshold-passers.
+    * `maxDf` caps hot stored grams on BOTH candidate joins (same
+    * recall contract as [[containmentPairs]]). `corpusDocs` and
+    * `newDocs` must have disjoint ids. */
+  def incrementalContainmentPairs(newDocs: DataFrame,
+      corpusDocs: DataFrame, indexPath: String, idCol: String,
+      textCol: String, ngram: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Long] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bsets = Caches.persist(gramSetArrays(newDocs, idCol, textCol, ngram))
+    val postingsAll = spark.read.parquet(indexPath)
+    val postings = maxDf.map(m => postingsAll.where(col("__df") <= m))
+      .getOrElse(postingsAll)
+    // batch-side prefixes: a corpus partner can only hold grams that
+    // exist in the postings, so the prefix pool is the batch doc's
+    // POSTINGS-PRESENT grams (same argument as containmentPairs'
+    // shareable trick: a partner holding >= iMin of A's grams holds
+    // them inside the pool, so a pool-prefix of |pool| - iMin + 1
+    // rarest-by-stored-df grams cannot be missed entirely; batch-novel
+    // grams produce no corpus candidates and consume no prefix slots)
+    val idxDf = postings.select(col("gh"), col("__df")).distinct()
+    val bGramsAll = bsets.select(col("doc_id"), explode(col("__hs")).as("gh"))
+    val bIMin = iMinOf(col("__sz"), threshold)
+    val bPrefix = bGramsAll.join(idxDf, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
+      .join(bsets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
+      .select(col("doc_id"), explode(slice(col("__ord"), lit(1),
+        greatest((size(col("__ord")) - bIMin + 1).cast("int"), lit(0)))).as("__p"))
+      .select(col("doc_id"), col("__p.gh").as("gh"))
+    val vsCorpus = bPrefix.select(col("doc_id").as("n_id"), col("gh"))
+      .join(postings.select(col("gh"), col("doc_id").as("c_id")), Seq("gh"))
+      .select(col("n_id"), col("c_id"))
+    // corpus-side prefixes come straight off the stored ranks
+    val cPrefix = postings.where(
+      col("__r") <= col("__sz") - iMinOf(col("__sz"), threshold) + 1)
+    val bGrams = bsets.select(col("doc_id").as("n_id"), explode(col("__hs")).as("gh"))
+    val vsNew = cPrefix.select(col("gh"), col("doc_id").as("c_id"))
+      .join(bGrams, Seq("gh"))
+      .select(col("n_id"), col("c_id"))
+    val cands = Caches.persist(vsCorpus.unionByName(vsNew)
+      .select(least(col("n_id"), col("c_id")).as("doc_a"),
+        greatest(col("n_id"), col("c_id")).as("doc_b"))
+      .distinct())
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+    val hsets = bsets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2"))
+      .unionByName(spark.read.parquet(indexPath + ".gsets")
+        .join(broadcast(candIds.distinct()), Seq("doc_id"), "left_semi"))
+    val docsAll = newDocs.select(col(idCol), col(textCol))
+      .unionByName(corpusDocs.select(col(idCol), col(textCol)))
+    scoreContainment(cands, hsets, docsAll, idCol, textCol, ngram, threshold)
+      .unionByName(
+        containmentPairs(newDocs, idCol, textCol, ngram, threshold, maxDf))
   }
 
   /** Materialize the corpus MinHash band-bucket index: one row per

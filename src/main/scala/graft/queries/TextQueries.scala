@@ -96,6 +96,23 @@ object TextQueries {
         ngram = 3, threshold = 0.8)
     },
 
+    // Incremental containment — the ingest shape (cf.
+    // q_incremental_dedup, same batch split): the batch's grams and
+    // prefixes are computed fresh; the corpus is touched only through
+    // the materialized ranked-postings index and the candidate-id
+    // gram-set fetch. Exact, so the oracle is brute-force containment
+    // restricted to pairs with a batch side.
+    "q_incremental_containment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 4)
+      val fresh = docs.where(col("doc_id") % 5 === 4)
+      val indexPath = graft.io.IndexPaths.indexPath("contidx",
+        s"$dir/documents.parquet", "n3")
+      Dedup.ensureContainmentIndex(corpus, "doc_id", "text", indexPath)
+      Dedup.incrementalContainmentPairs(fresh, corpus, indexPath,
+        "doc_id", "text", ngram = 3, threshold = 0.8)
+    },
+
     // Near-dup clustering: connected components over the MinHash-LSH
     // pair list (min-label propagation); cluster = min doc_id, so
     // cluster == doc_id marks the keeper. Oracle: recursive-CTE
@@ -602,6 +619,19 @@ object TextQueries {
          |JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
          |WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz,
          |               CAST(i AS DOUBLE) / sb.sz) >= 0.8""".stripMargin,
+
+    // ground truth restricted to pairs with at least one new-batch side
+    "q_incremental_containment" ->
+      s"""WITH ${sqlGrams("")}
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(i AS DOUBLE) / sa.sz AS containment_a,
+         |  CAST(i AS DOUBLE) / sb.sz AS containment_b,
+         |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz,
+         |               CAST(i AS DOUBLE) / sb.sz) >= 0.8
+         |  AND (da % 5 = 4 OR db % 5 = 4)""".stripMargin,
 
     // same ground truth as q_dedup_minhash: the SQL-text pipeline must
     // find exactly the brute-force Jaccard pairs

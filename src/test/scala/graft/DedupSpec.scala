@@ -276,6 +276,48 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "testdata plants near-dup pairs; the slice must contain some")
   }
 
+  test("incrementalContainmentPairs: batch finds containment both directions vs the indexed corpus") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val corpus = Seq(
+      (1L, base + " kilo lima mike november oscar papa quebec romeo sierra" +
+        " tango uniform victor whiskey xray yankee zulu aaa bbb ccc ddd eee fff"),
+      (2L, "completely different text about weather patterns in the north region"),
+      (3L, "short seed phrase used again later with more words appended"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base), // contained in corpus doc 1 (batch-prefix direction)
+      (101L, "short seed phrase used again later with more words appended" +
+        " plus a very long tail of extra content one two three four five" +
+        " six seven eight nine ten eleven twelve"), // contains corpus doc 3 (stored-prefix direction)
+      (102L, "entirely novel content matching nothing in the corpus at all"),
+      (103L, base)) // batch-internal dup of 100
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contidx").toString + "/idx"
+    Dedup.writeContainmentIndex(corpus, "doc_id", "text", dir)
+    val got = Dedup.incrementalContainmentPairs(batch, corpus, dir,
+        "doc_id", "text", ngram = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (1L, 103L), (3L, 101L), (100L, 103L)))
+  }
+
+  test("incrementalContainmentPairs == containmentPairs restricted to batch-side pairs") {
+    val slice = docs.limit(200)
+    val corpus = slice.where(col("doc_id") % 5 =!= 4)
+    val fresh = slice.where(col("doc_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_contidx_par").toString + "/idx"
+    Dedup.writeContainmentIndex(corpus, "doc_id", "text", dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val inc = Dedup.incrementalContainmentPairs(fresh, corpus, dir,
+      "doc_id", "text", ngram = 3, threshold = 0.8).collect().map(key).toMap
+    val full = Dedup.containmentPairs(slice, "doc_id", "text", ngram = 3, threshold = 0.8)
+      .where(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4)
+      .collect().map(key).toMap
+    assert(inc === full)
+    assert(full.nonEmpty, "testdata plants near-dups across the split")
+  }
+
   test("ensureBandIndex reuses a committed on-disk index; a torn dir rebuilds") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
