@@ -473,6 +473,34 @@ object Dedup {
       .write.mode("overwrite").parquet(path + ".gsets")
   }
 
+  /** Fold an admitted batch INTO the stored containment index (cf.
+    * [[appendToBandIndex]]): the batch's postings and gram-set rows are
+    * APPENDED — the stored corpus is never rewritten. Appended docs
+    * rank their grams by BATCH-local df: per-doc rank order is a
+    * correctness-free choice (any total order over the doc's grams
+    * keeps the stored-prefix cut sound — only `__r` vs `__sz` matters),
+    * and corpus-wide df drifts as batches land anyway; periodic
+    * [[writeContainmentIndex]] retraining restores the global
+    * rarest-first candidate-size heuristic, the same trade as
+    * [[appendToIvfIndex]] centroid drift. */
+  def appendToContainmentIndex(newDocs: DataFrame, path: String,
+      idCol: String, textCol: String, ngram: Int = 3): Unit = {
+    val sets = Caches.persist(gramSetArrays(newDocs, idCol, textCol, ngram))
+    val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
+    val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
+      .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
+      .select(col("doc_id"), col("__sz"),
+        posexplode(col("__ord")).as(Seq("__p0", "__p")))
+      .select(col("__p.gh").as("gh"), col("doc_id"),
+        col("__p.__df").as("__df"), (col("__p0") + 1).as("__r"), col("__sz"))
+      .write.mode("append").parquet(path)
+    sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2"))
+      .write.mode("append").parquet(path + ".gsets")
+  }
+
   private val containmentIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 

@@ -301,6 +301,34 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 100L), (1L, 103L), (3L, 101L), (100L, 103L)))
   }
 
+  test("appendToContainmentIndex: batch 2 finds containment against admitted batch 1") {
+    val corpus = Seq(
+      (1L, "completely different text about weather patterns in the north region"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "fresh boilerplate paragraph that later batches will quote verbatim"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "fresh boilerplate paragraph that later batches will quote verbatim" +
+        " followed by a long original commentary stretching well past the quote" +
+        " one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contidx_app").toString + "/idx"
+    Dedup.writeContainmentIndex(corpus, "doc_id", "text", dir)
+    val hits1 = Dedup.incrementalContainmentPairs(batch1, corpus, dir,
+        "doc_id", "text", ngram = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits1.isEmpty, s"batch 1 plants nothing, got $hits1")
+    Dedup.appendToContainmentIndex(batch1, dir, "doc_id", "text")
+    // batch-2 doc 20 QUOTES batch-1 doc 10 wholesale: containment_10 = 1
+    // but Jaccard is low — findable only through the appended postings
+    val hits2 = Dedup.incrementalContainmentPairs(batch2,
+        corpus.unionByName(batch1), dir, "doc_id", "text",
+        ngram = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 === Set((10L, 20L)))
+  }
+
   test("incrementalContainmentPairs == containmentPairs restricted to batch-side pairs") {
     val slice = docs.limit(200)
     val corpus = slice.where(col("doc_id") % 5 =!= 4)
