@@ -340,12 +340,24 @@ object Dedup {
       ngram: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Long] = None): DataFrame = {
     val sets = Caches.persist(gramSetArrays(docs, idCol, textCol, ngram))
+    val cands = Caches.persist(
+      prefixCandidates(sets, threshold, maxDf).distinct())
+    scoreContainment(cands,
+      sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2")),
+      docs.select(col(idCol), col(textCol)), idCol, textCol, ngram, threshold)
+  }
+
+  /** Prefix-filtered candidate pairs WITHIN one gram-set relation
+    * ([[gramSetArrays]] shape): unordered (doc_a, doc_b), possibly with
+    * duplicates — callers `.distinct()`. Singleton grams (df = 1) can
+    * never be shared with a partner, so they produce no candidates AND
+    * need no prefix slots: a partner holding >= iMin of A's grams
+    * holds them among A's SHAREABLE grams, so the prefix only has to
+    * cover those (length |shareable| - iMin + 1, rarest-df first). */
+  private def prefixCandidates(sets: DataFrame, threshold: Double,
+      maxDf: Option[Long]): DataFrame = {
     val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-    // singleton grams (df = 1) can never be shared with a partner, so
-    // they produce no candidates AND need no prefix slots: a partner
-    // holding >= iMin of A's grams holds them among A's SHAREABLE
-    // grams, so the prefix only has to cover those.
     val shareable = dfreq.where(col("__df") >= lit(2L))
     val pool = maxDf.map(m => shareable.where(col("__df") <= m))
       .getOrElse(shareable)
@@ -354,19 +366,15 @@ object Dedup {
     val prefix = shared
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
-      .join(sets.select(col("doc_id"), size(col("__gs")).as("__sz")), Seq("doc_id"))
+      .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
       .select(col("doc_id"), explode(slice(col("__ord"), lit(1),
         greatest((size(col("__ord")) - iMin + 1).cast("int"), lit(0)))).as("__p"))
       .select(col("doc_id"), col("__p.gh").as("gh"))
-    val cands = Caches.persist(prefix.withColumnRenamed("doc_id", "__pa")
+    prefix.withColumnRenamed("doc_id", "__pa")
       .join(shared.select(col("doc_id").as("__pb"), col("gh")), Seq("gh"))
       .where(col("__pa") =!= col("__pb"))
       .select(least(col("__pa"), col("__pb")).as("doc_a"),
         greatest(col("__pa"), col("__pb")).as("doc_b"))
-      .distinct())
-    scoreContainment(cands,
-      sets.select(col("doc_id"), col("__hs"), size(col("__gs")).as("__sz2")),
-      docs.select(col(idCol), col(textCol)), idCol, textCol, ngram, threshold)
   }
 
   /** Per-doc distinct gram-set arrays: (doc_id, __gs string array,
@@ -577,9 +585,13 @@ object Dedup {
     val vsNew = cPrefix.select(col("gh"), col("doc_id").as("c_id"))
       .join(bGrams, Seq("gh"))
       .select(col("n_id"), col("c_id"))
+    // batch×batch candidates ride the SAME scoring pass (batch-local
+    // prefix filter over the batch's own df)
+    val vsSelf = prefixCandidates(bsets, threshold, maxDf)
     val cands = Caches.persist(vsCorpus.unionByName(vsNew)
       .select(least(col("n_id"), col("c_id")).as("doc_a"),
         greatest(col("n_id"), col("c_id")).as("doc_b"))
+      .unionByName(vsSelf)
       .distinct())
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
@@ -589,8 +601,6 @@ object Dedup {
     val docsAll = newDocs.select(col(idCol), col(textCol))
       .unionByName(corpusDocs.select(col(idCol), col(textCol)))
     scoreContainment(cands, hsets, docsAll, idCol, textCol, ngram, threshold)
-      .unionByName(
-        containmentPairs(newDocs, idCol, textCol, ngram, threshold, maxDf))
   }
 
   /** Materialize the corpus MinHash band-bucket index: one row per
