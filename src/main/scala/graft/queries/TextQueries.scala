@@ -96,6 +96,45 @@ object TextQueries {
         ngram = 3, threshold = 0.8)
     },
 
+    // Provenance-priority keeper selection: turn near-dup clusters into
+    // an actual KEEP decision that prefers the most trusted source
+    // (tier), then the longest doc, then the lowest id — real pipelines
+    // keep the canonical copy, not the min doc_id. The per-cluster
+    // window partitions on cluster id (tiny groups — scale-safe).
+    "q_dedup_keepers" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val clusters = Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
+      val meta = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        (expr("CAST(substr(source, 4) AS INT)") % 3).as("tier"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("tier").asc, col("n_chars").desc, col("doc_id").asc)
+      clusters.join(meta, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("keep_id"),
+          col("source").as("keep_source"),
+          col("n_chars").cast("long").as("keep_chars"))
+    },
+
+    // Token-budget corpus selection: per source, admit the
+    // highest-token docs until the running token total crosses the
+    // budget — the "fill a training budget with the best of each
+    // source" step. Pure window arithmetic (cumulative sum inside each
+    // source partition), deterministic order, exact SQL oracle.
+    "q_token_budget" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFns.letterTokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= 800)
+    },
+
     // Incremental containment — the ingest shape (cf.
     // q_incremental_dedup, same batch split): the batch's grams and
     // prefixes are computed fresh; the corpus is touched only through
@@ -619,6 +658,37 @@ object TextQueries {
          |JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
          |WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz,
          |               CAST(i AS DOUBLE) / sb.sz) >= 0.8""".stripMargin,
+
+    "q_dedup_keepers" ->
+      s"""WITH RECURSIVE ${sqlGrams("")},
+         |pr AS (SELECT da, db FROM inter
+         |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s, db AS d FROM pr
+         |          UNION SELECT db, da FROM pr),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |       FROM reach GROUP BY s),
+         |m AS (SELECT cl.cluster, cl.doc_id, d.source, d.n_chars,
+         |        CAST(substr(d.source, 4) AS INT) % 3 AS tier
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |        ORDER BY tier ASC, n_chars DESC, doc_id ASC) AS rn FROM m)
+         |SELECT cluster, doc_id AS keep_id, source AS keep_source,
+         |  CAST(n_chars AS BIGINT) AS keep_chars
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH n AS (SELECT doc_id, source,
+         |             CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+         |      FROM n)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 800""".stripMargin,
 
     // ground truth restricted to pairs with at least one new-batch side
     "q_incremental_containment" ->
