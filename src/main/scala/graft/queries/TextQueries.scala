@@ -96,6 +96,78 @@ object TextQueries {
         ngram = 3, threshold = 0.8)
     },
 
+    // The containment join as PURE SQL TEXT — the surface a SQL-only
+    // user gets for the newest pipeline (cf. q_sql_dedup). Mirrors the
+    // Scala path stage for stage: tokenize once, gram arrays built
+    // per-doc, candidate stages on xxhash64 longs (collisions only
+    // widen the candidate set), prefix pool = shareable (df >= 2)
+    // grams sorted rarest-first with the float-fuzz-proof iMin probe,
+    // long-array prescore, string-exact verify. Only builtins — no
+    // custom functions needed.
+    "q_sql_containment" -> { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """WITH toks AS (
+          |  SELECT doc_id, filter(split(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |g0 AS (
+          |  SELECT doc_id, array_distinct(transform(sequence(1, size(ws) - 2),
+          |    i -> concat_ws(' ', slice(ws, i, 3)))) AS gs
+          |  FROM toks WHERE size(ws) >= 3),
+          |h0 AS (
+          |  SELECT doc_id, gs, transform(gs, g -> xxhash64(g)) AS hs,
+          |    size(gs) AS sz
+          |  FROM g0),
+          |grams AS (
+          |  SELECT doc_id, gh FROM h0 LATERAL VIEW explode(hs) t AS gh),
+          |dfreq AS (
+          |  SELECT gh, COUNT(*) AS df FROM grams GROUP BY gh
+          |  HAVING COUNT(*) >= 2),
+          |shared AS (
+          |  SELECT g.doc_id, g.gh, d.df
+          |  FROM grams g JOIN dfreq d ON g.gh = d.gh),
+          |ord AS (
+          |  SELECT s.doc_id,
+          |    sort_array(collect_list(named_struct('df', s.df, 'gh', s.gh))) AS ord,
+          |    first(h.sz) AS sz
+          |  FROM shared s JOIN h0 h ON s.doc_id = h.doc_id
+          |  GROUP BY s.doc_id),
+          |pfx AS (
+          |  SELECT doc_id, p.gh
+          |  FROM (
+          |    SELECT doc_id, slice(ord, 1, greatest(CAST(size(ord) -
+          |      (CASE WHEN CAST(ceil(0.8 * sz) - 1 AS DOUBLE) / sz >= 0.8
+          |            THEN ceil(0.8 * sz) - 1 ELSE ceil(0.8 * sz) END)
+          |      + 1 AS INT), 0)) AS pf
+          |    FROM ord) q
+          |  LATERAL VIEW explode(pf) t AS p),
+          |cand AS (
+          |  SELECT DISTINCT least(p.doc_id, s.doc_id) AS doc_a,
+          |    greatest(p.doc_id, s.doc_id) AS doc_b
+          |  FROM pfx p JOIN shared s ON p.gh = s.gh AND p.doc_id <> s.doc_id),
+          |pre AS (
+          |  SELECT c.doc_a, c.doc_b
+          |  FROM cand c
+          |  JOIN h0 a ON a.doc_id = c.doc_a JOIN h0 b ON b.doc_id = c.doc_b
+          |  WHERE greatest(
+          |    CAST(size(array_intersect(a.hs, b.hs)) AS DOUBLE) / a.sz,
+          |    CAST(size(array_intersect(a.hs, b.hs)) AS DOUBLE) / b.sz) >= 0.8),
+          |ver AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    size(array_intersect(a.gs, b.gs)) AS ni,
+          |    size(a.gs) AS sa, size(b.gs) AS sb
+          |  FROM pre c
+          |  JOIN g0 a ON a.doc_id = c.doc_a JOIN g0 b ON b.doc_id = c.doc_b)
+          |SELECT doc_a, doc_b,
+          |  CAST(ni AS DOUBLE) / sa AS containment_a,
+          |  CAST(ni AS DOUBLE) / sb AS containment_b,
+          |  CAST(ni AS DOUBLE) / (sa + sb - ni) AS jaccard
+          |FROM ver
+          |WHERE greatest(CAST(ni AS DOUBLE) / sa,
+          |               CAST(ni AS DOUBLE) / sb) >= 0.8
+          |""".stripMargin)
+    },
+
     // Provenance-priority keeper selection: turn near-dup clusters into
     // an actual KEEP decision that prefers the most trusted source
     // (tier), then the longest doc, then the lowest id — real pipelines
@@ -649,6 +721,19 @@ object TextQueries {
     // full brute-force containment: the prefix filter is exact, so the
     // Spark side must reproduce every max-containment >= 0.8 pair
     "q_containment" ->
+      s"""WITH ${sqlGrams("")}
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(i AS DOUBLE) / sa.sz AS containment_a,
+         |  CAST(i AS DOUBLE) / sb.sz AS containment_b,
+         |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz,
+         |               CAST(i AS DOUBLE) / sb.sz) >= 0.8""".stripMargin,
+
+    // same ground truth as q_containment: the SQL-text pipeline must
+    // reproduce the brute-force containment pairs exactly
+    "q_sql_containment" ->
       s"""WITH ${sqlGrams("")}
          |SELECT da AS doc_a, db AS doc_b,
          |  CAST(i AS DOUBLE) / sa.sz AS containment_a,

@@ -292,6 +292,12 @@ class PlanPropertiesSpec extends SparkSpec {
       s"the scoring agg must sit above the candidate semi-join:\n$p")
   }
 
+  test("sql containment: the SQL text plans no rank window either") {
+    val p = plan(SparkEntry.queries("q_sql_containment")(spark, sf))
+    assert(!p.contains("Window"),
+      s"the SQL form must candidate-generate through aggregates, not a rank window:\n$p")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
