@@ -735,6 +735,94 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** One step of the PRODUCTION ingest-dedup loop, runnable from a
+    * batch driver or a `foreachBatch` streaming sink
+    * ([[graft.streaming.Streams.ingestDedupStream]]): dedup one
+    * arriving batch against everything admitted before it, admit the
+    * keepers, and fold their signatures into the band index so the NEXT
+    * batch dedups against them too.
+    *
+    * Admission rule (deterministic, SQL-replayable — the
+    * `q_stream_ingest_dedup` oracle unrolls it): a batch doc `d` is
+    * REJECTED iff it has a near-dup pair (jaccard >= threshold) with
+    *  - any already-ADMITTED corpus doc, or
+    *  - a SMALLER-id doc of its own batch (first-keeper greedy — the
+    *    smaller doc wins even if it is itself rejected for a corpus
+    *    dup; no transitive clustering, so the rule is one join, not an
+    *    iteration).
+    * Everything else is admitted: written to
+    * `<admittedRoot>/batch=<batchId>` and appended to the index.
+    *
+    * Work per batch ∝ batch + candidates (the
+    * [[incrementalDedupPairs]] shape): corpus signatures are never
+    * recomputed — the corpus is touched only via the pre-ranked index
+    * read and the candidate-id text fetch. The admitted corpus is an
+    * APPEND-ONLY directory of per-batch partitions; nothing rewrites
+    * old batches.
+    *
+    * Failure/replay contract (foreachBatch re-delivers the last
+    * uncommitted batch after a crash): the admitted table is
+    * EXACTLY-once — a replayed batch recomputes the same admitted set
+    * (its own prior partial output is id-excluded from pairing, and
+    * the result is forced BEFORE the overwrite so the corpus is never
+    * read concurrently with its own rewrite) and overwrites its own
+    * `batch=<id>` directory. The index append is AT-LEAST-once: a
+    * replay may append duplicate (doc_id, band, bucket) rows, which
+    * cost index bytes but cannot change results — candidate pairs are
+    * collapsed by the rescore's per-pair aggregation, and self-pairs
+    * are id-excluded. (Same trade as any non-transactional secondary
+    * index; periodic [[writeBandIndex]] compaction restores it.) */
+  def ingestDedupBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      admittedRoot: String, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val b = Caches.persist(batch.select(col(idCol), col(textCol)))
+    try {
+      if (b.isEmpty) return
+      val first = !graft.io.IndexPaths.complete(spark, indexPath)
+      val pairs =
+        if (first)
+          minhashDedupPairs(b, idCol, textCol, ngram, numHashes, bands,
+            threshold, maxBucket)
+        else
+          incrementalDedupPairs(b,
+            spark.read.parquet(admittedRoot)
+              .select(col(idCol), col(textCol)),
+            indexPath, idCol, textCol, ngram, numHashes, bands, threshold,
+            maxBucket)
+      val p = Caches.persist(pairs.select(col("doc_a"), col("doc_b")))
+      val ids = b.select(col(idCol).as("__id"))
+      def inBatch(c: String) = ids.withColumnRenamed("__id", c)
+      // pair sides are ordered doc_a < doc_b, so: both sides in the
+      // batch -> the larger id loses; one side in the corpus -> the
+      // batch side loses whichever position it holds
+      val bothNew = p.join(inBatch("doc_a"), Seq("doc_a"), "left_semi")
+        .join(inBatch("doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_b").as("__rej"))
+      val corpusOnA = p.join(inBatch("doc_a"), Seq("doc_a"), "left_anti")
+        .select(col("doc_b").as("__rej"))
+      val corpusOnB = p.join(inBatch("doc_b"), Seq("doc_b"), "left_anti")
+        .select(col("doc_a").as("__rej"))
+      val rejected = bothNew.unionByName(corpusOnA).unionByName(corpusOnB)
+        .distinct()
+      val admitted = Caches.persist(
+        b.join(rejected, col(idCol) === col("__rej"), "left_anti"))
+      // force the full lineage (incl. the corpus read) before touching
+      // the directories it reads from — see the replay contract above
+      admitted.count()
+      admitted.write.mode("overwrite")
+        .parquet(s"$admittedRoot/batch=$batchId")
+      if (first)
+        writeBandIndex(admitted, idCol, textCol, indexPath, ngram,
+          numHashes, bands)
+      else
+        appendToBandIndex(admitted, indexPath, idCol, textCol, ngram,
+          numHashes, bands)
+    } finally Caches.release()
+  }
+
   /** Connected components over near-dup pairs — the "cluster duplicates,
     * keep one representative" step that turns pairwise matches into an
     * actual dedup decision. Iterative min-label propagation (the Pregel

@@ -264,6 +264,27 @@ object TextQueries {
       graft.streaming.Streams.nearDupPairsStream(docs, docs)
     },
 
+    // The INGEST-DEDUP LOOP end to end — the streaming-curation shape
+    // (StreamingSpec drives the same per-batch step through a real
+    // foreachBatch query over a MemoryStream): documents arrive in
+    // three deterministic batches (doc_id % 3 in order), each batch
+    // dedups against the admitted corpus through the stored band index
+    // (work ∝ batch), keepers are admitted and their signatures folded
+    // into the index for the next batch. Output: each admitted doc and
+    // the batch that admitted it. Fresh temp dirs per invocation keep
+    // reruns independent. Oracle: the first-keeper admission rule
+    // unrolled batch-by-batch over the brute-force Jaccard pairs.
+    "q_stream_ingest_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-")
+        .toString
+      for (b <- 0L to 2L)
+        Dedup.ingestDedupBatch(docs.where(col("doc_id") % 3 === b), b,
+          s"$tmp/bandidx", s"$tmp/admitted")
+      s.read.parquet(s"$tmp/admitted")
+        .select(col("doc_id"), col("batch").cast("long").as("admitted_batch"))
+    },
+
     // SimHash near-dup pairs (hamming <= 3 on 60-bit portable
     // signatures: md5-derived token hashes through the native
     // long-input buffer aggregate). The banded pair search returns
@@ -799,6 +820,36 @@ object TextQueries {
     "q_stream_neardup" ->
       s"""WITH ${sqlGrams("")}
          |${sqlJaccard(0.8)}""".stripMargin,
+
+    // first-keeper admission unrolled over the brute-force pair
+    // relation, batch by batch: a batch-b doc is rejected iff paired
+    // with an ADMITTED doc of an earlier batch or a smaller-id doc of
+    // its OWN batch (admitted or not — the greedy rule, no closure)
+    "q_stream_ingest_dedup" ->
+      s"""WITH ${sqlGrams("")},
+         |pr AS (${sqlJaccard(0.8)}),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |d0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         |d1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         |d2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         |a0 AS (SELECT doc_id FROM d0 dd WHERE NOT EXISTS (
+         |    SELECT 1 FROM e JOIN d0 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id AND e.a < dd.doc_id)),
+         |a1 AS (SELECT doc_id FROM d1 dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM e JOIN a0 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM e JOIN d1 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id AND e.a < dd.doc_id)),
+         |a01 AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1),
+         |a2 AS (SELECT doc_id FROM d2 dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM e JOIN a01 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM e JOIN d2 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id AND e.a < dd.doc_id))
+         |SELECT doc_id, CAST(0 AS BIGINT) AS admitted_batch FROM a0
+         |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM a1
+         |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM a2""".stripMargin,
 
     // ground truth restricted to pairs with at least one new-batch side
     "q_incremental_dedup" ->

@@ -272,6 +272,40 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The STREAMING form of the production ingest-dedup loop: each
+    * micro-batch of arriving documents is deduped against everything
+    * admitted before it ([[graft.operators.Dedup.ingestDedupBatch]] —
+    * incremental pairs through the stored band index, first-keeper
+    * admission), the keepers land in `<admittedRoot>/batch=<id>`, and
+    * their signatures are folded into the index so the NEXT batch
+    * dedups against them. This closes ingest → dedup-vs-index → admit
+    * → index += batch as one running query.
+    *
+    * Differs from [[nearDupPairsStream]] in kind: that emits the PAIR
+    * stream (observability); this maintains the admitted CORPUS and
+    * its index (the curation decision), with per-batch-directory
+    * overwrite + forced lineage giving an exactly-once admitted table
+    * and an at-least-once index append (contract detailed on
+    * [[graft.operators.Dedup.ingestDedupBatch]]). State lives entirely
+    * ON DISK in the index — no state store, so there is nothing to
+    * TTL: corpus growth is the product (an admitted corpus), not an
+    * operational liability, and retention is a policy on the admitted
+    * directory plus an offline index rebuild. */
+  def ingestDedupStream(docs: DataFrame, indexPath: String,
+      admittedRoot: String, checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8, maxBucket: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Dedup.ingestDedupBatch(batch, id, indexPath,
+          admittedRoot, idCol, textCol, ngram, numHashes, bands, threshold,
+          maxBucket)
+      }
+      .outputMode("append")
+      .start()
+
   case class OpenSession(startMicros: Long, lastMicros: Long, events: Long)
   case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
       s_end: java.sql.Timestamp, n_events: Long)

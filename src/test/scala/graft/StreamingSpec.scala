@@ -430,6 +430,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ingestDedupStream: per-batch admit + index append catches dups across batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-spec-")
+      .toString
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t3 = "omicron pi rho sigma tau upsilon"
+    val t4 = "kappa lambda mu nu xi phi"
+    val t5 = "chi psi omega aleph bet gimel"
+    val t6 = "dalet he vav zayin het tet"
+
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.ingestDedupStream(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/bandidx", s"$tmp/admitted", s"$tmp/ckpt")
+    // batch 0: 2 dups 1 (within-batch, larger id loses); 3 novel
+    ms.addData((1L, t1), (2L, t1), (3L, t3)); sq.processAllAvailable()
+    // batch 1: 10 dups ADMITTED 1 (via the index built from batch 0);
+    // 14 dups 13 within the batch (first-keeper greedy)
+    ms.addData((10L, t1), (11L, t4), (13L, t5), (14L, t5))
+    sq.processAllAvailable()
+    // batch 2: 20 dups 11 — admitted in batch 1, so this catch proves
+    // the APPEND path (batch 1's signatures were folded into the index)
+    ms.addData((20L, t4), (21L, t6)); sq.processAllAvailable()
+    sq.stop()
+
+    val got = spark.read.parquet(s"$tmp/admitted")
+      .select(col("doc_id"), col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (3L, 0L), (11L, 1L), (13L, 1L), (21L, 2L)),
+      s"admitted set wrong: $got")
+
+    // replaying a batch's step directly (foreachBatch re-delivery after
+    // a crash) must not change the admitted table: same admitted set,
+    // same single batch=2 directory (overwritten, not duplicated)
+    graft.operators.Dedup.ingestDedupBatch(
+      Seq((20L, t4), (21L, t6)).toDF("doc_id", "text"), 2L,
+      s"$tmp/bandidx", s"$tmp/admitted")
+    val replayed = spark.read.parquet(s"$tmp/admitted")
+      .select(col("doc_id"), col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == got, s"replay changed the admitted table: $replayed")
+  }
+
   test("streaming near-dup TTL: dups pair within horizon; idle buckets evict and reseed") {
     import spark.implicits._
     val txt = "alpha beta gamma delta epsilon zeta"
