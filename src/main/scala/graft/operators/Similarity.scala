@@ -459,4 +459,244 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("qcos").desc, col("vec_id").asc)))
   }
+
+  // ---------------- K-means corpus clustering ----------------
+
+  /** Argmin-centroid struct (d, cid) for one quantized vector against
+    * the codebook literal: integer L2² per centroid (zip_with fold —
+    * exact), ties to the lowest cluster id via struct ordering. */
+  private def kmAssign(qvCol: Column, cbs: Array[Seq[Long]]): Column = {
+    val cbLit = typedLit(cbs.map(_.toSeq).toSeq)
+    array_min(transform(sequence(lit(0), lit(cbs.length - 1)), j =>
+      struct(aggregate(zip_with(qvCol, element_at(cbLit, j + 1),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v).as("d"),
+        j.as("cid"))))
+  }
+
+  /** K-means corpus clustering in FIXED-POINT arithmetic — the
+    * "partition the corpus into topical/structural groups" operator of
+    * a curation pipeline (per-cluster sampling quotas, outlier mining,
+    * diversity balancing), distinct from [[ivfTrain]] whose float
+    * centroids exist only to serve ANN probes. Everything here is
+    * exact integer math: vectors quantize to floor(v·1000) longs,
+    * assignment is integer-L2² argmin (ties → lowest cluster id),
+    * centroid updates are floor-divided integer means, empty clusters
+    * keep their centroid — so every intermediate centroid and the
+    * final assignment are BIT-REPRODUCIBLE in any engine, and the
+    * q_kmeans oracle replays the entire clustering (init + `iters`
+    * Lloyd rounds + final assignment) in pure SQL.
+    *
+    * Scale shape per round: one scan with the k×dim codebook riding as
+    * a codegen literal (no join, no shuffle for assignment) + one
+    * (cid, pos)-keyed partial-combined aggregation whose output is
+    * k×dim rows; only the k×dim centroid matrix ever reaches the
+    * driver. Deterministic init: the k lowest-id vectors.
+    *
+    * Returns (assignments (id, cluster, dist_q), centroid matrix). */
+  def kmeansFixedPoint(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): (DataFrame, Array[Seq[Long]]) = {
+    val qv = Caches.persist(emb.select(col(idCol),
+      transform(col(vecCol), x => VectorFns.qint(x)).as("__qv")))
+    var cbs: Array[Seq[Long]] = qv.orderBy(col(idCol).asc).limit(k)
+      .select(col("__qv")).collect().map(_.getSeq[Long](0))
+    require(cbs.length == k, s"need >= $k rows to seed k-means")
+    for (_ <- 0 until iters) {
+      val sums = qv
+        .withColumn("__cid", kmAssign(col("__qv"), cbs).getField("cid"))
+        .select(col("__cid"), posexplode(col("__qv")).as(Seq("__pos", "__v")))
+        .groupBy(col("__cid"), col("__pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      cbs = Array.tabulate(k)(j => byCid.get(j) match {
+        case Some(rows) => rows.sortBy(_.getInt(1))
+          .map(r => Math.floorDiv(r.getLong(2), r.getLong(3))).toSeq
+        case None => cbs(j) // empty cluster keeps its centroid
+      })
+    }
+    val fin = qv.select(col(idCol), kmAssign(col("__qv"), cbs).as("__a"))
+      .select(col(idCol), col("__a.cid").cast("long").as("cluster"),
+        col("__a.d").as("dist_q"))
+    (fin, cbs)
+  }
+
+  // ---------------- Product quantization (PQ) ----------------
+
+  /** Nearest-codeword id for one subspace, evaluated entirely inside
+    * codegen: the codebook rides along as a 3-d literal and the argmin
+    * expands L2² to -2·dot + |c|² (|v|² is constant per row). `ssCol`
+    * may be a lambda variable, so one expression encodes ALL subspaces
+    * at once. Ties break to the lowest codeword id (struct ordering). */
+  private def pqNearest(ssCol: Column, svCol: Column,
+      cbs: Array[Array[Seq[Float]]]): Column = {
+    val k = cbs(0).length
+    val cbLit = typedLit(cbs.map(_.toSeq).toSeq)
+    val normLit = typedLit(cbs.map(_.map(c =>
+      c.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
+    array_min(transform(sequence(lit(0), lit(k - 1)), j =>
+      struct((lit(-2.0) * VectorFns.dot(svCol,
+          element_at(element_at(cbLit, ssCol + 1), j + 1))
+        + element_at(element_at(normLit, ssCol + 1), j + 1)).as("d"),
+        j.as("cid")))).getField("cid")
+  }
+
+  /** PQ codebooks: the vector is split into `m` contiguous subvectors
+    * of dim/m and each subspace gets its own `k`-codeword codebook via
+    * Lloyd iterations — ONE exploded (row × subspace) relation trains
+    * all `m` codebooks simultaneously, so an iteration costs one scan
+    * + one (ss, cid, pos)-keyed partial-combined aggregation regardless
+    * of m. Deterministic init (subvectors of the k lowest-id rows);
+    * only the m×k×(dim/m) codebook matrix reaches the driver. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String, m: Int = 16,
+      k: Int = 16, iters: Int = 3): Array[Array[Seq[Float]]] = {
+    val dim = probeDim(emb, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val d = dim / m
+    var cbs: Array[Array[Seq[Float]]] = {
+      val seed = emb.orderBy(col(idCol).asc).limit(k)
+        .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+      require(seed.length == k, s"need >= $k rows to seed PQ codebooks")
+      Array.tabulate(m)(ss => seed.map(v => v.slice(ss * d, ss * d + d).toSeq))
+    }
+    val subs = emb.select(explode(transform(sequence(lit(0), lit(m - 1)),
+        ss => struct(ss.as("ss"),
+          slice(col(vecCol), ss * lit(d) + lit(1), lit(d)).as("sv")))).as("e"))
+      .select(col("e.ss").as("ss"), col("e.sv").as("sv"))
+    for (_ <- 0 until iters) {
+      val means = subs
+        .withColumn("__cid", pqNearest(col("ss"), col("sv"), cbs))
+        .select(col("ss"), col("__cid"),
+          posexplode(col("sv")).as(Seq("__pos", "__v")))
+        .groupBy(col("ss"), col("__cid"), col("__pos"))
+        .agg(avg(col("__v")).as("__m"))
+        .collect()
+      val bySsCid = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cbs = Array.tabulate(m)(ss => Array.tabulate(k)(j =>
+        bySsCid.get((ss, j)) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq
+          case None => cbs(ss)(j) // empty cluster keeps its codeword
+        }))
+    }
+    cbs
+  }
+
+  /** Encode each vector as `m` codeword ids — the compression step
+    * (64 floats = 256 bytes → m 4-bit-range ids, 16 bytes packed at
+    * m=16/k=16). Pure per-row expression, zero shuffle. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Seq[Float]]]): DataFrame = {
+    val m = cbs.length
+    val d = cbs(0)(0).length
+    emb.select(col(idCol),
+      transform(sequence(lit(0), lit(m - 1)), ss =>
+        pqNearest(ss, slice(col(vecCol), ss * lit(d) + lit(1), lit(d)),
+          cbs)).as("codes"))
+  }
+
+  /** Sibling location of a PQ index's persisted codebooks. */
+  def pqCodebooksPath(path: String): String =
+    path.stripSuffix("/") + ".codebooks"
+
+  /** Materialize the PQ index: train codebooks, store (id, codes) —
+    * the table an ADC scan reads at 1/16 the bytes of the raw
+    * embeddings — and persist the codebooks next to it so append and
+    * query jobs on fresh JVMs reload instead of retraining (same
+    * self-describing-index contract as [[ivfWriteIndex]]). */
+  def pqWriteIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 16, k: Int = 16): Array[Array[Seq[Float]]] = {
+    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = pqTrain(cached, idCol, vecCol, m, k)
+    pqEncode(cached, idCol, vecCol, cbs)
+      .write.mode("overwrite").parquet(path)
+    cached.unpersist()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (row, ss) =>
+      row.zipWithIndex.map { case (c, j) => (ss, j, c) }
+    }.toSeq.toDF("ss", "j", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(pqCodebooksPath(path))
+    cbs
+  }
+
+  /** Reload the codebooks written by [[pqWriteIndex]]. */
+  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Seq[Float]]] = {
+    val rows = spark.read.parquet(pqCodebooksPath(path))
+      .orderBy(col("ss").asc, col("j").asc).collect()
+    rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map(_._2
+      .sortBy(_.getInt(1)).map(_.getSeq[Float](2)))
+  }
+
+  /** Fold new embeddings INTO the stored PQ index (cf.
+    * [[appendToIvfIndex]]): encode against the EXISTING codebooks,
+    * append the codes. Same no-retrain trade as IVF append — codebooks
+    * drift as the distribution shifts; rebuild offline when ADC error
+    * degrades. */
+  def appendToPqIndex(newEmb: DataFrame, path: String, idCol: String,
+      vecCol: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cbs = Option(pqIndexes.get(path))
+      .getOrElse(loadPqCodebooks(spark, path))
+    pqEncode(newEmb, idCol, vecCol, cbs)
+      .write.mode("append").parquet(path)
+  }
+
+  private val pqIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Seq[Float]]]]()
+
+  /** Drop the build-once memo for `indexPath` (content-addressed paths
+    * make this unnecessary for source changes). */
+  def invalidatePqIndex(indexPath: String): Unit = pqIndexes.remove(indexPath)
+
+  /** PQ ANN top-k through the materialized index: asymmetric-distance
+    * (ADC) scan over the CODES — the query's per-subspace dot products
+    * against every codeword are precomputed into an m×k lookup table
+    * (driver-side, tiny) that rides into codegen as a literal, so
+    * scoring a row is m array lookups + adds on an m-int row (no float
+    * vectors read) — then an EXACT rescore of only the top
+    * `shortlistFactor`·k ADC candidates against the raw embeddings.
+    * At 100 TB: the scan IO drops 16×, the sort is a bounded top-N
+    * (TakeOrdered), and the exact pass touches `shortlistFactor`·k
+    * rows fetched by a broadcast semi-join — the standard
+    * ADC-shortlist-rerank production shape. Build-once per
+    * `indexPath`, reloaded from disk on fresh JVMs. */
+  def pqTopKIndexed(spark: SparkSession, emb: => DataFrame, idCol: String,
+      vecCol: String, indexPath: String, probeId: Long, k: Int,
+      m: Int = 16, kCode: Int = 16, shortlistFactor: Int = 16): DataFrame = {
+    val cbs = pqIndexes.computeIfAbsent(indexPath,
+      _ =>
+        if (graft.io.IndexPaths.complete(spark, indexPath) &&
+            graft.io.IndexPaths.complete(spark, pqCodebooksPath(indexPath)))
+          loadPqCodebooks(spark, indexPath)
+        else pqWriteIndex(emb, idCol, vecCol, indexPath, m, kCode))
+    val e = emb
+    val qvec = e.where(col(idCol) === probeId).select(col(vecCol)).head()
+      .getSeq[Float](0)
+    val d = cbs(0)(0).length
+    val dotLut: Seq[Seq[Double]] = cbs.zipWithIndex.map { case (row, ss) =>
+      val qs = qvec.slice(ss * d, ss * d + d)
+      row.map(c => c.zip(qs).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        .toSeq
+    }.toSeq
+    val normLut: Seq[Seq[Double]] = cbs.map(_.map(c =>
+      c.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq
+    def lutSum(lut: Seq[Seq[Double]]): Column =
+      aggregate(zip_with(col("codes"), typedLit(lut),
+          (c, lutRow) => element_at(lutRow, c + 1)),
+        lit(0.0), (acc, v) => acc + v)
+    val shortlist = spark.read.parquet(indexPath)
+      .where(col(idCol) =!= probeId)
+      .select(col(idCol),
+        (lutSum(dotLut) /
+          sqrt(greatest(lutSum(normLut), lit(1e-12)))).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(shortlistFactor * k)
+    e.join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), typedLit(qvec)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+  }
 }

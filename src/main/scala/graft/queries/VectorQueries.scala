@@ -83,6 +83,30 @@ object VectorQueries {
         lit(hits >= math.ceil(0.7 * K).toLong).as("recall_ok"))
     },
 
+    // PQ ANN through the MATERIALIZED code index: product-quantization
+    // codebooks trained once per corpus (pqWriteIndex), corpus stored
+    // as m=16 codeword ids per vector (16x less scan IO), queries run
+    // an ADC lookup-table scan over the codes and exact-rescore only
+    // the top shortlist. Float k-means codebooks are engine-internal,
+    // so the oracle checks the retrieval PROPERTY like q_ann_ivf: k
+    // results, recall@k vs exact brute force >= 0.7 (computed
+    // Spark-side by intersection; a broken codebook/ADC/shortlist
+    // path drops recall and fails the hash match).
+    "q_ann_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val indexPath = graft.io.IndexPaths.indexPath("pq",
+        s"$dir/embeddings.parquet", "m16k16")
+      val pq = Similarity.pqTopKIndexed(s, emb, "vec_id", "embedding",
+        indexPath, probeId = 0L, k = K)
+      val exact = Similarity.bruteForceTopK(s, emb, "vec_id", "embedding",
+        probeId = 0L, k = K)
+      val n = pq.count()
+      val hits = pq.select(col("vec_id"))
+        .intersect(exact.select(col("vec_id"))).count()
+      s.range(1).select(lit(K.toLong).as("k"), lit(n).as("n_results"),
+        lit(hits >= math.ceil(0.7 * K).toLong).as("recall_ok"))
+    },
+
     // Embedding-cosine near-duplicate pairs, exact all-pairs baseline
     // (the LSH variant below is the scale path).
     "q_neardup_exact" -> { (s, dir) =>
@@ -121,6 +145,19 @@ object VectorQueries {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       graft.operators.Dedup.dedupClusters(pairs)
         .toDF("vec_id", "cluster")
+    },
+
+    // K-MEANS corpus clustering — the curation partitioner (cluster
+    // quotas, outlier mining, diversity balancing), not an ANN helper.
+    // Entirely fixed-point integer arithmetic (quantized vectors,
+    // integer-L2² argmin with lowest-id tie-break, floor-divided
+    // integer centroid means), so unlike float k-means the WHOLE
+    // clustering — init, both Lloyd rounds, final assignment — is
+    // replayed bit-exactly by the DuckDB oracle.
+    "q_kmeans" -> { (s, dir) =>
+      val (assign, _) = Similarity.kmeansFixedPoint(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      assign
     },
 
     // Per-label embedding centroids (average pooling) — fixed-point
@@ -206,6 +243,10 @@ object VectorQueries {
          |FROM sc QUALIFY rk <= $K""".stripMargin,
 
     "q_ann_ivf" ->
+      s"""SELECT CAST($K AS BIGINT) AS k, CAST($K AS BIGINT) AS n_results,
+         |  TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_pq" ->
       s"""SELECT CAST($K AS BIGINT) AS k, CAST($K AS BIGINT) AS n_results,
          |  TRUE AS recall_ok""".stripMargin,
 
@@ -320,6 +361,44 @@ object VectorQueries {
          |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin,
+
+    // the full fixed-point Lloyd clustering replayed in SQL: quantize,
+    // seed from the 8 lowest ids, two assign+update rounds (integer
+    // L2², lowest-cid tie-break, floor-divided means, empty clusters
+    // keep their centroid), final assignment
+    "q_kmeans" -> {
+      def dist(c: String) =
+        s"""list_sum(list_transform(range(1, 65),
+           |      i -> (q.v[i] - $c.c[i]) * (q.v[i] - $c.c[i])))""".stripMargin
+      def round(n: Int, prev: String) =
+        s"""d$n AS (SELECT q.vec_id, q.v, c.cid, ${dist("c")} AS dist
+           |      FROM qv q CROSS JOIN $prev c),
+           |a$n AS (SELECT vec_id, v, cid, dist FROM d$n
+           |      QUALIFY row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY dist, cid) = 1),
+           |u$n AS (SELECT cid, i,
+           |        CAST(FLOOR(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+           |      FROM a$n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+           |      GROUP BY cid, i),
+           |n$n AS (SELECT cid, list(ci ORDER BY i) AS c FROM u$n GROUP BY cid),
+           |c${n + 1} AS (SELECT p.cid, COALESCE(n$n.c, p.c) AS c
+           |      FROM $prev p LEFT JOIN n$n USING (cid))""".stripMargin
+      s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    v AS c
+         |  FROM qv ORDER BY vec_id LIMIT 8),
+         |${round(0, "c0")},
+         |${round(1, "c1")},
+         |fin AS (SELECT q.vec_id, c.cid, ${dist("c")} AS dist
+         |  FROM qv q CROSS JOIN c2 c)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+         |  CAST(dist AS BIGINT) AS dist_q
+         |FROM fin
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY dist, cid) = 1""".stripMargin
+    },
 
     "q_vector_centroid" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos,

@@ -222,6 +222,92 @@ class SimilaritySpec extends SparkSpec {
     assert(marker.exists(), "rebuild must recommit the centroid sibling")
   }
 
+  test("kmeansFixedPoint: deterministic; all assigned; planted blobs separate") {
+    val (a1, c1) = Similarity.kmeansFixedPoint(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val (_, c2) = Similarity.kmeansFixedPoint(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    assert(c1.map(_.toList).toList == c2.map(_.toList).toList)
+    val rows = a1.collect()
+    assert(rows.length == emb.count())
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "corpus must not collapse into one cluster")
+
+    // two tight planted blobs at ±1: k=2 must separate them exactly
+    // (init seeds are vec 0 (+blob) and vec 1 (−blob))
+    val blob = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq.fill(64)(base + i / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    val (pa, _) = Similarity.kmeansFixedPoint(blob, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val parity = pa.collect().groupBy(_.getLong(1))
+      .values.map(_.map(_.getLong(0) % 2).toSet).toSeq
+    assert(parity.size == 2 && parity.forall(_.size == 1),
+      s"blobs must separate cleanly: $parity")
+  }
+
+  test("pqTrain/pqEncode: deterministic codebooks; codes are m ids in [0, k)") {
+    val c1 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val c2 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    assert(c1.map(_.map(_.toList).toList).toList ==
+      c2.map(_.map(_.toList).toList).toList)
+    assert(c1.length == 8 && c1.forall(_.length == 16) &&
+      c1.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", c1)
+      .select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("pqTopKIndexed: planted duplicate retrieved at rank 1; recall vs brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    // plant an exact duplicate of the probe vector under a fresh id: it
+    // must PQ-encode identically, dominate the ADC scan, survive the
+    // shortlist, and exact-rescore to rank 1
+    val probeVec = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val planted = Seq((999999L, probeVec)).toDF("vec_id", "embedding")
+      .unionByName(emb.select("vec_id", "embedding"))
+    val top = Similarity.pqTopKIndexed(spark, planted, "vec_id", "embedding",
+      dir, probeId = 0L, k = 10).orderBy("rk").collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 999999L && top.head.getDouble(1) > 0.99,
+      s"planted duplicate must rank first, got ${top.head}")
+    val brute = Similarity.bruteForceTopK(spark, planted, "vec_id", "embedding",
+        0L, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = top.map(_.getLong(0)).toSet
+    assert((brute intersect got).size >= 7,
+      s"PQ recall too low: ${(brute intersect got).size}/10")
+  }
+
+  test("pqWriteIndex round-trips codebooks; appendToPqIndex closes the ingest loop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
+    val first = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 =!= 0)
+    val cbs = Similarity.pqWriteIndex(first, "vec_id", "embedding", dir)
+    val loaded = Similarity.loadPqCodebooks(spark, dir)
+    assert(loaded.length == cbs.length &&
+      loaded.zip(cbs).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) => x == y } })
+    Similarity.appendToPqIndex(rest, dir, "vec_id", "embedding")
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+    // appended codes use the same codebooks: re-encoding the odd half
+    // against the loaded codebooks reproduces the stored codes
+    val stored = idx.where(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), array_join(transform(col("codes"),
+        _.cast("string")), ",").as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val re = Similarity.pqEncode(rest, "vec_id", "embedding", loaded)
+      .select(col("vec_id"), array_join(transform(col("codes"),
+        _.cast("string")), ",").as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stored == re)
+  }
+
   test("ivfTrain: deterministic centroids, every vector assigned") {
     val c1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
     val c2 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
