@@ -520,6 +520,39 @@ object Similarity {
     (fin, cbs)
   }
 
+  /** Outlier mining over the fixed-point clustering: the `n` vectors
+    * FARTHEST from their assigned centroid — the "what doesn't fit any
+    * topic" quality-audit shortlist (mislabeled sources, garbage
+    * embeddings, novel content). orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition bounded heaps, k-row driver
+    * merge); inherits kmeans' bit-reproducibility, so the full-oracle
+    * guarantee extends here. */
+  def kmeansOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, n: Int = 20): DataFrame = {
+    val (assign, _) = kmeansFixedPoint(emb, idCol, vecCol, k, iters)
+    assign.orderBy(col("dist_q").desc, col(idCol).asc)
+      .limit(n)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("dist_q").desc, col(idCol).asc)).cast("long"))
+  }
+
+  /** Cluster-balanced deterministic sample: a per-cluster quota filled
+    * by md5 rank — the diversity-balancing selection a curation
+    * pipeline runs after clustering (equal representation per topical
+    * group regardless of cluster skew). The md5 order is a pure
+    * function of the id, so the sample is reproducible and engine-
+    * independent; the rank window partitions by cluster (distributed),
+    * and rows beyond the quota never leave their partition's sort. */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, quota: Int = 25): DataFrame = {
+    val (assign, _) = kmeansFixedPoint(emb, idCol, vecCol, k, iters)
+    assign.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol).asc)).cast("long"))
+      .where(col("rn") <= quota)
+      .select(col(idCol), col("cluster"), col("rn"))
+  }
+
   // ---------------- Product quantization (PQ) ----------------
 
   /** Nearest-codeword id for one subspace, evaluated entirely inside
@@ -585,13 +618,16 @@ object Similarity {
     * (64 floats = 256 bytes → m 4-bit-range ids, 16 bytes packed at
     * m=16/k=16). Pure per-row expression, zero shuffle. */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-      cbs: Array[Array[Seq[Float]]]): DataFrame = {
+      cbs: Array[Array[Seq[Float]]]): DataFrame =
+    emb.select(col(idCol), pqCodes(vecCol, cbs).as("codes"))
+
+  /** The m-codeword-id array expression behind [[pqEncode]]. */
+  private def pqCodes(vecCol: String,
+      cbs: Array[Array[Seq[Float]]]): Column = {
     val m = cbs.length
     val d = cbs(0)(0).length
-    emb.select(col(idCol),
-      transform(sequence(lit(0), lit(m - 1)), ss =>
-        pqNearest(ss, slice(col(vecCol), ss * lit(d) + lit(1), lit(d)),
-          cbs)).as("codes"))
+    transform(sequence(lit(0), lit(m - 1)), ss =>
+      pqNearest(ss, slice(col(vecCol), ss * lit(d) + lit(1), lit(d)), cbs))
   }
 
   /** Sibling location of a PQ index's persisted codebooks. */
@@ -660,6 +696,101 @@ object Similarity {
     * rows fetched by a broadcast semi-join — the standard
     * ADC-shortlist-rerank production shape. Build-once per
     * `indexPath`, reloaded from disk on fresh JVMs. */
+  /** Materialize the IVF-PQ index — the canonical production ANN
+    * layout (coarse quantizer for partition pruning × product codes
+    * for scan compression): rows live in `__cid`-partitioned
+    * directories carrying only (id, codes); IVF centroids and PQ
+    * codebooks persist as siblings, so the index is fully
+    * self-describing on disk. A probe therefore reads
+    * nProbe/nClusters of the DIRECTORIES and 1/16 of the BYTES within
+    * them — the two pruning axes compose. (Codebooks are trained on
+    * raw vectors, not per-list residuals — the simpler variant; the
+    * residual refinement drops ADC error further but needs per-list
+    * LUTs per query.) */
+  def ivfPqWriteIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, nClusters: Int = 16, m: Int = 16, k: Int = 16)
+      : (Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
+    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = ivfTrain(cached, idCol, vecCol, nClusters)
+    val cbs = pqTrain(cached, idCol, vecCol, m, k)
+    // one pass computes both quantizations: coarse cid + product codes
+    assignToCentroids(cached, vecCol, centroids)
+      .select(col(idCol), pqCodes(vecCol, cbs).as("codes"), col("__cid"))
+      .write.mode("overwrite").partitionBy("__cid").parquet(path)
+    cached.unpersist()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("__cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    cbs.zipWithIndex.flatMap { case (row, ss) =>
+      row.zipWithIndex.map { case (c, j) => (ss, j, c) }
+    }.toSeq.toDF("ss", "j", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(pqCodebooksPath(path))
+    (centroids, cbs)
+  }
+
+  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Seq[Float]], Array[Array[Seq[Float]]])]()
+
+  /** Drop the build-once memo for `indexPath`. */
+  def invalidateIvfPqIndex(indexPath: String): Unit =
+    ivfPqIndexes.remove(indexPath)
+
+  /** IVF-PQ ANN top-k through the materialized index: pick the
+    * `nProbe` nearest coarse centroids, read ONLY those partitions
+    * (directory pruning — PartitionFilters on `__cid`), ADC-score the
+    * codes within them via the codegen'd lookup table, exact-rescore
+    * the bounded shortlist against the raw embeddings. At scale the
+    * scan cost is (nProbe/nClusters) × (1/16 bytes) of the corpus —
+    * each factor from an independent index axis — with the same
+    * build-once / reload-on-fresh-JVM lifecycle as the other
+    * indexes. */
+  def ivfPqTopKIndexed(spark: SparkSession, emb: => DataFrame,
+      idCol: String, vecCol: String, indexPath: String, probeId: Long,
+      k: Int, nClusters: Int = 16, nProbe: Int = 4, m: Int = 16,
+      kCode: Int = 16, shortlistFactor: Int = 16): DataFrame = {
+    val (centroids, cbs) = ivfPqIndexes.computeIfAbsent(indexPath,
+      _ =>
+        if (graft.io.IndexPaths.complete(spark, indexPath) &&
+            graft.io.IndexPaths.complete(spark, centroidsPath(indexPath)) &&
+            graft.io.IndexPaths.complete(spark, pqCodebooksPath(indexPath)))
+          (loadCentroids(spark, indexPath), loadPqCodebooks(spark, indexPath))
+        else ivfPqWriteIndex(emb, idCol, vecCol, indexPath, nClusters, m, kCode))
+    val e = emb
+    val qvec = e.where(col(idCol) === probeId).select(col(vecCol)).head()
+      .getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(qvec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, i)
+    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    val d = cbs(0)(0).length
+    val dotLut: Seq[Seq[Double]] = cbs.zipWithIndex.map { case (row, ss) =>
+      val qs = qvec.slice(ss * d, ss * d + d)
+      row.map(c => c.zip(qs).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        .toSeq
+    }.toSeq
+    val normLut: Seq[Seq[Double]] = cbs.map(_.map(c =>
+      c.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq
+    def lutSum(lut: Seq[Seq[Double]]): Column =
+      aggregate(zip_with(col("codes"), typedLit(lut),
+          (c, lutRow) => element_at(lutRow, c + 1)),
+        lit(0.0), (acc, v) => acc + v)
+    val shortlist = spark.read.parquet(indexPath)
+      .where(col("__cid").isin(probes: _*) && col(idCol) =!= probeId)
+      .select(col(idCol),
+        (lutSum(dotLut) /
+          sqrt(greatest(lutSum(normLut), lit(1e-12)))).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(shortlistFactor * k)
+    e.join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), typedLit(qvec)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+  }
+
   def pqTopKIndexed(spark: SparkSession, emb: => DataFrame, idCol: String,
       vecCol: String, indexPath: String, probeId: Long, k: Int,
       m: Int = 16, kCode: Int = 16, shortlistFactor: Int = 16): DataFrame = {

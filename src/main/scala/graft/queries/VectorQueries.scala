@@ -28,6 +28,47 @@ object VectorQueries {
       |    END AS qv
       |  FROM q)""".stripMargin
 
+  /** DuckDB replay of [[graft.operators.Similarity.kmeansFixedPoint]]
+    * (k=8, iters=2, dim=64): a WITH chain ending in
+    * `asg(vec_id, cluster, dist_q)` — quantize, seed centroids from
+    * the 8 lowest ids, two assign+update Lloyd rounds (integer L2²,
+    * lowest-cid tie-break, floor-divided integer means, empty clusters
+    * keep their centroid), final assignment. Shared by q_kmeans,
+    * q_kmeans_outliers, q_cluster_sample. */
+  private val sqlKmeans: String = {
+    def dist(c: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> (q.v[i] - $c.c[i]) * (q.v[i] - $c.c[i])))""".stripMargin
+    def round(n: Int, prev: String) =
+      s"""d$n AS (SELECT q.vec_id, q.v, c.cid, ${dist("c")} AS dist
+         |      FROM qv q CROSS JOIN $prev c),
+         |a$n AS (SELECT vec_id, v, cid, dist FROM d$n
+         |      QUALIFY row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cid) = 1),
+         |u$n AS (SELECT cid, i,
+         |        CAST(FLOOR(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+         |      FROM a$n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+         |      GROUP BY cid, i),
+         |n$n AS (SELECT cid, list(ci ORDER BY i) AS c FROM u$n GROUP BY cid),
+         |c${n + 1} AS (SELECT p.cid, COALESCE(n$n.c, p.c) AS c
+         |      FROM $prev p LEFT JOIN n$n USING (cid))""".stripMargin
+    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |    v AS c
+       |  FROM qv ORDER BY vec_id LIMIT 8),
+       |${round(0, "c0")},
+       |${round(1, "c1")},
+       |fin AS (SELECT q.vec_id, c.cid, ${dist("c")} AS dist
+       |  FROM qv q CROSS JOIN c2 c),
+       |asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+       |    CAST(dist AS BIGINT) AS dist_q
+       |  FROM fin
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) = 1)""".stripMargin
+  }
+
   /** DuckDB fixed-point dot product mirror of
     * [[graft.functions.VectorFns.dotQ]]. */
   private def sqlDotQ(a: String, b: String): String =
@@ -107,6 +148,26 @@ object VectorQueries {
         lit(hits >= math.ceil(0.7 * K).toLong).as("recall_ok"))
     },
 
+    // IVF-PQ ANN — the canonical production composition: the probe
+    // reads nProbe/16 of the DIRECTORIES (coarse quantizer partition
+    // pruning) and 1/16 of the BYTES within them (PQ codes, no raw
+    // vectors), ADC lookup-table scoring, exact rerank of the bounded
+    // shortlist. Same recall-property oracle as the other ANN indexes.
+    "q_ann_ivfpq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val indexPath = graft.io.IndexPaths.indexPath("ivfpq",
+        s"$dir/embeddings.parquet", "c16m16k16")
+      val ann = Similarity.ivfPqTopKIndexed(s, emb, "vec_id", "embedding",
+        indexPath, probeId = 0L, k = K, nProbe = 8)
+      val exact = Similarity.bruteForceTopK(s, emb, "vec_id", "embedding",
+        probeId = 0L, k = K)
+      val n = ann.count()
+      val hits = ann.select(col("vec_id"))
+        .intersect(exact.select(col("vec_id"))).count()
+      s.range(1).select(lit(K.toLong).as("k"), lit(n).as("n_results"),
+        lit(hits >= math.ceil(0.7 * K).toLong).as("recall_ok"))
+    },
+
     // Embedding-cosine near-duplicate pairs, exact all-pairs baseline
     // (the LSH variant below is the scale path).
     "q_neardup_exact" -> { (s, dir) =>
@@ -158,6 +219,23 @@ object VectorQueries {
       val (assign, _) = Similarity.kmeansFixedPoint(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
       assign
+    },
+
+    // Outlier mining over the clustering: the 20 vectors farthest from
+    // their assigned centroid — the quality-audit shortlist. Inherits
+    // kmeans' bit-reproducibility → full oracle.
+    "q_kmeans_outliers" -> { (s, dir) =>
+      Similarity.kmeansOutliers(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2, n = 20)
+    },
+
+    // Cluster-balanced deterministic sampling: a 25-doc quota per
+    // cluster filled in md5-of-id order — the diversity-balancing
+    // selection after clustering. Full oracle (md5 rank is engine-
+    // independent).
+    "q_cluster_sample" -> { (s, dir) =>
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2, quota = 25)
     },
 
     // Per-label embedding centroids (average pooling) — fixed-point
@@ -247,6 +325,10 @@ object VectorQueries {
          |  TRUE AS recall_ok""".stripMargin,
 
     "q_ann_pq" ->
+      s"""SELECT CAST($K AS BIGINT) AS k, CAST($K AS BIGINT) AS n_results,
+         |  TRUE AS recall_ok""".stripMargin,
+
+    "q_ann_ivfpq" ->
       s"""SELECT CAST($K AS BIGINT) AS k, CAST($K AS BIGINT) AS n_results,
          |  TRUE AS recall_ok""".stripMargin,
 
@@ -362,43 +444,29 @@ object VectorQueries {
          |SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin,
 
-    // the full fixed-point Lloyd clustering replayed in SQL: quantize,
-    // seed from the 8 lowest ids, two assign+update rounds (integer
-    // L2², lowest-cid tie-break, floor-divided means, empty clusters
-    // keep their centroid), final assignment
-    "q_kmeans" -> {
-      def dist(c: String) =
-        s"""list_sum(list_transform(range(1, 65),
-           |      i -> (q.v[i] - $c.c[i]) * (q.v[i] - $c.c[i])))""".stripMargin
-      def round(n: Int, prev: String) =
-        s"""d$n AS (SELECT q.vec_id, q.v, c.cid, ${dist("c")} AS dist
-           |      FROM qv q CROSS JOIN $prev c),
-           |a$n AS (SELECT vec_id, v, cid, dist FROM d$n
-           |      QUALIFY row_number() OVER (PARTITION BY vec_id
-           |        ORDER BY dist, cid) = 1),
-           |u$n AS (SELECT cid, i,
-           |        CAST(FLOOR(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
-           |      FROM a$n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
-           |      GROUP BY cid, i),
-           |n$n AS (SELECT cid, list(ci ORDER BY i) AS c FROM u$n GROUP BY cid),
-           |c${n + 1} AS (SELECT p.cid, COALESCE(n$n.c, p.c) AS c
-           |      FROM $prev p LEFT JOIN n$n USING (cid))""".stripMargin
-      s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-         |    v AS c
-         |  FROM qv ORDER BY vec_id LIMIT 8),
-         |${round(0, "c0")},
-         |${round(1, "c1")},
-         |fin AS (SELECT q.vec_id, c.cid, ${dist("c")} AS dist
-         |  FROM qv q CROSS JOIN c2 c)
-         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
-         |  CAST(dist AS BIGINT) AS dist_q
-         |FROM fin
-         |QUALIFY row_number() OVER (PARTITION BY vec_id
-         |  ORDER BY dist, cid) = 1""".stripMargin
-    },
+    // the full fixed-point Lloyd clustering replayed in SQL (shared
+    // CTE chain: quantize, seed from the 8 lowest ids, two
+    // assign+update rounds, final assignment — see sqlKmeans)
+    "q_kmeans" ->
+      s"""$sqlKmeans
+         |SELECT vec_id, cluster, dist_q FROM asg""".stripMargin,
+
+    // outlier mining: same clustering, global top-20 by distance
+    "q_kmeans_outliers" ->
+      s"""$sqlKmeans
+         |SELECT vec_id, cluster, dist_q,
+         |  CAST(row_number() OVER (ORDER BY dist_q DESC, vec_id) AS BIGINT) AS rk
+         |FROM asg QUALIFY rk <= 20""".stripMargin,
+
+    // cluster-balanced sample: per-cluster quota filled in md5 order
+    "q_cluster_sample" ->
+      s"""$sqlKmeans
+         |SELECT vec_id, cluster, rn FROM (
+         |  SELECT vec_id, cluster,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+         |  FROM asg)
+         |WHERE rn <= 25""".stripMargin,
 
     "q_vector_centroid" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos,

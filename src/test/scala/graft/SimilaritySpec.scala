@@ -308,6 +308,29 @@ class SimilaritySpec extends SparkSpec {
     assert(stored == re)
   }
 
+  test("ivfPqTopKIndexed: directory-pruned ADC probe; recall; codes-only scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val top = Similarity.ivfPqTopKIndexed(spark, emb, "vec_id", "embedding",
+      dir, probeId = 0L, k = 10, nProbe = 8)
+    val got = top.collect()
+    assert(got.length == 10)
+    val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding",
+        0L, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val hits = (brute intersect got.map(_.getLong(0)).toSet).size
+    assert(hits >= 7, s"IVF-PQ recall too low: $hits/10")
+    // both pruning axes must show in the plan: __cid partition filter
+    // on the index scan, and the index scan must read codes — never
+    // the raw embedding column (that is the whole point of PQ)
+    val p = top.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("__cid"),
+      s"__cid must be a partition filter:\n$p")
+    val indexScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains(dir)).toSeq
+    assert(indexScans.nonEmpty, s"index scan missing:\n$p")
+    assert(indexScans.forall(l => l.contains("codes") && !l.contains("embedding")),
+      s"index scan must read codes, not embeddings:\n$indexScans")
+  }
+
   test("ivfTrain: deterministic centroids, every vector assigned") {
     val c1 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
     val c2 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8, iters = 2)
