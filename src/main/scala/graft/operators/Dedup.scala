@@ -612,13 +612,34 @@ object Dedup {
     * re-ranking them. */
   def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, ngram: Int = 3, numHashes: Int = 64,
-      bands: Int = 16): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val buckets = lshBandBuckets(
+      bands: Int = 16): Unit =
+    writeBandIndexFromBuckets(
+      docBandBuckets(docs, idCol, textCol, ngram, numHashes, bands), path)
+
+  /** The (doc_id, band, bucket) relation of a document set — the shared
+    * first half of every MinHash band operation. Callers that need the
+    * SAME batch's buckets more than once (the ingest loop: pair search
+    * AND index fold) compute this once, persist it, and pass it to the
+    * `FromBuckets` variants instead of paying the signature scan per
+    * consumer. */
+  def docBandBuckets(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    lshBandBuckets(
       minhashSignaturesHashed(gramHashes(docs, idCol, textCol, ngram), numHashes),
       bands, numHashes / bands)
+
+  /** [[writeBandIndex]] over precomputed buckets. `coalesceTo > 0`
+    * bounds the output file count — set it for BATCH-sized writes (the
+    * ingest loop: 32 shuffle partitions of a small batch otherwise
+    * write 32 tiny files each, and the per-batch index read then pays
+    * file-listing + footer costs ∝ batches×32); leave 0 (natural
+    * partitioning) for corpus-scale builds. */
+  def writeBandIndexFromBuckets(buckets: DataFrame, path: String,
+      coalesceTo: Int = 0): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id").asc)
-    buckets.withColumn("__r", row_number().over(w))
+    val ranked = buckets.withColumn("__r", row_number().over(w))
+    (if (coalesceTo > 0) ranked.coalesce(coalesceTo) else ranked)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -642,25 +663,31 @@ object Dedup {
   def appendToBandIndex(newDocs: DataFrame, path: String, idCol: String,
       textCol: String, ngram: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Unit = {
+    val newBuckets =
+      docBandBuckets(newDocs, idCol, textCol, ngram, numHashes, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try appendToBandIndexFromBuckets(newBuckets, path)
+    finally newBuckets.unpersist()
+  }
+
+  /** [[appendToBandIndex]] over precomputed (persisted — consumed
+    * twice) buckets. `coalesceTo`: see [[writeBandIndexFromBuckets]]. */
+  def appendToBandIndexFromBuckets(newBuckets: DataFrame,
+      path: String, coalesceTo: Int = 0): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val spark = newDocs.sparkSession
-    val newBuckets = lshBandBuckets(
-      minhashSignaturesHashed(gramHashes(newDocs, idCol, textCol, ngram), numHashes),
-      bands, numHashes / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val touched = newBuckets.select(col("band"), col("bucket")).distinct()
-      val base = spark.read.parquet(path)
-        .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
-        .groupBy(col("band"), col("bucket")).agg(max(col("__r")).as("__base"))
-      val w = Window.partitionBy(col("band"), col("bucket"))
-        .orderBy(col("doc_id").asc)
-      newBuckets.withColumn("__nr", row_number().over(w))
-        .join(base, Seq("band", "bucket"), "left")
-        .select(col("doc_id"), col("band"), col("bucket"),
-          (col("__nr") + coalesce(col("__base"), lit(0))).as("__r"))
-        .write.mode("append").parquet(path)
-    } finally newBuckets.unpersist()
+    val spark = newBuckets.sparkSession
+    val touched = newBuckets.select(col("band"), col("bucket")).distinct()
+    val base = spark.read.parquet(path)
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket")).agg(max(col("__r")).as("__base"))
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+    val appended = newBuckets.withColumn("__nr", row_number().over(w))
+      .join(base, Seq("band", "bucket"), "left")
+      .select(col("doc_id"), col("band"), col("bucket"),
+        (col("__nr") + coalesce(col("__base"), lit(0))).as("__r"))
+    (if (coalesceTo > 0) appended.coalesce(coalesceTo) else appended)
+      .write.mode("append").parquet(path)
   }
 
   private val bandIndexes =
@@ -710,11 +737,21 @@ object Dedup {
   def incrementalDedupPairs(newDocs: DataFrame, corpusDocs: DataFrame,
       indexPath: String, idCol: String, textCol: String, ngram: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    incrementalDedupPairsFromBuckets(
+      Caches.persist(docBandBuckets(newDocs, idCol, textCol, ngram,
+        numHashes, bands)),
+      newDocs, corpusDocs, indexPath, idCol, textCol, ngram, threshold,
+      maxBucket)
+
+  /** [[incrementalDedupPairs]] over precomputed (persisted) batch
+    * buckets — the ingest loop computes the batch's buckets once and
+    * feeds both the pair search and the index fold. */
+  def incrementalDedupPairsFromBuckets(newBuckets: DataFrame,
+      newDocs: DataFrame, corpusDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, ngram: Int = 3,
+      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
     val spark = newDocs.sparkSession
-    val newBuckets = Caches.persist(lshBandBuckets(
-      minhashSignaturesHashed(gramHashes(newDocs, idCol, textCol, ngram), numHashes),
-      bands, numHashes / bands))
     val idx = spark.read.parquet(indexPath)
     val vsCorpus = newBuckets.select(col("band"), col("bucket"),
         col("doc_id").as("n_id"))
@@ -782,16 +819,25 @@ object Dedup {
     try {
       if (b.isEmpty) return
       val first = !graft.io.IndexPaths.complete(spark, indexPath)
+      // the batch's band buckets are computed ONCE and feed BOTH the
+      // pair search and the index fold below — the signature scan is
+      // the dominant per-batch cost, so paying it twice (as separate
+      // minhashDedupPairs + appendToBandIndex calls would) doubles the
+      // loop
+      val bBuckets = Caches.persist(
+        docBandBuckets(b, idCol, textCol, ngram, numHashes, bands))
       val pairs =
-        if (first)
-          minhashDedupPairs(b, idCol, textCol, ngram, numHashes, bands,
-            threshold, maxBucket)
-        else
-          incrementalDedupPairs(b,
+        if (first) {
+          val cands = Caches.persist(cappedBucketPairs(bBuckets,
+            Seq("band", "bucket"), "doc_id", maxBucket)
+            .toDF("doc_a", "doc_b"))
+          jaccardRescore(cands, b, idCol, textCol, ngram)
+            .where(col("jaccard") >= threshold)
+        } else
+          incrementalDedupPairsFromBuckets(bBuckets, b,
             spark.read.parquet(admittedRoot)
               .select(col(idCol), col(textCol)),
-            indexPath, idCol, textCol, ngram, numHashes, bands, threshold,
-            maxBucket)
+            indexPath, idCol, textCol, ngram, threshold, maxBucket)
       val p = Caches.persist(pairs.select(col("doc_a"), col("doc_b")))
       val ids = b.select(col(idCol).as("__id"))
       def inBatch(c: String) = ids.withColumnRenamed("__id", c)
@@ -809,17 +855,29 @@ object Dedup {
         .distinct()
       val admitted = Caches.persist(
         b.join(rejected, col(idCol) === col("__rej"), "left_anti"))
-      // force the full lineage (incl. the corpus read) before touching
-      // the directories it reads from — see the replay contract above
-      admitted.count()
-      admitted.write.mode("overwrite")
-        .parquet(s"$admittedRoot/batch=$batchId")
+      val sub = s"$admittedRoot/batch=$batchId"
+      // REPLAY ONLY (the target batch directory already has files): the
+      // corpus read above includes the directory the overwrite is about
+      // to rewrite, so force the full lineage first. On first delivery
+      // the overwrite touches a fresh directory — no overlap, no forced
+      // materialization needed (saves one pass per batch).
+      val subPath = new org.apache.hadoop.fs.Path(sub)
+      if (subPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(subPath))
+        admitted.count()
+      // batch-sized artifacts get bounded file counts (coalesce — no
+      // extra shuffle): every later batch LISTS and reads these
+      // directories, and 32 tiny files per batch per artifact makes
+      // the loop's cost grow with file handles instead of data
+      admitted.coalesce(4).write.mode("overwrite").parquet(sub)
+      // index fold reuses the cached batch buckets, restricted to the
+      // admitted keepers — no signature recompute
+      val admittedBuckets = bBuckets.join(
+        admitted.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
       if (first)
-        writeBandIndex(admitted, idCol, textCol, indexPath, ngram,
-          numHashes, bands)
+        writeBandIndexFromBuckets(admittedBuckets, indexPath, coalesceTo = 8)
       else
-        appendToBandIndex(admitted, indexPath, idCol, textCol, ngram,
-          numHashes, bands)
+        appendToBandIndexFromBuckets(admittedBuckets, indexPath, coalesceTo = 8)
     } finally Caches.release()
   }
 

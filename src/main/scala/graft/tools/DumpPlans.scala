@@ -25,7 +25,21 @@ object DumpPlans {
     "q_sql_dedup" -> "the same guard shape produced from pure SQL text (bounded aggregate, work capped — not just output)",
     "q_source_overlap_sketch" -> "KMV sketches: bounded distinct aggregate straight off the scan; no corpus distinct, no gram self-join",
     "q_containment" -> "prefix-filtered exact containment join: no rank window; scoring count above the broadcast candidate semi-join",
-    "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore")
+    "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore",
+    "q_kmeans" -> "fixed-point k-means final assignment: zero-shuffle scan, codebook as codegen literal — no join, no exchange before the result")
+
+  /** Plans not reachable through SparkEntry.queries (property-oracle
+    * wrappers return literal rows; the interesting plan is the
+    * operator underneath). */
+  val custom: Seq[(String, String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    ("ivfpq_probe",
+      "IVF-PQ probe: __cid PartitionFilters (directory pruning) over a codes-only ReadSchema (16x fewer bytes); ADC LUT literal in codegen; bounded shortlist then broadcast-semi-join exact rerank",
+      (s, dir) => graft.operators.Similarity.ivfPqTopKIndexed(s,
+        graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        graft.io.IndexPaths.indexPath("ivfpq", s"$dir/embeddings.parquet",
+          "c16m16k16"),
+        probeId = 0L, k = 10, nProbe = 8)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -40,8 +54,12 @@ object DumpPlans {
     sb.append("# PLANS — executed physical plans of the headline queries\n\n")
     sb.append(s"Regenerate with `sbt \"runMain graft.tools.DumpPlans\"` ($sfDir,\n")
     sb.append("AQE final plans after execution). Evidence for SCALE.md's claims.\n")
-    headline.foreach { case (name, why) =>
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val all = headline.map { case (name, why) =>
+      (name, why, (s: SparkSession, d: String) =>
+        graft.SparkEntry.queries(name)(s, d))
+    } ++ custom
+    all.foreach { case (name, why, fn) =>
+      val df = fn(spark, sfDir)
       df.collect() // materialize so AQE settles on the final plan
       sb.append(s"\n## $name\n\n_${why}_\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
@@ -49,7 +67,7 @@ object DumpPlans {
       spark.catalog.clearCache()
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${headline.size} plans)")
+    println(s"wrote PLANS.md (${all.size} plans)")
     spark.stop()
   }
 }
