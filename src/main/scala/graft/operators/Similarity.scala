@@ -537,20 +537,35 @@ object Similarity {
   }
 
   /** Cluster-balanced deterministic sample: a per-cluster quota filled
-    * by md5 rank — the diversity-balancing selection a curation
+    * in md5 order — the diversity-balancing selection a curation
     * pipeline runs after clustering (equal representation per topical
-    * group regardless of cluster skew). The md5 order is a pure
-    * function of the id, so the sample is reproducible and engine-
-    * independent; the rank window partitions by cluster (distributed),
-    * and rows beyond the quota never leave their partition's sort. */
+    * group regardless of cluster skew). Selection order is the 48-bit
+    * md5-of-id prefix (ascending, id tie-break): a pure function of
+    * the id, reproducible and engine-independent.
+    *
+    * The quota is a BOUNDED-HEAP aggregate ([[graft.functions.expr
+    * .TopKByScore]] on the negated prefix), not a rank window: a
+    * window partitioned by cluster has only k partitions, so at corpus
+    * scale k reducers would each sort corpus/k rows — the aggregate
+    * keeps a quota-bounded buffer, combines map-side, and ships at
+    * most quota rows per cluster per map partition. */
   def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2, quota: Int = 25): DataFrame = {
+    import org.apache.spark.sql.graft.shim
     val (assign, _) = kmeansFixedPoint(emb, idCol, vecCol, k, iters)
-    assign.withColumn("rn", row_number().over(
-        Window.partitionBy(col("cluster"))
-          .orderBy(md5(col(idCol).cast("string")), col(idCol).asc)).cast("long"))
-      .where(col("rn") <= quota)
-      .select(col(idCol), col("cluster"), col("rn"))
+    // 48-bit prefix: exact in a double (< 2^53), so the aggregate's
+    // (score DESC, id ASC) order is exactly (prefix ASC, id ASC)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val agg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression((-h).cast("double")),
+        shim.expression(col(idCol)), quota)
+      .toAggregateExpression())
+    assign.groupBy(col("cluster"))
+      .agg(agg.as("__top"))
+      .select(col("cluster"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__e.id").as(idCol), col("cluster"),
+        (col("__p") + 1).cast("long").as("rn"))
   }
 
   // ---------------- Product quantization (PQ) ----------------

@@ -230,9 +230,12 @@ object VectorQueries {
     },
 
     // Cluster-balanced deterministic sampling: a 25-doc quota per
-    // cluster filled in md5-of-id order — the diversity-balancing
-    // selection after clustering. Full oracle (md5 rank is engine-
-    // independent).
+    // cluster filled in md5-prefix order — the diversity-balancing
+    // selection after clustering. The quota is the bounded-heap
+    // TopKByScore aggregate (map-side combined, <= quota rows per
+    // cluster per map task on the wire), NOT a rank window: a window
+    // partitioned by cluster has only k reducers at corpus scale.
+    // Full oracle (the 48-bit md5 prefix is engine-independent).
     "q_cluster_sample" -> { (s, dir) =>
       Similarity.clusterBalancedSample(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = 2, quota = 25)
@@ -458,13 +461,17 @@ object VectorQueries {
          |  CAST(row_number() OVER (ORDER BY dist_q DESC, vec_id) AS BIGINT) AS rk
          |FROM asg QUALIFY rk <= 20""".stripMargin,
 
-    // cluster-balanced sample: per-cluster quota filled in md5 order
+    // cluster-balanced sample: per-cluster quota in 48-bit-md5-prefix
+    // order (the Spark side's bounded-heap aggregate order: prefix
+    // ASC, id tie-break)
     "q_cluster_sample" ->
       s"""$sqlKmeans
          |SELECT vec_id, cluster, rn FROM (
          |  SELECT vec_id, cluster,
          |    CAST(row_number() OVER (PARTITION BY cluster
-         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+         |      ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)
+         |                 AS BIGINT),
+         |        vec_id) AS BIGINT) AS rn
          |  FROM asg)
          |WHERE rn <= 25""".stripMargin,
 

@@ -306,6 +306,33 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming ANN-index maintenance — the embedding-side counterpart
+    * of [[ingestDedupStream]]: each micro-batch of arriving embeddings
+    * is folded into the stored IVF index
+    * ([[graft.operators.Similarity.appendToIvfIndex]] — assignment
+    * against the EXISTING centroids, appended to their `__cid`
+    * partitions), so directory-pruned probes see each batch as soon as
+    * its append commits. The index must already exist (`ivfWriteIndex`,
+    * the offline build); centroids never move on append (the standard
+    * IVF ingest trade — rebuild offline when drift degrades balance).
+    * Replay contract: at-least-once — a re-delivered batch appends
+    * duplicate (id, vec) rows, which cost probe bytes and can seat the
+    * same id twice in a top-k; sources that can replay should dedupe
+    * results by id (or run compaction on the index). */
+  def ingestIvfStream(emb: DataFrame, indexPath: String,
+      checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.appendToIvfIndex(batch, indexPath,
+            idCol, vecCol)
+      }
+      .outputMode("append")
+      .start()
+
   case class OpenSession(startMicros: Long, lastMicros: Long, events: Long)
   case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
       s_end: java.sql.Timestamp, n_events: Long)

@@ -472,6 +472,46 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == got, s"replay changed the admitted table: $replayed")
   }
 
+  test("ingestIvfStream: streamed embeddings land in the probed index per batch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stream-")
+      .toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seed = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 =!= 0)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val centroids = graft.operators.Similarity.ivfWriteIndex(
+      seed, "vec_id", "embedding", s"$tmp/idx", 16)
+
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val sq = Streams.ingestIvfStream(ms.toDF().toDF("vec_id", "embedding"),
+      s"$tmp/idx", s"$tmp/ckpt")
+    val (a, b) = rest.splitAt(rest.length / 2)
+    ms.addData(a: _*); sq.processAllAvailable()
+    // first batch visible to a probe before the second arrives
+    val midCount = spark.read.parquet(s"$tmp/idx").count()
+    assert(midCount == seed.count() + a.length,
+      s"first streamed batch must be probe-visible, got $midCount")
+    ms.addData(b: _*); sq.processAllAvailable()
+    sq.stop()
+
+    val idx = spark.read.parquet(s"$tmp/idx")
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+    // streamed (odd-id) vectors are reachable through the same
+    // directory-pruned probe whenever the true top-10 contains them
+    val merged = graft.operators.Similarity.ivfQueryIndex(spark, s"$tmp/idx",
+        centroids, "vec_id", "embedding", probeId = 0L, k = 10, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = graft.operators.Similarity.bruteForceTopK(spark, emb,
+        "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val oddHits = brute.filter(_ % 2 != 0)
+    assert(oddHits.isEmpty || (merged intersect oddHits).nonEmpty,
+      "streamed vectors must be reachable through the probe")
+  }
+
   test("streaming near-dup TTL: dups pair within horizon; idle buckets evict and reseed") {
     import spark.implicits._
     val txt = "alpha beta gamma delta epsilon zeta"
