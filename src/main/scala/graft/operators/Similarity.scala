@@ -520,26 +520,87 @@ object Similarity {
     (fin, cbs)
   }
 
-  /** Outlier mining over the fixed-point clustering: the `n` vectors
-    * FARTHEST from their assigned centroid — the "what doesn't fit any
-    * topic" quality-audit shortlist (mislabeled sources, garbage
-    * embeddings, novel content). orderBy+limit plans as
-    * TakeOrderedAndProject (per-partition bounded heaps, k-row driver
-    * merge); inherits kmeans' bit-reproducibility, so the full-oracle
-    * guarantee extends here. */
-  def kmeansOutliers(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2, n: Int = 20): DataFrame = {
-    val (assign, _) = kmeansFixedPoint(emb, idCol, vecCol, k, iters)
+  /** Materialize the fixed-point clustering as an INDEX: the
+    * assignments table plus a centroid sibling (long matrix), the same
+    * self-describing-on-disk contract as the ANN indexes. Training is
+    * the offline step — the whole kmeans query family (assignments,
+    * outliers, balanced sampling, new-batch classification) READS this
+    * table; per-query retraining is the same non-starter the r3 IVF
+    * path had. Returns the centroid matrix. */
+  def kmeansWriteIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int = 8, iters: Int = 2): Array[Seq[Long]] = {
+    val (assign, cbs) = kmeansFixedPoint(emb, idCol, vecCol, k, iters)
+    assign.write.mode("overwrite").parquet(path)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cbs.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    cbs
+  }
+
+  /** Reload the centroid matrix written by [[kmeansWriteIndex]]. */
+  def loadKmeansCentroids(spark: SparkSession, path: String): Array[Seq[Long]] =
+    spark.read.parquet(centroidsPath(path))
+      .orderBy(col("cid").asc).collect().map(_.getSeq[Long](1))
+
+  private val kmeansIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around [[kmeansWriteIndex]] (committed on-disk
+    * indexes are reused across JVMs — content-addressed paths make
+    * staleness impossible for source changes). */
+  def ensureKmeansIndex(emb: => DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int = 8, iters: Int = 2): Unit =
+    kmeansIndexes.computeIfAbsent(path, { _ =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!(graft.io.IndexPaths.complete(spark, path) &&
+          graft.io.IndexPaths.complete(spark, centroidsPath(path))))
+        kmeansWriteIndex(emb, idCol, vecCol, path, k, iters)
+      java.lang.Boolean.TRUE
+    })
+
+  /** Drop the build-once memo for `path`. */
+  def invalidateKmeansIndex(path: String): Unit = kmeansIndexes.remove(path)
+
+  /** Classify a NEW batch against the stored clustering and append its
+    * assignments — the kmeans ingest step (cf. [[appendToIvfIndex]]):
+    * centroids never move on append (rebuild offline when drift
+    * matters), so batch classification is one zero-shuffle scan with
+    * the stored codebook as a literal. */
+  def appendToKmeansIndex(newEmb: DataFrame, path: String, idCol: String,
+      vecCol: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cbs = loadKmeansCentroids(spark, path)
+    newEmb
+      .select(col(idCol), transform(col(vecCol),
+        x => VectorFns.qint(x)).as("__qv"))
+      .select(col(idCol), kmAssign(col("__qv"), cbs).as("__a"))
+      .select(col(idCol), col("__a.cid").cast("long").as("cluster"),
+        col("__a.d").as("dist_q"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Outlier mining over a stored clustering ([[kmeansWriteIndex]]
+    * assignments): the `n` vectors FARTHEST from their assigned
+    * centroid — the "what doesn't fit any topic" quality-audit
+    * shortlist (mislabeled sources, garbage embeddings, novel
+    * content). orderBy+limit plans as TakeOrderedAndProject
+    * (per-partition bounded heaps, n-row driver merge); inherits
+    * kmeans' bit-reproducibility, so the full-oracle guarantee
+    * extends here. */
+  def kmeansOutliers(assign: DataFrame, idCol: String,
+      n: Int = 20): DataFrame =
     assign.orderBy(col("dist_q").desc, col(idCol).asc)
       .limit(n)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("dist_q").desc, col(idCol).asc)).cast("long"))
-  }
 
-  /** Cluster-balanced deterministic sample: a per-cluster quota filled
-    * in md5 order — the diversity-balancing selection a curation
-    * pipeline runs after clustering (equal representation per topical
-    * group regardless of cluster skew). Selection order is the 48-bit
+  /** Cluster-balanced deterministic sample over a stored clustering
+    * ([[kmeansWriteIndex]] assignments): a per-cluster quota filled in
+    * md5 order — the diversity-balancing selection a curation pipeline
+    * runs after clustering (equal representation per topical group
+    * regardless of cluster skew). Selection order is the 48-bit
     * md5-of-id prefix (ascending, id tie-break): a pure function of
     * the id, reproducible and engine-independent.
     *
@@ -549,10 +610,9 @@ object Similarity {
     * scale k reducers would each sort corpus/k rows — the aggregate
     * keeps a quota-bounded buffer, combines map-side, and ships at
     * most quota rows per cluster per map partition. */
-  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2, quota: Int = 25): DataFrame = {
+  def clusterBalancedSample(assign: DataFrame, idCol: String,
+      quota: Int = 25): DataFrame = {
     import org.apache.spark.sql.graft.shim
-    val (assign, _) = kmeansFixedPoint(emb, idCol, vecCol, k, iters)
     // 48-bit prefix: exact in a double (< 2^53), so the aggregate's
     // (score DESC, id ASC) order is exactly (prefix ASC, id ASC)
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)

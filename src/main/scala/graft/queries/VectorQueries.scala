@@ -69,6 +69,18 @@ object VectorQueries {
        |    ORDER BY dist, cid) = 1)""".stripMargin
   }
 
+  /** Ensure the content-addressed kmeans index (k=8, iters=2) for
+    * `dir`'s embeddings exists, returning its path — the shared
+    * build-once step of the q_kmeans query family. */
+  private def kmeansIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = graft.io.IndexPaths.indexPath("kmeans",
+      s"$dir/embeddings.parquet", "k8i2")
+    Similarity.ensureKmeansIndex(t(s, dir, "embeddings"), "vec_id",
+      "embedding", path, k = 8, iters = 2)
+    path
+  }
+
   /** DuckDB fixed-point dot product mirror of
     * [[graft.functions.VectorFns.dotQ]]. */
   private def sqlDotQ(a: String, b: String): String =
@@ -214,19 +226,20 @@ object VectorQueries {
     // integer-L2² argmin with lowest-id tie-break, floor-divided
     // integer centroid means), so unlike float k-means the WHOLE
     // clustering — init, both Lloyd rounds, final assignment — is
-    // replayed bit-exactly by the DuckDB oracle.
+    // replayed bit-exactly by the DuckDB oracle. Trained ONCE per
+    // corpus version into a content-addressed index (assignments +
+    // centroid sibling); the whole family below reads it — per-query
+    // retraining is the same non-starter the r3 IVF path had.
     "q_kmeans" -> { (s, dir) =>
-      val (assign, _) = Similarity.kmeansFixedPoint(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
-      assign
+      s.read.parquet(kmeansIndex(s, dir))
     },
 
-    // Outlier mining over the clustering: the 20 vectors farthest from
-    // their assigned centroid — the quality-audit shortlist. Inherits
-    // kmeans' bit-reproducibility → full oracle.
+    // Outlier mining over the stored clustering: the 20 vectors
+    // farthest from their assigned centroid — the quality-audit
+    // shortlist. Inherits kmeans' bit-reproducibility → full oracle.
     "q_kmeans_outliers" -> { (s, dir) =>
-      Similarity.kmeansOutliers(t(s, dir, "embeddings"), "vec_id",
-        "embedding", k = 8, iters = 2, n = 20)
+      Similarity.kmeansOutliers(s.read.parquet(kmeansIndex(s, dir)),
+        "vec_id", n = 20)
     },
 
     // Cluster-balanced deterministic sampling: a 25-doc quota per
@@ -237,8 +250,8 @@ object VectorQueries {
     // partitioned by cluster has only k reducers at corpus scale.
     // Full oracle (the 48-bit md5 prefix is engine-independent).
     "q_cluster_sample" -> { (s, dir) =>
-      Similarity.clusterBalancedSample(t(s, dir, "embeddings"), "vec_id",
-        "embedding", k = 8, iters = 2, quota = 25)
+      Similarity.clusterBalancedSample(s.read.parquet(kmeansIndex(s, dir)),
+        "vec_id", quota = 25)
     },
 
     // Per-label embedding centroids (average pooling) — fixed-point

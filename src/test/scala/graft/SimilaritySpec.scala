@@ -249,6 +249,31 @@ class SimilaritySpec extends SparkSpec {
       s"blobs must separate cleanly: $parity")
   }
 
+  test("kmeansWriteIndex round-trips centroids; appendToKmeansIndex classifies new batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_km_idx").toString + "/idx"
+    val first = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 =!= 0)
+    val cbs = Similarity.kmeansWriteIndex(first, "vec_id", "embedding", dir)
+    val loaded = Similarity.loadKmeansCentroids(spark, dir)
+    assert(loaded.length == cbs.length &&
+      loaded.zip(cbs).forall { case (a, b) => a == b })
+    Similarity.appendToKmeansIndex(rest, dir, "vec_id", "embedding")
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+    // an appended row's assignment is the integer-L2 argmin against the
+    // STORED centroids — recompute one independently
+    val row = idx.where(col("vec_id") === 1L).head()
+    val v = emb.where(col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0)
+    val qv = v.map(x => math.floor(x.toDouble * 1000.0).toLong)
+    val dists = loaded.map(c =>
+      c.zip(qv).map { case (a, b) => val d = a - b; d * d }.sum)
+    val (bestD, bestC) = dists.zipWithIndex.min
+    assert(row.getLong(1) == bestC && row.getLong(2) == bestD,
+      s"appended assignment must be stored-centroid argmin: $row vs ($bestC, $bestD)")
+  }
+
   test("pqTrain/pqEncode: deterministic codebooks; codes are m ids in [0, k)") {
     val c1 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
     val c2 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
