@@ -628,6 +628,53 @@ object Similarity {
         (col("__p") + 1).cast("long").as("rn"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = cluster the embedding space, then find cosine
+    * near-duplicates WITHIN each cluster only — the clustering is the
+    * blocking function, so candidate generation is Σ|cluster|² instead
+    * of corpus², and the cluster id is an equi-join key that
+    * hash-partitions at scale. In the published method k grows with
+    * the corpus (k ≈ n/1000s) keeping clusters bounded, which bounds
+    * the per-cluster quadratic; the trade (documented recall contract)
+    * is that a near-dup pair split across cluster boundaries is
+    * missed — the standard blocking trade, same family as LSH banding
+    * ([[nearDupPairsLsh]] catches those when it matters).
+    *
+    * Built on the FIXED-POINT clustering + quantized cosine, so unlike
+    * the float original the entire pipeline (clustering included)
+    * replays bit-exactly in SQL. Returns (id_a, id_b, cluster,
+    * cos_sim), id_a < id_b, cos_sim >= threshold; `keep lowest id per
+    * pair` downstream mirrors the paper's keep-one policy
+    * deterministically. Shuffles: the clustering's + one cluster-keyed
+    * self-join whose per-cluster vectors are co-located. */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 8, iters: Int = 2): DataFrame = {
+    val cached = Caches.persist(emb.select(col(idCol), col(vecCol)))
+    val (assign, _) = kmeansFixedPoint(cached, idCol, vecCol, k, iters)
+    semDedupPairsWithAssignments(cached, assign, idCol, vecCol, threshold)
+  }
+
+  /** [[semDedupPairs]] against a STORED clustering
+    * ([[kmeansWriteIndex]] assignments) — the production form: the
+    * clustering is the corpus-version index, semantic dedup is a query
+    * over it. */
+  def semDedupPairsWithAssignments(emb: DataFrame, assign: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val tagged = Caches.persist(emb.select(col(idCol), col(vecCol))
+      .join(assign.select(col(idCol), col("cluster")), Seq(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cluster"),
+        VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq")))
+    // per-vector quantized norm computed once (n·d), pairs join carries
+    // (id, vec, norm); the cluster key co-locates each cluster's rows
+    tagged.as("a").join(tagged.as("b"), Seq("cluster"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("cluster"),
+        (VectorFns.dotQ(col("a.v"), col("b.v")).cast("double") /
+          sqrt((col("a.nq") * col("b.nq")).cast("double"))).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   // ---------------- Product quantization (PQ) ----------------
 
   /** Nearest-codeword id for one subspace, evaluated entirely inside

@@ -254,6 +254,19 @@ object VectorQueries {
         "vec_id", quota = 25)
     },
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup as within-cluster
+    // cosine pairs over the STORED kmeans partitioning — clustering as
+    // the blocking function (candidates Σ|cluster|², cluster id is the
+    // equi-join key; the recall contract — pairs split across cluster
+    // boundaries are missed — is the published method's own trade).
+    // Fixed-point clustering + quantized cosine → the whole pipeline,
+    // clustering included, replays bit-exactly in the oracle.
+    "q_semdedup" -> { (s, dir) =>
+      Similarity.semDedupPairsWithAssignments(
+        t(s, dir, "embeddings"), s.read.parquet(kmeansIndex(s, dir)),
+        "vec_id", "embedding", threshold = 0.40)
+    },
+
     // Per-label embedding centroids (average pooling) — fixed-point
     // means, bit-exact across engines.
     "q_vector_centroid" -> { (s, dir) =>
@@ -487,6 +500,22 @@ object VectorQueries {
          |        vec_id) AS BIGINT) AS rn
          |  FROM asg)
          |WHERE rn <= 25""".stripMargin,
+
+    // the full SemDeDup replay: kmeans CTE chain, then exact quantized
+    // cosine restricted to same-cluster pairs
+    "q_semdedup" -> {
+      val cos = s"""CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+                   |    / SQRT(CAST(${sqlDotQ("a.embedding", "a.embedding")}
+                   |           * ${sqlDotQ("b.embedding", "b.embedding")} AS DOUBLE))""".stripMargin
+      s"""$sqlKmeans,
+         |e AS (SELECT emb.vec_id, emb.embedding, asg.cluster
+         |      FROM embeddings emb JOIN asg ON asg.vec_id = emb.vec_id)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+         |    $cos AS cos_sim
+         |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.40""".stripMargin
+    },
 
     "q_vector_centroid" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS pos,

@@ -25,8 +25,7 @@ object DumpPlans {
     "q_sql_dedup" -> "the same guard shape produced from pure SQL text (bounded aggregate, work capped — not just output)",
     "q_source_overlap_sketch" -> "KMV sketches: bounded distinct aggregate straight off the scan; no corpus distinct, no gram self-join",
     "q_containment" -> "prefix-filtered exact containment join: no rank window; scoring count above the broadcast candidate semi-join",
-    "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore",
-    "q_kmeans" -> "fixed-point k-means final assignment: zero-shuffle scan, codebook as codegen literal — no join, no exchange before the result")
+    "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
@@ -39,7 +38,12 @@ object DumpPlans {
         graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
         graft.io.IndexPaths.indexPath("ivfpq", s"$dir/embeddings.parquet",
           "c16m16k16"),
-        probeId = 0L, k = 10, nProbe = 8)))
+        probeId = 0L, k = 10, nProbe = 8)),
+    ("kmeans_assign",
+      "fixed-point k-means final assignment (the kmeansWriteIndex build step; q_kmeans itself reads the stored index): zero-shuffle scan, codebook as codegen literal — no join, no exchange before the result",
+      (s, dir) => graft.operators.Similarity.kmeansFixedPoint(
+        graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)._1))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -274,6 +274,27 @@ class SimilaritySpec extends SparkSpec {
       s"appended assignment must be stored-centroid argmin: $row vs ($bestC, $bestD)")
   }
 
+  test("semDedupPairs: planted duplicate pairs within its cluster; pairs are exact-subset") {
+    val probeVec = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // an exact duplicate always lands in the same cluster (identical
+    // argmin), so SemDeDup must pair it despite the blocking
+    val planted = Seq((999999L, probeVec)).toDF("vec_id", "embedding")
+      .unionByName(emb.select("vec_id", "embedding"))
+    val sem = Similarity.semDedupPairs(planted, "vec_id", "embedding",
+        threshold = 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val dup = sem.find(p => p._1 == 0L && p._2 == 999999L)
+    assert(dup.exists(_._3 > 0.99),
+      s"planted duplicate must pair within its cluster, got $dup")
+    // blocking only ever REMOVES pairs: every SemDeDup pair is an exact
+    // near-dup pair at the same threshold
+    val exact = Similarity.nearDupPairsExact(planted, "vec_id", "embedding",
+        threshold = 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+  }
+
   test("pqTrain/pqEncode: deterministic codebooks; codes are m ids in [0, k)") {
     val c1 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
     val c2 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
