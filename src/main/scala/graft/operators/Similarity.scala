@@ -675,6 +675,20 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** The SemDeDup KEEP decision: per near-dup pair the LARGER id
+    * loses (deterministic stand-in for the paper's keep-one-random) —
+    * a doc is kept iff it is never the larger side of any pair. One
+    * distinct over rejected ids + one anti-join, both ∝ pairs; no
+    * transitive closure (the greedy per-pair rule, cf. the
+    * cluster-closure alternative in [[graft.operators.Dedup
+    * .dedupClusters]] + keeper selection when canonical-copy semantics
+    * matter). */
+  def semDedupKeepers(assign: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame =
+    assign.select(col(idCol), col("cluster"))
+      .join(pairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+
   // ---------------- Product quantization (PQ) ----------------
 
   /** Nearest-codeword id for one subspace, evaluated entirely inside

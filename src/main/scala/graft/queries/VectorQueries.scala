@@ -267,6 +267,18 @@ object VectorQueries {
         "vec_id", "embedding", threshold = 0.40)
     },
 
+    // The SemDeDup KEEP decision: larger id loses per pair (greedy,
+    // no closure — deterministic stand-in for the paper's keep-one).
+    // Output: every kept doc with its cluster. Same full oracle
+    // machinery: kmeans CTEs + pair SQL + NOT EXISTS.
+    "q_semdedup_keepers" -> { (s, dir) =>
+      val assign = s.read.parquet(kmeansIndex(s, dir))
+      val pairs = Similarity.semDedupPairsWithAssignments(
+        t(s, dir, "embeddings"), assign, "vec_id", "embedding",
+        threshold = 0.40)
+      Similarity.semDedupKeepers(assign, pairs, "vec_id")
+    },
+
     // Per-label embedding centroids (average pooling) — fixed-point
     // means, bit-exact across engines.
     "q_vector_centroid" -> { (s, dir) =>
@@ -515,6 +527,22 @@ object VectorQueries {
          |    $cos AS cos_sim
          |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
          |WHERE cos_sim >= 0.40""".stripMargin
+    },
+
+    // keepers: NOT EXISTS over the same pair relation (larger id loses)
+    "q_semdedup_keepers" -> {
+      val cos = s"""CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+                   |    / SQRT(CAST(${sqlDotQ("a.embedding", "a.embedding")}
+                   |           * ${sqlDotQ("b.embedding", "b.embedding")} AS DOUBLE))""".stripMargin
+      s"""$sqlKmeans,
+         |e AS (SELECT emb.vec_id, emb.embedding, asg.cluster
+         |      FROM embeddings emb JOIN asg ON asg.vec_id = emb.vec_id),
+         |pr AS (SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos_sim
+         |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |  WHERE cos_sim >= 0.40)
+         |SELECT g.vec_id, g.cluster FROM asg g
+         |WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.id_b = g.vec_id)""".stripMargin
     },
 
     "q_vector_centroid" ->

@@ -274,6 +274,18 @@ class SimilaritySpec extends SparkSpec {
       s"appended assignment must be stored-centroid argmin: $row vs ($bestC, $bestD)")
   }
 
+  test("guards fail loudly: kmeans with < k rows; PQ with indivisible dim") {
+    val tiny = emb.limit(3)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kmeansFixedPoint(tiny, "vec_id", "embedding", k = 8)
+    }
+    assert(e1.getMessage.contains("seed"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "vec_id", "embedding", m = 7)
+    }
+    assert(e2.getMessage.contains("divisible"), e2.getMessage)
+  }
+
   test("semDedupPairs: planted duplicate pairs within its cluster; pairs are exact-subset") {
     val probeVec = emb.where(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0)
