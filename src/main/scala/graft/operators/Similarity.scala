@@ -462,6 +462,22 @@ object Similarity {
 
   // ---------------- K-means corpus clustering ----------------
 
+  /** Corpus-size-derived cluster count for the clustering family:
+    * k ≈ n / `target` members per cluster (floor 8, cap 4096). This is
+    * the SemDeDup paper's own regime — k GROWS with the corpus so
+    * clusters stay bounded near `target`, which (a) keeps the
+    * within-cluster quadratic pair generation cap-sized and (b) keeps
+    * each Lloyd round's k×dim driver matrix small (4096×64 longs = 2 MB
+    * at the cap; beyond that, raise `target` rather than k — per-cluster
+    * work is already guard-bounded). `target` = 64 aligns the expected
+    * cluster size with the [[semDedupPairsWithAssignments]] pair cap,
+    * so on a balanced clustering the guard is inert. The q_kmeans
+    * oracle replays this exact derivation in SQL (GREATEST/LEAST/CEIL
+    * over COUNT(*)), so the derived k stays engine-independent at any
+    * scale factor. */
+  def deriveK(n: Long, target: Int = 64): Int =
+    math.min(4096L, math.max(8L, math.ceil(n.toDouble / target).toLong)).toInt
+
   /** Argmin-centroid struct (d, cid) for one quantized vector against
     * the codebook literal: integer L2² per centroid (zip_with fold —
     * exact), ties to the lowest cluster id via struct ordering. */
@@ -645,33 +661,60 @@ object Similarity {
     * replays bit-exactly in SQL. Returns (id_a, id_b, cluster,
     * cos_sim), id_a < id_b, cos_sim >= threshold; `keep lowest id per
     * pair` downstream mirrors the paper's keep-one policy
-    * deterministically. Shuffles: the clustering's + one cluster-keyed
-    * self-join whose per-cluster vectors are co-located. */
+    * deterministically. Shuffles: the clustering's + one bounded
+    * per-cluster aggregate + two candidate-sized id joins (see
+    * [[semDedupPairsWithAssignments]] for the hot-cluster guard). */
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, k: Int = 8, iters: Int = 2): DataFrame = {
+      threshold: Double, k: Int = 8, iters: Int = 2,
+      maxCluster: Int = 64): DataFrame = {
     val cached = Caches.persist(emb.select(col(idCol), col(vecCol)))
     val (assign, _) = kmeansFixedPoint(cached, idCol, vecCol, k, iters)
-    semDedupPairsWithAssignments(cached, assign, idCol, vecCol, threshold)
+    semDedupPairsWithAssignments(cached, assign, idCol, vecCol, threshold,
+      maxCluster)
   }
 
   /** [[semDedupPairs]] against a STORED clustering
     * ([[kmeansWriteIndex]] assignments) — the production form: the
     * clustering is the corpus-version index, semantic dedup is a query
-    * over it. */
+    * over it.
+    *
+    * `maxCluster` is the HOT-CLUSTER GUARD — the same bound every LSH
+    * path carries ([[graft.operators.Dedup.cappedBucketPairs]], with
+    * `cluster` as the bucket key): candidate pairs are all pairs among
+    * the `maxCluster` lowest-id members of each cluster plus a
+    * representative star (rank-1 member → each overflow member), so a
+    * skewed dup-heavy cluster — the EXPECTED case in a dedup corpus —
+    * costs cap²/2 + (size − cap) instead of size². The paper's own
+    * regime (k growing with n keeps clusters ≈ bounded) makes the cap
+    * inert on balanced clusterings; it only bites where the unguarded
+    * join would degenerate quadratic in one join key. Recall contract:
+    * an overflow member still pairs with the cluster representative
+    * (the keep decision stays connected — it can still lose to rank 1),
+    * but overflow↔overflow and overflow↔core(non-rep) pairs are not
+    * scored. Requires a numeric id column (ids ride the bounded
+    * aggregate as longs). */
   def semDedupPairsWithAssignments(emb: DataFrame, assign: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double,
+      maxCluster: Int = 64): DataFrame = {
     val tagged = Caches.persist(emb.select(col(idCol), col(vecCol))
       .join(assign.select(col(idCol), col("cluster")), Seq(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cluster"),
         VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq")))
-    // per-vector quantized norm computed once (n·d), pairs join carries
-    // (id, vec, norm); the cluster key co-locates each cluster's rows
-    tagged.as("a").join(tagged.as("b"), Seq("cluster"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("cluster"),
-        (VectorFns.dotQ(col("a.v"), col("b.v")).cast("double") /
-          sqrt((col("a.nq") * col("b.nq")).cast("double"))).as("cos_sim"))
+    // per-vector quantized norm computed once (n·d); candidate pairs
+    // are cap-bounded per cluster, then the two id-equi-joins fetch
+    // (vec, norm) for exactly the candidate rows — work ∝ candidates,
+    // never Σ|cluster|²
+    val pairs = Dedup.cappedBucketPairs(
+      tagged.select(col("id"), col("cluster")), Seq("cluster"), "id",
+      maxCluster)
+    pairs
+      .join(tagged.select(col("id").as("id_a"), col("v").as("__va"),
+        col("nq").as("__nqa"), col("cluster")), Seq("id_a"))
+      .join(tagged.select(col("id").as("id_b"), col("v").as("__vb"),
+        col("nq").as("__nqb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cluster"),
+        (VectorFns.dotQ(col("__va"), col("__vb")).cast("double") /
+          sqrt((col("__nqa") * col("__nqb")).cast("double"))).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 

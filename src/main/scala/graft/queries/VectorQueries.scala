@@ -29,12 +29,15 @@ object VectorQueries {
       |  FROM q)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Similarity.kmeansFixedPoint]]
-    * (k=8, iters=2, dim=64): a WITH chain ending in
-    * `asg(vec_id, cluster, dist_q)` — quantize, seed centroids from
-    * the 8 lowest ids, two assign+update Lloyd rounds (integer L2²,
-    * lowest-cid tie-break, floor-divided integer means, empty clusters
-    * keep their centroid), final assignment. Shared by q_kmeans,
-    * q_kmeans_outliers, q_cluster_sample. */
+    * (derived k, iters=2, dim=64): a WITH chain ending in
+    * `asg(vec_id, cluster, dist_q)` — quantize, derive
+    * k = clamp(8, 4096, ceil(n/64)) exactly as
+    * [[graft.operators.Similarity.deriveK]] does (so the oracle holds
+    * at ANY scale factor, not just the one it was authored against),
+    * seed centroids from the k lowest ids, two assign+update Lloyd
+    * rounds (integer L2², lowest-cid tie-break, floor-divided integer
+    * means, empty clusters keep their centroid), final assignment.
+    * Shared by q_kmeans, q_kmeans_outliers, q_cluster_sample. */
   private val sqlKmeans: String = {
     def dist(c: String) =
       s"""list_sum(list_transform(range(1, 65),
@@ -55,9 +58,12 @@ object VectorQueries {
     s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
        |  FROM embeddings),
+       |kp AS (SELECT GREATEST(8, LEAST(4096,
+       |    CAST(CEIL(COUNT(*) / 64.0) AS BIGINT))) AS k FROM qv),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
        |    v AS c
-       |  FROM qv ORDER BY vec_id LIMIT 8),
+       |  FROM qv
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kp)),
        |${round(0, "c0")},
        |${round(1, "c1")},
        |fin AS (SELECT q.vec_id, c.cid, ${dist("c")} AS dist
@@ -69,15 +75,23 @@ object VectorQueries {
        |    ORDER BY dist, cid) = 1)""".stripMargin
   }
 
-  /** Ensure the content-addressed kmeans index (k=8, iters=2) for
-    * `dir`'s embeddings exists, returning its path — the shared
-    * build-once step of the q_kmeans query family. */
+  /** Ensure the content-addressed kmeans index (corpus-size-derived k
+    * per [[graft.operators.Similarity.deriveK]], iters=2) for `dir`'s
+    * embeddings exists, returning its path — the shared build-once step
+    * of the q_kmeans query family. The derived k is part of the path
+    * key, so a regrown corpus gets a fresh index; the count feeding the
+    * derivation is memoized per dir (one scan per JVM, not per query
+    * construction). */
+  private val derivedK =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def kmeansIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
+    val k: Int = derivedK.computeIfAbsent(dir,
+      _ => Similarity.deriveK(t(s, dir, "embeddings").count()))
     val path = graft.io.IndexPaths.indexPath("kmeans",
-      s"$dir/embeddings.parquet", "k8i2")
+      s"$dir/embeddings.parquet", s"k${k}i2")
     Similarity.ensureKmeansIndex(t(s, dir, "embeddings"), "vec_id",
-      "embedding", path, k = 8, iters = 2)
+      "embedding", path, k = k, iters = 2)
     path
   }
 
@@ -514,32 +528,45 @@ object VectorQueries {
          |WHERE rn <= 25""".stripMargin,
 
     // the full SemDeDup replay: kmeans CTE chain, then exact quantized
-    // cosine restricted to same-cluster pairs
+    // cosine restricted to same-cluster pairs. The rkc CTE + the
+    // (b.r <= 64 OR a.r = 1) predicate replay the Spark side's
+    // hot-cluster guard verbatim (all pairs among the 64 lowest-id
+    // cluster members, star edges from the rank-1 representative to
+    // each overflow member) — see Similarity.semDedupPairsWithAssignments
     "q_semdedup" -> {
       val cos = s"""CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
                    |    / SQRT(CAST(${sqlDotQ("a.embedding", "a.embedding")}
                    |           * ${sqlDotQ("b.embedding", "b.embedding")} AS DOUBLE))""".stripMargin
       s"""$sqlKmeans,
-         |e AS (SELECT emb.vec_id, emb.embedding, asg.cluster
-         |      FROM embeddings emb JOIN asg ON asg.vec_id = emb.vec_id)
+         |rkc AS (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS r
+         |  FROM asg),
+         |e AS (SELECT emb.vec_id, emb.embedding, rkc.cluster, rkc.r
+         |      FROM embeddings emb JOIN rkc ON rkc.vec_id = emb.vec_id)
          |SELECT * FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
          |    $cos AS cos_sim
-         |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |    AND (b.r <= 64 OR a.r = 1))
          |WHERE cos_sim >= 0.40""".stripMargin
     },
 
-    // keepers: NOT EXISTS over the same pair relation (larger id loses)
+    // keepers: NOT EXISTS over the same pair relation (larger id loses),
+    // capped-guard predicate included
     "q_semdedup_keepers" -> {
       val cos = s"""CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
                    |    / SQRT(CAST(${sqlDotQ("a.embedding", "a.embedding")}
                    |           * ${sqlDotQ("b.embedding", "b.embedding")} AS DOUBLE))""".stripMargin
       s"""$sqlKmeans,
-         |e AS (SELECT emb.vec_id, emb.embedding, asg.cluster
-         |      FROM embeddings emb JOIN asg ON asg.vec_id = emb.vec_id),
+         |rkc AS (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS r
+         |  FROM asg),
+         |e AS (SELECT emb.vec_id, emb.embedding, rkc.cluster, rkc.r
+         |      FROM embeddings emb JOIN rkc ON rkc.vec_id = emb.vec_id),
          |pr AS (SELECT * FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos_sim
-         |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |    AND (b.r <= 64 OR a.r = 1))
          |  WHERE cos_sim >= 0.40)
          |SELECT g.vec_id, g.cluster FROM asg g
          |WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.id_b = g.vec_id)""".stripMargin

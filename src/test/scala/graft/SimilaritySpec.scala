@@ -307,6 +307,64 @@ class SimilaritySpec extends SparkSpec {
     assert(sem.map(p => (p._1, p._2)).toSet.subsetOf(exact))
   }
 
+  test("semDedup hot-cluster guard: skewed cluster pairs stay linear; keep decision connected") {
+    // a dup-heavy SKEWED clustering — the expected case in a dedup
+    // corpus: 201 near-identical vectors in one cluster, 11 in the
+    // other. Unguarded, the hot cluster would generate C(201,2) =
+    // 20100 pairs in ONE join key; the guard bounds it to
+    // cap²/2 + overflow.
+    val cap = 16
+    val mk = (base: Float, i: Int) => Seq.fill(64)(base + i / 10000.0f)
+    val rows =
+      Seq((0L, mk(1f, 0)), (1L, mk(-1f, 1))) ++
+      (2 to 201).map(i => (i.toLong, mk(1f, i))) ++
+      (202 to 211).map(i => (i.toLong, mk(-1f, i)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val (assign, _) = Similarity.kmeansFixedPoint(corpus, "vec_id",
+      "embedding", k = 2, iters = 3)
+    val sizes = assign.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.toSeq.sorted == Seq(11L, 212L) ||
+      sizes.values.toSeq.sorted == Seq(12L, 211L) ||
+      sizes.values.max > 150, s"blobs must separate skewed: $sizes")
+    val pairs = Similarity.semDedupPairsWithAssignments(corpus, assign,
+      "vec_id", "embedding", threshold = 0.9, maxCluster = cap)
+    val byCluster = pairs.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // near-identical members: every generated candidate passes the
+    // threshold, so the observed count IS the candidate count — pin it
+    // to the guard's exact bound per cluster
+    sizes.foreach { case (c, sz) =>
+      val want =
+        if (sz > cap) cap.toLong * (cap - 1) / 2 + (sz - cap)
+        else sz * (sz - 1) / 2
+      assert(byCluster.getOrElse(c, 0L) == want,
+        s"cluster $c size $sz: got ${byCluster.get(c)}, want $want")
+    }
+    // the keep decision stays connected through the representative
+    // star: exactly ONE keeper per cluster survives
+    val keepers = Similarity.semDedupKeepers(assign, pairs, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keepers.length == sizes.size,
+      s"one keeper per cluster, got ${keepers.toSeq}")
+    // a cap the corpus never reaches reproduces the unguarded
+    // all-pairs semantics exactly
+    val uncapped = Similarity.semDedupPairsWithAssignments(corpus, assign,
+        "vec_id", "embedding", threshold = 0.9, maxCluster = 4096)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = corpus.join(assign, "vec_id").as("a")
+      .join(corpus.join(assign, "vec_id").as("b"), Seq("cluster"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        VectorFns.cosineQ(col("a.embedding"), col("b.embedding")).as("c"))
+      .where(col("c") >= 0.9)
+      .select("a.vec_id", "b.vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == brute,
+      s"uncapped guard must equal all-pairs: ${uncapped.size} vs ${brute.size}")
+  }
+
   test("pqTrain/pqEncode: deterministic codebooks; codes are m ids in [0, k)") {
     val c1 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
     val c2 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
