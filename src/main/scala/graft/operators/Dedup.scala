@@ -356,7 +356,25 @@ object Dedup {
     * cover those (length |shareable| - iMin + 1, rarest-df first). */
   private def prefixCandidates(sets: DataFrame, threshold: Double,
       maxDf: Option[Long]): DataFrame = {
-    val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
+    // Uncapped, the within-doc gram order only SIZES the candidate
+    // join (100% recall under ANY order), so the raw xxhash64 longs
+    // order it for free. With a df cap the order decides WHICH
+    // boundary pairs are traded away — part of the result contract —
+    // so it must be engine-replayable: order on a portable md5-derived
+    // long of the gram STRING (15 hex digits < 2^63, computed map-side
+    // at explode time — strings still never shuffle), which the
+    // q_containment_capped oracle replays verbatim in SQL.
+    val grams = maxDf match {
+      case Some(_) => sets
+        .select(col("doc_id"),
+          explode(arrays_zip(col("__gs"), col("__hs"))).as("__z"))
+        .select(col("doc_id"), col("__z.__hs").as("gh"),
+          conv(substring(md5(col("__z.__gs")), 1, 15), 16, 10)
+            .cast("long").as("__mh"))
+      case None =>
+        sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
+          .withColumn("__mh", col("gh"))
+    }
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
     val shareable = dfreq.where(col("__df") >= lit(2L))
     val pool = maxDf.map(m => shareable.where(col("__df") <= m))
@@ -365,7 +383,8 @@ object Dedup {
     val iMin = iMinOf(col("__sz"), threshold)
     val prefix = shared
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
+      .agg(sort_array(collect_list(
+        struct(col("__df"), col("__mh"), col("gh")))).as("__ord"))
       .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
       .select(col("doc_id"), explode(slice(col("__ord"), lit(1),
         greatest((size(col("__ord")) - iMin + 1).cast("int"), lit(0)))).as("__p"))

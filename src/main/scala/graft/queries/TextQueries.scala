@@ -96,6 +96,20 @@ object TextQueries {
         ngram = 3, threshold = 0.8)
     },
 
+    // The df-capped containment join — the documented recall-trading
+    // knob at scale (boilerplate grams with df > maxDf stop feeding
+    // the candidate join): work drops from sum_g df(g)² over all
+    // shareable grams to the capped pool. At this SF the cap BITES
+    // (pairs whose qualifying overlap rides df>4 template grams drop);
+    // the oracle replays the whole capped candidate generation — pool
+    // filter, portable (df, md5-long) prefix order, iMin probe cut,
+    // prefix×shared join — then exact-scores candidates, so the traded
+    // boundary is oracle-checked, not documentation-only.
+    "q_containment_capped" -> { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, threshold = 0.8, maxDf = Some(4L))
+    },
+
     // The containment join as PURE SQL TEXT — the surface a SQL-only
     // user gets for the newest pipeline (cf. q_sql_dedup). Mirrors the
     // Scala path stage for stage: tokenize once, gram arrays built
@@ -777,6 +791,50 @@ object TextQueries {
          |JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
          |WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz,
          |               CAST(i AS DOUBLE) / sb.sz) >= 0.8""".stripMargin,
+
+    // FULL REPLAY of the capped candidate generation (not brute
+    // force): pool = shareable grams with df <= 4, per-doc prefix in
+    // (df, md5-long) order cut at |pool| - iMin + 1 (same float-fuzz
+    // iMin probe as the engine), candidates = prefix × pool-shared,
+    // then exact containment scoring of candidates only — so a pair
+    // the cap trades away is EXPECTED absent here, and a pair it must
+    // keep is expected present
+    "q_containment_capped" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         |dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+         |pool AS (SELECT g, df FROM dfreq WHERE df >= 2 AND df <= 4),
+         |shared AS (SELECT gr.doc_id, gr.g, p.df,
+         |    CAST(('0x' || substr(md5(gr.g), 1, 15)) AS BIGINT) AS mh
+         |  FROM grams gr JOIN pool p ON gr.g = p.g),
+         |imin AS (SELECT doc_id, sz,
+         |    CASE WHEN CAST(CEIL(0.8 * sz) - 1 AS DOUBLE) / sz >= 0.8
+         |         THEN CEIL(0.8 * sz) - 1 ELSE CEIL(0.8 * sz) END AS im
+         |  FROM sizes),
+         |ordd AS (SELECT s.doc_id, s.g,
+         |    row_number() OVER (PARTITION BY s.doc_id ORDER BY s.df, s.mh) AS r,
+         |    COUNT(*) OVER (PARTITION BY s.doc_id) AS np, i.im
+         |  FROM shared s JOIN imin i ON i.doc_id = s.doc_id),
+         |pfx AS (SELECT doc_id, g FROM ordd WHERE r <= np - im + 1),
+         |cand AS (SELECT DISTINCT LEAST(p.doc_id, s.doc_id) AS doc_a,
+         |    GREATEST(p.doc_id, s.doc_id) AS doc_b
+         |  FROM pfx p JOIN shared s ON p.g = s.g AND p.doc_id <> s.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         |  FROM cand c JOIN grams a ON a.doc_id = c.doc_a
+         |  JOIN grams b ON b.doc_id = c.doc_b AND a.g = b.g
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(i.i AS DOUBLE) / sa.sz AS containment_a,
+         |  CAST(i.i AS DOUBLE) / sb.sz AS containment_b,
+         |  CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+         |FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b
+         |WHERE GREATEST(CAST(i.i AS DOUBLE) / sa.sz,
+         |               CAST(i.i AS DOUBLE) / sb.sz) >= 0.8""".stripMargin,
 
     // same ground truth as q_containment: the SQL-text pipeline must
     // reproduce the brute-force containment pairs exactly

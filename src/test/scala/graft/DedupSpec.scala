@@ -276,6 +276,64 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "testdata plants near-dup pairs; the slice must contain some")
   }
 
+  test("maxDf recall contract: boilerplate-only overlap missed, rare overlap kept at the boundary") {
+    // maxDf = 2: a qualifying overlap carried EXCLUSIVELY by grams
+    // with df > 2 must be traded away; an overlap carried by grams at
+    // df = 2 exactly (the boundary) must be kept. Plant both:
+    //  - the boilerplate blob: docs 1, 2, 11, 12, 13 share one
+    //    identical template text, so every shared gram has df = 5 > 2
+    //    — ALL C(5,2) = 10 pairs must vanish under the cap
+    //  - the rare pair: docs 3 and 4 share text nobody else has, so
+    //    every shared gram sits at df = 2 = maxDf — kept
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rare = "omicron pi rho sigma tau upsilon phi chi psi omega"
+    val df = Seq(
+      (1L, boiler), (2L, boiler), (11L, boiler), (12L, boiler),
+      (13L, boiler),
+      (3L, rare), (4L, rare),
+      (5L, "unrelated filler content about entirely different things"))
+      .toDF("doc_id", "text")
+    def pairsOf(maxDf: Option[Long]) =
+      Dedup.containmentPairs(df, "doc_id", "text", ngram = 3,
+        threshold = 0.8, maxDf = maxDf)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsOf(None)
+    val boilerIds = Seq(1L, 2L, 11L, 12L, 13L)
+    val boilerPairs = (for {
+      a <- boilerIds; b <- boilerIds if a < b
+    } yield (a, b)).toSet
+    assert(uncapped === boilerPairs + ((3L, 4L)),
+      s"uncapped must find every planted pair: $uncapped")
+    val capped = pairsOf(Some(2L))
+    assert(capped === Set((3L, 4L)),
+      s"cap must drop boilerplate-carried pairs, keep the df=2 boundary pair: $capped")
+
+    // the SAME contract through the stored-postings path: corpus holds
+    // the boilerplate blob + the rare seed; the batch re-quotes both.
+    // Stored boilerplate grams (df = 3 in corpus) exceed the cap on
+    // both candidate joins; the rare seed's grams (df = 1, <= cap)
+    // still connect.
+    val corpus = Seq((1L, boiler), (2L, boiler), (11L, boiler), (3L, rare))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, boiler), (101L, rare)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contidx_cap")
+      .toString + "/idx"
+    Dedup.writeContainmentIndex(corpus, "doc_id", "text", dir)
+    val incUncapped = Dedup.incrementalContainmentPairs(batch, corpus, dir,
+        "doc_id", "text", ngram = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incUncapped === Set((1L, 100L), (2L, 100L), (11L, 100L),
+      (3L, 101L)), s"uncapped incremental: $incUncapped")
+    val incCapped = Dedup.incrementalContainmentPairs(batch, corpus, dir,
+        "doc_id", "text", ngram = 3, threshold = 0.8, maxDf = Some(2L))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incCapped === Set((3L, 101L)),
+      s"capped incremental must keep only the rare-gram pair: $incCapped")
+  }
+
   test("incrementalContainmentPairs: batch finds containment both directions vs the indexed corpus") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val corpus = Seq(
