@@ -155,16 +155,33 @@ object Bpe {
     * then the merge loop on the collected vocabulary. This is the
     * architecture real BPE trainers use at scale: the corpus —
     * arbitrarily large — is touched exactly once; the training loop is
-    * O(vocab × merges), and a natural-language vocabulary is bounded
-    * (Heaps' law) at millions of entries independent of corpus size,
-    * so it fits one driver. A per-merge distributed recount would
-    * instead shuffle the corpus once PER MERGE — thousands of passes. */
+    * O(vocab × merges); a per-merge distributed recount would instead
+    * shuffle the corpus once PER MERGE — thousands of passes.
+    *
+    * The driver transfer is BOUNDED at `maxVocab` entries: the Heaps'-
+    * law argument ("natural-language vocabulary is bounded at millions
+    * of entries") holds for clean prose, but a web-scale corpus's junk
+    * tail (URLs, hashes, base64, typos) keeps growing with the corpus,
+    * so the word-count relation is cut to the `maxVocab` most frequent
+    * words (count desc, word asc — deterministic) BEFORE `.collect()`.
+    * orderBy+limit plans as TakeOrderedAndProject: per-partition
+    * bounded heaps, only `maxVocab` rows reach the driver. Truncation
+    * caveat: pair counts aggregate ACROSS words, so a pair carried
+    * partly by dropped tail words undercounts — a merge sitting exactly
+    * at `minPairCount`, or two merges within tail-mass of each other,
+    * can flip relative to the unbounded run. At the 2²⁰ default that
+    * margin is the long tail of count-1 junk (each dropped word
+    * contributes its own count to a pair at most a few times), which
+    * real merge decisions clear by orders of magnitude — and
+    * `maxVocab = Int.MaxValue` restores the exact unbounded behavior. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String)] = {
+      minPairCount: Long = 2L, maxVocab: Int = 1 << 20): Seq[(String, String)] = {
     val counts = docs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     trainFromWordCounts(counts, numMerges, minPairCount)
   }

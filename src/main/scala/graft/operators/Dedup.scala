@@ -690,23 +690,40 @@ object Dedup {
   }
 
   /** [[appendToBandIndex]] over precomputed (persisted — consumed
-    * twice) buckets. `coalesceTo`: see [[writeBandIndexFromBuckets]]. */
+    * twice) buckets. `coalesceTo`: see [[writeBandIndexFromBuckets]].
+    *
+    * Replay-idempotent on bucket MEMBERSHIP: rows whose
+    * (doc_id, band, bucket) already exist in the stored index are
+    * dropped before ranking, so an at-least-once re-delivery (crash
+    * replay of a foreachBatch fold) appends nothing and — the part
+    * that matters for recall — duplicates can never consume
+    * `maxBucket` cap slots in a hot bucket and push distinct corpus
+    * docs past the cap. The membership anti-join reads the same
+    * touched-buckets slice the max-rank pass already reads (one
+    * persisted scan, consumed twice). */
   def appendToBandIndexFromBuckets(newBuckets: DataFrame,
       path: String, coalesceTo: Int = 0): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = newBuckets.sparkSession
     val touched = newBuckets.select(col("band"), col("bucket")).distinct()
-    val base = spark.read.parquet(path)
+    val stored = spark.read.parquet(path)
       .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
-      .groupBy(col("band"), col("bucket")).agg(max(col("__r")).as("__base"))
-    val w = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(col("doc_id").asc)
-    val appended = newBuckets.withColumn("__nr", row_number().over(w))
-      .join(base, Seq("band", "bucket"), "left")
-      .select(col("doc_id"), col("band"), col("bucket"),
-        (col("__nr") + coalesce(col("__base"), lit(0))).as("__r"))
-    (if (coalesceTo > 0) appended.coalesce(coalesceTo) else appended)
-      .write.mode("append").parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val base = stored
+        .groupBy(col("band"), col("bucket")).agg(max(col("__r")).as("__base"))
+      val fresh = newBuckets.join(
+        stored.select(col("doc_id"), col("band"), col("bucket")),
+        Seq("doc_id", "band", "bucket"), "left_anti")
+      val w = Window.partitionBy(col("band"), col("bucket"))
+        .orderBy(col("doc_id").asc)
+      val appended = fresh.withColumn("__nr", row_number().over(w))
+        .join(base, Seq("band", "bucket"), "left")
+        .select(col("doc_id"), col("band"), col("bucket"),
+          (col("__nr") + coalesce(col("__base"), lit(0))).as("__r"))
+      (if (coalesceTo > 0) appended.coalesce(coalesceTo) else appended)
+        .write.mode("append").parquet(path)
+    } finally stored.unpersist()
   }
 
   private val bandIndexes =
@@ -822,12 +839,14 @@ object Dedup {
     * (its own prior partial output is id-excluded from pairing, and
     * the result is forced BEFORE the overwrite so the corpus is never
     * read concurrently with its own rewrite) and overwrites its own
-    * `batch=<id>` directory. The index append is AT-LEAST-once: a
-    * replay may append duplicate (doc_id, band, bucket) rows, which
-    * cost index bytes but cannot change results — candidate pairs are
-    * collapsed by the rescore's per-pair aggregation, and self-pairs
-    * are id-excluded. (Same trade as any non-transactional secondary
-    * index; periodic [[writeBandIndex]] compaction restores it.) */
+    * `batch=<id>` directory. The index append is AT-LEAST-once at the
+    * file level but IDEMPOTENT on bucket membership: a replayed fold
+    * anti-joins away rows whose (doc_id, band, bucket) are already
+    * stored ([[appendToBandIndexFromBuckets]]), so duplicates neither
+    * change results nor consume hot-bucket cap slots; a replay that
+    * dies mid-append can still leave a torn extra file, which the
+    * membership anti-join neutralizes on the NEXT fold and periodic
+    * [[writeBandIndex]] compaction removes. */
   def ingestDedupBatch(batch: DataFrame, batchId: Long, indexPath: String,
       admittedRoot: String, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 3, numHashes: Int = 64,

@@ -863,18 +863,48 @@ object Similarity {
     * make this unnecessary for source changes). */
   def invalidatePqIndex(indexPath: String): Unit = pqIndexes.remove(indexPath)
 
-  /** PQ ANN top-k through the materialized index: asymmetric-distance
-    * (ADC) scan over the CODES — the query's per-subspace dot products
-    * against every codeword are precomputed into an m×k lookup table
-    * (driver-side, tiny) that rides into codegen as a literal, so
-    * scoring a row is m array lookups + adds on an m-int row (no float
-    * vectors read) — then an EXACT rescore of only the top
-    * `shortlistFactor`·k ADC candidates against the raw embeddings.
-    * At 100 TB: the scan IO drops 16×, the sort is a bounded top-N
-    * (TakeOrdered), and the exact pass touches `shortlistFactor`·k
-    * rows fetched by a broadcast semi-join — the standard
-    * ADC-shortlist-rerank production shape. Build-once per
-    * `indexPath`, reloaded from disk on fresh JVMs. */
+  /** The shared ADC-scan + exact-rerank tail of both PQ query paths
+    * ([[pqTopKIndexed]], [[ivfPqTopKIndexed]]): the query's
+    * per-subspace dot products against every codeword are precomputed
+    * into an m×k lookup table (driver-side, tiny) that rides into
+    * codegen as a literal, so scoring a `codes` row is m array lookups
+    * + adds on an m-int row (no float vectors read); the shortlist is
+    * a bounded top-N (TakeOrdered), and the exact pass touches only
+    * `shortlistFactor`·k rows fetched by a broadcast semi-join.
+    * Callers pass the codes relation already partition-pruned (IVF-PQ
+    * filters `__cid` first — its second pruning axis). */
+  private def adcShortlistRerank(emb: DataFrame, idCol: String,
+      vecCol: String, codes: DataFrame, qvec: Seq[Float],
+      cbs: Array[Array[Seq[Float]]], probeId: Long, k: Int,
+      shortlistFactor: Int): DataFrame = {
+    val d = cbs(0)(0).length
+    val dotLut: Seq[Seq[Double]] = cbs.zipWithIndex.map { case (row, ss) =>
+      val qs = qvec.slice(ss * d, ss * d + d)
+      row.map(c => c.zip(qs).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        .toSeq
+    }.toSeq
+    val normLut: Seq[Seq[Double]] = cbs.map(_.map(c =>
+      c.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq
+    def lutSum(lut: Seq[Seq[Double]]): Column =
+      aggregate(zip_with(col("codes"), typedLit(lut),
+          (c, lutRow) => element_at(lutRow, c + 1)),
+        lit(0.0), (acc, v) => acc + v)
+    val shortlist = codes
+      .where(col(idCol) =!= probeId)
+      .select(col(idCol),
+        (lutSum(dotLut) /
+          sqrt(greatest(lutSum(normLut), lit(1e-12)))).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(shortlistFactor * k)
+    emb.join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), typedLit(qvec)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+  }
+
   /** Materialize the IVF-PQ index — the canonical production ANN
     * layout (coarse quantizer for partition pruning × product codes
     * for scan compression): rows live in `__cid`-partitioned
@@ -942,34 +972,16 @@ object Similarity {
     val probes = centroids.zipWithIndex.map { case (c, i) =>
       (c.zip(qvec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, i)
     }.sortBy(_._1).take(nProbe).map(_._2).toSeq
-    val d = cbs(0)(0).length
-    val dotLut: Seq[Seq[Double]] = cbs.zipWithIndex.map { case (row, ss) =>
-      val qs = qvec.slice(ss * d, ss * d + d)
-      row.map(c => c.zip(qs).map { case (a, b) => a.toDouble * b.toDouble }.sum)
-        .toSeq
-    }.toSeq
-    val normLut: Seq[Seq[Double]] = cbs.map(_.map(c =>
-      c.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq
-    def lutSum(lut: Seq[Seq[Double]]): Column =
-      aggregate(zip_with(col("codes"), typedLit(lut),
-          (c, lutRow) => element_at(lutRow, c + 1)),
-        lit(0.0), (acc, v) => acc + v)
-    val shortlist = spark.read.parquet(indexPath)
-      .where(col("__cid").isin(probes: _*) && col(idCol) =!= probeId)
-      .select(col(idCol),
-        (lutSum(dotLut) /
-          sqrt(greatest(lutSum(normLut), lit(1e-12)))).as("__adc"))
-      .orderBy(col("__adc").desc, col(idCol).asc)
-      .limit(shortlistFactor * k)
-    e.join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
-      .select(col(idCol).as("vec_id"),
-        VectorFns.cosineQ(col(vecCol), typedLit(qvec)).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(k)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+    adcShortlistRerank(e, idCol, vecCol,
+      spark.read.parquet(indexPath).where(col("__cid").isin(probes: _*)),
+      qvec, cbs, probeId, k, shortlistFactor)
   }
 
+  /** PQ ANN top-k through the materialized index: ADC scan over the
+    * CODES via [[adcShortlistRerank]] (16× less scan IO than raw
+    * vectors), exact rescore of the bounded shortlist — the standard
+    * ADC-shortlist-rerank production shape. Build-once per
+    * `indexPath`, reloaded from disk on fresh JVMs. */
   def pqTopKIndexed(spark: SparkSession, emb: => DataFrame, idCol: String,
       vecCol: String, indexPath: String, probeId: Long, k: Int,
       m: Int = 16, kCode: Int = 16, shortlistFactor: Int = 16): DataFrame = {
@@ -982,31 +994,7 @@ object Similarity {
     val e = emb
     val qvec = e.where(col(idCol) === probeId).select(col(vecCol)).head()
       .getSeq[Float](0)
-    val d = cbs(0)(0).length
-    val dotLut: Seq[Seq[Double]] = cbs.zipWithIndex.map { case (row, ss) =>
-      val qs = qvec.slice(ss * d, ss * d + d)
-      row.map(c => c.zip(qs).map { case (a, b) => a.toDouble * b.toDouble }.sum)
-        .toSeq
-    }.toSeq
-    val normLut: Seq[Seq[Double]] = cbs.map(_.map(c =>
-      c.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq
-    def lutSum(lut: Seq[Seq[Double]]): Column =
-      aggregate(zip_with(col("codes"), typedLit(lut),
-          (c, lutRow) => element_at(lutRow, c + 1)),
-        lit(0.0), (acc, v) => acc + v)
-    val shortlist = spark.read.parquet(indexPath)
-      .where(col(idCol) =!= probeId)
-      .select(col(idCol),
-        (lutSum(dotLut) /
-          sqrt(greatest(lutSum(normLut), lit(1e-12)))).as("__adc"))
-      .orderBy(col("__adc").desc, col(idCol).asc)
-      .limit(shortlistFactor * k)
-    e.join(broadcast(shortlist.select(col(idCol))), Seq(idCol), "left_semi")
-      .select(col(idCol).as("vec_id"),
-        VectorFns.cosineQ(col(vecCol), typedLit(qvec)).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(k)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+    adcShortlistRerank(e, idCol, vecCol, spark.read.parquet(indexPath),
+      qvec, cbs, probeId, k, shortlistFactor)
   }
 }

@@ -128,6 +128,11 @@ object TextQueries {
     // containment row).
     "q_sql_containment" -> { (s, dir) =>
       t(s, dir, "documents").createOrReplaceTempView("documents")
+      // drop any previous invocation's cache entry BEFORE the view is
+      // replaced: the eager CACHE TABLE below would otherwise leak the
+      // old entry (keyed to the replaced view's plan) until a
+      // harness-wide clearCache
+      s.sql("UNCACHE TABLE IF EXISTS sqlcont_prep")
       s.sql(
         """CREATE OR REPLACE TEMPORARY VIEW sqlcont_prep AS
           |SELECT doc_id, gs, transform(gs, g -> xxhash64(g)) AS hs,

@@ -606,8 +606,11 @@ object Streams {
     * parity + identical cap semantics). */
   def nearDupPairsStream(docs: DataFrame, corpus: DataFrame,
       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, cap: Int = 64): DataFrame = {
-    val cands = nearDupCandidatesStream(docs, ngram, numHashes, bands, cap)
+      threshold: Double = 0.8, cap: Int = 64,
+      stateTtl: Option[java.time.Duration] = None,
+      unboundedStateOk: Boolean = false): DataFrame = {
+    val cands = nearDupCandidatesStream(docs, ngram, numHashes, bands, cap,
+      stateTtl, unboundedStateOk)
     verifyNearDupCandidates(cands.toDF(), corpus, ngram, threshold)
   }
 
@@ -615,7 +618,9 @@ object Streams {
     * explode → stateful capped candidate emission. Works on a streaming
     * OR batch `docs` frame.
     *
-    * `stateTtl` (recommended on continuous streams): evict buckets idle
+    * `stateTtl` (REQUIRED on streaming inputs unless `unboundedStateOk`
+    * is set — the require below makes unbounded state an explicit
+    * choice): evict buckets idle
     * longer than the dedup horizon — see [[NearDupCandidatesProcessor]]
     * for the recall contract. TTL state requires processing-time
     * semantics, so the processor runs in `TimeMode.ProcessingTime` when
@@ -628,7 +633,21 @@ object Streams {
     * is enforced on state read either way. */
   def nearDupCandidatesStream(docs: DataFrame, ngram: Int = 3,
       numHashes: Int = 64, bands: Int = 16, cap: Int = 64,
-      stateTtl: Option[java.time.Duration] = None): Dataset[CandPair] = {
+      stateTtl: Option[java.time.Duration] = None,
+      unboundedStateOk: Boolean = false): Dataset[CandPair] = {
+    // Unbounded state on a CONTINUOUS stream must be a loud choice,
+    // not a default you discover in production: every distinct
+    // (band, bucket) key ever seen stays in RocksDB forever without a
+    // TTL (state ∝ distinct docs, the r4 finding). Batch frames are
+    // exempt — their state dies with the single batch. The disk-backed
+    // ingest loops ([[ingestDedupStream]]/[[ingestIvfStream]]) are a
+    // different contract: their growth IS the product (an admitted
+    // corpus / a probed index), bounded by retention policy, not TTL.
+    require(!docs.isStreaming || stateTtl.isDefined || unboundedStateOk,
+      "streaming input with stateTtl=None grows (band,bucket) state " +
+        "without bound; pass stateTtl=Some(dedupHorizon) (recommended — " +
+        "see the recall/reseed contract on NearDupCandidatesProcessor) " +
+        "or unboundedStateOk=true to accept unbounded state explicitly")
     val s = docs.sparkSession
     import s.implicits._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -121,6 +121,30 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0, "every bucket's ranks must stay a dense 1..n sequence")
   }
 
+  test("appendToBandIndex replay is membership-idempotent: no duplicate rows, no cap-slot loss") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh boilerplate paragraph that later batches will repeat verbatim"),
+      (11L, "one more unrelated piece of writing about compiler construction"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx_replay")
+      .toString
+    Dedup.writeBandIndex(corpus, "doc_id", "text", dir)
+    Dedup.appendToBandIndex(batch, dir, "doc_id", "text")
+    val once = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // crash-replay re-delivers the same fold: the membership anti-join
+    // must append NOTHING — same rows, same ranks, so a hot bucket's
+    // __r <= cap slots are never consumed by duplicates
+    Dedup.appendToBandIndex(batch, dir, "doc_id", "text")
+    val twice = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(twice == once, "replayed fold must be a no-op on the index")
+    assert(spark.read.parquet(dir).count() == once.size.toLong)
+  }
+
   test("Caches: operator intermediates are tracked and released, results unaffected") {
     import graft.operators.Caches
     Caches.release() // clean slate (other suites may have tracked frames)

@@ -411,8 +411,13 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty)
 
     val ms = MemoryStream[(Long, String)](spark)
+    // no TTL on a stream must be a LOUD choice: the default refuses
+    val refuse = intercept[IllegalArgumentException] {
+      Streams.nearDupCandidatesStream(ms.toDF().toDF("doc_id", "text"))
+    }
+    assert(refuse.getMessage.contains("stateTtl"), refuse.getMessage)
     val sq = Streams.nearDupCandidatesStream(
-        ms.toDF().toDF("doc_id", "text"))
+        ms.toDF().toDF("doc_id", "text"), unboundedStateOk = true)
       .writeStream.format("memory").queryName("ndcands")
       .outputMode("append").start()
     // two ingest batches in doc_id order: batch 2 docs are matched

@@ -126,6 +126,36 @@ class TokenizerSpec extends SparkSpec {
     assert(Bpe.trainFromWordCounts(counts, numMerges = 4) == merges)
   }
 
+  test("BPE: bounded vocabulary collect — junk-tail corpus yields identical merges") {
+    import graft.functions.Bpe
+    // a clean high-frequency core (300 copies — every core pair count
+    // >= 300) plus a 3000-word junk tail of unique count-1 strings over
+    // an alphabet DISJOINT from the core's letters: junk pair mass
+    // (max ~70 on 256 possible pairs) can neither boost a core pair
+    // nor outrank one within 10 merges, so the top-maxVocab cut drops
+    // exactly the tail and the learned merges must not move. (With a
+    // shared alphabet the tail legitimately shifts boundary merges —
+    // that is the documented truncation caveat, not a bug.)
+    val core = "the then there other another mother rather brother weather"
+    val junkAlpha = "cdfgijklpquvxyz"
+    val rng = new scala.util.Random(7)
+    val junk = (0 until 3000).map { _ =>
+      (0 until 5).map(_ => junkAlpha(rng.nextInt(junkAlpha.length))).mkString
+    }.distinct
+    val docs = ((0 until 300).map(i => (i.toLong, core)) ++
+      junk.zipWithIndex.map { case (w, i) => ((1000 + i).toLong, w) })
+      .toDF("doc_id", "text")
+    val coreDistinct = core.split(" ").distinct.length
+    val bounded = Bpe.train(docs, "text", numMerges = 10,
+      maxVocab = coreDistinct)
+    val unbounded = Bpe.train(docs, "text", numMerges = 10,
+      maxVocab = Int.MaxValue)
+    assert(bounded == unbounded,
+      s"bounded collect must not change the learned merges:\n$bounded\nvs\n$unbounded")
+    // and the bound actually bit: the tail is far larger than the cut
+    assert(junk.size > coreDistinct * 100)
+  }
+
   test("BPE: vendored learned table — size, format, exact counts on known strings") {
     import graft.functions.Bpe
     val merges = Bpe.vendoredMerges
