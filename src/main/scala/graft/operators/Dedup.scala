@@ -919,6 +919,98 @@ object Dedup {
     } finally Caches.release()
   }
 
+  /** Housekeeping for the ingest-dedup loop's append-only admitted
+    * corpus: [[ingestDedupBatch]] writes one `batch=<id>` directory per
+    * admitted batch FOREVER, so the corpus read each batch pays
+    * file-listing + footer + task-scheduling costs ∝ ingest HISTORY
+    * rather than data. This folds all but the newest `keepLast` batch
+    * directories (including any prior compaction output) into a single
+    * `batch=-1` directory of `targetFiles` files, via the crash-safe
+    * [[graft.io.Compaction.swapIn]] marker-commit swap.
+    *
+    * Why `keepLast` exists: foreachBatch replay can re-deliver only the
+    * newest, possibly-uncommitted batch, which overwrites its own
+    * `batch=<id>` directory ([[ingestDedupBatch]]'s exactly-once
+    * contract). Leaving the newest `keepLast` (default 1) directories
+    * out of the fold keeps that contract intact — a replayed batch
+    * still owns its directory exclusively. `-1` can never collide with
+    * a real delivery (streaming batch ids are non-negative).
+    *
+    * The (doc_id, text) relation under `admittedRoot` is preserved
+    * exactly; only the `batch` partition value of compacted rows
+    * collapses to -1 (the column is ingest lineage, not data — nothing
+    * in the loop reads it). Run with the ingest loop quiesced, like any
+    * OPTIMIZE. Returns the batch ids folded in. */
+  def compactAdmitted(spark: org.apache.spark.sql.SparkSession,
+      admittedRoot: String, targetFiles: Int = 8,
+      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 0)
+    val dest = s"$admittedRoot/batch=-1"
+    graft.io.Compaction.recover(spark, dest)
+    val rootPath = new org.apache.hadoop.fs.Path(admittedRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val ids = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLong }
+      .sorted
+    val fold = ids.dropRight(keepLast)
+    // nothing to fold, or only a previous compaction's own output left
+    if (fold.isEmpty || fold == Seq(-1L)) return Seq.empty
+    val srcs = fold.map(id => s"$admittedRoot/batch=$id")
+    graft.io.Compaction.swapIn(spark, dest, srcs) { tmp =>
+      // read the source dirs directly (not the partitioned root) so the
+      // batch partition column never materializes into the data files
+      spark.read.parquet(srcs: _*).coalesce(targetFiles)
+        .write.parquet(tmp)
+    }
+    fold
+  }
+
+  /** File-count compaction of the stored band index IN PLACE: same
+    * rows, same stored ranks (`__r` is data, not derived — arrival
+    * order survives), `targetFiles` files. This is the cheap half of
+    * index maintenance: it removes the per-append file accretion
+    * ([[appendToBandIndexFromBuckets]] bounds files per batch, not
+    * batch count) without touching semantics. The semantic half —
+    * re-ranking buckets into id order — is [[rebuildBandIndex]]. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 8): Unit =
+    graft.io.Compaction.compactDir(spark, path, targetFiles)
+
+  /** Full band-index rebuild from the current corpus: one-dir layout,
+    * ranks restored to global doc_id order. NOTE the semantic shift
+    * from the append path: [[appendToBandIndexFromBuckets]] ranks by
+    * ARRIVAL (the hot-bucket cap keeps the earliest-ingested members),
+    * a rebuild ranks by id (the cap keeps the smallest ids) — both are
+    * valid deterministic guard contracts, but a rebuild mid-stream
+    * changes WHICH corpus docs occupy a hot bucket's cap slots.
+    * Refreshes the build-once memo so in-session queries see the
+    * rebuilt index. */
+  def rebuildBandIndex(docs: DataFrame, path: String, idCol: String,
+      textCol: String, ngram: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    writeBandIndex(docs, idCol, textCol, path, ngram, numHashes, bands)
+    bandIndexes.put(path, java.lang.Boolean.TRUE)
+  }
+
+  /** Full containment-index rebuild from the current corpus — the
+    * restore for [[appendToContainmentIndex]]'s documented drift:
+    * appended batches rank their grams by BATCH-local df, so the
+    * stored-prefix cut stays SOUND (any total order does) but loses
+    * the global rarest-first selectivity, and candidate counts creep
+    * up as batches accrete. One [[writeContainmentIndex]] pass restores
+    * global-df rank order and one-directory layout for both the
+    * postings and the gram-set sibling; the build-once memo is
+    * refreshed. Same cadence trade as [[appendToIvfIndex]] centroid
+    * drift: append cheaply per batch, rebuild periodically. */
+  def rebuildContainmentIndex(docs: DataFrame, path: String,
+      idCol: String, textCol: String, ngram: Int = 3): Unit = {
+    writeContainmentIndex(docs, idCol, textCol, path, ngram)
+    containmentIndexes.put(path, java.lang.Boolean.TRUE)
+  }
+
   /** Connected components over near-dup pairs — the "cluster duplicates,
     * keep one representative" step that turns pairwise matches into an
     * actual dedup decision. Iterative min-label propagation (the Pregel

@@ -597,6 +597,23 @@ object Similarity {
       .write.mode("append").parquet(path)
   }
 
+  /** Retrain the clustering over the CURRENT corpus and overwrite the
+    * stored index — the restore for [[appendToKmeansIndex]]'s
+    * documented no-retrain drift. THE REBUILD TRIGGER is already in
+    * the stored table: `dist_q` is each row's (quantized) squared
+    * distance to its assigned centroid, so compare the appended
+    * batch's mean `dist_q` to the seed corpus's mean — a
+    * distribution-shifted batch lands far from every stale centroid
+    * and the ratio jumps (SimilaritySpec pins ~an order of magnitude
+    * on a planted shift; ≥ 2× is a sane production alarm). Refreshes
+    * the build-once memo. */
+  def rebuildKmeansIndex(emb: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int = 8, iters: Int = 2): Array[Seq[Long]] = {
+    val cbs = kmeansWriteIndex(emb, idCol, vecCol, path, k, iters)
+    kmeansIndexes.put(path, java.lang.Boolean.TRUE)
+    cbs
+  }
+
   /** Outlier mining over a stored clustering ([[kmeansWriteIndex]]
     * assignments): the `n` vectors FARTHEST from their assigned
     * centroid — the "what doesn't fit any topic" quality-audit
@@ -854,6 +871,50 @@ object Similarity {
       .getOrElse(loadPqCodebooks(spark, path))
     pqEncode(newEmb, idCol, vecCol, cbs)
       .write.mode("append").parquet(path)
+  }
+
+  /** Per-vector PQ quantization error against `cbs`:
+    * Σ_ss min_j ‖sv_ss − c_{ss,j}‖² — how badly the codebooks
+    * reconstruct each vector, i.e. THE REBUILD TRIGGER for the
+    * append-only PQ index. [[appendToPqIndex]] encodes new batches
+    * with frozen codebooks; a distribution-shifted batch quantizes to
+    * whatever codeword happens to be least wrong, its ADC distances
+    * collapse toward a constant, and shortlist recall decays
+    * silently. Monitoring is one zero-shuffle scan of the BATCH
+    * (codebooks ride in as literals): rebuild when the batch's mean
+    * error is a multiple of the build-time corpus mean
+    * (SimilaritySpec plants a shift and pins the jump; ≥ 2× is a sane
+    * production alarm). Returns (id, pq_err). */
+  def pqQuantizationError(emb: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Seq[Float]]]): DataFrame = {
+    val m = cbs.length
+    val k = cbs(0).length
+    val d = cbs(0)(0).length
+    val cbLit = typedLit(cbs.map(_.toSeq).toSeq)
+    val normLit = typedLit(cbs.map(_.map(c =>
+      c.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
+    val perSs = transform(sequence(lit(0), lit(m - 1)), ss => {
+      val sv = slice(col(vecCol), ss * lit(d) + lit(1), lit(d))
+      VectorFns.norm2(sv) + array_min(
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          element_at(element_at(normLit, ss + 1), j + 1)
+            - lit(2.0) * VectorFns.dot(sv,
+                element_at(element_at(cbLit, ss + 1), j + 1))))
+    })
+    emb.select(col(idCol),
+      aggregate(perSs, lit(0.0), (a, x) => a + x).as("pq_err"))
+  }
+
+  /** Retrain PQ codebooks over the CURRENT corpus and overwrite the
+    * stored codes — the restore for [[appendToPqIndex]]'s documented
+    * codebook drift (trigger: [[pqQuantizationError]]). Replaces the
+    * in-session codebook memo so queries pick up the retrain without
+    * a JVM bounce. */
+  def rebuildPqIndex(emb: DataFrame, path: String, idCol: String,
+      vecCol: String, m: Int = 16, k: Int = 16): Array[Array[Seq[Float]]] = {
+    val cbs = pqWriteIndex(emb, idCol, vecCol, path, m, k)
+    pqIndexes.put(path, cbs)
+    cbs
   }
 
   private val pqIndexes =

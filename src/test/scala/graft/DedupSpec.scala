@@ -451,4 +451,148 @@ class DedupSpec extends SparkSpec {
     assert(graft.io.IndexPaths.complete(spark, dir),
       "torn index dir must be rebuilt, restoring the commit marker")
   }
+
+  test("compactAdmitted + compactBandIndex: one-dir layout, loop results unchanged") {
+    val tA = "shared boilerplate paragraph that every ingest batch keeps repeating forever"
+    val tB = "completely different text about weather patterns across the north atlantic"
+    val tC = "one more unrelated piece of writing about compiler construction techniques"
+    val tD = "a fourth essay concerning the history of suspension bridges in europe"
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_compact").toString
+    val admitted = s"$root/admitted"
+    val index = s"$root/bandidx"
+    Dedup.ingestDedupBatch(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"),
+      0L, index, admitted)
+    Dedup.ingestDedupBatch(Seq((10L, tA), (11L, tC)).toDF("doc_id", "text"),
+      1L, index, admitted) // 10 rejected vs 1
+    Dedup.ingestDedupBatch(Seq((20L, tC), (21L, tD)).toDF("doc_id", "text"),
+      2L, index, admitted) // 20 rejected vs 11
+
+    def admittedRel() = spark.read.parquet(admitted)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def probePairs() = {
+      val probe = Seq((30L, tB), (31L, tD)).toDF("doc_id", "text")
+      val p = Dedup.incrementalDedupPairs(probe,
+          spark.read.parquet(admitted).select("doc_id", "text"),
+          index, "doc_id", "text")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.operators.Caches.release()
+      p
+    }
+    val relBefore = admittedRel()
+    assert(relBefore.map(_._1) == Set(1L, 2L, 11L, 21L))
+    val pairsBefore = probePairs()
+    assert(pairsBefore == Set((2L, 30L), (21L, 31L)))
+    val idxBefore = spark.read.parquet(index).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+
+    // compaction folds all but the newest batch dir into batch=-1
+    val folded = Dedup.compactAdmitted(spark, admitted, targetFiles = 2)
+    assert(folded == Seq(0L, 1L))
+    val dirs = new java.io.File(admitted).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("batch=-1", "batch=2"), s"got $dirs")
+    assert(new java.io.File(s"$admitted/batch=-1").listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 2)
+    Dedup.compactBandIndex(spark, index, targetFiles = 2)
+    assert(new java.io.File(index).listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 2)
+
+    // same relation, same stored ranks, same incremental-dedup answers
+    assert(admittedRel() == relBefore)
+    assert(spark.read.parquet(index).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .toSet == idxBefore, "compaction must preserve stored ranks exactly")
+    assert(probePairs() == pairsBefore)
+
+    // a second compaction re-folds the prior output with the next batch
+    Dedup.ingestDedupBatch(Seq((40L, "entirely novel fifth document about " +
+      "marine biology and deep sea exploration")).toDF("doc_id", "text"),
+      3L, index, admitted)
+    assert(Dedup.compactAdmitted(spark, admitted) == Seq(-1L, 2L))
+    val dirs2 = new java.io.File(admitted).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs2 == Set("batch=-1", "batch=3"), s"got $dirs2")
+    assert(admittedRel().map(_._1) == relBefore.map(_._1) + 40L)
+  }
+
+  test("rebuildContainmentIndex: appended-index candidates shrink to fresh-build levels, pairs unchanged") {
+    import graft.functions.TextFns
+    // corpus A: every doc shares boilerplate phrase P (high GLOBAL df)
+    val p = "all rights reserved no part of this document may be reproduced"
+    val corpusA = (1L to 6L).map(i => (i,
+      s"$p unique alpha content number $i " +
+        s"about subject ${"xyzkw".charAt((i % 5).toInt)} matter " +
+        s"item${i} thing${i} widget${i} gadget${i} token${i} extra${i}"))
+      .toDF("doc_id", "text")
+    // batch B: P appears ONCE in the batch, so batch-local df ranks its
+    // grams RARE -> they land in B's stored prefix after an append
+    val batchB = Seq(
+      (100L, s"$p fresh beta payload completely new terms " +
+        "quux corge grault garply waldo fred plugh"),
+      (101L, "independent gamma text with no shared phrases at all " +
+        "lorem brick stone metal glass paper cloth"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont_rebuild")
+      .toString + "/idx"
+    Dedup.writeContainmentIndex(corpusA, "doc_id", "text", dir)
+    Dedup.appendToContainmentIndex(batchB, dir, "doc_id", "text")
+
+    // probe batch C: contains P + junk — BELOW threshold vs everything,
+    // so every candidate it generates is wasted work; plus one true
+    // near-copy of doc 101 to pin recall through the rebuild
+    val batchC = Seq(
+      (200L, s"$p stray delta chatter nothing else matches here " +
+        "zig zag foo bar baz qux mumble jumble tumble rumble bumble " +
+        "crumble stumble grumble humble fumble"),
+      (201L, "independent gamma text with no shared phrases at all " +
+        "lorem brick stone metal glass paper cloth"))
+      .toDF("doc_id", "text")
+    val allDocs = corpusA.unionByName(batchB)
+
+    // candidate volume through the STORED corpus-side prefixes (the
+    // vsNew direction of incrementalContainmentPairs): stored prefix
+    // rows x probe grams — replicated here from the documented layout
+    def storedPrefixCandidates(threshold: Double): Long = {
+      val post = spark.read.parquet(dir)
+      def iMin(sz: org.apache.spark.sql.Column) = {
+        val g = ceil(lit(threshold) * sz)
+        when((g - 1).cast("double") / sz.cast("double") >= threshold, g - 1)
+          .otherwise(g)
+      }
+      val cPrefix = post.where(col("__r") <= col("__sz") - iMin(col("__sz")) + 1)
+      val probeGrams = batchC.select(col("doc_id").as("n_id"),
+          explode(array_distinct(TextFns.wordNGrams(
+            TextFns.letterTokens(col("text")), 3))).as("g"))
+        .select(col("n_id"), xxhash64(col("g")).as("gh"))
+      cPrefix.select(col("gh"), col("doc_id").as("c_id"))
+        .join(probeGrams, Seq("gh"))
+        .select("n_id", "c_id").distinct().count()
+    }
+    def pairs() = {
+      val r = Dedup.incrementalContainmentPairs(batchC, allDocs, dir,
+          "doc_id", "text", threshold = 0.8)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.operators.Caches.release()
+      r
+    }
+
+    val candAppended = storedPrefixCandidates(0.8)
+    val pairsBefore = pairs()
+    assert(pairsBefore == Set((101L, 201L)), s"got $pairsBefore")
+    // appended doc 100's prefix holds P's grams (batch-rare, globally
+    // common) -> probe 200 generates candidates against it
+    assert(candAppended > 0)
+
+    Dedup.rebuildContainmentIndex(allDocs, dir, "doc_id", "text")
+    val candRebuilt = storedPrefixCandidates(0.8)
+    assert(candRebuilt < candAppended,
+      s"global-df rebuild must shrink candidates: $candRebuilt vs $candAppended")
+    // fresh-build reference: rebuilding IS the fresh build (same call),
+    // so equality with a from-scratch index is by construction; what we
+    // pin is parity of answers through the rebuilt index
+    assert(pairs() == pairsBefore)
+  }
 }

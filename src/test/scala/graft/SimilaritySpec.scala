@@ -474,4 +474,102 @@ class SimilaritySpec extends SparkSpec {
     assert(b1 === b2)
     assert(b1.values.toSet.size > 1, "vectors should spread across buckets")
   }
+
+  // ---- index-append drift fixtures: a 16-dim corpus whose energy sits
+  // in the FIRST 8 components, and appended batches whose energy sits
+  // in the LAST 8 — directionally orthogonal, so stale codebooks and
+  // centroids (trained before the shift) describe the batch arbitrarily
+  // badly while cosine/L2 ground truth stays unambiguous.
+  private def driftVec(f: Int => Float): Seq[Float] = (0 until 16).map(f)
+  private lazy val driftBase = (1L to 40L).map { i =>
+    val b = (i % 4).toInt
+    (i, driftVec(j => if (j < 8) 0.5f + 0.1f * b + 0.01f * ((i + j) % 5)
+                      else 0.0f))
+  }
+  // 40 decoys, energy in components 8..11 (PQ subspace 2), LOW ids
+  private lazy val driftDecoys = (100L to 139L).map { i =>
+    (i, driftVec(j => if (j >= 8 && j < 12) 5.0f + 0.01f * ((i + j) % 3)
+                      else 0.0f))
+  }
+  // the probe's true neighborhood, energy in components 12..15
+  // (PQ subspace 3), HIGHEST ids in the corpus
+  private lazy val driftNeighbors = (900L to 909L).map { i =>
+    (i, driftVec(j => if (j >= 12) 5.0f + 0.01f * (i % 2 + j % 4)
+                      else 0.0f))
+  }
+  private lazy val driftProbe =
+    Seq((500L, driftVec(j => if (j >= 12) 5.2f else 0.0f)))
+
+  test("PQ append drift: shifted batch zeroes recall; pq_err is the alarm; rebuild restores") {
+    import spark.implicits._
+    val baseDf = driftBase.toDF("vec_id", "embedding")
+    val batchDf = (driftDecoys ++ driftProbe ++ driftNeighbors)
+      .toDF("vec_id", "embedding")
+    val all = baseDf.unionByName(batchDf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_drift")
+      .toString + "/idx"
+    val stale = Similarity.pqWriteIndex(baseDf, "vec_id", "embedding", dir,
+      m = 4, k = 8)
+    Similarity.appendToPqIndex(batchDf, dir, "vec_id", "embedding")
+
+    val brute = Similarity.bruteForceTopK(spark, all, "vec_id", "embedding",
+        500L, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(brute == (900L to 909L).toSet, s"ground truth must be the " +
+      s"planted neighborhood, got $brute")
+    def recall(): Int = {
+      val got = Similarity.pqTopKIndexed(spark, all, "vec_id", "embedding",
+          dir, probeId = 500L, k = 10, m = 4, kCode = 8, shortlistFactor = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (brute intersect got).size
+    }
+    // stale codebooks have only near-zero codewords in the shifted
+    // subspaces: every appended row collapses to one code, ADC ties
+    // break toward LOW ids, and the high-id true neighborhood can never
+    // reach the shortlist — recall silently hits zero
+    assert(recall() == 0, "shifted batch must degrade stale-codebook recall")
+    // ... but the rebuild TRIGGER sees it without any ground truth:
+    // the batch reconstructs an order of magnitude worse than the seed
+    // corpus under the stale codebooks
+    def meanErr(df: org.apache.spark.sql.DataFrame,
+        cbs: Array[Array[Seq[Float]]]) =
+      Similarity.pqQuantizationError(df, "vec_id", "embedding", cbs)
+        .agg(avg("pq_err")).head().getDouble(0)
+    val batchErr = meanErr(batchDf, stale)
+    val baseErr = meanErr(baseDf, stale)
+    assert(batchErr > 10 * (baseErr + 1e-9),
+      s"drift alarm must fire: batch $batchErr vs base $baseErr")
+    val fresh = Similarity.rebuildPqIndex(all, dir, "vec_id", "embedding",
+      m = 4, k = 8)
+    assert(meanErr(batchDf, fresh) < batchErr / 10,
+      "retrained codebooks must reconstruct the batch again")
+    assert(recall() == 10, "rebuild must restore full recall")
+  }
+
+  test("kmeans append drift: stored dist_q is the alarm; rebuild restores assignment quality") {
+    import spark.implicits._
+    val baseDf = driftBase.toDF("vec_id", "embedding")
+    val batchDf = driftDecoys.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_km_drift")
+      .toString + "/idx"
+    Similarity.kmeansWriteIndex(baseDf, "vec_id", "embedding", dir, k = 4)
+    Similarity.appendToKmeansIndex(batchDf, dir, "vec_id", "embedding")
+    // the trigger needs no extra scan: appended rows carry dist_q
+    // against the stale centroids in the index itself
+    val idx = spark.read.parquet(dir)
+    def meanDist(pred: org.apache.spark.sql.Column) =
+      idx.where(pred).agg(avg("dist_q")).head().getDouble(0)
+    val baseMean = meanDist(col("vec_id") <= 40L)
+    val batchMean = meanDist(col("vec_id") >= 100L)
+    assert(batchMean > 10 * (baseMean + 1),
+      s"drift alarm must fire: batch $batchMean vs base $baseMean")
+    // retrain over the current corpus: the shifted blob pulls a
+    // centroid to itself within the fixed-point iterations
+    Similarity.rebuildKmeansIndex(
+      baseDf.unionByName(batchDf), dir, "vec_id", "embedding", k = 5,
+      iters = 3)
+    val after = spark.read.parquet(dir)
+      .where(col("vec_id") >= 100L).agg(avg("dist_q")).head().getDouble(0)
+    assert(after < batchMean / 10,
+      s"rebuild must restore assignment quality: $after vs $batchMean")
+  }
 }
