@@ -425,6 +425,77 @@ object TextAnalysis {
         md5(concat_ws(" ", col("__kept"))).as("scrubbed_md5"))
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * grams whose FIRST corpus occurrence (min doc_id) is this doc —
+    * "how much content does this doc add that the corpus (in id
+    * order) hasn't seen yet". The signal behind dedup-aware admission
+    * ordering and corpus-growth accounting: near-copies of earlier
+    * docs score ≈ 0, genuinely new material ≈ 1, template docs land in
+    * between in proportion to their boilerplate.
+    *
+    * Scale shape (the TF-IDF shape): one (doc, gram) pass, a
+    * map-side-combined `min(doc_id)` per gram, one gram-keyed join
+    * back, one doc-keyed aggregation — shuffle ∝ corpus distinct gram
+    * occurrences on uniform keys. A boilerplate gram shared by 10⁶
+    * docs is one reducer's MIN and a row-count-proportional join
+    * fan-out, never a pair blow-up. Gram STRINGS are shuffled (not
+    * hashes) so the result is exactly engine-portable: a hash
+    * collision would silently transfer first-occurrence credit; the
+    * hashed variant is a documented bytes-on-wire optimization, not a
+    * default. Docs with fewer than n tokens have no grams and are
+    * absent. */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFns.wordNGrams(
+          TextFns.letterTokens(col(textCol)), n))).as("g"))
+    val first = grams.groupBy("g").agg(min(col("doc_id")).as("__first"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_distinct_grams"), col("n_novel"),
+        (col("n_novel").cast("double") /
+          col("n_distinct_grams").cast("double")).as("novelty"))
+  }
+
+  /** Hard per-source document cap (the RefinedWeb-style domain cap:
+    * no single domain may contribute more than `cap` docs, however
+    * large it is) — the OTHER half of source curation next to
+    * [[sourceBalancedMix]] (proportional downsampling toward a
+    * budget): a cap is an absolute ceiling per group, applied e.g.
+    * against SEO farms that would otherwise dominate a crawl.
+    * Selection is deterministic and engine-portable: the `cap` docs
+    * with the smallest 48-bit md5-of-id prefix (id tie-break) — a
+    * uniform random-but-reproducible sample of each source.
+    *
+    * Same bounded-heap shape as
+    * [[Similarity.clusterBalancedSample]]: the per-source quota is a
+    * [[graft.functions.expr.TopKByScore]] aggregate (map-side
+    * combined, ≤ cap rows per source per map partition cross the
+    * shuffle), NOT a rank window — a window partitioned by source
+    * would sort whole sources on single reducers at corpus scale.
+    * Returns (doc_id, source, pick_rank 1..cap). */
+  def domainCap(docs: DataFrame, idCol: String, sourceCol: String,
+      cap: Int = 100): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    require(cap >= 1)
+    // 48-bit prefix: exact in a double, so (score DESC, id ASC) in the
+    // aggregate is exactly (prefix ASC, id ASC)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val agg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression((-h).cast("double")),
+        shim.expression(col(idCol)), cap)
+      .toAggregateExpression())
+    docs.groupBy(col(sourceCol))
+      .agg(agg.as("__top"))
+      .select(col(sourceCol), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__e.id").as("doc_id"), col(sourceCol),
+        (col("__p") + 1).cast("long").as("pick_rank"))
+  }
+
   /** Hashed linear quality-classifier inference — the fastText-style
     * model-based filter of a curation pipeline, with the hashing trick:
     * each token's weight is a deterministic function of its hash

@@ -540,6 +540,22 @@ object TextQueries {
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Per-doc gram novelty: fraction of a doc's distinct trigrams first
+    // seen (min doc_id) in THIS doc — dedup-aware admission ordering /
+    // corpus-growth accounting. One gram pass + min-agg + gram-keyed
+    // join back; shuffle ∝ distinct gram occurrences, uniform keys.
+    "q_gram_novelty" -> { (s, dir) =>
+      TextAnalysis.gramNovelty(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // RefinedWeb-style hard domain cap: at most 10 docs per source,
+    // picked in md5-of-id order (deterministic uniform sample) via the
+    // bounded-heap TopKByScore aggregate — never a rank window.
+    "q_domain_cap" -> { (s, dir) =>
+      TextAnalysis.domainCap(t(s, dir, "documents"), "doc_id", "source",
+        cap = 10)
+    },
+
     // Fuzzy string matching (edit distance <= 3) over distinct part
     // names, length-band blocked — the candidate/verify shape at scale.
     "q_fuzzy_match" -> { (s, dir) =>
@@ -1107,6 +1123,29 @@ object TextQueries {
          |  COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS max_cnt,
          |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio
          |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_gram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |      FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+         |SELECT g.doc_id, COUNT(*) AS n_distinct_grams,
+         |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+         |FROM g JOIN f USING (g) GROUP BY g.doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source, pick_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |                 AS BIGINT),
+        |        doc_id) AS BIGINT) AS pick_rank
+        |  FROM documents)
+        |WHERE pick_rank <= 10""".stripMargin,
 
     "q_fuzzy_match" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

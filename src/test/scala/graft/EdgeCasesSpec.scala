@@ -232,5 +232,41 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Relational.bloomSemiJoin(probe, "k", build, "bk", 10L).count() === 0L)
   }
 
+  test("gramNovelty: first-occurrence credit by min doc_id; dup docs score zero") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams "a b c", "b c d" — both first here
+      (2L, "a b c x"),   // "a b c" seen in 1; "b c x" novel
+      (3L, "a b c d"),   // exact dup of 1 — nothing novel
+      (4L, "a b"))       // too short: absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("domainCap: at most cap docs per source, picked in md5-of-id order") {
+    val docs = ((1L to 5L).map(i => (i, s"t$i", "big")) ++
+      (100L to 101L).map(i => (i, s"t$i", "small")))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.domainCap(docs, "doc_id", "source", cap = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // independent selection replay: 48-bit md5 prefix, id tie-break
+    def pfx(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val wantBig = (1L to 5L).sortBy(i => (pfx(i), i)).take(3).toSet
+    assert(got.count(_._2 == "big") == 3)
+    assert(got.filter(_._2 == "big").map(_._1).toSet == wantBig)
+    // the small source is under the cap: everything kept, ranks dense
+    assert(got.filter(_._2 == "small").map(_._1).toSet == Set(100L, 101L))
+    assert(got.filter(_._2 == "small").map(_._3).sorted.toSeq == Seq(1L, 2L))
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 }
