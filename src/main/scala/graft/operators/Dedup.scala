@@ -483,20 +483,23 @@ object Dedup {
     * THRESHOLD-FLEXIBLE: query time derives each doc's prefix as
     * `__r <= __sz - iMin + 1` for ITS threshold. */
   def writeContainmentIndex(docs: DataFrame, idCol: String,
-      textCol: String, path: String, ngram: Int = 3): Unit = {
+      textCol: String, path: String, ngram: Int = 3,
+      coalesceTo: Int = 0): Unit = {
+    def bounded(df: DataFrame) =
+      if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     val sets = Caches.persist(gramSetArrays(docs, idCol, textCol, ngram))
     val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-    grams.join(dfreq, Seq("gh"))
+    bounded(grams.join(dfreq, Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
       .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
       .select(col("doc_id"), col("__sz"),
         posexplode(col("__ord")).as(Seq("__p0", "__p")))
       .select(col("__p.gh").as("gh"), col("doc_id"),
-        col("__p.__df").as("__df"), (col("__p0") + 1).as("__r"), col("__sz"))
+        col("__p.__df").as("__df"), (col("__p0") + 1).as("__r"), col("__sz")))
       .write.mode("overwrite").parquet(path)
-    sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2"))
+    bounded(sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2")))
       .write.mode("overwrite").parquet(path + ".gsets")
   }
 
@@ -511,20 +514,23 @@ object Dedup {
     * rarest-first candidate-size heuristic, the same trade as
     * [[appendToIvfIndex]] centroid drift. */
   def appendToContainmentIndex(newDocs: DataFrame, path: String,
-      idCol: String, textCol: String, ngram: Int = 3): Unit = {
+      idCol: String, textCol: String, ngram: Int = 3,
+      coalesceTo: Int = 0): Unit = {
+    def bounded(df: DataFrame) =
+      if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     val sets = Caches.persist(gramSetArrays(newDocs, idCol, textCol, ngram))
     val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-    grams.join(dfreq, Seq("gh"))
+    bounded(grams.join(dfreq, Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
       .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
       .select(col("doc_id"), col("__sz"),
         posexplode(col("__ord")).as(Seq("__p0", "__p")))
       .select(col("__p.gh").as("gh"), col("doc_id"),
-        col("__p.__df").as("__df"), (col("__p0") + 1).as("__r"), col("__sz"))
+        col("__p.__df").as("__df"), (col("__p0") + 1).as("__r"), col("__sz")))
       .write.mode("append").parquet(path)
-    sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2"))
+    bounded(sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2")))
       .write.mode("append").parquet(path + ".gsets")
   }
 
@@ -919,6 +925,90 @@ object Dedup {
     } finally Caches.release()
   }
 
+  /** One step of the CONTAINMENT ingest loop — [[ingestDedupBatch]]'s
+    * admission rule driven by the asymmetric-overlap join instead of
+    * Jaccard: a batch doc is REJECTED iff it has a containment pair
+    * (max(containment_a, containment_b) >= threshold — it quotes, or is
+    * quoted by) with any already-admitted corpus doc or a smaller-id doc
+    * of its own batch; keepers land in `<admittedRoot>/batch=<id>` and
+    * their postings + gram sets fold into the containment index so the
+    * NEXT batch matches against them. This is the curation loop for
+    * boilerplate/quotation dedup, where the Jaccard loop misses the
+    * short-doc-inside-long-doc case entirely.
+    *
+    * Work per batch ∝ batch + candidates (the
+    * [[incrementalContainmentPairs]] shape): the corpus is touched only
+    * through the stored ranked-postings read and the candidate-id
+    * gram-set fetch — never re-grammed.
+    *
+    * Failure/replay contract (cf. [[ingestDedupBatch]]): the admitted
+    * table is exactly-once — a replayed batch recomputes the same
+    * admitted set (pairs equal to its own prior copies are dropped by
+    * the `doc_a != doc_b` guard, pairs among its own batch replay the
+    * same greedy decision; the result is forced before the overwrite)
+    * and overwrites its own `batch=<id>` directory. The index fold is
+    * made IDEMPOTENT by anti-joining the admitted set against doc_ids
+    * already in the stored gram-set sibling before appending — a
+    * replayed fold appends nothing, so postings never duplicate. */
+  def ingestContainmentBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, admittedRoot: String, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val b = Caches.persist(batch.select(col(idCol), col(textCol)))
+    try {
+      if (b.isEmpty) return
+      val first = !graft.io.IndexPaths.complete(spark, indexPath) ||
+        !graft.io.IndexPaths.complete(spark, indexPath + ".gsets")
+      val pairs =
+        (if (first) containmentPairs(b, idCol, textCol, ngram, threshold, maxDf)
+         else incrementalContainmentPairs(b,
+           spark.read.parquet(admittedRoot).select(col(idCol), col(textCol)),
+           indexPath, idCol, textCol, ngram, threshold, maxDf))
+          // replay guard: a batch doc paired with its own admitted copy
+          // (same id, containment 1.0) must not reject itself
+          .where(col("doc_a") =!= col("doc_b"))
+      val p = Caches.persist(pairs.select(col("doc_a"), col("doc_b")))
+      val ids = b.select(col(idCol).as("__id"))
+      def inBatch(c: String) = ids.withColumnRenamed("__id", c)
+      // same greedy first-keeper rule as ingestDedupBatch: pair sides
+      // are ordered doc_a < doc_b — both in batch: larger id loses;
+      // corpus on one side: the batch side loses
+      val bothNew = p.join(inBatch("doc_a"), Seq("doc_a"), "left_semi")
+        .join(inBatch("doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_b").as("__rej"))
+      val corpusOnA = p.join(inBatch("doc_a"), Seq("doc_a"), "left_anti")
+        .select(col("doc_b").as("__rej"))
+      val corpusOnB = p.join(inBatch("doc_b"), Seq("doc_b"), "left_anti")
+        .select(col("doc_a").as("__rej"))
+      val rejected = bothNew.unionByName(corpusOnA).unionByName(corpusOnB)
+        .distinct()
+      val admitted = Caches.persist(
+        b.join(rejected, col(idCol) === col("__rej"), "left_anti"))
+      val sub = s"$admittedRoot/batch=$batchId"
+      val subPath = new org.apache.hadoop.fs.Path(sub)
+      // replay only: force lineage before overwriting a directory the
+      // corpus read above may have included (cf. ingestDedupBatch)
+      if (subPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(subPath))
+        admitted.count()
+      admitted.coalesce(4).write.mode("overwrite").parquet(sub)
+      if (first)
+        writeContainmentIndex(admitted, idCol, textCol, indexPath, ngram,
+          coalesceTo = 8)
+      else {
+        // idempotent fold: skip docs whose gram sets are already stored
+        val stored = spark.read.parquet(indexPath + ".gsets")
+          .select(col("doc_id").as("__stored"))
+        val fresh = Caches.persist(admitted.join(stored,
+          col(idCol) === col("__stored"), "left_anti"))
+        if (!fresh.isEmpty)
+          appendToContainmentIndex(fresh, indexPath, idCol, textCol, ngram,
+            coalesceTo = 8)
+      }
+    } finally Caches.release()
+  }
+
   /** Housekeeping for the ingest-dedup loop's append-only admitted
     * corpus: [[ingestDedupBatch]] writes one `batch=<id>` directory per
     * admitted batch FOREVER, so the corpus read each batch pays
@@ -1075,6 +1165,35 @@ object Dedup {
       s"dedupClusters: label propagation not converged after $maxIters rounds — " +
         "labels would be inconsistent (cluster != component min); raise maxIters")
     labels
+  }
+
+  /** LEAKAGE-SAFE train/val/test split: a near-dup cluster lands in ONE
+    * split, whole — the guard against eval contamination by near-copies
+    * (a doc in train and its 0.95-jaccard twin in test silently inflates
+    * held-out scores; per-doc hashing, [[Relational.splitAssign]],
+    * cannot prevent it because near-dups hash independently). The split
+    * key is the doc's connected-component representative under `pairs`
+    * (min-id label from [[dedupClusters]]); singleton docs are their own
+    * representative, so for a pair-free corpus this IS splitAssign.
+    *
+    * Returns (doc_id, rep, split) for every doc in `docs`.
+    *
+    * Scale shape: the cluster label table is PAIR-GRAPH-sized (only
+    * docs appearing in a near-dup pair), so the label join is a
+    * broadcast/AQE-small join against the corpus id column; the split
+    * decision is [[Relational.splitAssign]]'s md5 map-side expression
+    * on the representative — no corpus shuffle beyond the label join,
+    * reproducible at any partitioning, and nested-fraction-consistent
+    * with splitAssign on the same cuts. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      checkpointDir: Option[String] = None): DataFrame = {
+    val labels = dedupClusters(pairs, checkpointDir = checkpointDir)
+    val reps = docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("rep"))
+    Relational.splitAssign(reps, col("rep"), splits)
   }
 
   /** 64-bit SimHash per document: for each bit j, sum +1/-1 over token

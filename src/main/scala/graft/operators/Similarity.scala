@@ -418,6 +418,131 @@ object Similarity {
         Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
   }
 
+  /** Batched exact top-k over a PROBE SET — the offline retrieval-eval
+    * shape (recall measurement, golden-set scoring): ONE corpus scan
+    * serves every probe. The probe rows (ids + vectors — KBs) broadcast
+    * into a nested-loop join against the corpus, each corpus vector is
+    * scored against every probe row-locally, and per-probe top-k is the
+    * bounded-heap [[graft.functions.expr.TopKByScore]] aggregate
+    * (map-side combined: ≤ k rows per probe per map task cross the
+    * shuffle) — NOT a probe-partitioned rank window, which would sort
+    * |probes| full corpus copies on |probes| reducers. Per-probe
+    * ordering (cos DESC, id ASC) is identical to [[bruteForceTopK]]
+    * (spec-pinned); quantized-cosine arithmetic keeps the whole batch
+    * SQL-replayable.
+    * @return (probe_id, vec_id, cos_sim, rk) — k rows per probe. */
+  def bruteForceTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int): DataFrame = {
+    require(probeIds.nonEmpty)
+    val probes = broadcast(emb.where(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv")))
+    topKPerProbe(emb.join(probes, col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), col("__pv")).as("cos_sim")), k)
+  }
+
+  /** Batched sign-LSH top-k over a probe set: [[bruteForceTopKBatch]]
+    * restricted to each probe's own LSH bucket — candidates come from a
+    * broadcast EQUI-join on the bucket id (at scale: a partition-pruned
+    * IN-list over the probes' buckets), so the scan touches
+    * ~|distinct probe buckets|/2^nPlanes of the corpus and scoring work
+    * is ∝ bucket occupancy, not corpus × probes. May return fewer than
+    * k rows for a sparse bucket — exactly the recall loss
+    * [[annRecallReport]] measures. */
+  def lshBucketTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, nPlanes: Int = 8): DataFrame = {
+    require(probeIds.nonEmpty)
+    val bucketed = withLshBucket(emb, vecCol, nPlanes)
+    val probes = broadcast(bucketed.where(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        col("lsh_bucket").as("__pb")))
+    topKPerProbe(bucketed.join(probes,
+        col("lsh_bucket") === col("__pb") && col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), col("__pv")).as("cos_sim")), k)
+  }
+
+  /** Batched MULTI-PROBE sign-LSH top-k over a probe set: each probe's
+    * candidate set is its own bucket plus the `nPlanes` Hamming-1
+    * neighbor buckets ([[lshMultiProbeTopK]]'s recall amplifier,
+    * batched). The probe rows explode row-locally into (probe,
+    * bucket-id) keys — still a broadcast EQUI-join against the bucketed
+    * corpus; a corpus vector has ONE bucket and the expanded ids are
+    * distinct, so no candidate dedup pass is needed. */
+  def lshMultiProbeTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, nPlanes: Int = 8): DataFrame = {
+    require(probeIds.nonEmpty)
+    val bucketed = withLshBucket(emb, vecCol, nPlanes)
+    val flips = array(col("__pb") +:
+      (0 until nPlanes).map(j => col("__pb").bitwiseXOR(lit(1L << j))): _*)
+    val probes = broadcast(bucketed.where(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        col("lsh_bucket").as("__pb"))
+      .withColumn("__pbx", explode(flips)))
+    topKPerProbe(bucketed.join(probes,
+        col("lsh_bucket") === col("__pbx") && col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), col("__pv")).as("cos_sim")), k)
+  }
+
+  /** Shared tail of the batch ANN paths: bounded-heap per-probe top-k
+    * over pre-scored (probe_id, vec_id, cos_sim) rows. */
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val agg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression(col("cos_sim")), shim.expression(col("vec_id")), k)
+      .toAggregateExpression())
+    scored.groupBy(col("probe_id")).agg(agg.as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("probe_id"), col("__e.id").as("vec_id"),
+        col("__e.score").as("cos_sim"),
+        (col("__p") + 1).cast("long").as("rk"))
+  }
+
+  /** ANN recall@k report — the retrieval-quality eval a production ANN
+    * deployment runs offline: for each probe, |approx top-k ∩ exact
+    * top-k| over the exact count, for single-bucket LSH AND its
+    * multi-probe amplification side by side (the report's point: it
+    * MEASURES what the Hamming-1 expansion buys at 9× the scan). All
+    * sides are the BATCHED one-scan paths above; the comparison is
+    * probe-keyed joins over k-row-per-probe relations — corpus-sized
+    * data never moves after the scans — and the whole pipeline
+    * (deterministic md5 planes, integer sign dots, quantized cosine)
+    * replays in plain SQL, so the report carries a full external oracle
+    * rather than a property check.
+    * @return (probe_id, n_exact, n_lsh, hits_lsh, recall_lsh, n_multi,
+    *         hits_multi, recall_multi) per probe. */
+  def annRecallReport(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, nPlanes: Int = 8): DataFrame = {
+    val exact = bruteForceTopKBatch(emb, idCol, vecCol, probeIds, k)
+      .select(col("probe_id"), col("vec_id")).persist()
+    def side(approx: DataFrame, tag: String): DataFrame = {
+      val a = approx.select(col("probe_id"), col("vec_id"))
+      val n = a.groupBy("probe_id").agg(count(lit(1)).as(s"n_$tag"))
+      val h = exact.join(a, Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as(s"hits_$tag"))
+      n.join(h, Seq("probe_id"), "left")
+    }
+    val nExact = exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+    val out = nExact
+      .join(side(lshBucketTopKBatch(emb, idCol, vecCol, probeIds, k, nPlanes),
+        "lsh"), Seq("probe_id"), "left")
+      .join(side(lshMultiProbeTopKBatch(emb, idCol, vecCol, probeIds, k,
+        nPlanes), "multi"), Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"),
+        (coalesce(col("hits_lsh"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall_lsh"),
+        coalesce(col("n_multi"), lit(0L)).as("n_multi"),
+        coalesce(col("hits_multi"), lit(0L)).as("hits_multi"),
+        (coalesce(col("hits_multi"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall_multi"))
+    out.count() // force before unpersist
+    exact.unpersist()
+    out
+  }
+
   /** Symmetric int8 quantization of an embedding column: each vector is
     * scaled by its own max-abs so components land in [-127, 127],
     * `q_i = floor((x_i * 127) / max_abs)` — the storage/compute

@@ -425,6 +425,63 @@ object TextAnalysis {
         md5(concat_ws(" ", col("__kept"))).as("scrubbed_md5"))
   }
 
+  /** FIRST-OCCURRENCE exact-substring dedup — the "keep one copy"
+    * variant of cross-document substring deduplication (Lee et al.,
+    * *Deduplicating Training Data Makes Language Models Better*, the
+    * ExactSubstr pass): for every word `n`-gram, the doc with the
+    * SMALLEST doc_id containing it owns it; every occurrence in any
+    * LATER doc is removed, and each doc's text is re-assembled from
+    * its surviving tokens in order. Unlike [[scrubFrequentSpans]]
+    * (which deletes a frequent span from EVERY doc including the
+    * first), exactly one copy of each shared span survives — the
+    * corpus keeps its content, later docs lose only what an earlier
+    * doc already said. Fires even at 2 occurrences; spans repeated
+    * WITHIN a single doc are untouched (the doc owns them).
+    *
+    * Returns one row per document:
+    * (doc_id, n_tokens, n_kept, n_removed, scrubbed_md5) — the md5
+    * commits to the exact scrubbed text without shipping it.
+    *
+    * Scale shape — [[gramNovelty]]'s ownership pass grafted onto
+    * [[scrubFrequentSpans]]'s removal pass; corpus text never
+    * shuffles:
+    *  1. (gram -> min(doc_id)) ownership: duplicate-insensitive MIN,
+    *     map-side combined — a 10⁶-copy boilerplate gram is one
+    *     reducer's MIN, never a pair join;
+    *  2. occurrences equi-join ownership on the gram key; rows where
+    *     doc_id = owner die in the join filter, losers fan out
+    *     row-locally to their n covered token positions;
+    *  3. covered positions aggregate per doc — shuffle ∝ REMOVED
+    *     volume only;
+    *  4. reconstruction is a row-local indexed filter over the doc's
+    *     own token array.
+    * Gram STRINGS shuffle (not hashes): a collision would transfer
+    * span ownership across unrelated docs — same correctness stance
+    * as [[gramNovelty]]. */
+  def dedupExactSubstrings(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 2)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.letterTokens(col(textCol)).as("__toks"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(TextFns.wordNGrams(col("__toks"), n)).as(Seq("p", "g")))
+    val owner = grams.groupBy("g").agg(min(col("doc_id")).as("__first"))
+    val covered = grams.join(owner, "g")
+      .where(col("doc_id") > col("__first"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("cp"))
+      .groupBy("doc_id").agg(collect_set(col("cp")).as("__cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__toks"),
+        (w, i) => !array_contains(col("__cov"), i)))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("__kept"))).as("scrubbed_md5"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
     * grams whose FIRST corpus occurrence (min doc_id) is this doc —
     * "how much content does this doc add that the corpus (in id

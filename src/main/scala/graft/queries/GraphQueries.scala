@@ -38,6 +38,22 @@ object GraphQueries {
     // depth, length, and ancestor-key sum. Purely declarative recursion
     // — Catalyst plans each step as a join-free self-union, bounded by
     // spark.sql.cteRecursionLevelLimit.
+    // Integer PageRank, 3 rounds, over the same DIV-2/DIV-3 DAG — the
+    // link-centrality quality signal of web-corpus curation. Integer
+    // per-edge floor division makes every round bit-reproducible, so
+    // the oracle unrolls all 3 rounds verbatim in SQL (distinct edges:
+    // p=3 emits the SAME edge via DIV 2 and DIV 3, hence the distinct).
+    "q_pagerank" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val edges = part.select(col("p_partkey").cast("long").as("src"),
+          expr("p_partkey DIV 2").as("dst"))
+        .unionByName(part.select(col("p_partkey").cast("long").as("src"),
+          expr("p_partkey DIV 3").as("dst")))
+        .where(col("dst") > 0)
+        .distinct()
+      Graph.pageRankInt(edges, iters = 3)
+    },
+
     "q_recursive_chain" -> { (s, dir) =>
       t(s, dir, "part").createOrReplaceTempView("part")
       s.sql("""
@@ -66,6 +82,36 @@ object GraphQueries {
         |  UNION ALL
         |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id)
         |SELECT id, MIN(hops) AS hops FROM r GROUP BY id""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS src,
+        |           CAST(p_partkey // 2 AS BIGINT) AS dst
+        |    FROM part WHERE p_partkey // 2 > 0
+        |    UNION ALL
+        |    SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+        |    FROM part WHERE p_partkey // 3 > 0)),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r0 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.id, 150000 + COALESCE(c.c, 0) AS r
+        |  FROM nodes n LEFT JOIN c1 c USING (id)),
+        |c2 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r1 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.id, 150000 + COALESCE(c.c, 0) AS r
+        |  FROM nodes n LEFT JOIN c2 c USING (id)),
+        |c3 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r2 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.id, 150000 + COALESCE(c.c, 0) AS r
+        |  FROM nodes n LEFT JOIN c3 c USING (id))
+        |SELECT id, CAST(r AS BIGINT) AS rank_q FROM r3""".stripMargin,
 
     "q_recursive_chain" ->
       """WITH RECURSIVE anc(p_partkey, anc, depth) AS (

@@ -265,6 +265,19 @@ object TextQueries {
       Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
     },
 
+    // LEAKAGE-SAFE train/val/test split: near-dup clusters assigned
+    // whole (split decided by the cluster representative's md5, not the
+    // doc's own) — the guard against a doc landing in train while its
+    // near-copy lands in test. Oracle replays clusters (recursive CTE)
+    // + the same md5 cut rule.
+    "q_cluster_split" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Dedup.leakageSafeSplit(docs, pairs.select(col("doc_a"), col("doc_b")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+
     // Incremental dedup — the production ingest shape: docs with
     // doc_id % 5 == 4 are the "new batch", the rest the existing
     // corpus, whose signatures live in a MATERIALIZED band-bucket index
@@ -324,6 +337,29 @@ object TextQueries {
         for (b <- 0L to 2L)
           Dedup.ingestDedupBatch(docs.where(col("doc_id") % 3 === b), b,
             s"$root/bandidx", s"$root/admitted")
+        fs.create(done).close()
+      }
+      s.read.parquet(s"$root/admitted")
+        .select(col("doc_id"), col("batch").cast("long").as("admitted_batch"))
+    },
+
+    // The CONTAINMENT ingest loop, batch-evaluated (same code path
+    // foreachBatch drives — StreamingSpec runs the MemoryStream form):
+    // three arrival batches, each matched against everything admitted
+    // before it through the stored postings index; admission unrolled
+    // batch-by-batch in the oracle with the containment pair predicate.
+    "q_stream_ingest_containment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val root = graft.io.IndexPaths.indexPath("contloop",
+        s"$dir/documents.parquet", "n3t08x3")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_LOOP_COMPLETE")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        for (b <- 0L to 2L)
+          Dedup.ingestContainmentBatch(docs.where(col("doc_id") % 3 === b), b,
+            s"$root/contidx", s"$root/admitted")
         fs.create(done).close()
       }
       s.read.parquet(s"$root/admitted")
@@ -596,6 +632,15 @@ object TextQueries {
     // only (doc, covered-position) pairs move.
     "q_scrub_spans" -> { (s, dir) =>
       TextAnalysis.scrubFrequentSpans(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // FIRST-OCCURRENCE exact-substring dedup (Lee et al. ExactSubstr):
+    // every shared 5-token span survives in exactly one doc — the
+    // earliest — and is cut from all later ones. gramNovelty's
+    // min(doc_id) ownership pass grafted onto scrubFrequentSpans'
+    // covered-position removal; corpus text never shuffles.
+    "q_exact_substring" -> { (s, dir) =>
+      TextAnalysis.dedupExactSubstrings(t(s, dir, "documents"), "doc_id", "text")
     },
 
     // Hashed linear classifier inference (fastText-style quality filter
@@ -956,6 +1001,35 @@ object TextQueries {
          |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM a1
          |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM a2""".stripMargin,
 
+    "q_stream_ingest_containment" ->
+      s"""WITH ${sqlGrams("")},
+         |pr AS (SELECT da AS doc_a, db AS doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE GREATEST(CAST(i AS DOUBLE) / sa.sz,
+         |                 CAST(i AS DOUBLE) / sb.sz) >= 0.8),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |d0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         |d1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         |d2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         |a0 AS (SELECT doc_id FROM d0 dd WHERE NOT EXISTS (
+         |    SELECT 1 FROM e JOIN d0 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id AND e.a < dd.doc_id)),
+         |a1 AS (SELECT doc_id FROM d1 dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM e JOIN a0 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM e JOIN d1 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id AND e.a < dd.doc_id)),
+         |a01 AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1),
+         |a2 AS (SELECT doc_id FROM d2 dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM e JOIN a01 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM e JOIN d2 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id AND e.a < dd.doc_id))
+         |SELECT doc_id, CAST(0 AS BIGINT) AS admitted_batch FROM a0
+         |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM a1
+         |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM a2""".stripMargin,
+
     // ground truth restricted to pairs with at least one new-batch side
     "q_incremental_dedup" ->
       s"""WITH ${sqlGrams("")}
@@ -991,6 +1065,26 @@ object TextQueries {
          |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin,
+
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE ${sqlGrams("")},
+         |pr AS (SELECT da, db FROM inter
+         |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s, db AS d FROM pr
+         |          UNION SELECT db, da FROM pr),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |       FROM reach GROUP BY s),
+         |rep AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, rep,
+         |  CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccd'
+         |       THEN 'train'
+         |       WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e666'
+         |       THEN 'val' ELSE 'test' END AS split
+         |FROM rep""".stripMargin,
 
     "q_lang_id" -> {
       s"""WITH s AS (SELECT doc_id, length(text) AS n,
@@ -1215,6 +1309,30 @@ object TextQueries {
          |freq AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
          |cov AS (SELECT DISTINCT grams.doc_id, grams.p + d AS cp
          |  FROM grams JOIN freq USING (g), UNNEST(range(0, 5)) AS u(d)),
+         |pos AS (SELECT doc_id, i - 1 AS p, ws[i] AS w
+         |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS r(i)),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.w FROM pos
+         |  LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.cp = pos.p
+         |  WHERE cov.cp IS NULL),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    md5(string_agg(w, ' ' ORDER BY p)) AS m
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(a.m, md5('')) AS scrubbed_md5
+         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_exact_substring" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |grams AS (SELECT doc_id, i - 1 AS p,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |      || ' ' || ws[i+4] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |own AS (SELECT g, MIN(doc_id) AS fid FROM grams GROUP BY g),
+         |cov AS (SELECT DISTINCT grams.doc_id, grams.p + d AS cp
+         |  FROM grams JOIN own USING (g), UNNEST(range(0, 5)) AS u(d)
+         |  WHERE grams.doc_id > own.fid),
          |pos AS (SELECT doc_id, i - 1 AS p, ws[i] AS w
          |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS r(i)),
          |kept AS (SELECT pos.doc_id, pos.p, pos.w FROM pos

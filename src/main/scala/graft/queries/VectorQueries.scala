@@ -221,6 +221,18 @@ object VectorQueries {
         .select(col("vec_id"), col("cos_sim"), col("rk").cast("long").as("rk"))
     },
 
+    // ANN recall@k REPORT over a probe SET — the offline retrieval-
+    // quality eval: batched one-scan exact top-k vs batched one-scan
+    // LSH top-k, per-probe hit counts and recall. Both paths are
+    // bounded-heap aggregates (never a probe-partitioned rank window
+    // over the corpus); deterministic planes + quantized cosine mean
+    // the ENTIRE eval — both retrieval sides and the recall numbers —
+    // replays as a full SQL oracle, not a property check.
+    "q_ann_recall" -> { (s, dir) =>
+      Similarity.annRecallReport(t(s, dir, "embeddings"), "vec_id",
+        "embedding", probeIds = Seq(0L, 7L, 19L, 42L), k = K)
+    },
+
     // Embedding near-dup CLUSTERING: connected components over the
     // banded-LSH pair list (min-label propagation + pointer jumping) —
     // the "pick one representative per embedding-duplicate cluster"
@@ -352,6 +364,79 @@ object VectorQueries {
       |  GROUP BY e.vec_id, pl.p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ann_recall" ->
+      s"""WITH ${sqlPlanes(8)},
+         |$sqlPlaneDots,
+         |bk AS (SELECT vec_id,
+         |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM pd GROUP BY vec_id),
+         |nn AS (SELECT vec_id,
+         |    ${sqlDotQ("embedding", "embedding")} AS nsq
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
+         |sc AS (SELECT pr.probe_id, e.vec_id,
+         |    CAST(${sqlDotQ("e.embedding", "pr.pe")} AS DOUBLE) /
+         |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos
+         |  FROM embeddings e CROSS JOIN pr
+         |  JOIN nn na ON na.vec_id = e.vec_id
+         |  JOIN nn np ON np.vec_id = pr.probe_id
+         |  WHERE e.vec_id <> pr.probe_id),
+         |exk AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cos DESC, vec_id) AS rk
+         |    FROM sc) WHERE rk <= $K),
+         |lsk AS (SELECT probe_id, vec_id FROM (
+         |    SELECT sc.probe_id, sc.vec_id,
+         |      row_number() OVER (PARTITION BY sc.probe_id
+         |        ORDER BY sc.cos DESC, sc.vec_id) AS rk
+         |    FROM sc
+         |    JOIN bk be ON be.vec_id = sc.vec_id
+         |    JOIN bk bp ON bp.vec_id = sc.probe_id
+         |    WHERE be.bucket = bp.bucket) WHERE rk <= $K),
+         |mpb AS (SELECT pr.probe_id,
+         |    CAST(xor(bp.bucket, 1 << f) AS BIGINT) AS pb
+         |  FROM pr JOIN bk bp ON bp.vec_id = pr.probe_id,
+         |    UNNEST(range(0, 8)) t(f)
+         |  UNION
+         |  SELECT pr.probe_id, bp.bucket
+         |  FROM pr JOIN bk bp ON bp.vec_id = pr.probe_id),
+         |msk AS (SELECT probe_id, vec_id FROM (
+         |    SELECT sc.probe_id, sc.vec_id,
+         |      row_number() OVER (PARTITION BY sc.probe_id
+         |        ORDER BY sc.cos DESC, sc.vec_id) AS rk
+         |    FROM sc
+         |    JOIN bk be ON be.vec_id = sc.vec_id
+         |    JOIN mpb ON mpb.probe_id = sc.probe_id
+         |      AND be.bucket = mpb.pb) WHERE rk <= $K),
+         |nex AS (SELECT probe_id, COUNT(*) AS n_exact FROM exk GROUP BY 1),
+         |nls AS (SELECT probe_id, COUNT(*) AS n_lsh FROM lsk GROUP BY 1),
+         |nhl AS (SELECT e.probe_id, COUNT(*) AS hits_lsh
+         |  FROM exk e JOIN lsk l
+         |    ON l.probe_id = e.probe_id AND l.vec_id = e.vec_id
+         |  GROUP BY 1),
+         |nms AS (SELECT probe_id, COUNT(*) AS n_multi FROM msk GROUP BY 1),
+         |nhm AS (SELECT e.probe_id, COUNT(*) AS hits_multi
+         |  FROM exk e JOIN msk m
+         |    ON m.probe_id = e.probe_id AND m.vec_id = e.vec_id
+         |  GROUP BY 1)
+         |SELECT nex.probe_id, nex.n_exact,
+         |  COALESCE(nls.n_lsh, 0) AS n_lsh,
+         |  COALESCE(nhl.hits_lsh, 0) AS hits_lsh,
+         |  CAST(COALESCE(nhl.hits_lsh, 0) AS DOUBLE) /
+         |    CAST(nex.n_exact AS DOUBLE) AS recall_lsh,
+         |  COALESCE(nms.n_multi, 0) AS n_multi,
+         |  COALESCE(nhm.hits_multi, 0) AS hits_multi,
+         |  CAST(COALESCE(nhm.hits_multi, 0) AS DOUBLE) /
+         |    CAST(nex.n_exact AS DOUBLE) AS recall_multi
+         |FROM nex
+         |LEFT JOIN nls ON nls.probe_id = nex.probe_id
+         |LEFT JOIN nhl ON nhl.probe_id = nex.probe_id
+         |LEFT JOIN nms ON nms.probe_id = nex.probe_id
+         |LEFT JOIN nhm ON nhm.probe_id = nex.probe_id""".stripMargin,
+
     "q_ann_lsh" ->
       s"""WITH ${sqlPlanes(8)},
          |$sqlPlaneDots,

@@ -306,6 +306,30 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The streaming CONTAINMENT ingest loop —
+    * [[ingestDedupStream]]'s admission driven by the asymmetric-overlap
+    * join ([[graft.operators.Dedup.ingestContainmentBatch]]): each
+    * micro-batch is matched against the admitted corpus through the
+    * stored postings index (boilerplate/quotation duplicates the
+    * Jaccard loop misses), keepers land in `<admittedRoot>/batch=<id>`,
+    * and their postings fold into the index for the next batch.
+    * Exactly-once admitted table, idempotent index fold (anti-joined on
+    * stored doc_ids); state lives on disk in the index — nothing to
+    * TTL. */
+  def ingestContainmentStream(docs: DataFrame, indexPath: String,
+      admittedRoot: String, checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Dedup.ingestContainmentBatch(batch, id, indexPath,
+          admittedRoot, idCol, textCol, ngram, threshold, maxDf)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming ANN-index maintenance — the embedding-side counterpart
     * of [[ingestDedupStream]]: each micro-batch of arriving embeddings
     * is folded into the stored IVF index

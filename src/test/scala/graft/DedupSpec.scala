@@ -56,6 +56,31 @@ class DedupSpec extends SparkSpec {
     assert(wrote > 0, "reliable mode must persist checkpoints to the dir")
   }
 
+  test("leakageSafeSplit: a near-dup cluster lands whole in one split; singletons = splitAssign") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // clusters {1,2,3,4} and {10,11}; 50..80 are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val docs = ((1L to 4L) ++ Seq(10L, 11L) ++ (50L to 80L))
+      .toDF("doc_id")
+    val got = Dedup.leakageSafeSplit(docs, pairs, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // whole-cluster assignment: every member carries the rep's split
+    assert(Seq(1L, 2L, 3L, 4L).map(got(_)).distinct.size === 1)
+    assert(got(1L)._1 === 1L)
+    assert(Seq(10L, 11L).map(got(_)).distinct.size === 1)
+    assert(got(10L)._1 === 10L)
+    // singletons: rep = self, split identical to plain splitAssign
+    val plain = graft.operators.Relational.splitAssign(
+        (50L to 80L).toDF("doc_id"), col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (50L to 80L).foreach { d =>
+      assert(got(d)._1 === d)
+      assert(got(d)._2 === plain(d), s"doc $d")
+    }
+  }
+
   test("incrementalDedupPairs: new batch vs index == full dedup restricted to new-side pairs") {
     // corpus: 3 distinct docs + a dup pair (1, 2); new batch: doc 100
     // duplicates corpus doc 1, docs 101/102 duplicate each other, 103 is novel

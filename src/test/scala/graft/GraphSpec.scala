@@ -77,4 +77,60 @@ class GraphSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
+
+  test("pageRankInt: hand-computed ranks on a known graph") {
+    // star into 3: 1->3, 2->3; 3->1 closes a loop; 4 dangling source
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // scale 1e6, d=85/100, base=150000; per-edge floor contributions.
+    // r0: all 1000000.
+    // iter1: deg(1)=deg(2)=deg(3)=deg(4)=1
+    //   c(3) = (1e6*85)/(100*1) * 2 = 850000*2 -> r1(3)=150000+1700000
+    //   c(1) = 850000 (from 3) + 850000 (from 4) -> r1(1)=1850000
+    //   r1(2)=150000, r1(4)=150000
+    // iter2:
+    //   c(3) = (1850000*85)DIV100 + (150000*85)DIV100 = 1572500+127500
+    //   r2(3) = 150000+1700000 = 1850000
+    //   c(1) = (1850000*85)DIV100 [from 3] + (150000*85)DIV100 [from 4]
+    //        = 1572500+127500 -> r2(1)=1850000
+    assert(got === Map(1L -> 1850000L, 2L -> 150000L, 3L -> 1850000L,
+      4L -> 150000L))
+  }
+
+  test("pageRankInt: per-edge floor division splits out-degree mass") {
+    // 1 has out-degree 3: each edge carries (r*85) DIV (100*3)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    val share = (1000000L * 85) / 300 // 283333 (floored)
+    assert(got(2L) === 150000L + share)
+    assert(got(3L) === 150000L + share)
+    assert(got(4L) === 150000L + share)
+    assert(got(1L) === 150000L) // nothing points at 1
+  }
+
+  test("pageRankInt: reliable-checkpoint mode is bit-identical") {
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("prckpt").toString
+    val local = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val reliable = Graph.pageRankInt(edges, iters = 3,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(local === reliable)
+  }
+
+  test("pageRankInt: a hub with many in-links outranks leaf nodes") {
+    // 20 leaves all point at node 100; 100 points at 101
+    val edges = ((1L to 20L).map(i => (i, 100L)) :+ ((100L, 101L)))
+      .toDF("src", "dst")
+    val got = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(100L) > got(101L))
+    assert(got(101L) > got(1L))
+    assert((1L to 20L).map(got).distinct.size === 1) // leaves identical
+  }
 }

@@ -43,6 +43,55 @@ class ScrubModelSpec extends SparkSpec {
     assert(got(2L)._4 === 0)
   }
 
+  test("dedupExactSubstrings: first doc keeps the span, later docs lose it") {
+    // same planted corpus as the scrub test — but here doc 0 (the
+    // FIRST occurrence) must keep its copy; only doc 1 is scrubbed
+    val docs = Seq(
+      (0L, "a b c d e f uniqA uniqB uniqC"),
+      (1L, "a b c d e f otherA otherB"),
+      (2L, "totally different words here no repeats at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupExactSubstrings(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got(0L)._4 === 0) // owner untouched
+    assert(got(0L)._5 === m("a b c d e f uniqA uniqB uniqC"))
+    assert(got(1L)._4 === 6) // later doc loses the 6 shared tokens
+    assert(got(1L)._5 === m("otherA otherB"))
+    assert(got(2L)._4 === 0)
+  }
+
+  test("dedupExactSubstrings: within-doc repeats are owned, not scrubbed") {
+    // doc 0 repeats its own 5-gram twice — it owns the gram, so both
+    // copies survive; doc 1 quoting it loses its copy
+    val docs = Seq(
+      (0L, "a b c d e x a b c d e"),
+      (1L, "start a b c d e end")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupExactSubstrings(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got(0L)._4 === 0)
+    assert(got(0L)._5 === m("a b c d e x a b c d e"))
+    assert(got(1L)._4 === 5)
+    assert(got(1L)._5 === m("start end"))
+  }
+
+  test("dedupExactSubstrings: exactly one copy of a thrice-shared span survives") {
+    // letter-only tails: letterTokens drops digits, so "tail3"/"tail5"
+    // would collapse into a SHARED trailing token (and a shared 5-gram)
+    val docs = Seq(
+      (3L, "p q r s t alpha"),
+      (5L, "p q r s t beta"),
+      (9L, "p q r s t gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupExactSubstrings(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(3L)._4 === 0) // min doc_id owns
+    assert(got(5L)._4 === 5)
+    assert(got(9L)._4 === 5)
+  }
+
   test("scoreHashedLinear: score is the sum of md5-prefix weights per occurrence") {
     val docs = Seq((7L, "hello world hello")).toDF("doc_id", "text")
     val got = TextAnalysis.scoreHashedLinear(docs, "doc_id", "text")

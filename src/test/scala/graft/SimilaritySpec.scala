@@ -61,6 +61,55 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.toSeq === exactInBucket.toSeq)
   }
 
+  test("batch ANN: one-scan probe-set paths match the per-probe operators") {
+    val probes = Seq(0L, 7L, 19L)
+    def grouped(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    val bf = grouped(Similarity.bruteForceTopKBatch(emb, "vec_id",
+      "embedding", probes, 10))
+    val lsh = grouped(Similarity.lshBucketTopKBatch(emb, "vec_id",
+      "embedding", probes, 10))
+    val multi = grouped(Similarity.lshMultiProbeTopKBatch(emb, "vec_id",
+      "embedding", probes, 10))
+    probes.foreach { p =>
+      def single(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+        df.orderBy("rk").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(bf(p) === single(Similarity.bruteForceTopK(spark, emb,
+        "vec_id", "embedding", p, 10)), s"brute probe $p")
+      assert(lsh.getOrElse(p, Seq.empty) === single(Similarity.lshBucketTopK(
+        spark, emb, "vec_id", "embedding", p, 10)), s"lsh probe $p")
+      assert(multi.getOrElse(p, Seq.empty) === single(
+        Similarity.lshMultiProbeTopK(spark, emb, "vec_id", "embedding",
+          p, 10)), s"multiprobe probe $p")
+    }
+  }
+
+  test("annRecallReport: planted duplicate is recalled; multi-probe >= single-bucket") {
+    // an identical copy of probe 0's vector shares its bucket, so BOTH
+    // lsh paths must retrieve it and score a hit against exact top-k
+    val probeVec = emb.where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val planted = Seq((999999L, probeVec)).toDF("vec_id", "embedding")
+    val rep = Similarity.annRecallReport(
+        emb.select("vec_id", "embedding").unionByName(planted),
+        "vec_id", "embedding", Seq(0L, 7L), k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep.keySet === Set(0L, 7L))
+    rep.values.foreach { r =>
+      val (nEx, hitsL, recL) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      val (hitsM, recM) = (r.getLong(6), r.getDouble(7))
+      assert(nEx === 10)
+      assert(recL === hitsL.toDouble / nEx)
+      assert(recM === hitsM.toDouble / nEx)
+      assert(recM >= recL, "multi-probe recall below single-bucket")
+    }
+    assert(rep(0L).getLong(3) >= 1, "planted dup missed by lsh")
+  }
+
   test("native dot expressions match the composed zip_with/aggregate forms") {
     val rows = emb.limit(100).select(
       VectorFns.dotQ(col("embedding"), col("embedding")).as("nq"),

@@ -477,6 +477,51 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == got, s"replay changed the admitted table: $replayed")
   }
 
+  test("ingestContainmentStream: quotation dups caught across batches; replay folds nothing twice") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cont-spec-")
+      .toString
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val c1 = "alpha beta gamma delta" // grams ⊂ t1 (containment 1.0)
+    val c2 = "beta gamma delta epsilon" // grams ⊂ t1
+    val t3 = "omicron pi rho sigma tau upsilon"
+    val t4 = "kappa lambda mu nu xi phi"
+    val big = "intro kappa lambda mu nu xi phi outro" // CONTAINS t4
+    val t6 = "dalet he vav zayin het tet"
+
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.ingestContainmentStream(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/contidx", s"$tmp/admitted", s"$tmp/ckpt")
+    // batch 0: 2 is contained in 1 (within-batch, larger id loses)
+    ms.addData((1L, t1), (2L, c1), (3L, t3)); sq.processAllAvailable()
+    // batch 1: 10 contained in ADMITTED 1 via the stored index; 11 novel
+    ms.addData((10L, c2), (11L, t4)); sq.processAllAvailable()
+    // batch 2: 20 CONTAINS batch-1-admitted 11 (the asymmetric case,
+    // and the APPEND path — 11's postings were folded in batch 1)
+    ms.addData((20L, big), (21L, t6)); sq.processAllAvailable()
+    sq.stop()
+
+    val got = spark.read.parquet(s"$tmp/admitted")
+      .select(col("doc_id"), col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (3L, 0L), (11L, 1L), (21L, 2L)),
+      s"admitted set wrong: $got")
+
+    // crash replay: same admitted table AND an idempotent index fold —
+    // gram-set rows must not duplicate
+    val gsetsBefore = spark.read.parquet(s"$tmp/contidx.gsets").count()
+    graft.operators.Dedup.ingestContainmentBatch(
+      Seq((20L, big), (21L, t6)).toDF("doc_id", "text"), 2L,
+      s"$tmp/contidx", s"$tmp/admitted")
+    val replayed = spark.read.parquet(s"$tmp/admitted")
+      .select(col("doc_id"), col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == got, s"replay changed the admitted table: $replayed")
+    val gsetsAfter = spark.read.parquet(s"$tmp/contidx.gsets").count()
+    assert(gsetsAfter == gsetsBefore,
+      s"replay duplicated index rows: $gsetsBefore -> $gsetsAfter")
+  }
+
   test("ingestIvfStream: streamed embeddings land in the probed index per batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stream-")
