@@ -160,6 +160,59 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(doc_id: Long, width: Int, height: Int, phash: Long)
+
+  /** Perceptual AVERAGE-HASH (aHash) per image — the image-dedup
+    * primitive of a multimodal curation pipeline (LAION-style crawls
+    * dedup screenshots/logos/rescaled copies by perceptual hash, where
+    * byte-level hashing sees every re-encode as unique): decode, sample
+    * an 8×8 nearest-neighbor grid (sample (i, j) = source pixel
+    * (i·w DIV 8, j·h DIV 8) — deterministic, no interpolation), set bit
+    * i·8+j iff sample·64 > total (integer mean threshold — no float
+    * division, bit-stable on any engine). Downstream pair search reuses
+    * the SimHash hamming machinery verbatim
+    * ([[graft.operators.Dedup.simhashPairs]] — 4-chunk pigeonhole
+    * equi-join, hot-bucket capped): a re-encoded/brightness-shifted copy
+    * lands within a few bits of its original.
+    *
+    * Partition-batched decode, zero shuffle — the hash is 8 bytes per
+    * image, so the pair stage never moves pixels. On the synthetic
+    * [[pngTable]] corpus the pixel formula makes the ENTIRE hash
+    * SQL-replayable (full oracle), unlike generic perceptual hashers. */
+  def imageAHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val s = new Array[Int](64)
+        var total = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            val px = raster.getSample(i * w / 8, j * h / 8, 0)
+            s(i * 8 + j) = px
+            total += px
+            j += 1
+          }
+          i += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (s(b).toLong * 64 > total) hash |= (1L << b)
+          b += 1
+        }
+        ImageHash(m.doc_id, w, h, hash)
+      }
+    }
+  }
+
   case class Resized(doc_id: Long, media_type: String, content: Array[Byte],
       orig_bytes: Int, new_bytes: Int)
 

@@ -373,6 +373,108 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** TEMPERATURE-sampled source mixing (the mT5/multilingual
+    * rebalancing move, α = 0.5): sampling weight w_s = √(n_s tokens)
+    * per source, so large sources are down-weighted sub-linearly —
+    * low-resource sources keep proportionally more of a fixed token
+    * budget than straight proportional sampling gives them, without the
+    * min-source cliff of [[sourceBalancedMix]]. Target tokens per
+    * source t_s = budget · w_s / Σw; keep cut `cut_q = min(65536,
+    * (t_s·65536) DIV n_s)`; the doc-level decision is the same
+    * md5-prefix predicate as every deterministic sample here.
+    *
+    * Engine-portable by construction: the ONLY non-integer step is
+    * IEEE-754 `sqrt`, which is CORRECTLY ROUNDED by spec (unlike `pow`,
+    * whose last-ulp freedom would make a general-α form drift across
+    * engines — α=0.5 is exactly the portable point, and the common
+    * choice in practice); `floor` of it re-enters exact integer
+    * arithmetic.
+    *
+    * Returns one row per source:
+    * (source, n_docs, n_tokens, w_q, target_tokens, cut_q, n_kept).
+    *
+    * Scale shape: identical to [[sourceBalancedMix]] — one token-count
+    * scan, tiny per-source aggregate, broadcast cuts, map-side keep
+    * predicate; the corpus never shuffles. */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0)
+    val withTok = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = withTok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_q",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val wSum = stats.agg(sum(col("w_q")).as("w_sum"))
+    val cuts = stats.crossJoin(broadcast(wSum))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * w_q) DIV w_sum"))
+      .withColumn("cut_q",
+        least(lit(65536L), expr("(target_tokens * 65536L) DIV n_tokens")))
+    val kept = withTok
+      .join(broadcast(cuts.select(col("source"), col("cut_q"))), "source")
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") < col("cut_q"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    cuts.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_q"),
+        col("target_tokens"), col("cut_q"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Gopher-style document quality RULES (Rae et al. 2021, the rule
+    * battery virtually every web-corpus pipeline reimplements) — the
+    * named-heuristic complement to the score-based
+    * [[scoreHashedLinear]]/quality filters: hard pass/fail per rule,
+    * integer arithmetic end to end (mean word length in fixed-point
+    * ×100; ratios as cross-multiplications — no float division
+    * anywhere, so every engine agrees bit-for-bit).
+    *
+    * Rules (a doc KEEPS iff all hold):
+    *  - word count in [minWords, maxWords] (whitespace words);
+    *  - mean word length in [3, 10] characters;
+    *  - ≥ 80% of words contain at least one letter;
+    *  - ≤ 10% of lines start with a bullet (-, *, •);
+    *  - ≤ 30% of lines end with an ellipsis.
+    *
+    * Pure per-row expressions — zero shuffle, scan speed, the filter
+    * composes in front of any pipeline as a pushed-down predicate. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val nWords = size(words).cast("long")
+    val charSum = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(words, w => w.rlike("\\p{L}"))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllipsis = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        nWords.as("n_words"),
+        charSum.as("__chars"),
+        nAlpha.as("n_alpha_words"),
+        nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"),
+        nEllipsis.as("n_ellipsis_lines"))
+      .withColumn("mean_wlen_q",
+        when(col("n_words") > 0,
+          expr("(__chars * 100L) DIV n_words")).otherwise(lit(0L)))
+      .withColumn("verdict",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_wlen_q") >= 300L && col("mean_wlen_q") <= 1000L &&
+        // >= 80% alpha words: n_alpha*5 >= n_words*4
+        col("n_alpha_words") * 5L >= col("n_words") * 4L &&
+        // <= 10% bullet lines, <= 30% ellipsis lines
+        col("n_bullet_lines") * 10L <= col("n_lines") &&
+        col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L)
+      .select(col("doc_id"), col("n_words"), col("mean_wlen_q"),
+        col("n_alpha_words"), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("verdict"))
+  }
+
   /** Cross-document repeated-span scrub — the "dedup repeated substrings"
     * pass of a pretraining pipeline (Lee et al., *Deduplicating Training
     * Data Makes Language Models Better*): any word `n`-gram occurring at

@@ -47,6 +47,16 @@ object MediaQueries {
       Multimodal.decodeImage(Multimodal.pngTable(t(s, dir, "documents"))).toDF()
     },
 
+    // Perceptual average-hash (aHash) over real decoded PNGs — the
+    // image-dedup primitive (byte hashing sees every re-encode as
+    // unique; the 64-bit perceptual hash survives re-encode and small
+    // edits, and pairs search through the SimHash hamming machinery).
+    // The pixel formula makes the whole hash SQL-replayable: 8x8
+    // nearest-neighbor grid, integer mean threshold (px*64 > total).
+    "q_image_phash" -> { (s, dir) =>
+      Multimodal.imageAHash(Multimodal.pngTable(t(s, dir, "documents"))).toDF()
+    },
+
     // REAL image resize: decode the PNG, nearest-neighbor downsample 2x,
     // re-encode, decode AGAIN and verify dimensions + pixel sum — the
     // resized pixel grid is exactly the even-coordinate subgrid, so the
@@ -170,6 +180,25 @@ object MediaQueries {
 
     // nearest-neighbor 2x downsample = the even-coordinate subgrid of
     // the generated image
+    "q_image_phash" ->
+      """WITH m AS (SELECT doc_id, CAST(doc_id % 29 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 17 + 4 AS INTEGER) AS h FROM documents),
+        |s AS (SELECT doc_id, w, h, gi.i * 8 + gj.i AS p,
+        |    (doc_id * 31 + ((gi.i * w) // 8) * 7 + ((gj.i * h) // 8) * 13)
+        |      % 256 AS px
+        |  FROM m, UNNEST(range(0, 8)) AS gi(i), UNNEST(range(0, 8)) AS gj(i)),
+        |t AS (SELECT doc_id, SUM(px) AS total FROM s GROUP BY doc_id),
+        |ph AS (SELECT s.doc_id,
+        |    CAST(SUM(CASE
+        |      WHEN s.px * 64 > t.total AND s.p = 63
+        |        THEN -9223372036854775808
+        |      WHEN s.px * 64 > t.total
+        |        THEN (1::BIGINT << CAST(s.p AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM s JOIN t USING (doc_id) GROUP BY s.doc_id)
+        |SELECT m.doc_id, m.w AS width, m.h AS height, ph.phash
+        |FROM m JOIN ph USING (doc_id)""".stripMargin,
+
     "q_media_resize_png" ->
       """WITH m AS (SELECT doc_id, CAST((doc_id % 29 + 4) // 2 AS INTEGER) AS w,
         |    CAST((doc_id % 17 + 4) // 2 AS INTEGER) AS h FROM documents)

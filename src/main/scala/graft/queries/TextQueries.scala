@@ -618,6 +618,23 @@ object TextQueries {
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
     },
 
+    // Temperature-sampled source mixing (mT5-style α=0.5): per-source
+    // √(token-count) weights split a fixed token budget, so small
+    // sources keep sub-linearly more than proportional sampling gives
+    // them. IEEE sqrt is correctly rounded (unlike pow) — the single
+    // non-integer step replays bit-for-bit in the oracle.
+    "q_temperature_mix" -> { (s, dir) =>
+      TextAnalysis.temperatureMix(t(s, dir, "documents"), "doc_id", "text",
+        "source", budgetTokens = 20000L)
+    },
+
+    // Gopher-style quality rule battery (word count, mean word length,
+    // alpha-word ratio, bullet/ellipsis line ratios) — hard pass/fail
+    // verdict in pure integer arithmetic, zero shuffle.
+    "q_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+    },
+
     // Corpus-trained bigram LM fluency score (the KenLM-style
     // perplexity quality filter) in exact integer arithmetic — scaled
     // conditional probability per bigram, per-doc sum and floor-divided
@@ -1247,6 +1264,61 @@ object TextQueries {
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    "q_temperature_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tok FROM documents),
+         |st AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY source),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |c AS (SELECT source, n_docs, n_tokens, w_q,
+         |    CAST((20000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |c2 AS (SELECT *, CAST(LEAST(65536, (target_tokens * 65536) // n_tokens)
+         |    AS BIGINT) AS cut_q FROM c),
+         |k AS (SELECT d.source, COUNT(*) AS n_kept
+         |  FROM d JOIN c2 USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+         |          AS BIGINT) < cut_q
+         |  GROUP BY d.source)
+         |SELECT c2.source, c2.n_docs, c2.n_tokens, c2.w_q,
+         |  c2.target_tokens, c2.cut_q,
+         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM c2 LEFT JOIN k ON k.source = c2.source""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+        |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+        |      AS BIGINT) AS chars,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '\p{L}')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]')))
+        |      AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, x -> regexp_matches(x, '\.\.\.$')))
+        |      AS BIGINT) AS n_ellipsis_lines
+        |  FROM d),
+        |m2 AS (SELECT *, CASE WHEN n_words > 0
+        |      THEN CAST((chars * 100) // n_words AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS mean_wlen_q
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_wlen_q,
+        |  n_alpha_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+        |  (n_words >= 10 AND n_words <= 100000
+        |   AND mean_wlen_q >= 300 AND mean_wlen_q <= 1000
+        |   AND n_alpha_words * 5 >= n_words * 4
+        |   AND n_bullet_lines * 10 <= n_lines
+        |   AND n_ellipsis_lines * 10 <= n_lines * 3) AS verdict
+        |FROM m2""".stripMargin,
 
     "q_source_mix" ->
       s"""WITH d AS (SELECT doc_id, source,

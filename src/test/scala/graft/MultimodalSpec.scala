@@ -71,6 +71,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageAHash: formula replay; scale-invariance under real resize; pair search finds the copy") {
+    import spark.implicits._
+    // hand-build a 16x16 gray PNG so every sample coordinate is exact
+    def png16(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      // per-seed gradient COEFFICIENTS (not just an offset — a constant
+      // shift moves pixels and mean together and can collide hashes)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0,
+          (seed * 37 + x * (11 + seed) + y * (5 + 2 * seed)) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png16(3)),
+      Multimodal.MediaRow(2L, "image", png16(9)),
+      Multimodal.MediaRow(3L, "image", png16(20))).toDS()
+    val hashes = Multimodal.imageAHash(rows).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    // formula replay for doc 1: 8x8 NN samples, integer mean threshold
+    val samples = for (i <- 0 until 8; j <- 0 until 8)
+      yield (i * 8 + j,
+        (3 * 37 + (i * 16 / 8) * (11 + 3) + (j * 16 / 8) * (5 + 6)) % 256)
+    val total = samples.map(_._2.toLong).sum
+    val expect = samples.foldLeft(0L) { case (acc, (p, px)) =>
+      if (px * 64 > total) acc | (1L << p) else acc }
+    assert(hashes(1L) === expect)
+    // REAL resize 16x16 -> 8x8: the NN sample grid lands on the same
+    // source pixels, so the perceptual hash is IDENTICAL (the property
+    // that makes aHash an image-dedup key: rescaled copies collide)
+    val halved = Multimodal.imageAHash(
+      Multimodal.resizeImage(rows.filter(_.doc_id == 1L), factor = 2)
+        .map(m => m.copy(doc_id = 101L))).collect()
+    assert(halved.head.width === 8)
+    assert(halved.head.phash === hashes(1L), "rescaled copy must collide")
+    // pair search through the SimHash hamming machinery finds the copy
+    val sigs = (hashes.toSeq :+ (101L -> halved.head.phash))
+      .toDF("doc_id", "simhash")
+    val pairs = graft.operators.Dedup.simhashPairs(sigs, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 101L)), s"copy pair missed: $pairs")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)),
+      s"unrelated images must not pair: $pairs")
+  }
+
   test("subsampleBytes: 4x decimation keeps every 4th byte, size is ceil(n/4)") {
     import spark.implicits._
     val resized = Multimodal.subsampleBytes(

@@ -104,6 +104,51 @@ class ScrubModelSpec extends SparkSpec {
     assert(got._5 === (if (got._4 >= 0) "keep" else "drop"))
   }
 
+  test("temperatureMix: sqrt weights favor the small source vs proportional") {
+    // source A: 16 docs x 4 tokens = 64 tokens; source B: 1 doc x 4
+    val docs = ((0L until 16L).map(i => (i, "alpha beta gamma delta", "A")) :+
+      ((99L, "epsilon zeta eta theta", "B")))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.temperatureMix(docs, "doc_id", "text", "source",
+        budgetTokens = 34L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // w_A = floor(sqrt(64)) = 8, w_B = floor(sqrt(4)) = 2, sum = 10
+    assert(got("A").getLong(3) === 8L)
+    assert(got("B").getLong(3) === 2L)
+    // targets: A = 34*8/10 = 27, B = 34*2/10 = 6
+    assert(got("A").getLong(4) === 27L)
+    assert(got("B").getLong(4) === 6L)
+    // cuts: A = 27*65536/64 = 27648; B = min(65536, 6*65536/4) = 65536
+    // -> B keeps EVERYTHING (its sqrt share exceeds its size) while A
+    //    downsamples — sub-linear down-weighting of the big source
+    assert(got("A").getLong(5) === 27648L)
+    assert(got("B").getLong(5) === 65536L)
+    assert(got("B").getLong(6) === 1L) // the B doc survives
+  }
+
+  test("gopherRules: each rule trips on its planted violation; clean doc passes") {
+    val clean = "the quick brown fox jumps over the lazy dog again today"
+    val tooShort = "just three words"
+    val junkWords = "x1 2x 33 44 55 66 77 88 99 00 !! ??" // < 80% alpha
+    val bullets = "- one\n- two\n- three\nplain line here with many more words today"
+    val longWords = "extraordinarily incomprehensibilities internationalization " +
+      "deinstitutionalization counterrevolutionaries " +
+      "electroencephalographically misunderstandingly " +
+      "anthropomorphologically uncharacteristically overintellectualization"
+    val docs = Seq((1L, clean), (2L, tooShort), (3L, junkWords),
+      (4L, bullets), (5L, longWords)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(7), "clean doc must pass")
+    assert(!got(2L).getBoolean(7), "word-count rule must trip")
+    assert(!got(3L).getBoolean(7), "alpha-word rule must trip")
+    assert(!got(4L).getBoolean(7), "bullet-line rule must trip")
+    assert(!got(5L).getBoolean(7), "mean-word-length rule must trip")
+    // spot-check the integer stats for the clean doc
+    assert(got(1L).getLong(1) === 11L) // words
+    assert(got(1L).getLong(4) === 1L) // lines
+  }
+
   test("termDrift: exact ppm rates and absolute difference, rare tail dropped") {
     val a = Seq((1L, "x x x x x y")).toDF("doc_id", "text") // x:5 y:1, n_a=6
     val b = Seq((2L, "x y y y y y")).toDF("doc_id", "text") // x:1 y:5, n_b=6
