@@ -222,13 +222,17 @@ object Dedup {
   def jaccard(pairs: DataFrame, grams: DataFrame): DataFrame = {
     val ga = grams.toDF("doc_a", "g")
     val gb = grams.toDF("doc_b", "g")
-    val inter = ga.join(broadcast(pairs), "doc_a").join(gb, Seq("doc_b", "g"))
+    val inter = ga.join(pairs, "doc_a").join(gb, Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    // sizes is one row per doc (big at corpus scale): stream it and
-    // broadcast the per-pair intermediates, which stay |candidates|-sized
+    // sizes is one row per doc (big at corpus scale): stream it against
+    // the per-pair intermediates, which stay |candidates|-sized. Join
+    // strategy is left to AQE: candidate volume is DATA-DEPENDENT, and a
+    // forced broadcast of it OOM'd the 10x ingest loop on a
+    // template-heavy corpus — runtime sizes pick broadcast only when the
+    // relation actually is small
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val withA = sizes.toDF("doc_a", "sz_a").join(broadcast(inter), "doc_a")
-    sizes.toDF("doc_b", "sz_b").join(broadcast(withA), "doc_b")
+    val withA = sizes.toDF("doc_a", "sz_a").join(inter, "doc_a")
+    sizes.toDF("doc_b", "sz_b").join(withA, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast("double")).as("jaccard"))
@@ -253,7 +257,7 @@ object Dedup {
     // partition.
     val sigs = minhashSignaturesHashed(gramHashes(docs, idCol, textCol, ngram), numHashes)
     // candidate pairs are tiny (LSH-pruned); persisted because they are
-    // consumed twice (id filter + membership broadcast). NOT distinct'd:
+    // consumed twice (id filter + membership join). NOT distinct'd:
     // a pair colliding in several bands reaches the rescore several
     // times, and the rescore's own per-pair aggregation dedups for free
     // — one exchange saved.
@@ -268,8 +272,9 @@ object Dedup {
   /** Exact-Jaccard rescore of candidate pairs in ONE pass over the
     * candidate documents: gram SETS are built row-locally as per-doc
     * arrays (tokenize once, window into grams, `array_distinct` — no
-    * explode, no corpus shuffle), each candidate doc streams past a
-    * broadcast of the pair-membership list, and one pair-keyed
+    * explode, no corpus shuffle), each candidate doc joins the
+    * pair-membership list (AQE-broadcast when candidates are small —
+    * never forced, see [[jaccard]]), and one pair-keyed
     * aggregation reunites the two sides; the Jaccard is then a
     * row-local `array_intersect`. Shuffle volume: one row per candidate
     * doc per pair membership, carrying its gram array — ∝ near-dups,
@@ -293,7 +298,7 @@ object Dedup {
       idCol: String, textCol: String, ngram: Int): DataFrame = {
     val candIds = cands.select(col("doc_a").as(idCol))
       .union(cands.select(col("doc_b").as(idCol)))
-    val sets = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("doc_id"),
         TextFns.letterTokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
@@ -302,7 +307,7 @@ object Dedup {
         col("doc_a").as("doc_id"), lit(true).as("__is_a"))
       .unionByName(cands.select(col("doc_a"), col("doc_b"),
         col("doc_b").as("doc_id"), lit(false).as("__is_a")))
-    sets.join(broadcast(mem), "doc_id")
+    sets.join(mem, "doc_id")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(
         first(when(col("__is_a"), col("__gs")), ignoreNulls = true).as("__gs_a"),
@@ -381,11 +386,17 @@ object Dedup {
       .getOrElse(shareable)
     val shared = grams.join(pool, Seq("gh"))
     val iMin = iMinOf(col("__sz"), threshold)
+    // the size-column joins carry a shuffle_hash hint: the OTHER side
+    // holds per-doc gram ARRAYS whose byte size Catalyst under-estimates
+    // through the cache (stats don't shrink under column pruning), and
+    // at 10x the planner broadcast the array side and OOM'd the driver.
+    // Per-partition hash build of (doc_id, sz) rows is safe at any size.
     val prefix = shared
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(
         struct(col("__df"), col("__mh"), col("gh")))).as("__ord"))
-      .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
+      .join(sets.select(col("doc_id"), col("__sz")).hint("shuffle_hash"),
+        Seq("doc_id"))
       .select(col("doc_id"), explode(slice(col("__ord"), lit(1),
         greatest((size(col("__ord")) - iMin + 1).cast("int"), lit(0)))).as("__p"))
       .select(col("doc_id"), col("__p.gh").as("gh"))
@@ -443,7 +454,7 @@ object Dedup {
         col("doc_a").as("doc_id"), lit(true).as("__is_a"))
       .unionByName(cands.select(col("doc_a"), col("doc_b"),
         col("doc_b").as("doc_id"), lit(false).as("__is_a")))
-    val prepass = hsets.join(broadcast(mem), "doc_id")
+    val prepass = hsets.join(mem, "doc_id")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(
         first(when(col("__is_a"), col("__hs")), ignoreNulls = true).as("__ha"),
@@ -457,8 +468,8 @@ object Dedup {
         >= threshold)
       .select(col("doc_a"), col("doc_b"))
     // prepass is tiny (∝ near-dups) but feeds pairGramSets THREE times
-    // (both broadcast sides + the stream) — persist so the candidate
-    // pipeline above it runs once
+    // (the id filter and both membership sides) — persist so the
+    // candidate pipeline above it runs once
     val passed = Caches.persist(prepass)
     pairGramSets(passed, docsAll, idCol, textCol, ngram)
       .withColumn("containment_a",
@@ -490,10 +501,11 @@ object Dedup {
     val sets = Caches.persist(gramSetArrays(docs, idCol, textCol, ngram))
     val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-    bounded(grams.join(dfreq, Seq("gh"))
+    bounded(grams.join(dfreq.hint("shuffle_hash"), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
-      .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
+      .join(sets.select(col("doc_id"), col("__sz")).hint("shuffle_hash"),
+        Seq("doc_id"))
       .select(col("doc_id"), col("__sz"),
         posexplode(col("__ord")).as(Seq("__p0", "__p")))
       .select(col("__p.gh").as("gh"), col("doc_id"),
@@ -521,10 +533,11 @@ object Dedup {
     val sets = Caches.persist(gramSetArrays(newDocs, idCol, textCol, ngram))
     val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-    bounded(grams.join(dfreq, Seq("gh"))
+    bounded(grams.join(dfreq.hint("shuffle_hash"), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
-      .join(sets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
+      .join(sets.select(col("doc_id"), col("__sz")).hint("shuffle_hash"),
+        Seq("doc_id"))
       .select(col("doc_id"), col("__sz"),
         posexplode(col("__ord")).as(Seq("__p0", "__p")))
       .select(col("__p.gh").as("gh"), col("doc_id"),
@@ -593,10 +606,11 @@ object Dedup {
     val idxDf = postings.select(col("gh"), col("__df")).distinct()
     val bGramsAll = bsets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val bIMin = iMinOf(col("__sz"), threshold)
-    val bPrefix = bGramsAll.join(idxDf, Seq("gh"))
+    val bPrefix = bGramsAll.join(idxDf.hint("shuffle_hash"), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("gh")))).as("__ord"))
-      .join(bsets.select(col("doc_id"), col("__sz")), Seq("doc_id"))
+      .join(bsets.select(col("doc_id"), col("__sz")).hint("shuffle_hash"),
+        Seq("doc_id"))
       .select(col("doc_id"), explode(slice(col("__ord"), lit(1),
         greatest((size(col("__ord")) - bIMin + 1).cast("int"), lit(0)))).as("__p"))
       .select(col("doc_id"), col("__p.gh").as("gh"))
@@ -622,7 +636,7 @@ object Dedup {
       .union(cands.select(col("doc_b").as("doc_id")))
     val hsets = bsets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2"))
       .unionByName(spark.read.parquet(indexPath + ".gsets")
-        .join(broadcast(candIds.distinct()), Seq("doc_id"), "left_semi"))
+        .join(candIds.distinct(), Seq("doc_id"), "left_semi"))
     val docsAll = newDocs.select(col(idCol), col(textCol))
       .unionByName(corpusDocs.select(col(idCol), col(textCol)))
     scoreContainment(cands, hsets, docsAll, idCol, textCol, ngram, threshold)

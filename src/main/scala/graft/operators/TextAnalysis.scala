@@ -512,7 +512,7 @@ object TextAnalysis {
       posexplode(TextFns.wordNGrams(col("__toks"), n)).as(Seq("p", "g")))
     val freq = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount).select("g")
-    val covered = grams.join(freq, "g")
+    val covered = grams.join(freq.hint("shuffle_hash"), "g")
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("cp"))
       .groupBy("doc_id").agg(collect_set(col("cp")).as("__cov"))
@@ -568,7 +568,7 @@ object TextAnalysis {
     val grams = toks.select(col("doc_id"),
       posexplode(TextFns.wordNGrams(col("__toks"), n)).as(Seq("p", "g")))
     val owner = grams.groupBy("g").agg(min(col("doc_id")).as("__first"))
-    val covered = grams.join(owner, "g")
+    val covered = grams.join(owner.hint("shuffle_hash"), "g")
       .where(col("doc_id") > col("__first"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(n - 1))).as("cp"))
@@ -582,6 +582,117 @@ object TextAnalysis {
         size(col("__kept")).cast("long").as("n_kept"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
         md5(concat_ws(" ", col("__kept"))).as("scrubbed_md5"))
+  }
+
+  /** Materialize the substring OWNERSHIP index for the incremental
+    * exact-substring loop: one row (g, owner) per distinct corpus word
+    * `n`-gram, owner = the doc that keeps the span
+    * ([[dedupExactSubstrings]]'s min-doc_id rule at build time).
+    * Gram strings are stored, not hashes — ownership transfer under a
+    * collision is exactly the failure [[gramNovelty]] documents. */
+  def writeSubstringOwnerIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int = 5,
+      coalesceTo: Int = 0): Unit = {
+    val owners = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFns.wordNGrams(
+          TextFns.letterTokens(col(textCol)), n))).as("g"))
+      .groupBy("g").agg(min(col("doc_id")).as("owner"))
+    (if (coalesceTo > 0) owners.coalesce(coalesceTo) else owners)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** One step of the INCREMENTAL exact-substring loop — the ingest form
+    * of [[dedupExactSubstrings]] (cf. the minhash and containment
+    * loops): scrub one arriving batch against every span the corpus has
+    * EVER kept, without re-gramming the corpus. Ownership is
+    * FIRST-ARRIVAL (batch order, then min doc_id within the batch):
+    * a batch occurrence is covered iff its gram is in the stored index
+    * under another doc's ownership, or a smaller-id doc of the same
+    * batch introduced it. Exactly one copy of every span survives
+    * corpus-wide — admitted text is immutable, later arrivals lose the
+    * span regardless of their ids.
+    *
+    * Writes per-doc scrub rows (doc_id, n_tokens, n_kept, n_removed,
+    * scrubbed_md5) to `<admittedRoot>/batch=<id>` and appends the
+    * batch's NOVEL grams (owner = batch min doc) to the index so the
+    * next batch scrubs against them. Ownership is indexed on the
+    * PRE-scrub text: the owner keeps its span, so its grams really are
+    * in the corpus.
+    *
+    * Replay contract: the scrub decision compares `doc_id != owner`
+    * rather than bare index membership, so a replayed batch — whose own
+    * grams a crashed attempt already appended — reproduces its original
+    * decisions instead of scrubbing itself to empty; the index fold
+    * anti-joins stored grams and appends nothing on replay; the result
+    * directory is overwritten per batch (exactly-once).
+    *
+    * Scale shape: gram-keyed equi-joins ∝ batch grams; the corpus is
+    * touched only through the stored (g, owner) read; covered-position
+    * shuffle ∝ removed volume; index growth ∝ NOVEL grams (Heaps-law
+    * sublinear on natural text). */
+  def ingestSubstringScrubBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, admittedRoot: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 5): Unit = {
+    val spark = batch.sparkSession
+    import graft.operators.Caches
+    val toks = Caches.persist(batch.select(col(idCol).as("doc_id"),
+      TextFns.letterTokens(col(textCol)).as("__toks")))
+    try {
+      if (toks.isEmpty) return
+      val grams = Caches.persist(toks.select(col("doc_id"),
+        posexplode(TextFns.wordNGrams(col("__toks"), n)).as(Seq("p", "g"))))
+      val first = !graft.io.IndexPaths.complete(spark, indexPath)
+      val covered =
+        if (first) {
+          // the fold below re-derives the same per-gram min — persist so
+          // the batch's gram scan is paid once, not twice
+          val own = Caches.persist(
+            grams.groupBy("g").agg(min(col("doc_id")).as("owner")))
+          grams.join(own.hint("shuffle_hash"), "g")
+            .where(col("doc_id") > col("owner"))
+        } else {
+          val stored = spark.read.parquet(indexPath)
+          val vsStored = grams.join(stored.hint("shuffle_hash"), "g")
+            .where(col("doc_id") =!= col("owner"))
+          val novel = grams.join(stored.select(col("g")).hint("shuffle_hash"),
+            Seq("g"), "left_anti")
+          val nOwn = novel.groupBy("g").agg(min(col("doc_id")).as("owner"))
+          vsStored.select(col("doc_id"), col("p"))
+            .unionByName(novel.join(nOwn, "g")
+              .where(col("doc_id") > col("owner"))
+              .select(col("doc_id"), col("p")))
+        }
+      val cov = covered
+        .select(col("doc_id"), explode(sequence(col("p"),
+          col("p") + lit(n - 1))).as("cp"))
+        .groupBy("doc_id").agg(collect_set(col("cp")).as("__cov"))
+      val result = toks.join(cov, Seq("doc_id"), "left")
+        .withColumn("__cov",
+          coalesce(col("__cov"), array().cast("array<int>")))
+        .withColumn("__kept", filter(col("__toks"),
+          (w, i) => !array_contains(col("__cov"), i)))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(col("__kept")).cast("long").as("n_kept"),
+          (size(col("__toks")) - size(col("__kept"))).cast("long")
+            .as("n_removed"),
+          md5(concat_ws(" ", col("__kept"))).as("scrubbed_md5"))
+      val sub = s"$admittedRoot/batch=$batchId"
+      val subPath = new org.apache.hadoop.fs.Path(sub)
+      if (subPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(subPath))
+        result.count() // replay: force before overwriting
+      result.coalesce(4).write.mode("overwrite").parquet(sub)
+      if (first)
+        grams.groupBy("g").agg(min(col("doc_id")).as("owner"))
+          .coalesce(8).write.mode("overwrite").parquet(indexPath)
+      else {
+        val stored = spark.read.parquet(indexPath).select(col("g"))
+        val novel = grams.join(stored.hint("shuffle_hash"), Seq("g"), "left_anti")
+          .groupBy("g").agg(min(col("doc_id")).as("owner"))
+        novel.coalesce(8).write.mode("append").parquet(indexPath)
+      }
+    } finally Caches.release()
   }
 
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
@@ -609,7 +720,7 @@ object TextAnalysis {
         explode(array_distinct(TextFns.wordNGrams(
           TextFns.letterTokens(col(textCol)), n))).as("g"))
     val first = grams.groupBy("g").agg(min(col("doc_id")).as("__first"))
-    grams.join(first, "g")
+    grams.join(first.hint("shuffle_hash"), "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_distinct_grams"),
         sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))

@@ -366,6 +366,32 @@ object TextQueries {
         .select(col("doc_id"), col("batch").cast("long").as("admitted_batch"))
     },
 
+    // The INCREMENTAL exact-substring loop, batch-evaluated (same code
+    // path ingestSubstringScrubStream drives): three arrival batches,
+    // each scrubbed against every span the corpus has kept so far
+    // (first-ARRIVAL ownership: batch order, then min doc_id), novel
+    // grams folded into the ownership index per batch. Oracle replays
+    // the lexicographic (batch, doc_id) ownership key.
+    "q_incremental_substring" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val root = graft.io.IndexPaths.indexPath("subloop",
+        s"$dir/documents.parquet", "n5x3")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_LOOP_COMPLETE")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        for (b <- 0L to 2L)
+          TextAnalysis.ingestSubstringScrubBatch(
+            docs.where(col("doc_id") % 3 === b), b,
+            s"$root/ownidx", s"$root/scrubbed")
+        fs.create(done).close()
+      }
+      s.read.parquet(s"$root/scrubbed")
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          col("n_removed"), col("scrubbed_md5"))
+    },
+
     // SimHash near-dup pairs (hamming <= 3 on 60-bit portable
     // signatures: md5-derived token hashes through the native
     // long-input buffer aggregate). The banded pair search returns
@@ -1405,6 +1431,31 @@ object TextQueries {
          |cov AS (SELECT DISTINCT grams.doc_id, grams.p + d AS cp
          |  FROM grams JOIN own USING (g), UNNEST(range(0, 5)) AS u(d)
          |  WHERE grams.doc_id > own.fid),
+         |pos AS (SELECT doc_id, i - 1 AS p, ws[i] AS w
+         |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS r(i)),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.w FROM pos
+         |  LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.cp = pos.p
+         |  WHERE cov.cp IS NULL),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    md5(string_agg(w, ' ' ORDER BY p)) AS m
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(a.m, md5('')) AS scrubbed_md5
+         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_incremental_substring" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |grams AS (SELECT doc_id, doc_id % 3 AS b, i - 1 AS p,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |      || ' ' || ws[i+4] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |own AS (SELECT g, MIN(b * 1000000000 + doc_id) AS ok
+         |  FROM grams GROUP BY g),
+         |cov AS (SELECT DISTINCT grams.doc_id, grams.p + d AS cp
+         |  FROM grams JOIN own USING (g), UNNEST(range(0, 5)) AS u(d)
+         |  WHERE grams.b * 1000000000 + grams.doc_id > own.ok),
          |pos AS (SELECT doc_id, i - 1 AS p, ws[i] AS w
          |  FROM toks, UNNEST(range(1, len(ws) + 1)) AS r(i)),
          |kept AS (SELECT pos.doc_id, pos.p, pos.w FROM pos

@@ -330,6 +330,26 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The streaming EXACT-SUBSTRING scrub loop
+    * ([[graft.operators.TextAnalysis.ingestSubstringScrubBatch]] under
+    * foreachBatch): each arriving batch loses every span the corpus has
+    * ever kept (first-ARRIVAL ownership — admitted text is immutable),
+    * scrub results land per batch, novel grams fold into the ownership
+    * index. Exactly-once results, idempotent fold (owner-compare replay
+    * guard); disk-resident state, nothing to TTL. */
+  def ingestSubstringScrubStream(docs: DataFrame, indexPath: String,
+      admittedRoot: String, checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.TextAnalysis.ingestSubstringScrubBatch(batch, id,
+          indexPath, admittedRoot, idCol, textCol, n)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming ANN-index maintenance — the embedding-side counterpart
     * of [[ingestDedupStream]]: each micro-batch of arriving embeddings
     * is folded into the stored IVF index

@@ -268,5 +268,42 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got.filter(_._2 == "small").map(_._3).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("dedupExactSubstrings: sub-n docs have no grams and pass through intact") {
+    val docs = Seq((1L, "one two"), (2L, "one two"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupExactSubstrings(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // identical 2-token docs share no 5-gram — nothing to scrub
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("leakageSafeSplit: empty pair list degenerates to plain splitAssign") {
+    val docs = (1L to 40L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Dedup.leakageSafeSplit(docs, none, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val plain = Relational.splitAssign(docs, col("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === plain)
+  }
+
+  test("temperatureMix: single source caps at its own size, never oversamples") {
+    val docs = (0L until 8L).map(i => (i, "alpha beta gamma delta", "solo"))
+      .toDF("doc_id", "text", "source")
+    // budget far above corpus: cut clamps at 65536 -> everything kept
+    val got = TextAnalysis.temperatureMix(docs, "doc_id", "text", "source",
+      budgetTokens = 1000000L).collect().head
+    assert(got.getLong(5) === 65536L)
+    assert(got.getLong(6) === 8L)
+  }
+
+  test("gopherRules: empty text scores zeros and fails the word-count rule") {
+    val got = TextAnalysis.gopherRules(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(got.getLong(1) === 0L && got.getLong(2) === 0L)
+    assert(!got.getBoolean(7))
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 }

@@ -522,6 +522,49 @@ class StreamingSpec extends SparkSpec {
       s"replay duplicated index rows: $gsetsBefore -> $gsetsAfter")
   }
 
+  test("ingestSubstringScrubStream: first ARRIVAL owns a span; replay appends nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sub-spec-")
+      .toString
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.ingestSubstringScrubStream(
+      ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/ownidx", s"$tmp/scrubbed", s"$tmp/ckpt")
+    // batch 0: doc 5 owns t1's spans (sole doc); doc 7 novel
+    ms.addData((5L, t1), (7L, "omicron pi rho sigma tau upsilon"))
+    sq.processAllAvailable()
+    // batch 1: doc 0 quotes t1's prefix — SMALLER id than the owner,
+    // but arrival order wins: doc 0 is scrubbed, doc 5's text immutable
+    ms.addData((0L, "alpha beta gamma delta epsilon intro words appended"))
+    sq.processAllAvailable()
+    sq.stop()
+
+    val got = spark.read.parquet(s"$tmp/scrubbed")
+      .select("doc_id", "n_removed", "scrubbed_md5")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(5L) === ((0L, m(t1))), "owner must keep its text")
+    // doc 0: tokens 0..4 covered by the stored 5-gram "alpha..epsilon"
+    assert(got(0L) === ((5L, m("intro words appended"))),
+      s"later arrival must lose the quoted span: ${got(0L)}")
+
+    // replay batch 1: same scrub rows, zero new index rows (the
+    // owner-compare guard — its own grams are already stored)
+    val idxBefore = spark.read.parquet(s"$tmp/ownidx").count()
+    graft.operators.TextAnalysis.ingestSubstringScrubBatch(
+      Seq((0L, "alpha beta gamma delta epsilon intro words appended"))
+        .toDF("doc_id", "text"), 1L, s"$tmp/ownidx", s"$tmp/scrubbed")
+    val replayed = spark.read.parquet(s"$tmp/scrubbed")
+      .select("doc_id", "n_removed", "scrubbed_md5")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(replayed === got, "replay changed scrub results")
+    assert(spark.read.parquet(s"$tmp/ownidx").count() === idxBefore,
+      "replay duplicated ownership rows")
+  }
+
   test("ingestIvfStream: streamed embeddings land in the probed index per batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stream-")
