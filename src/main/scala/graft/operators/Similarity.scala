@@ -373,6 +373,55 @@ object Similarity {
         Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
   }
 
+  /** Batched IVF probe over the stored index — the offline-eval shape
+    * for the PRODUCTION ANN path: every probe's inverted lists are read
+    * in ONE partition-pruned scan (`__cid isin` over the union of all
+    * probes' nProbe lists — still a PartitionFilter), and each corpus
+    * row is scored only against the probes that probe ITS list (a
+    * broadcast equi-join on `__cid`, probe rows ∝ |probes|·nProbe —
+    * KBs). Per-probe top-k is the bounded-heap aggregate, identical
+    * ordering to [[ivfQueryIndex]] (spec-pinned). */
+  def ivfQueryIndexBatch(spark: SparkSession, path: String,
+      centroids: Array[Seq[Float]], idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, nProbe: Int = 4): DataFrame = {
+    require(probeIds.nonEmpty)
+    import spark.implicits._
+    val index = spark.read.parquet(path)
+    // probe vectors: |probes| rows to the driver — KBs, size-bounded
+    val probeVecs = index.where(col(idCol).isin(probeIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val pairs = probeIds.flatMap { pid =>
+      val qv = probeVecs(pid)
+      centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, i)
+      }.sortBy(_._1).take(nProbe).map(t => (pid, t._2, qv))
+    }
+    val allCids = pairs.map(_._2).distinct
+    val probes = broadcast(pairs.toDF("probe_id", "__cid", "__pv"))
+    topKPerProbe(index.where(col("__cid").isin(allCids: _*))
+      .join(probes, Seq("__cid"))
+      .where(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), col("__pv")).as("cos_sim")), k)
+  }
+
+  /** Batched [[ivfTopKIndexed]]: build-once memoized index, then the
+    * one-scan probe-set query above. */
+  def ivfTopKIndexedBatch(spark: SparkSession, emb: => DataFrame,
+      idCol: String, vecCol: String, indexPath: String,
+      probeIds: Seq[Long], k: Int, nClusters: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = ivfIndexes.computeIfAbsent(indexPath,
+      _ =>
+        if (graft.io.IndexPaths.complete(spark, indexPath) &&
+            graft.io.IndexPaths.complete(spark, centroidsPath(indexPath)))
+          loadCentroids(spark, indexPath)
+        else ivfWriteIndex(emb, idCol, vecCol, indexPath, nClusters))
+    ivfQueryIndexBatch(spark, indexPath, centroids, idCol, vecCol,
+      probeIds, k, nProbe)
+  }
+
   /** ANN top-k: restrict the scan to the probe's LSH bucket, then exact
     * cosine within it. Recall < 1 by construction; at scale the win is
     * reading 1/2^nPlanes of the corpus. */

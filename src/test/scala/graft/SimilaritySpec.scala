@@ -88,6 +88,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfQueryIndexBatch matches per-probe ivfQueryIndex through the same index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfbatch").toString
+    val e = emb.select("vec_id", "embedding")
+    val centroids = Similarity.ivfWriteIndex(e, "vec_id", "embedding",
+      s"$tmp/idx", 16)
+    val probes = Seq(0L, 7L, 19L)
+    val batch = Similarity.ivfQueryIndexBatch(spark, s"$tmp/idx", centroids,
+        "vec_id", "embedding", probes, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    probes.foreach { p =>
+      val single = Similarity.ivfQueryIndex(spark, s"$tmp/idx", centroids,
+          "vec_id", "embedding", p, 10)
+        .orderBy("rk").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(p, Seq.empty) === single, s"probe $p")
+    }
+  }
+
   test("annRecallReport: planted duplicate is recalled; multi-probe >= single-bucket") {
     // an identical copy of probe 0's vector shares its bucket, so BOTH
     // lsh paths must retrieve it and score a hit against exact top-k
