@@ -695,6 +695,19 @@ object TextAnalysis {
     } finally Caches.release()
   }
 
+  /** Housekeeping for the substring loop's append-only ownership index
+    * (cf. [[Dedup.compactBandIndex]]): each batch's novel-gram fold
+    * appends up to 8 files forever, so index reads pay listing+footer
+    * costs ∝ ingest history. In-place crash-safe compaction (marker-
+    * commit swap, [[graft.io.Compaction.compactDir]]); (g, owner) rows
+    * preserved exactly, so scrub decisions are unchanged. The
+    * scrub-RESULTS root is `batch=`-partitioned like the dedup loops'
+    * admitted corpus — [[Dedup.compactAdmitted]] applies to it
+    * unchanged. */
+  def compactSubstringOwnerIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 8): Unit =
+    graft.io.Compaction.compactDir(spark, path, targetFiles)
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
     * grams whose FIRST corpus occurrence (min doc_id) is this doc —
     * "how much content does this doc add that the corpus (in id

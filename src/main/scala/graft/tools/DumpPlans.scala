@@ -25,7 +25,9 @@ object DumpPlans {
     "q_sql_dedup" -> "the same guard shape produced from pure SQL text (bounded aggregate, work capped — not just output)",
     "q_source_overlap_sketch" -> "KMV sketches: bounded distinct aggregate straight off the scan; no corpus distinct, no gram self-join",
     "q_containment" -> "prefix-filtered exact containment join: no rank window; scoring count above the broadcast candidate semi-join",
-    "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore")
+    "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore",
+    "q_exact_substring" -> "first-occurrence span ownership: vocabulary-keyed joins pinned to ShuffledHashJoin (the round-6 rule — a vocabulary relation is never broadcast), covered-position shuffle ∝ removed volume",
+    "q_pagerank" -> "integer PageRank final round: co-partitioned rank⋈edge join + map-side partial SUM by dst; edge layout reused")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
@@ -43,7 +45,12 @@ object DumpPlans {
       "fixed-point k-means final assignment (the kmeansWriteIndex build step; q_kmeans itself reads the stored index): zero-shuffle scan, codebook as codegen literal — no join, no exchange before the result",
       (s, dir) => graft.operators.Similarity.kmeansFixedPoint(
         graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 2)._1))
+        k = 8, iters = 2)._1),
+    ("ann_batch_eval",
+      "one-scan probe-set exact top-k (the q_ann_recall building block): probe rows broadcast into a nested-loop join, per-probe bounded TopKByScore partial-aggregated map-side — no probe-partitioned window, no per-probe scan",
+      (s, dir) => graft.operators.Similarity.bruteForceTopKBatch(
+        graft.queries.Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 7L, 19L), 10)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

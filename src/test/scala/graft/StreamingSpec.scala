@@ -563,6 +563,25 @@ class StreamingSpec extends SparkSpec {
     assert(replayed === got, "replay changed scrub results")
     assert(spark.read.parquet(s"$tmp/ownidx").count() === idxBefore,
       "replay duplicated ownership rows")
+
+    // index compaction: one-dir layout, identical (g, owner) rows, and
+    // a post-compaction batch still scrubs against the folded history
+    val rowsBefore = spark.read.parquet(s"$tmp/ownidx")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    graft.operators.TextAnalysis.compactSubstringOwnerIndex(spark,
+      s"$tmp/ownidx", targetFiles = 2)
+    val rowsAfter = spark.read.parquet(s"$tmp/ownidx")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rowsAfter === rowsBefore, "compaction changed ownership rows")
+    graft.operators.TextAnalysis.ingestSubstringScrubBatch(
+      Seq((30L, "omicron pi rho sigma tau quoting")).toDF("doc_id", "text"),
+      2L, s"$tmp/ownidx", s"$tmp/scrubbed")
+    val b2 = spark.read.parquet(s"$tmp/scrubbed")
+      .where(col("doc_id") === 30L)
+      .select("n_removed", "scrubbed_md5").head()
+    // "omicron pi rho sigma tau" is doc 7's stored 5-gram -> scrubbed
+    assert(b2.getLong(0) === 5L)
+    assert(b2.getString(1) === m("quoting"))
   }
 
   test("ingestIvfStream: streamed embeddings land in the probed index per batch") {
