@@ -298,6 +298,21 @@ class PlanPropertiesSpec extends SparkSpec {
       s"the SQL form must candidate-generate through aggregates, not a rank window:\n$p")
   }
 
+  test("vocabulary-join rule: ownership/df joins plan ShuffledHashJoin, never broadcast") {
+    // the round-6 10x finding: a vocabulary-sized (gram-keyed) relation
+    // must NEVER be broadcast — AQE under-estimation OOM'd the driver.
+    // Pin the shuffle_hash hints' effect in the executed plans so a
+    // refactor cannot silently drop them.
+    // (doc-keyed covered-position/count joins in the same plans MAY
+    // broadcast — those sides are genuinely small; the pin is only that
+    // the gram-keyed join stays shuffled)
+    for (q <- Seq("q_exact_substring", "q_gram_novelty", "q_scrub_spans")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q: the gram-ownership/frequency join must be a shuffled hash join:\n$p")
+    }
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
