@@ -981,6 +981,35 @@ object TextAnalysis {
         "rate_diff_ppm")
   }
 
+  /** One step of the DRIFT-GATED ingest — the control-flow use of
+    * [[termDrift]]: a batch whose term distribution has shifted too far
+    * from the curated reference (sum of per-term `rate_diff_ppm`, ≈
+    * 2·10⁶ × total-variation distance) is diverted to quarantine
+    * instead of admitted — the standard guard against a poisoned or
+    * mis-routed feed polluting a training corpus silently. The ONLY
+    * driver-side value is the one-row drift total; the decision is
+    * deterministic in the batch content, so foreachBatch replay
+    * recomputes the same destination and the per-batch directory
+    * overwrite keeps both roots exactly-once.
+    *
+    * Scale shape: [[termDrift]]'s word-count-shaped pass (shuffle ∝
+    * vocabulary) + one batch-sized bounded-file write; the reference
+    * side's counts are recomputed per batch — cache `referenceDocs`
+    * across batches (or pre-aggregate its counts) when batches are
+    * frequent. */
+  def driftGatedIngestBatch(batch: DataFrame, batchId: Long,
+      referenceDocs: DataFrame, admittedRoot: String,
+      quarantineRoot: String, textCol: String = "text",
+      maxDriftPpm: Long = 400000L, minCount: Long = 5L): Unit = {
+    if (batch.isEmpty) return
+    val drift = termDrift(referenceDocs, batch, textCol, minCount)
+      .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L)).as("tv"))
+      .head().getLong(0)
+    val root = if (drift <= maxDriftPpm) admittedRoot else quarantineRoot
+    batch.coalesce(4).write.mode("overwrite")
+      .parquet(s"$root/batch=$batchId")
+  }
+
   /** Vocabulary induction + out-of-vocabulary coverage audit — the
     * tokenizer-training companion: the top-`vocabSize` terms by corpus
     * count (ties broken by term, so the vocab is deterministic) become

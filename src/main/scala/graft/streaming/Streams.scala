@@ -350,6 +350,27 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** DRIFT-GATED streaming ingest
+    * ([[graft.operators.TextAnalysis.driftGatedIngestBatch]] under
+    * foreachBatch): each micro-batch is admitted or quarantined by its
+    * term-distribution drift against a curated reference — the feed
+    * guard in front of the dedup/curation loops. Deterministic
+    * decision + per-batch overwrite → exactly-once on both roots. */
+  def driftGatedIngestStream(docs: DataFrame, referenceDocs: DataFrame,
+      admittedRoot: String, quarantineRoot: String, checkpoint: String,
+      textCol: String = "text", maxDriftPpm: Long = 400000L,
+      minCount: Long = 5L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.TextAnalysis.driftGatedIngestBatch(batch, id,
+          referenceDocs, admittedRoot, quarantineRoot, textCol,
+          maxDriftPpm, minCount)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming ANN-index maintenance — the embedding-side counterpart
     * of [[ingestDedupStream]]: each micro-batch of arriving embeddings
     * is folded into the stored IVF index

@@ -584,6 +584,47 @@ class StreamingSpec extends SparkSpec {
     assert(b2.getString(1) === m("quoting"))
   }
 
+  test("driftGatedIngestStream: on-distribution batch admitted, shifted batch quarantined") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gate-spec-")
+      .toString
+    val ref = Seq.tabulate(20)(i => (100L + i,
+      "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.driftGatedIngestStream(
+      ms.toDF().toDF("doc_id", "text"), ref,
+      s"$tmp/admitted", s"$tmp/quarantine", s"$tmp/ckpt",
+      maxDriftPpm = 500000L, minCount = 1L)
+    // batch 0: same vocabulary as the reference -> tiny drift, admitted
+    ms.addData((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the lazy dog jumps over the quick brown fox"))
+    sq.processAllAvailable()
+    // batch 1: disjoint vocabulary -> TV distance ~1 (2e6 ppm), quarantined
+    ms.addData((3L, "zebra quagga okapi tapir capuchin marmoset lemur"))
+    sq.processAllAvailable()
+    sq.stop()
+
+    val admitted = spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    val quarantined = spark.read.parquet(s"$tmp/quarantine")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(1L, 2L), s"admitted: $admitted")
+    assert(quarantined === Set(3L), s"quarantined: $quarantined")
+
+    // replay the quarantined batch: same deterministic decision, the
+    // directory is overwritten not duplicated
+    graft.operators.TextAnalysis.driftGatedIngestBatch(
+      Seq((3L, "zebra quagga okapi tapir capuchin marmoset lemur"))
+        .toDF("doc_id", "text"), 1L, ref,
+      s"$tmp/admitted", s"$tmp/quarantine", maxDriftPpm = 500000L,
+      minCount = 1L)
+    assert(spark.read.parquet(s"$tmp/quarantine")
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+    assert(spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("ingestIvfStream: streamed embeddings land in the probed index per batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stream-")
