@@ -392,6 +392,40 @@ object TextQueries {
           col("n_removed"), col("scrubbed_md5"))
     },
 
+    // The drift GATE, batch-evaluated (the foreachBatch code path):
+    // batches 1 and 2 (doc_id % 3) are admitted or quarantined by their
+    // term-distribution TV distance vs the batch-0 reference. The
+    // threshold (60000 ppm) sits BETWEEN the two batches' actual drifts
+    // at sf0.01, so the oracle's integer replay of termDrift decides
+    // one batch each way — a wrong TV on either side flips a decision
+    // and fails the hash.
+    "q_drift_gate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val root = graft.io.IndexPaths.indexPath("driftgate",
+        s"$dir/documents.parquet", "t60000m5")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_LOOP_COMPLETE")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        for (b <- 1L to 2L)
+          TextAnalysis.driftGatedIngestBatch(docs.where(col("doc_id") % 3 === b),
+            b, docs.where(col("doc_id") % 3 === 0),
+            s"$root/admitted", s"$root/quarantine", maxDriftPpm = 60000L)
+        fs.create(done).close()
+      }
+      def readRoot(p: String, decision: String) =
+        if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+          s.read.parquet(p).select(col("doc_id"),
+            col("batch").cast("long").as("batch"),
+            lit(decision).as("decision"))
+        else
+          s.range(0).select(col("id").as("doc_id"), col("id").as("batch"),
+            lit(decision).as("decision"))
+      readRoot(s"$root/admitted", "admitted")
+        .unionByName(readRoot(s"$root/quarantine", "quarantine"))
+    },
+
     // SimHash near-dup pairs (hamming <= 3 on 60-bit portable
     // signatures: md5-derived token hashes through the native
     // long-input buffer aggregate). The banded pair search returns
@@ -1444,6 +1478,35 @@ object TextQueries {
          |  CAST(len(ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
          |  COALESCE(a.m, md5('')) AS scrubbed_md5
          |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_drift_gate" ->
+      s"""WITH tok AS (SELECT doc_id % 3 AS b, unnest($SQL_TOKS) AS term
+         |  FROM documents),
+         |cr AS (SELECT term, COUNT(*) AS c FROM tok WHERE b = 0 GROUP BY term),
+         |nr AS (SELECT SUM(c) AS n FROM cr),
+         |c1 AS (SELECT term, COUNT(*) AS c FROM tok WHERE b = 1 GROUP BY term),
+         |n1 AS (SELECT SUM(c) AS n FROM c1),
+         |c2 AS (SELECT term, COUNT(*) AS c FROM tok WHERE b = 2 GROUP BY term),
+         |n2 AS (SELECT SUM(c) AS n FROM c2),
+         |tv1 AS (SELECT CAST(SUM(ABS(
+         |    (COALESCE(cr.c, 0) * 1000000) // nr.n
+         |    - (COALESCE(c1.c, 0) * 1000000) // n1.n)) AS BIGINT) AS tv
+         |  FROM cr FULL OUTER JOIN c1 ON cr.term = c1.term, nr, n1
+         |  WHERE COALESCE(cr.c, 0) >= 5 OR COALESCE(c1.c, 0) >= 5),
+         |tv2 AS (SELECT CAST(SUM(ABS(
+         |    (COALESCE(cr.c, 0) * 1000000) // nr.n
+         |    - (COALESCE(c2.c, 0) * 1000000) // n2.n)) AS BIGINT) AS tv
+         |  FROM cr FULL OUTER JOIN c2 ON cr.term = c2.term, nr, n2
+         |  WHERE COALESCE(cr.c, 0) >= 5 OR COALESCE(c2.c, 0) >= 5)
+         |SELECT d.doc_id, CAST(1 AS BIGINT) AS batch,
+         |  CASE WHEN tv1.tv <= 60000 THEN 'admitted'
+         |       ELSE 'quarantine' END AS decision
+         |FROM documents d, tv1 WHERE d.doc_id % 3 = 1
+         |UNION ALL
+         |SELECT d.doc_id, CAST(2 AS BIGINT) AS batch,
+         |  CASE WHEN tv2.tv <= 60000 THEN 'admitted'
+         |       ELSE 'quarantine' END AS decision
+         |FROM documents d, tv2 WHERE d.doc_id % 3 = 2""".stripMargin,
 
     "q_incremental_substring" ->
       s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
