@@ -305,5 +305,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(!got.getBoolean(7))
   }
 
+  test("ingest loops: an empty batch is a no-op (no dirs, no index writes)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty-batch")
+      .toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.ingestContainmentBatch(empty, 0L, s"$tmp/cidx", s"$tmp/cadm")
+    TextAnalysis.ingestSubstringScrubBatch(empty, 0L, s"$tmp/sidx",
+      s"$tmp/sadm")
+    TextAnalysis.driftGatedIngestBatch(empty, 0L,
+      Seq((1L, "ref words here")).toDF("doc_id", "text"),
+      s"$tmp/gadm", s"$tmp/gq")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq("cidx", "cadm", "sidx", "sadm", "gadm", "gq"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/$d")),
+        s"empty batch must not create $d")
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 }
