@@ -415,7 +415,7 @@ object Dedup {
     * re-inlines the tokenizer into every element_at of the gram
     * lambda: the O(words²) hazard of [[gramSets]]'s scaladoc, measured
     * 30× the whole containment pipeline. */
-  private def gramSetArrays(docs: DataFrame, idCol: String,
+  private[graft] def gramSetArrays(docs: DataFrame, idCol: String,
       textCol: String, ngram: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
@@ -528,9 +528,20 @@ object Dedup {
   def appendToContainmentIndex(newDocs: DataFrame, path: String,
       idCol: String, textCol: String, ngram: Int = 3,
       coalesceTo: Int = 0): Unit = {
+    val sets = Caches.persist(gramSetArrays(newDocs, idCol, textCol, ngram))
+    appendPostingsFromSets(sets, path, coalesceTo)
+    appendGramSetsFromSets(sets, path, coalesceTo)
+  }
+
+  /** The postings half of [[appendToContainmentIndex]], from
+    * precomputed [[gramSetArrays]] rows — split out so the ingest
+    * loop's replay guard can fold each stored table independently
+    * (anti-joined against ITS OWN doc_ids), closing the crash window
+    * between the two appends. */
+  private[graft] def appendPostingsFromSets(sets: DataFrame,
+      path: String, coalesceTo: Int): Unit = {
     def bounded(df: DataFrame) =
       if (coalesceTo > 0) df.coalesce(coalesceTo) else df
-    val sets = Caches.persist(gramSetArrays(newDocs, idCol, textCol, ngram))
     val grams = sets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
     bounded(grams.join(dfreq.hint("shuffle_hash"), Seq("gh"))
@@ -543,6 +554,13 @@ object Dedup {
       .select(col("__p.gh").as("gh"), col("doc_id"),
         col("__p.__df").as("__df"), (col("__p0") + 1).as("__r"), col("__sz")))
       .write.mode("append").parquet(path)
+  }
+
+  /** The gram-set half of [[appendToContainmentIndex]]. */
+  private[graft] def appendGramSetsFromSets(sets: DataFrame,
+      path: String, coalesceTo: Int): Unit = {
+    def bounded(df: DataFrame) =
+      if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     bounded(sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2")))
       .write.mode("append").parquet(path + ".gsets")
   }
@@ -961,9 +979,12 @@ object Dedup {
     * the `doc_a != doc_b` guard, pairs among its own batch replay the
     * same greedy decision; the result is forced before the overwrite)
     * and overwrites its own `batch=<id>` directory. The index fold is
-    * made IDEMPOTENT by anti-joining the admitted set against doc_ids
-    * already in the stored gram-set sibling before appending — a
-    * replayed fold appends nothing, so postings never duplicate. */
+    * made IDEMPOTENT PER TABLE: the postings append anti-joins the
+    * admitted set against doc_ids already in the postings table, the
+    * gram-set append against the gram-set sibling — a replayed fold
+    * appends nothing to a table that already holds the batch, and a
+    * crash BETWEEN the two appends replays exactly the missing half
+    * (no duplicate postings, no doc present in one table only). */
   def ingestContainmentBatch(batch: DataFrame, batchId: Long,
       indexPath: String, admittedRoot: String, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 3, threshold: Double = 0.8,
@@ -1011,14 +1032,28 @@ object Dedup {
         writeContainmentIndex(admitted, idCol, textCol, indexPath, ngram,
           coalesceTo = 8)
       else {
-        // idempotent fold: skip docs whose gram sets are already stored
-        val stored = spark.read.parquet(indexPath + ".gsets")
-          .select(col("doc_id").as("__stored"))
-        val fresh = Caches.persist(admitted.join(stored,
+        // idempotent fold, PER TABLE: each stored table anti-joins the
+        // admitted set against ITS OWN doc_ids, so a crash landing
+        // between the postings append and the gram-set append replays
+        // exactly the missing half — neither duplicate postings (the
+        // old single-key guard's window) nor a doc stored in one table
+        // but not the other can survive a replay. The gram-set probe is
+        // one row per stored doc; the postings probe is a single-column
+        // doc_id scan of the postings table (column-pruned, map-side-
+        // combined semi-join — never the gram payload).
+        def freshAgainst(tbl: String) = Caches.persist(admitted.join(
+          spark.read.parquet(tbl).select(col("doc_id").as("__stored")),
           col(idCol) === col("__stored"), "left_anti"))
-        if (!fresh.isEmpty)
-          appendToContainmentIndex(fresh, indexPath, idCol, textCol, ngram,
-            coalesceTo = 8)
+        val freshPost = freshAgainst(indexPath)
+        if (!freshPost.isEmpty)
+          appendPostingsFromSets(
+            Caches.persist(gramSetArrays(freshPost, idCol, textCol, ngram)),
+            indexPath, coalesceTo = 8)
+        val freshG = freshAgainst(indexPath + ".gsets")
+        if (!freshG.isEmpty)
+          appendGramSetsFromSets(
+            Caches.persist(gramSetArrays(freshG, idCol, textCol, ngram)),
+            indexPath, coalesceTo = 8)
       }
     } finally Caches.release()
   }
@@ -1082,6 +1117,17 @@ object Dedup {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 8): Unit =
     graft.io.Compaction.compactDir(spark, path, targetFiles)
+
+  /** File-count compaction of the stored containment index IN PLACE —
+    * both tables (the postings table and its `.gsets` sibling), rows
+    * and stored ranks preserved exactly (cf. [[compactBandIndex]]).
+    * The semantic half — restoring global-df rank order — remains
+    * [[rebuildContainmentIndex]]. */
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 8): Unit = {
+    graft.io.Compaction.compactDir(spark, path, targetFiles)
+    graft.io.Compaction.compactDir(spark, path + ".gsets", targetFiles)
+  }
 
   /** Full band-index rebuild from the current corpus: one-dir layout,
     * ranks restored to global doc_id order. NOTE the semantic shift

@@ -175,6 +175,14 @@ object Multimodal {
     * equi-join, hot-bucket capped): a re-encoded/brightness-shifted copy
     * lands within a few bits of its original.
     *
+    * The sampled value is BRIGHTNESS for every color model: single-band
+    * non-palette rasters (grayscale — the [[pngTable]] corpus) read the
+    * band directly; everything else (RGB, RGBA, palette PNGs) resolves
+    * the pixel through the color model and takes the integer Rec.601
+    * luma `(299·R + 587·G + 114·B) DIV 1000` — on a gray pixel
+    * (R=G=B=v) the weights sum to 1000, so the luma path and the
+    * band-0 path agree exactly and the grayscale oracle is unaffected.
+    *
     * Partition-batched decode, zero shuffle — the hash is 8 bytes per
     * image, so the pair stage never moves pixels. On the synthetic
     * [[pngTable]] corpus the pixel formula makes the ENTIRE hash
@@ -189,13 +197,25 @@ object Multimodal {
         require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
+        // gray fast path: one band of real intensity (NOT a palette
+        // index — IndexColorModel's single band must go through the
+        // color model to mean brightness)
+        val gray1 = raster.getNumBands == 1 &&
+          !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+        def brightness(sx: Int, sy: Int): Int =
+          if (gray1) raster.getSample(sx, sy, 0)
+          else {
+            val rgb = img.getRGB(sx, sy)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
         val s = new Array[Int](64)
         var total = 0L
         var i = 0
         while (i < 8) {
           var j = 0
           while (j < 8) {
-            val px = raster.getSample(i * w / 8, j * h / 8, 0)
+            val px = brightness(i * w / 8, j * h / 8)
             s(i * 8 + j) = px
             total += px
             j += 1

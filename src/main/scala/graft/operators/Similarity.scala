@@ -392,6 +392,8 @@ object Similarity {
       .select(col(idCol), col(vecCol)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val pairs = probeIds.flatMap { pid =>
+      require(probeVecs.contains(pid),
+        s"probe $pid not found in index $path")
       val qv = probeVecs(pid)
       centroids.zipWithIndex.map { case (c, i) =>
         (c.zip(qv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, i)

@@ -535,10 +535,15 @@ object TextAnalysis {
     * LATER doc is removed, and each doc's text is re-assembled from
     * its surviving tokens in order. Unlike [[scrubFrequentSpans]]
     * (which deletes a frequent span from EVERY doc including the
-    * first), exactly one copy of each shared span survives — the
-    * corpus keeps its content, later docs lose only what an earlier
-    * doc already said. Fires even at 2 occurrences; spans repeated
-    * WITHIN a single doc are untouched (the doc owns them).
+    * first), the OWNING doc's copy is the one position-2 removal never
+    * touches — later docs lose only what an earlier doc already said.
+    * Greedy positional approximation, not a "one copy always survives"
+    * guarantee: when an owned span OVERLAPS positions the owning doc
+    * itself loses to a still-earlier doc's span, the surviving copy can
+    * be partially removed, so a gram can end with zero intact copies
+    * (batch, incremental, and oracle all agree on this rule). Fires
+    * even at 2 occurrences; spans repeated WITHIN a single doc are
+    * untouched (the doc owns them).
     *
     * Returns one row per document:
     * (doc_id, n_tokens, n_kept, n_removed, scrubbed_md5) — the md5
@@ -961,12 +966,27 @@ object TextAnalysis {
     * and the two scalar totals broadcast — shuffle ∝ vocabulary, never
     * corpus²; a hot term is one reducer's SUM. */
   def termDrift(docsA: DataFrame, docsB: DataFrame, textCol: String,
-      minCount: Long = 5L): DataFrame = {
-    def counts(d: DataFrame, cn: String) =
-      d.select(explode(TextFns.letterTokens(col(textCol))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as(cn))
-    val ca = counts(docsA, "c_a")
-    val cb = counts(docsB, "c_b")
+      minCount: Long = 5L): DataFrame =
+    termDriftFromCounts(termCounts(docsA, textCol, "c_a"), docsB,
+      textCol, minCount)
+
+  /** One side's term counts in the shape [[termDriftFromCounts]]
+    * consumes: (term, `cn`) — one word-count-shaped pass, map-side
+    * combined. */
+  private def termCounts(d: DataFrame, textCol: String, cn: String) =
+    d.select(explode(TextFns.letterTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(cn))
+
+  /** [[termDrift]] with the REFERENCE side already aggregated — the
+    * stored-index form: `refCounts` is a (term, c_a) relation (e.g.
+    * read from a [[writeReferenceCounts]] table), only the batch side
+    * is tokenized. Identical integer output to [[termDrift]] on the
+    * docs the counts came from; per-call work is ∝ batch + vocabulary,
+    * never ∝ reference corpus. */
+  def termDriftFromCounts(refCounts: DataFrame, docsB: DataFrame,
+      textCol: String, minCount: Long = 5L): DataFrame = {
+    val ca = refCounts.select(col("term"), col("c_a"))
+    val cb = termCounts(docsB, textCol, "c_b")
     val na = ca.agg(sum(col("c_a")).as("n_a"))
     val nb = cb.agg(sum(col("c_b")).as("n_b"))
     ca.join(cb, Seq("term"), "full_outer")
@@ -981,6 +1001,20 @@ object TextAnalysis {
         "rate_diff_ppm")
   }
 
+  /** Materialize the drift gate's reference term counts ONCE — the
+    * index-build half of the stored-counts ingest gate (same lifecycle
+    * as [[graft.operators.Dedup.writeBandIndex]]): one word-count pass
+    * over the curated reference corpus, committed as a (term, c_a)
+    * parquet table the per-batch gate then joins against. After this,
+    * the reference CORPUS is never read again — gating survives the
+    * corpus being archived or deleted. Rebuild when the reference is
+    * re-curated (the counts are exact, so a rebuild is bit-identical
+    * for identical input). */
+  def writeReferenceCounts(referenceDocs: DataFrame, path: String,
+      textCol: String = "text", coalesceTo: Int = 8): Unit =
+    termCounts(referenceDocs, textCol, "c_a")
+      .coalesce(coalesceTo).write.mode("overwrite").parquet(path)
+
   /** One step of the DRIFT-GATED ingest — the control-flow use of
     * [[termDrift]]: a batch whose term distribution has shifted too far
     * from the curated reference (sum of per-term `rate_diff_ppm`, ≈
@@ -993,19 +1027,51 @@ object TextAnalysis {
     * overwrite keeps both roots exactly-once.
     *
     * Scale shape: [[termDrift]]'s word-count-shaped pass (shuffle ∝
-    * vocabulary) + one batch-sized bounded-file write; the reference
-    * side's counts are recomputed per batch — cache `referenceDocs`
-    * across batches (or pre-aggregate its counts) when batches are
-    * frequent. */
+    * vocabulary) + one batch-sized bounded-file write. NOTE this form
+    * re-tokenizes `referenceDocs` EVERY batch — it exists for one-shot
+    * backfills where the reference is small or already cached; a
+    * running ingest should use [[driftGatedIngestBatchStored]], whose
+    * per-batch cost is ∝ batch + vocabulary via the
+    * [[writeReferenceCounts]] table. */
   def driftGatedIngestBatch(batch: DataFrame, batchId: Long,
       referenceDocs: DataFrame, admittedRoot: String,
       quarantineRoot: String, textCol: String = "text",
       maxDriftPpm: Long = 400000L, minCount: Long = 5L): Unit = {
     if (batch.isEmpty) return
-    val drift = termDrift(referenceDocs, batch, textCol, minCount)
+    gateByDrift(termDrift(referenceDocs, batch, textCol, minCount),
+      batch, batchId, admittedRoot, quarantineRoot, maxDriftPpm)
+  }
+
+  /** [[driftGatedIngestBatch]] against STORED reference counts — the
+    * production form of the gate: the reference side is the committed
+    * (term, c_a) table [[writeReferenceCounts]] built once, so each
+    * micro-batch pays one batch-side token pass + a vocabulary-sized
+    * join — work ∝ batch + vocabulary, never ∝ reference corpus (the
+    * reference is scanned exactly once per index BUILD, not per
+    * batch — same stored-index lifecycle as the band/containment/IVF
+    * loops). Decisions are bit-identical to the recompute form:
+    * [[termDriftFromCounts]] replays the same exact-integer TV
+    * arithmetic over the same exact counts. */
+  def driftGatedIngestBatchStored(batch: DataFrame, batchId: Long,
+      referenceCountsPath: String, admittedRoot: String,
+      quarantineRoot: String, textCol: String = "text",
+      maxDriftPpm: Long = 400000L, minCount: Long = 5L): Unit = {
+    if (batch.isEmpty) return
+    val refCounts = batch.sparkSession.read.parquet(referenceCountsPath)
+    gateByDrift(termDriftFromCounts(refCounts, batch, textCol, minCount),
+      batch, batchId, admittedRoot, quarantineRoot, maxDriftPpm)
+  }
+
+  /** Shared decision+write tail of the two gate forms: reduce the
+    * drift relation to its one-row TV total (the ONLY driver-side
+    * value) and land the batch under the root the threshold picks. */
+  private def gateByDrift(drift: DataFrame, batch: DataFrame,
+      batchId: Long, admittedRoot: String, quarantineRoot: String,
+      maxDriftPpm: Long): Unit = {
+    val tv = drift
       .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L)).as("tv"))
       .head().getLong(0)
-    val root = if (drift <= maxDriftPpm) admittedRoot else quarantineRoot
+    val root = if (tv <= maxDriftPpm) admittedRoot else quarantineRoot
     batch.coalesce(4).write.mode("overwrite")
       .parquet(s"$root/batch=$batchId")
   }

@@ -392,25 +392,31 @@ object TextQueries {
           col("n_removed"), col("scrubbed_md5"))
     },
 
-    // The drift GATE, batch-evaluated (the foreachBatch code path):
-    // batches 1 and 2 (doc_id % 3) are admitted or quarantined by their
-    // term-distribution TV distance vs the batch-0 reference. The
-    // threshold (60000 ppm) sits BETWEEN the two batches' actual drifts
-    // at sf0.01, so the oracle's integer replay of termDrift decides
-    // one batch each way — a wrong TV on either side flips a decision
-    // and fails the hash.
+    // The drift GATE, batch-evaluated (the foreachBatch code path),
+    // through the STORED-counts production form: the batch-0 reference
+    // is aggregated ONCE into a (term, c_a) table, then batches 1 and 2
+    // (doc_id % 3) are admitted or quarantined by their term-
+    // distribution TV distance against that table — the reference
+    // corpus itself is never re-read per batch. The threshold
+    // (60000 ppm) sits BETWEEN the two batches' actual drifts at
+    // sf0.01, so the oracle's integer replay of termDrift decides one
+    // batch each way — a wrong TV on either side flips a decision and
+    // fails the hash.
     "q_drift_gate" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val root = graft.io.IndexPaths.indexPath("driftgate",
-        s"$dir/documents.parquet", "t60000m5")
+        s"$dir/documents.parquet", "t60000m5stored")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val done = new org.apache.hadoop.fs.Path(s"$root/_LOOP_COMPLETE")
       if (!fs.exists(done)) {
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        TextAnalysis.writeReferenceCounts(
+          docs.where(col("doc_id") % 3 === 0), s"$root/refcounts")
         for (b <- 1L to 2L)
-          TextAnalysis.driftGatedIngestBatch(docs.where(col("doc_id") % 3 === b),
-            b, docs.where(col("doc_id") % 3 === 0),
+          TextAnalysis.driftGatedIngestBatchStored(
+            docs.where(col("doc_id") % 3 === b),
+            b, s"$root/refcounts",
             s"$root/admitted", s"$root/quarantine", maxDriftPpm = 60000L)
         fs.create(done).close()
       }

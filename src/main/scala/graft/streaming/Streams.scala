@@ -290,18 +290,41 @@ object Streams {
     * ON DISK in the index — no state store, so there is nothing to
     * TTL: corpus growth is the product (an admitted corpus), not an
     * operational liability, and retention is a policy on the admitted
-    * directory plus an offline index rebuild. */
+    * directory plus an offline index rebuild.
+    *
+    * `compactEvery` (0 = off) folds the accreted artifacts every N
+    * batches IN the loop — [[graft.operators.Dedup.compactAdmitted]]
+    * on the admitted corpus (newest batch dir kept out, so the replay
+    * contract survives) and
+    * [[graft.operators.Dedup.compactBandIndex]] on the index — so a
+    * long-running ingest's file count tracks DATA, not batch history,
+    * without an operator remembering to run maintenance. The swaps run
+    * between batches (foreachBatch is serial — the loop is quiesced by
+    * construction), and a torn swap from a crash is rolled forward
+    * before the next batch reads. */
   def ingestDedupStream(docs: DataFrame, indexPath: String,
       admittedRoot: String, checkpoint: String, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.8, maxBucket: Int = 64)
+      bands: Int = 16, threshold: Double = 0.8, maxBucket: Int = 64,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (compactEvery > 0) {
+          // crash between a committed swap and its rename: roll forward
+          // before this batch's corpus/index reads can miss the data
+          graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
+          graft.io.Compaction.recover(spark, indexPath)
+        }
         graft.operators.Dedup.ingestDedupBatch(batch, id, indexPath,
           admittedRoot, idCol, textCol, ngram, numHashes, bands, threshold,
           maxBucket)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          graft.operators.Dedup.compactAdmitted(spark, admittedRoot)
+          graft.operators.Dedup.compactBandIndex(spark, indexPath)
+        }
       }
       .outputMode("append")
       .start()
@@ -315,17 +338,30 @@ object Streams {
     * and their postings fold into the index for the next batch.
     * Exactly-once admitted table, idempotent index fold (anti-joined on
     * stored doc_ids); state lives on disk in the index — nothing to
-    * TTL. */
+    * TTL. `compactEvery` (0 = off): every N batches, fold the admitted
+    * batch dirs ([[graft.operators.Dedup.compactAdmitted]]) and both
+    * index tables ([[graft.operators.Dedup.compactContainmentIndex]])
+    * in the loop — same contract as [[ingestDedupStream]]. */
   def ingestContainmentStream(docs: DataFrame, indexPath: String,
       admittedRoot: String, checkpoint: String, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 3, threshold: Double = 0.8,
-      maxDf: Option[Long] = None)
+      maxDf: Option[Long] = None, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (compactEvery > 0) {
+          graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
+          graft.io.Compaction.recover(spark, indexPath)
+          graft.io.Compaction.recover(spark, indexPath + ".gsets")
+        }
         graft.operators.Dedup.ingestContainmentBatch(batch, id, indexPath,
           admittedRoot, idCol, textCol, ngram, threshold, maxDf)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          graft.operators.Dedup.compactAdmitted(spark, admittedRoot)
+          graft.operators.Dedup.compactContainmentIndex(spark, indexPath)
+        }
       }
       .outputMode("append")
       .start()
@@ -339,13 +375,23 @@ object Streams {
     * guard); disk-resident state, nothing to TTL. */
   def ingestSubstringScrubStream(docs: DataFrame, indexPath: String,
       admittedRoot: String, checkpoint: String, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 5)
+      textCol: String = "text", n: Int = 5, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (compactEvery > 0) {
+          graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
+          graft.io.Compaction.recover(spark, indexPath)
+        }
         graft.operators.TextAnalysis.ingestSubstringScrubBatch(batch, id,
           indexPath, admittedRoot, idCol, textCol, n)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          graft.operators.Dedup.compactAdmitted(spark, admittedRoot)
+          graft.operators.TextAnalysis.compactSubstringOwnerIndex(spark,
+            indexPath)
+        }
       }
       .outputMode("append")
       .start()
@@ -367,6 +413,28 @@ object Streams {
         graft.operators.TextAnalysis.driftGatedIngestBatch(batch, id,
           referenceDocs, admittedRoot, quarantineRoot, textCol,
           maxDriftPpm, minCount)
+      }
+      .outputMode("append")
+      .start()
+
+  /** [[driftGatedIngestStream]] against a STORED reference-counts
+    * table ([[graft.operators.TextAnalysis.writeReferenceCounts]] —
+    * built once, offline): the production form, whose per-batch cost
+    * is ∝ batch + vocabulary instead of re-scanning the reference
+    * corpus every micro-batch. Decisions bit-identical to the
+    * recompute form; same exactly-once contract on both roots. */
+  def driftGatedIngestStreamStored(docs: DataFrame,
+      referenceCountsPath: String, admittedRoot: String,
+      quarantineRoot: String, checkpoint: String,
+      textCol: String = "text", maxDriftPpm: Long = 400000L,
+      minCount: Long = 5L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.TextAnalysis.driftGatedIngestBatchStored(batch,
+          id, referenceCountsPath, admittedRoot, quarantineRoot,
+          textCol, maxDriftPpm, minCount)
       }
       .outputMode("append")
       .start()

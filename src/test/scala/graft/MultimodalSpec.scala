@@ -118,6 +118,42 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated images must not pair: $pairs")
   }
 
+  test("imageAHash: color images hash by luminance, matching their gray twin (not band 0)") {
+    import spark.implicits._
+    // RGB image whose RED channel is CONSTANT: a band-0 hash would see
+    // a flat image (degenerate), the luma hash must see the green/blue
+    // gradient — pinned by equality with the grayscale twin whose gray
+    // value is the exact integer Rec.601 luma of each pixel
+    def rgb16(): (Array[Byte], Array[Byte]) = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gray = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = (x * 13 + y * 7) % 256
+        val b = (x * 5 + y * 17) % 256
+        img.setRGB(x, y, (200 << 16) | (g << 8) | b)
+        gray.getRaster.setSample(x, y, 0, (299 * 200 + 587 * g + 114 * b) / 1000)
+      }
+      def enc(i: java.awt.image.BufferedImage) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(i, "png", bos)
+        bos.toByteArray
+      }
+      (enc(img), enc(gray))
+    }
+    val (rgbPng, grayPng) = rgb16()
+    val hashes = Multimodal.imageAHash(Seq(
+        Multimodal.MediaRow(1L, "image", rgbPng),
+        Multimodal.MediaRow(2L, "image", grayPng)).toDS())
+      .collect().map(h => h.doc_id -> h.phash).toMap
+    assert(hashes(1L) === hashes(2L),
+      "color image must hash by luminance, equal to its gray twin")
+    // and the hash is non-degenerate: the gradient sets some bits both
+    // ways (a band-0-only reader of the constant red channel would not)
+    assert(hashes(1L) != 0L && hashes(1L) != -1L)
+  }
+
   test("subsampleBytes: 4x decimation keeps every 4th byte, size is ceil(n/4)") {
     import spark.implicits._
     val resized = Multimodal.subsampleBytes(

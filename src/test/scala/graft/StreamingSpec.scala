@@ -625,6 +625,161 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("driftGatedIngestStreamStored: gates from the stored counts; reference corpus read once, not per batch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gate-stored-")
+      .toString
+    val refRows = Seq.tabulate(20)(i => (100L + i,
+      "the quick brown fox jumps over the lazy dog"))
+    refRows.toDF("doc_id", "text").write.parquet(s"$tmp/refdocs")
+
+    // index build: the ONE scan of the reference corpus
+    graft.operators.TextAnalysis.writeReferenceCounts(
+      spark.read.parquet(s"$tmp/refdocs"), s"$tmp/refcounts")
+
+    // stored counts replay the same exact-integer TV as the recompute
+    // form (bit-identical decisions contract)
+    val probe = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def tv(drift: org.apache.spark.sql.DataFrame) = drift
+      .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L))).head().getLong(0)
+    assert(
+      tv(graft.operators.TextAnalysis.termDriftFromCounts(
+        spark.read.parquet(s"$tmp/refcounts"), probe, "text", 1L)) ===
+      tv(graft.operators.TextAnalysis.termDrift(
+        refRows.toDF("doc_id", "text"), probe, "text", 1L)),
+      "stored-counts TV differs from recompute TV")
+
+    // DELETE the reference corpus: the stored gate must never touch it
+    // again — a per-batch reference scan would throw FileNotFound here
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/refdocs"), true)
+
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.driftGatedIngestStreamStored(
+      ms.toDF().toDF("doc_id", "text"), s"$tmp/refcounts",
+      s"$tmp/admitted", s"$tmp/quarantine", s"$tmp/ckpt",
+      maxDriftPpm = 500000L, minCount = 1L)
+    ms.addData((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the lazy dog jumps over the quick brown fox"))
+    sq.processAllAvailable()
+    ms.addData((3L, "zebra quagga okapi tapir capuchin marmoset lemur"))
+    sq.processAllAvailable()
+    sq.stop()
+
+    assert(spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(spark.read.parquet(s"$tmp/quarantine")
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+
+    // crash replay through the stored batch form: same deterministic
+    // decision, directory overwritten not duplicated
+    graft.operators.TextAnalysis.driftGatedIngestBatchStored(
+      Seq((3L, "zebra quagga okapi tapir capuchin marmoset lemur"))
+        .toDF("doc_id", "text"), 1L, s"$tmp/refcounts",
+      s"$tmp/admitted", s"$tmp/quarantine", maxDriftPpm = 500000L,
+      minCount = 1L)
+    assert(spark.read.parquet(s"$tmp/quarantine")
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+    assert(spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("ingestDedupStream compactEvery: file counts bounded over 3x the cadence; results identical") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "omicron pi rho sigma tau upsilon",
+      "kappa lambda mu nu xi phi",
+      "chi psi omega aleph bet gimel",
+      "dalet he vav zayin het tet",
+      "yod kaf lamed mem nun samekh")
+    // batch i: one novel doc (100+i) + (i>0) one dup of batch i-1's
+    // admitted doc — every batch exercises the index ACROSS a
+    // compaction boundary
+    def batchRows(i: Int) =
+      Seq((100L + i, texts(i))) ++
+        (if (i > 0) Seq((200L + i, texts(i - 1))) else Seq.empty)
+
+    def run(root: String, every: Int): Set[Long] = {
+      val ms = MemoryStream[(Long, String)](spark)
+      val sq = Streams.ingestDedupStream(ms.toDF().toDF("doc_id", "text"),
+        s"$root/bandidx", s"$root/admitted", s"$root/ckpt",
+        compactEvery = every)
+      for (i <- 0 until 6) { ms.addData(batchRows(i): _*); sq.processAllAvailable() }
+      sq.stop()
+      spark.read.parquet(s"$root/admitted")
+        .select("doc_id").as[Long].collect().toSet
+    }
+
+    val tmpC = java.nio.file.Files.createTempDirectory("graft-cmp-c-").toString
+    val tmpU = java.nio.file.Files.createTempDirectory("graft-cmp-u-").toString
+    val gotC = run(tmpC, 2) // compaction fires after batches 1, 3, 5
+    val gotU = run(tmpU, 0)
+    assert(gotC === gotU, s"compaction changed results: $gotC vs $gotU")
+    assert(gotC === (0 until 6).map(100L + _).toSet, s"admitted: $gotC")
+
+    // bounded layout: the admitted corpus is batch=-1 + the kept newest
+    // dir; the index is one compacted dir of <= 8 data files
+    def batchDirs(root: String) = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+      .toSet
+    assert(batchDirs(s"$tmpC/admitted") === Set("batch=-1", "batch=5"),
+      s"admitted dirs: ${batchDirs(s"$tmpC/admitted")}")
+    assert(batchDirs(s"$tmpU/admitted").size === 6)
+    val idxFiles = new java.io.File(s"$tmpC/bandidx").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(idxFiles <= 8, s"index data files after compaction: $idxFiles")
+  }
+
+  test("containment fold crash window: postings-only append heals on replay, no duplicates") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cont-crash-")
+      .toString
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t3 = "omicron pi rho sigma tau upsilon"
+    val t4 = "kappa lambda mu nu xi phi"
+    // batch 0 builds the index
+    graft.operators.Dedup.ingestContainmentBatch(
+      Seq((1L, t1), (3L, t3)).toDF("doc_id", "text"), 0L,
+      s"$tmp/contidx", s"$tmp/admitted")
+
+    // batch 1, crashed mid-fold: admitted dir written, POSTINGS
+    // appended, gram sets NOT (the window the per-table guard closes)
+    val b1 = Seq((11L, t4)).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/admitted/batch=1")
+    graft.operators.Dedup.appendPostingsFromSets(
+      graft.operators.Dedup.gramSetArrays(b1, "doc_id", "text", 3),
+      s"$tmp/contidx", coalesceTo = 1)
+    val postAfterCrash = spark.read.parquet(s"$tmp/contidx")
+      .where(col("doc_id") === 11L).count()
+    assert(postAfterCrash > 0)
+    assert(spark.read.parquet(s"$tmp/contidx.gsets")
+      .where(col("doc_id") === 11L).count() === 0)
+
+    // foreachBatch re-delivers batch 1: postings must NOT duplicate,
+    // the missing gram-set half must appear
+    graft.operators.Dedup.ingestContainmentBatch(b1, 1L,
+      s"$tmp/contidx", s"$tmp/admitted")
+    assert(spark.read.parquet(s"$tmp/contidx")
+      .where(col("doc_id") === 11L).count() === postAfterCrash,
+      "replay duplicated postings rows")
+    assert(spark.read.parquet(s"$tmp/contidx.gsets")
+      .where(col("doc_id") === 11L).count() === 1,
+      "replay did not heal the missing gram-set rows")
+
+    // the healed index still drives admission: a quote of doc 11 is
+    // rejected in the next batch
+    graft.operators.Dedup.ingestContainmentBatch(
+      Seq((20L, "intro kappa lambda mu nu xi phi outro"), (21L, "dalet he vav zayin het tet"))
+        .toDF("doc_id", "text"), 2L, s"$tmp/contidx", s"$tmp/admitted")
+    val got = spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L, 11L, 21L), s"admitted: $got")
+  }
+
   test("ingestIvfStream: streamed embeddings land in the probed index per batch") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stream-")
