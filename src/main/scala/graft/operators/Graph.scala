@@ -78,9 +78,17 @@ object Graph {
     *   rank_i+1(v) = scale*(dampDen-dampNum) DIV dampDen
     *                 + Σ_{(u,v) ∈ E} (rank_i(u) * dampNum) DIV (dampDen * outdeg(u))
     * Per-edge floor division (deterministic); DANGLING mass (nodes
-    * with no out-edges) is dropped, the standard simplification —
-    * ranks then order nodes identically to the redistribute variant
-    * on graphs where dangling nodes are leaves. `edges` must be
+    * with no out-edges) is DROPPED by default, the standard
+    * simplification — ranks then order nodes identically to the
+    * redistribute variant on graphs where dangling nodes are leaves.
+    * With `redistributeDangling = true`, each round adds
+    * `(Σ_{outdeg(u)=0} rank_i(u) · dampNum) DIV (dampDen · N)` to every
+    * node — the uniform teleport of the dangling mass, still exact
+    * integer arithmetic (one scalar per round, broadcast; rank totals
+    * are then conserved up to per-edge/per-node floor slack). Real web
+    * graphs have heavy dangling tails (leaf URLs, binary endpoints),
+    * where the drop variant silently deflates hub ranks — that is the
+    * variant a host-quality ranking should run. `edges` must be
     * DISTINCT (src, dst) rows; multiplicity is not weighted.
     *
     * Scale shape: the edge table is hash-partitioned on `src` ONCE and
@@ -96,7 +104,8 @@ object Graph {
     *         edge, rank_q the scaled integer rank after `iters` rounds. */
   def pageRankInt(edges: DataFrame, iters: Int = 3, dampNum: Long = 85,
       dampDen: Long = 100, scale: Long = 1000000L,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && dampDen > dampNum && dampNum > 0 && scale > 0)
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def truncated(df: DataFrame): DataFrame =
@@ -109,6 +118,10 @@ object Graph {
     val nodes = truncated(
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
+    // distinct sources = the non-dangling nodes; node count N is the
+    // teleport denominator (both only needed on the redistribute path)
+    lazy val srcs = e.select(col("src").as("__src")).distinct().persist()
+    lazy val nNodes = nodes.count()
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = nodes.select(col("id"), lit(scale).as("rank_q"))
     for (_ <- 1 to iters) {
@@ -117,12 +130,27 @@ object Graph {
         .select(col("dst"),
           expr(s"(rank_q * $dampNum) DIV (${dampDen}L * __deg)").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      ranks = truncated(nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(col("id"),
-          (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_q")))
+      val joined = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      ranks = truncated(
+        if (!redistributeDangling)
+          joined.select(col("id"),
+            (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_q"))
+        else {
+          // the round's dangling mass: ONE scalar row (an anti-join of
+          // node-sized relations + a SUM), broadcast to every node —
+          // never a per-node join against the dangling set
+          val dm = ranks.join(srcs, ranks("id") === col("__src"), "left_anti")
+            .agg(coalesce(sum(col("rank_q")), lit(0L)).as("__dm"))
+          joined.crossJoin(broadcast(dm))
+            .select(col("id"),
+              (lit(base) + coalesce(col("__in"), lit(0L)) +
+                expr(s"(__dm * $dampNum) DIV (${dampDen}L * $nNodes)"))
+                .as("rank_q"))
+        })
     }
     e.unpersist()
     withDeg.unpersist()
+    if (redistributeDangling) srcs.unpersist()
     ranks
   }
 }

@@ -1234,4 +1234,135 @@ object Similarity {
     adcShortlistRerank(e, idCol, vecCol, spark.read.parquet(indexPath),
       qvec, cbs, probeId, k, shortlistFactor)
   }
+
+  /** The probe vectors of a batch query, driver-side: |probes| rows —
+    * KBs, size-bounded. Fails with an actionable message on a missing
+    * probe (cf. [[ivfQueryIndexBatch]]). */
+  private def probeVecsOf(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], what: String): Map[Long, Seq[Float]] = {
+    require(probeIds.nonEmpty)
+    val m = emb.where(col(idCol).isin(probeIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    probeIds.foreach(pid =>
+      require(m.contains(pid), s"probe $pid not found in $what"))
+    m
+  }
+
+  /** One probe's ADC dot-product lookup table (m×kCode doubles —
+    * tiny, driver-side), the batch twin of [[adcShortlistRerank]]'s
+    * per-query LUT. */
+  private def adcDotLut(qvec: Seq[Float], cbs: Array[Array[Seq[Float]]])
+      : Seq[Seq[Double]] = {
+    val d = cbs(0)(0).length
+    cbs.zipWithIndex.map { case (row, ss) =>
+      val qs = qvec.slice(ss * d, ss * d + d)
+      row.map(c => c.zip(qs).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        .toSeq
+    }.toSeq
+  }
+
+  /** Batched ADC-scan + exact-rerank over a probe SET — the shared
+    * tail of [[pqTopKIndexedBatch]] / [[ivfPqTopKIndexedBatch]]: ONE
+    * scan of the codes relation serves every probe (each codes row
+    * joins only the broadcast probe rows keyed to it — all probes for
+    * the full-scan PQ path, the `__cid`-matched probes for IVF-PQ),
+    * scored through per-probe dot LUT columns riding in the broadcast;
+    * per-probe shortlists are bounded-heap aggregates (≤
+    * shortlistFactor·k rows/probe/task cross the wire), and ONE
+    * broadcast-driven exact pass rescopes all shortlists against the
+    * raw embeddings. Per-probe ordering identical to the single-probe
+    * paths (spec-pinned). `probes` columns: (probe_id, __pv, __lut
+    * [, join key]). */
+  private def adcShortlistRerankBatch(emb: DataFrame, idCol: String,
+      vecCol: String, codes: DataFrame, probes: DataFrame,
+      joinKeys: Seq[String], cbs: Array[Array[Seq[Float]]], k: Int,
+      shortlistFactor: Int): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val normLut: Seq[Seq[Double]] = cbs.map(_.map(c =>
+      c.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq
+    def lutSum(lut: Column): Column =
+      aggregate(zip_with(col("codes"), lut,
+          (c, lutRow) => element_at(lutRow, c + 1)),
+        lit(0.0), (acc, v) => acc + v)
+    val scored =
+      (if (joinKeys.isEmpty) codes.crossJoin(broadcast(probes))
+       else codes.join(broadcast(probes), joinKeys))
+        .where(col(idCol) =!= col("probe_id"))
+        .select(col("probe_id"), col(idCol),
+          (lutSum(col("__lut")) /
+            sqrt(greatest(lutSum(typedLit(normLut)), lit(1e-12))))
+            .as("__adc"))
+    val slAgg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression(col("__adc")), shim.expression(col(idCol)),
+        shortlistFactor * k)
+      .toAggregateExpression())
+    val shortlist = scored.groupBy(col("probe_id")).agg(slAgg.as("__sl"))
+      .select(col("probe_id"), explode(col("__sl")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as(idCol))
+    topKPerProbe(emb.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(probes.select(col("probe_id").as("__ppid"), col("__pv")))
+          .dropDuplicates("__ppid"),
+        col("probe_id") === col("__ppid"))
+      .select(col("probe_id"), col(idCol).as("vec_id"),
+        VectorFns.cosineQ(col(vecCol), col("__pv")).as("cos_sim")), k)
+  }
+
+  /** Batched [[pqTopKIndexed]] over a probe set — the recall-eval /
+    * offline-serving shape: build-once memoized codebooks, then ONE
+    * ADC scan of the stored codes serves the whole probe set. */
+  def pqTopKIndexedBatch(spark: SparkSession, emb: => DataFrame,
+      idCol: String, vecCol: String, indexPath: String,
+      probeIds: Seq[Long], k: Int, m: Int = 16, kCode: Int = 16,
+      shortlistFactor: Int = 16): DataFrame = {
+    val cbs = pqIndexes.computeIfAbsent(indexPath,
+      _ =>
+        if (graft.io.IndexPaths.complete(spark, indexPath) &&
+            graft.io.IndexPaths.complete(spark, pqCodebooksPath(indexPath)))
+          loadPqCodebooks(spark, indexPath)
+        else pqWriteIndex(emb, idCol, vecCol, indexPath, m, kCode))
+    val e = emb
+    val pv = probeVecsOf(e, idCol, vecCol, probeIds, s"embeddings for $indexPath")
+    import spark.implicits._
+    val probes = probeIds.map(pid => (pid, pv(pid), adcDotLut(pv(pid), cbs)))
+      .toDF("probe_id", "__pv", "__lut")
+    adcShortlistRerankBatch(e, idCol, vecCol,
+      spark.read.parquet(indexPath), probes, Seq.empty, cbs, k,
+      shortlistFactor)
+  }
+
+  /** Batched [[ivfPqTopKIndexed]] over a probe set: the union of all
+    * probes' nProbe inverted lists is read in ONE partition-pruned
+    * scan (PartitionFilters on `__cid`), each codes row ADC-scores
+    * only against the probes that probe ITS list, shortlists rerank
+    * exactly — both index pruning axes compose with the one-scan
+    * batch shape. */
+  def ivfPqTopKIndexedBatch(spark: SparkSession, emb: => DataFrame,
+      idCol: String, vecCol: String, indexPath: String,
+      probeIds: Seq[Long], k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      m: Int = 16, kCode: Int = 16, shortlistFactor: Int = 16): DataFrame = {
+    val (centroids, cbs) = ivfPqIndexes.computeIfAbsent(indexPath,
+      _ =>
+        if (graft.io.IndexPaths.complete(spark, indexPath) &&
+            graft.io.IndexPaths.complete(spark, centroidsPath(indexPath)) &&
+            graft.io.IndexPaths.complete(spark, pqCodebooksPath(indexPath)))
+          (loadCentroids(spark, indexPath), loadPqCodebooks(spark, indexPath))
+        else ivfPqWriteIndex(emb, idCol, vecCol, indexPath, nClusters, m, kCode))
+    val e = emb
+    val pv = probeVecsOf(e, idCol, vecCol, probeIds, s"embeddings for $indexPath")
+    val pairs = probeIds.flatMap { pid =>
+      val qv = pv(pid)
+      val lut = adcDotLut(qv, cbs)
+      centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, i)
+      }.sortBy(_._1).take(nProbe).map(t => (pid, t._2, qv, lut))
+    }
+    val allCids = pairs.map(_._2).distinct
+    import spark.implicits._
+    val probes = pairs.toDF("probe_id", "__cid", "__pv", "__lut")
+    adcShortlistRerankBatch(e, idCol, vecCol,
+      spark.read.parquet(indexPath).where(col("__cid").isin(allCids: _*)),
+      probes, Seq("__cid"), cbs, k, shortlistFactor)
+  }
 }

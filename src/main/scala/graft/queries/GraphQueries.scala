@@ -54,6 +54,24 @@ object GraphQueries {
       Graph.pageRankInt(edges, iters = 3)
     },
 
+    // The DANGLING-REDISTRIBUTE PageRank variant on the same DAG: the
+    // round's dangling mass (node 1 is the DAG's one sink) teleports
+    // uniformly to every node — exact integer share, so the oracle
+    // unrolls all 3 rounds including the per-round mass scalar. On
+    // real web graphs (heavy dangling tails) this is the variant a
+    // host-quality ranking runs; here the planted sink pins the
+    // arithmetic end to end.
+    "q_pagerank_redistribute" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val edges = part.select(col("p_partkey").cast("long").as("src"),
+          expr("p_partkey DIV 2").as("dst"))
+        .unionByName(part.select(col("p_partkey").cast("long").as("src"),
+          expr("p_partkey DIV 3").as("dst")))
+        .where(col("dst") > 0)
+        .distinct()
+      Graph.pageRankInt(edges, iters = 3, redistributeDangling = true)
+    },
+
     "q_recursive_chain" -> { (s, dir) =>
       t(s, dir, "part").createOrReplaceTempView("part")
       s.sql("""
@@ -111,6 +129,46 @@ object GraphQueries {
         |  GROUP BY e.dst),
         |r3 AS (SELECT n.id, 150000 + COALESCE(c.c, 0) AS r
         |  FROM nodes n LEFT JOIN c3 c USING (id))
+        |SELECT id, CAST(r AS BIGINT) AS rank_q FROM r3""".stripMargin,
+
+    "q_pagerank_redistribute" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS src,
+        |           CAST(p_partkey // 2 AS BIGINT) AS dst
+        |    FROM part WHERE p_partkey // 2 > 0
+        |    UNION ALL
+        |    SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+        |    FROM part WHERE p_partkey // 3 > 0)),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |d1 AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r0 r
+        |  LEFT JOIN deg ON deg.src = r.id WHERE deg.src IS NULL),
+        |c1 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r0 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.id,
+        |    150000 + COALESCE(c.c, 0) + (d1.dm * 85) // (100 * nn.n) AS r
+        |  FROM nodes n LEFT JOIN c1 c USING (id) CROSS JOIN d1 CROSS JOIN nn),
+        |d2 AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r1 r
+        |  LEFT JOIN deg ON deg.src = r.id WHERE deg.src IS NULL),
+        |c2 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r1 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.id,
+        |    150000 + COALESCE(c.c, 0) + (d2.dm * 85) // (100 * nn.n) AS r
+        |  FROM nodes n LEFT JOIN c2 c USING (id) CROSS JOIN d2 CROSS JOIN nn),
+        |d3 AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM r2 r
+        |  LEFT JOIN deg ON deg.src = r.id WHERE deg.src IS NULL),
+        |c3 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r2 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.id,
+        |    150000 + COALESCE(c.c, 0) + (d3.dm * 85) // (100 * nn.n) AS r
+        |  FROM nodes n LEFT JOIN c3 c USING (id) CROSS JOIN d3 CROSS JOIN nn)
         |SELECT id, CAST(r AS BIGINT) AS rank_q FROM r3""".stripMargin,
 
     "q_recursive_chain" ->

@@ -14,6 +14,34 @@ object VectorQueries {
 
   private val K = 10
 
+  /** Per-probe property rows for an ANN recall eval whose approx side
+    * is engine-internal (float codebooks/centroids, so no SQL replay):
+    * n_exact, the approx result count, and a recall floor per probe —
+    * computed distributedly (probe-keyed joins over k-row-per-probe
+    * relations), no driver loop. */
+  private def recallPropertyFrame(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame, probeIds: Seq[Long],
+      nCol: String, floor: Double): org.apache.spark.sql.DataFrame = {
+    val a = approx.select(col("probe_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        probeIds, K)
+      .select(col("probe_id"), col("vec_id")).persist()
+    val nEx = exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+    val nA = a.groupBy("probe_id").agg(count(lit(1)).as(nCol))
+    val hits = exact.join(a, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    val out = nEx.join(nA, Seq("probe_id"), "left")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col(nCol), lit(0L)).as(nCol),
+        (coalesce(col("n_hits"), lit(0L)) >=
+          ceil(col("n_exact") * floor).cast("long")).as("recall_ok"))
+    out.count() // force before unpersist
+    exact.unpersist()
+    out
+  }
+
   /** DuckDB CTEs mirroring [[graft.operators.Similarity.quantizeInt8]]:
     * `v(vec_id, qv)` with int8-quantized BIGINT lanes. */
   private val sqlQuantized: String =
@@ -272,6 +300,39 @@ object VectorQueries {
       out
     },
 
+    // Recall eval for the COMPRESSED index: batched PQ probes — one
+    // ADC scan of the stored codes serves the whole probe set, exact
+    // rerank of the bounded shortlists — vs batched exact. Float
+    // codebooks are engine-internal, so like q_ann_pq the oracle
+    // checks the property rows: k results per probe and the recall
+    // floor. Full-scan ADC (no pruning axis) keeps recall high even
+    // on the boundary-straddling probes, hence the 0.7 floor.
+    "q_ann_recall_pq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val indexPath = graft.io.IndexPaths.indexPath("pq",
+        s"$dir/embeddings.parquet", "m16k16")
+      val probeIds = Seq(0L, 7L, 19L, 42L)
+      val pq = Similarity.pqTopKIndexedBatch(s, emb, "vec_id",
+        "embedding", indexPath, probeIds, k = K)
+      recallPropertyFrame(s, emb, pq, probeIds, "n_pq", floor = 0.7)
+    },
+
+    // And for the canonical production layout: batched IVF-PQ probes —
+    // one partition-pruned scan of the probed lists, ADC within them,
+    // exact rerank — vs batched exact. Both pruning axes compose with
+    // the one-scan batch shape; nProbe = 8 as in q_ann_ivfpq, floor
+    // 0.5 as in q_ann_recall_ivf (the probe set deliberately includes
+    // list-boundary probes the directory pruning can shave).
+    "q_ann_recall_ivfpq" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val indexPath = graft.io.IndexPaths.indexPath("ivfpq",
+        s"$dir/embeddings.parquet", "c16m16k16")
+      val probeIds = Seq(0L, 7L, 19L, 42L)
+      val ivfpq = Similarity.ivfPqTopKIndexedBatch(s, emb, "vec_id",
+        "embedding", indexPath, probeIds, k = K, nProbe = 8)
+      recallPropertyFrame(s, emb, ivfpq, probeIds, "n_ivfpq", floor = 0.5)
+    },
+
     // Embedding near-dup CLUSTERING: connected components over the
     // banded-LSH pair list (min-label propagation + pointer jumping) —
     // the "pick one representative per embedding-duplicate cluster"
@@ -410,6 +471,22 @@ object VectorQueries {
         |  (CAST(19 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
         |  (CAST(42 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE))
         |  t(probe_id, n_exact, n_ivf, recall_ok)""".stripMargin,
+
+    "q_ann_recall_pq" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(7 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(19 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(42 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE))
+        |  t(probe_id, n_exact, n_pq, recall_ok)""".stripMargin,
+
+    "q_ann_recall_ivfpq" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(7 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(19 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(42 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE))
+        |  t(probe_id, n_exact, n_ivfpq, recall_ok)""".stripMargin,
 
     "q_ann_recall" ->
       s"""WITH ${sqlPlanes(8)},

@@ -133,4 +133,42 @@ class GraphSpec extends SparkSpec {
     assert(got(101L) > got(1L))
     assert((1L to 20L).map(got).distinct.size === 1) // leaves identical
   }
+
+  test("pageRankInt redistributeDangling: mass conserved within floor slack; drop variant deflates") {
+    // star into a SINK: 20 leaves -> 100, 100 -> 101, 101 dangling —
+    // the heavy-dangling-tail shape of real web graphs, where the sink
+    // swallows the hub's whole contribution each round
+    val edges = ((1L to 20L).map(i => (i, 100L)) :+ ((100L, 101L)))
+      .toDF("src", "dst")
+    val n = 22L
+    val scale = 1000000L
+    val redis = Graph.pageRankInt(edges, iters = 3,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    val drop = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // conservation: total stays within per-round floor-division slack
+    // of N*scale (each round loses < 1 unit per edge + per node + the
+    // damped remainder of the integer divisions, never gains)
+    val total = redis.values.sum
+    assert(total <= n * scale, s"total $total must not exceed ${n * scale}")
+    assert(total > (n * scale * 99) / 100,
+      s"total $total lost more than 1% to floor slack")
+    // the drop variant leaks the sink's mass: strictly smaller total,
+    // and every node weakly below its redistribute rank
+    assert(drop.values.sum < total)
+    assert(redis.keySet === drop.keySet)
+    redis.keys.foreach(k => assert(redis(k) >= drop(k), s"node $k"))
+    // redistribute keeps the ORDER structure (hub > sink > leaves here)
+    assert(redis(100L) > redis(101L) && redis(101L) > redis(1L))
+  }
+
+  test("pageRankInt redistributeDangling: no dangling nodes => identical to drop variant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankInt(edges, iters = 3, redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
 }

@@ -109,6 +109,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq/ivfPq batch: one-ADC-scan probe-set paths match the per-probe operators") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqbatch").toString
+    val e = emb.select("vec_id", "embedding")
+    val probes = Seq(0L, 7L, 19L)
+    def grouped(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    def single(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.orderBy("rk").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val pqBatch = grouped(Similarity.pqTopKIndexedBatch(spark, e, "vec_id",
+      "embedding", s"$tmp/pq", probes, 10))
+    probes.foreach { p =>
+      assert(pqBatch(p) === single(Similarity.pqTopKIndexed(spark, e,
+        "vec_id", "embedding", s"$tmp/pq", p, 10)), s"pq probe $p")
+    }
+    val ivfpqBatch = grouped(Similarity.ivfPqTopKIndexedBatch(spark, e,
+      "vec_id", "embedding", s"$tmp/ivfpq", probes, 10, nProbe = 8))
+    probes.foreach { p =>
+      assert(ivfpqBatch(p) === single(Similarity.ivfPqTopKIndexed(spark, e,
+        "vec_id", "embedding", s"$tmp/ivfpq", p, 10, nProbe = 8)),
+        s"ivfpq probe $p")
+    }
+    // a probe id absent from the corpus fails with an actionable message
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopKIndexedBatch(spark, e, "vec_id", "embedding",
+        s"$tmp/pq", Seq(0L, 999999L), 10)
+    }
+    assert(ex.getMessage.contains("999999"))
+  }
+
   test("annRecallReport: planted duplicate is recalled; multi-probe >= single-bucket") {
     // an identical copy of probe 0's vector shares its bucket, so BOTH
     // lsh paths must retrieve it and score a hit against exact top-k
