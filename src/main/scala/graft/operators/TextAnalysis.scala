@@ -403,16 +403,7 @@ object TextAnalysis {
       col(sourceCol).as("source"),
       size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = withTok.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .withColumn("w_q",
-        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-    val wSum = stats.agg(sum(col("w_q")).as("w_sum"))
-    val cuts = stats.crossJoin(broadcast(wSum))
-      .withColumn("target_tokens",
-        expr(s"(${budgetTokens}L * w_q) DIV w_sum"))
-      .withColumn("cut_q",
-        least(lit(65536L), expr("(target_tokens * 65536L) DIV n_tokens")))
+    val cuts = temperatureCuts(withTok, budgetTokens)
     val kept = withTok
       .join(broadcast(cuts.select(col("source"), col("cut_q"))), "source")
       .where(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
@@ -422,6 +413,43 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("w_q"),
         col("target_tokens"), col("cut_q"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** The per-source √-weighted cuts of [[temperatureMix]] from a
+    * (doc_id, source, n_tok) relation: (source, n_docs, n_tokens, w_q,
+    * target_tokens, cut_q). A source whose tokens scrubbed away
+    * entirely keeps cut_q = 65536 (its zero-token docs are free). */
+  private def temperatureCuts(withTok: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    val stats = withTok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_q",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val wSum = stats.agg(sum(col("w_q")).as("w_sum"))
+    stats.crossJoin(broadcast(wSum))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * w_q) DIV w_sum"))
+      .withColumn("cut_q",
+        when(col("n_tokens") === 0L, lit(65536L)).otherwise(
+          least(lit(65536L), expr("(target_tokens * 65536L) DIV n_tokens"))))
+  }
+
+  /** DOC-level keep decisions of [[temperatureMix]] over PRECOMPUTED
+    * token counts — the composable form a pipeline stage uses when the
+    * budget must reflect upstream surgery (e.g.
+    * [[dedupExactSubstrings]]' scrubbed counts, not raw bytes):
+    * `counts` is (doc_id, source, n_tok); returns every input row with
+    * its source's `cut_q` and the md5-prefix `kept` verdict. Same
+    * arithmetic as [[temperatureMix]] (which reports the per-source
+    * rollup of exactly these decisions). */
+  def temperatureMixDocs(counts: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0)
+    val cuts = temperatureCuts(counts, budgetTokens)
+    counts
+      .join(broadcast(cuts.select(col("source"), col("cut_q"))), "source")
+      .withColumn("kept",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") < col("cut_q"))
   }
 
   /** Gopher-style document quality RULES (Rae et al. 2021, the rule

@@ -833,6 +833,48 @@ object TextQueries {
           max(col("start_tok") + col("n_tok")).as("n_tokens"))
     },
 
+    // End-to-end corpus assembly v3 — the round-6 curation operators
+    // COMPOSED, because their interactions are order-sensitive in ways
+    // single-operator oracles cannot pin: Gopher hard rules -> hard
+    // domain cap over the survivors (the cap ranks the post-filter
+    // population) -> exact-substring scrub WITHIN the capped set (the
+    // scrub is corpus-relative: capping first changes which doc owns a
+    // span) -> temperature mix budgeted on the SCRUBBED token counts
+    // (raw-byte budgets would re-inflate boilerplate-heavy sources) ->
+    // leakage-safe cluster split of the final keepers. The oracle
+    // replays all five stages in one SQL chain. Every stage BITES at
+    // sf0.01 (minWords=25 fails ~15% of docs; the cap drops 500->200;
+    // the 2000-token budget cuts 200->~100 with every cut_q strictly
+    // inside (0, 65536)) — a pipeline whose stages pass everything
+    // through would pin nothing.
+    "q_corpus_pipeline_v3" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val gDocs = docs.join(
+        TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 25)
+          .where(col("verdict")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val capped = gDocs.join(
+        TextAnalysis.domainCap(gDocs, "doc_id", "source", cap = 10)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      val scrub = TextAnalysis.dedupExactSubstrings(capped, "doc_id", "text")
+        .select(col("doc_id"), col("n_kept").as("n_tok"))
+      val counts = capped.select(col("doc_id"), col("source"))
+        .join(scrub, Seq("doc_id"))
+      val fin = TextAnalysis.temperatureMixDocs(counts, budgetTokens = 2000L)
+        .where(col("kept"))
+        .select(col("doc_id"), col("source"),
+          col("n_tok").as("n_tok_scrubbed"))
+      val finDocs = docs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
+      val pairs = Dedup.minhashDedupPairs(finDocs, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      fin.join(
+        Dedup.leakageSafeSplit(finDocs,
+          pairs.select(col("doc_a"), col("doc_b")), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+        Seq("doc_id"))
+        .select("doc_id", "source", "n_tok_scrubbed", "rep", "split")
+    },
+
     // RAG chunking: 64-token windows every 48 tokens (16 overlap);
     // chunk content committed via md5 so the compare is exact without
     // shipping chunk text.
@@ -1701,6 +1743,95 @@ object TextQueries {
          |    AS BIGINT) AS n_chunks,
          |  n AS n_tokens
          |FROM kept""".stripMargin,
+
+    // all five v3 stages replayed in one chain: gopher verdicts, the
+    // md5-rank cap over the survivors, first-occurrence substring
+    // coverage within the capped set, sqrt-weighted cuts over the
+    // SCRUBBED counts, and the cluster-rep split of the final keepers
+    "q_corpus_pipeline_v3" ->
+      s"""WITH RECURSIVE gd AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS gws,
+         |    list_filter(string_split(text, chr(10)), x -> x <> '') AS gls
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(gws) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform(gws, x -> length(x))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(len(list_filter(gws, x -> regexp_matches(x, '\\p{L}')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(gls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '^\\s*[-*•]')))
+         |      AS BIGINT) AS n_bul,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '\\.\\.\\.$$')))
+         |      AS BIGINT) AS n_ell
+         |  FROM gd),
+         |gok AS (SELECT doc_id FROM (SELECT *, CASE WHEN n_words > 0
+         |      THEN (chars * 100) // n_words ELSE 0 END AS mwl FROM gm)
+         |  WHERE n_words >= 25 AND n_words <= 100000
+         |    AND mwl >= 300 AND mwl <= 1000
+         |    AND n_alpha * 5 >= n_words * 4
+         |    AND n_bul * 10 <= n_lines AND n_ell * 10 <= n_lines * 3),
+         |cap AS (SELECT doc_id FROM (
+         |    SELECT d.doc_id, row_number() OVER (PARTITION BY d.source
+         |        ORDER BY CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+         |                 1, 12) AS BIGINT), d.doc_id) AS rk
+         |    FROM documents d JOIN gok USING (doc_id))
+         |  WHERE rk <= 10),
+         |toks AS (SELECT d.doc_id, d.source, $SQL_TOKS AS ws
+         |  FROM documents d JOIN cap USING (doc_id)),
+         |sgrams AS (SELECT doc_id, i - 1 AS p,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |      || ' ' || ws[i+4] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |own AS (SELECT g, MIN(doc_id) AS fid FROM sgrams GROUP BY g),
+         |cov AS (SELECT DISTINCT sgrams.doc_id, sgrams.p + dd AS cp
+         |  FROM sgrams JOIN own USING (g), UNNEST(range(0, 5)) AS u(dd)
+         |  WHERE sgrams.doc_id > own.fid),
+         |nc AS (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id),
+         |sc AS (SELECT t.doc_id, t.source,
+         |    CAST(len(ws) - COALESCE(nc.n_cov, 0) AS BIGINT) AS n_tok
+         |  FROM toks t LEFT JOIN nc USING (doc_id)),
+         |st AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM sc GROUP BY source),
+         |w AS (SELECT source, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |cu AS (SELECT source, n_tokens, w_q,
+         |    CAST((2000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |cu2 AS (SELECT source, CASE WHEN n_tokens = 0 THEN 65536
+         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens) END AS cut_q
+         |  FROM cu),
+         |fin AS (SELECT sc.doc_id, sc.source, sc.n_tok
+         |  FROM sc JOIN cu2 USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 4))
+         |          AS BIGINT) < cut_q),
+         |jgr AS (SELECT DISTINCT f.doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM fin f JOIN toks USING (doc_id),
+         |    UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM jgr GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+         |  FROM jgr a JOIN jgr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT da, db FROM inter
+         |  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s2, db AS d2 FROM pr
+         |  UNION SELECT db, da FROM pr),
+         |reach(s2, d2) AS (SELECT s2, d2 FROM edges
+         |  UNION SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2),
+         |cl AS (SELECT s2 AS doc_id, LEAST(s2, MIN(d2)) AS cluster
+         |  FROM reach GROUP BY s2),
+         |rep AS (SELECT f.doc_id, COALESCE(cl.cluster, f.doc_id) AS rep
+         |  FROM fin f LEFT JOIN cl USING (doc_id))
+         |SELECT f.doc_id, f.source, f.n_tok AS n_tok_scrubbed, r.rep,
+         |  CASE WHEN substring(md5(CAST(r.rep AS VARCHAR)), 1, 4) < 'cccd'
+         |       THEN 'train'
+         |       WHEN substring(md5(CAST(r.rep AS VARCHAR)), 1, 4) < 'e666'
+         |       THEN 'val' ELSE 'test' END AS split
+         |FROM fin f JOIN rep r USING (doc_id)""".stripMargin,
 
     "q_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, $SQL_TOKS AS ws,

@@ -98,6 +98,28 @@ class Round6PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: temperatureMixDocs — per-source rollup of the doc decisions IS temperatureMix") {
+    val srcGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.chooseNum(1, 12))).map(_.take(20))
+    check(Prop.forAll(srcGen) { rows =>
+      val docs = rows.zipWithIndex.map { case ((s, nw), i) =>
+        (i.toLong, Seq.fill(nw)("word").mkString(" "), s)
+      }.toDF("doc_id", "text", "source")
+      val counts = docs.select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.letterTokens(col("text")))
+          .cast("long").as("n_tok"))
+      val rolled = TextAnalysis.temperatureMixDocs(counts, budgetTokens = 30L)
+        .groupBy("source")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mix = TextAnalysis.temperatureMix(docs, "doc_id", "text",
+          "source", budgetTokens = 30L)
+        .select("source", "n_kept")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      rolled == mix
+    })
+  }
+
   test("property: imageAHash — constant image hashes to zero, any image round-trips the codec") {
     val seedGen = Gen.chooseNum(0, 255)
     check(Prop.forAll(seedGen) { v =>
