@@ -294,7 +294,7 @@ object Dedup {
     * array row-locally and reunites the two pair sides, yielding
     * (doc_a, doc_b, __gs_a, __gs_b, __ni = |A∩B|). See
     * [[jaccardRescore]] for the shuffle analysis. */
-  private def pairGramSets(cands: DataFrame, docs: DataFrame,
+  private[operators] def pairGramSets(cands: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, ngram: Int): DataFrame = {
     val candIds = cands.select(col("doc_a").as(idCol))
       .union(cands.select(col("doc_b").as(idCol)))
@@ -359,7 +359,7 @@ object Dedup {
     * need no prefix slots: a partner holding >= iMin of A's grams
     * holds them among A's SHAREABLE grams, so the prefix only has to
     * cover those (length |shareable| - iMin + 1, rarest-df first). */
-  private def prefixCandidates(sets: DataFrame, threshold: Double,
+  private[operators] def prefixCandidates(sets: DataFrame, threshold: Double,
       maxDf: Option[Long]): DataFrame = {
     // Uncapped, the within-doc gram order only SIZES the candidate
     // join (100% recall under ANY order), so the raw xxhash64 longs
@@ -430,7 +430,7 @@ object Dedup {
     * by probing the scoring predicate's OWN double arithmetic, so
     * float fuzz at the boundary (ceil(t·sz) off by one ulp either
     * way) can never open a recall hole in a prefix sized from it. */
-  private def iMinOf(sz: Column, threshold: Double): Column = {
+  private[operators] def iMinOf(sz: Column, threshold: Double): Column = {
     val cGuess = ceil(lit(threshold) * sz)
     when((cGuess - 1).cast("double") / sz.cast("double") >= threshold,
       cGuess - 1).otherwise(cGuess)
@@ -447,9 +447,14 @@ object Dedup {
     * work ∝ near-dups, not candidates.
     * `hsets` = (doc_id, __hs, __sz2) for every id candidates mention;
     * `docsAll` supplies (idCol, textCol) for the string verify. */
-  private def scoreContainment(cands: DataFrame, hsets: DataFrame,
+  private[operators] def scoreContainment(cands: DataFrame, hsets: DataFrame,
       docsAll: DataFrame, idCol: String, textCol: String, ngram: Int,
       threshold: Double): DataFrame = {
+    // membership union + pair groupBy (rather than one aliased join
+    // per pair side): measured equal at sf0.1, and the first()-keyed
+    // aggregate additionally DEDUPES duplicate hsets rows per doc — a
+    // torn at-least-once index append can leave those, and the aliased
+    // two-join shape would multiply candidate pairs by them
     val mem = cands.select(col("doc_a"), col("doc_b"),
         col("doc_a").as("doc_id"), lit(true).as("__is_a"))
       .unionByName(cands.select(col("doc_a"), col("doc_b"),
@@ -621,7 +626,13 @@ object Dedup {
     // them inside the pool, so a pool-prefix of |pool| - iMin + 1
     // rarest-by-stored-df grams cannot be missed entirely; batch-novel
     // grams produce no corpus candidates and consume no prefix slots)
-    val idxDf = postings.select(col("gh"), col("__df")).distinct()
+    // one (gh -> df) row per stored gram. groupBy(gh), NOT
+    // distinct(gh, __df): __df is functionally determined by gh, and
+    // the gh-keyed aggregate leaves the relation hash-partitioned on
+    // exactly the key the join below needs — the (gh, __df)-keyed
+    // distinct partitioning satisfied nothing and forced a second
+    // vocabulary-sized exchange
+    val idxDf = postings.groupBy(col("gh")).agg(max(col("__df")).as("__df"))
     val bGramsAll = bsets.select(col("doc_id"), explode(col("__hs")).as("gh"))
     val bIMin = iMinOf(col("__sz"), threshold)
     val bPrefix = bGramsAll.join(idxDf.hint("shuffle_hash"), Seq("gh"))
@@ -652,9 +663,11 @@ object Dedup {
       .distinct())
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
+    // no .distinct() on the semi-join side: the semi build dedups by
+    // construction, and the distinct only added an exchange
     val hsets = bsets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2"))
       .unionByName(spark.read.parquet(indexPath + ".gsets")
-        .join(candIds.distinct(), Seq("doc_id"), "left_semi"))
+        .join(candIds, Seq("doc_id"), "left_semi"))
     val docsAll = newDocs.select(col(idCol), col(textCol))
       .unionByName(corpusDocs.select(col(idCol), col(textCol)))
     scoreContainment(cands, hsets, docsAll, idCol, textCol, ngram, threshold)
