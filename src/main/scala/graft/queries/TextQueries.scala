@@ -853,17 +853,21 @@ object TextQueries {
         TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 25)
           .where(col("verdict")).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      val capped = gDocs.join(
+      // capped and fin each feed several downstream branches (scrub +
+      // counts; split + final join) — persist so the filter chain and
+      // the mix decisions run once (harness clearCache() reclaims)
+      val capped = graft.operators.Caches.persist(gDocs.join(
         TextAnalysis.domainCap(gDocs, "doc_id", "source", cap = 10)
-          .select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id"), Seq("doc_id"), "left_semi"))
       val scrub = TextAnalysis.dedupExactSubstrings(capped, "doc_id", "text")
         .select(col("doc_id"), col("n_kept").as("n_tok"))
       val counts = capped.select(col("doc_id"), col("source"))
         .join(scrub, Seq("doc_id"))
-      val fin = TextAnalysis.temperatureMixDocs(counts, budgetTokens = 2000L)
-        .where(col("kept"))
-        .select(col("doc_id"), col("source"),
-          col("n_tok").as("n_tok_scrubbed"))
+      val fin = graft.operators.Caches.persist(
+        TextAnalysis.temperatureMixDocs(counts, budgetTokens = 2000L)
+          .where(col("kept"))
+          .select(col("doc_id"), col("source"),
+            col("n_tok").as("n_tok_scrubbed")))
       val finDocs = docs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
       val pairs = Dedup.minhashDedupPairs(finDocs, "doc_id", "text",
         ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
