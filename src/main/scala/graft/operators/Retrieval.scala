@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Full-text retrieval over document tables: exact-INTEGER BM25
+  * scoring and top-k ranking for a query set, with a stored-postings
+  * index form for the production path. This is the retrieval side of a
+  * training-data pipeline (decontamination lookups, retrieval-mixed
+  * sampling, eval-set nearest-document audits) and the natural
+  * generalization of the reference's one query — word count
+  * (`/root/reference/test/wordCount.go:14-32`) — to scored search:
+  * the same (term, doc, tf) relation, scored instead of summed.
+  *
+  * Scoring (all integer, bit-reproducible cross-engine — the full
+  * DuckDB oracle replays it verbatim):
+  *  - tokens: [[TextFns.letterTokens]] (the engine-wide Q6 contract);
+  *    `tf` = occurrences of term in doc, `dl` = doc token count,
+  *    `N` = docs with ≥ 1 token, `avgdl_floor = total_tokens DIV N`;
+  *  - length ratio `r_c = (dl · 100) DIV avgdl_floor` (centi-scaled);
+  *  - tf normalization with k1 = 6/5, b = 3/4 as EXACT fractions:
+  *    `tfn = tf·(k1+1) / (tf + k1·(1−b+b·r))`, cross-multiplied by 20
+  *    to clear denominators →
+  *    `tfn_micro = (4 400 000 000 · tf) DIV (2000·tf + 600 + 18·r_c)`;
+  *  - idf is the LOG-FREE probabilistic odds ratio
+  *    `(N − df + ½)/(df + ½)`, cleared to integers:
+  *    `idf_centi = ((2N − 2df + 1) · 100) DIV (2df + 1)` — the one
+  *    deliberate departure from textbook BM25: `ln` is not
+  *    correctly-rounded by IEEE (unlike sqrt), so a log idf cannot
+  *    hash-match across engines; the odds form is monotone in df like
+  *    the log form (rarer ⇒ larger), weights rare terms more
+  *    aggressively, and is exactly replayable;
+  *  - per-term contribution `(idf_centi · tfn_micro) DIV 100`, summed
+  *    per (query, doc) as plain integers (order-free — no float-sum
+  *    nondeterminism). Query terms are DISTINCT (bag-of-words,
+  *    qtf = 1, the common BM25 practice for short queries).
+  *
+  * Scale shape: one word-count-shaped postings pass (map-side
+  * combined), df/dl/N ride the same aggregates; query terms are a
+  * BOUNDED relation (queries × terms — KBs) and BROADCAST into the
+  * postings join, so the corpus never shuffles for the match; scoring
+  * is row-local arithmetic; per-(query, doc) partial aggregation and
+  * the per-query top-k bounded-heap ([[graft.functions.expr.TopKByScore]])
+  * mean ≤ k rows per query per map task cross the wire — never a
+  * query-partitioned rank window over the corpus. A hot term (present
+  * in 10⁸ docs) fans out row-locally from the postings scan; its df is
+  * one reducer's COUNT. */
+object Retrieval {
+
+  /** The (term, doc_id, tf, dl, df) postings relation of a corpus plus
+    * its (n_docs, total_tokens) stats — df and dl DENORMALIZED onto
+    * every posting row so query-time scoring is row-local. */
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 1)
+    val tfdl = toks
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tfdl.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__toks")).cast("long")).as("total_tokens"))
+    (tfdl.join(dfreq.hint("shuffle_hash"), Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df")),
+      stats)
+  }
+
+  /** Distinct (query_id, term) rows of a query set — bounded,
+    * broadcastable. */
+  private def queryTerms(queries: DataFrame, qidCol: String,
+      qtextCol: String): DataFrame =
+    queries.select(col(qidCol).as("query_id"),
+        explode(TextFns.letterTokens(col(qtextCol))).as("term"))
+      .distinct()
+
+  /** Shared scoring+ranking tail over a postings relation: broadcast
+    * the query terms in, score row-locally, aggregate per (query, doc),
+    * bounded-heap top-k per query. Stats arrive as a one-row frame
+    * (cross-joined broadcast — same pattern as [[TextAnalysis.termDrift]]'s
+    * totals). */
+  private def rankPostings(postings: DataFrame, stats: DataFrame,
+      qterms: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    // every division is integral DIV (never float-divide-then-floor:
+    // a correctly-rounded double can land on the wrong side of an
+    // integer boundary at these magnitudes)
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__rc",
+        expr("(dl * 100L) DIV (total_tokens DIV n_docs)"))
+      .withColumn("__tfn",
+        expr("(4400000000L * tf) DIV (2000L * tf + 600L + 18L * __rc)"))
+      .withColumn("__idf",
+        expr("((2L * n_docs - 2L * df + 1L) * 100L) DIV (2L * df + 1L)"))
+      .select(col("query_id"), col("doc_id"),
+        expr("(__idf * __tfn) DIV 100L").as("__c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("score_q"))
+    val agg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression(col("score_q").cast("double")),
+        shim.expression(col("doc_id")), k)
+      .toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(agg.as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as("doc_id"),
+        col("__e.score").cast("long").as("score_q"),
+        (col("__p") + 1).cast("long").as("rk"))
+  }
+
+  /** BM25 top-k documents per query, computed from the corpus in one
+    * pass (the ad-hoc form — production queries go through
+    * [[bm25TopKIndexed]] and pay only the postings read).
+    * `queries` is a (qidCol: long, qtextCol: string) relation.
+    * @return (query_id, doc_id, score_q, rk) — ties broken by doc_id
+    *         ascending (the bounded-heap contract), scores micro-scaled
+    *         integers. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, qidCol: String = "query_id",
+      qtextCol: String = "qtext"): DataFrame = {
+    val (postings, stats) = postingsOf(docs, idCol, textCol)
+    rankPostings(postings, stats, queryTerms(queries, qidCol, qtextCol), k)
+  }
+
+  /** Materialize the BM25 index: the denormalized postings table at
+    * `path` (term, doc_id, tf, dl, df) and a one-row stats sibling at
+    * `path + ".stats"` (n_docs, total_tokens). df/avgdl are
+    * CORPUS-GLOBAL, so the index is rebuild-only (no append form):
+    * folding a batch in without rescoring would serve stale df to
+    * every query — the standard search-engine segment-merge problem;
+    * rebuild on corpus change, the same offline-ingest lifecycle as
+    * [[Dedup.writeContainmentIndex]]. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String, coalesceTo: Int = 0): Unit = {
+    def bounded(df: DataFrame) =
+      if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    val (postings, stats) = postingsOf(docs, idCol, textCol)
+    bounded(postings).write.mode("overwrite").parquet(path)
+    stats.coalesce(1).write.mode("overwrite").parquet(path + ".stats")
+  }
+
+  private val bm25Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Drop the build-once memo for `path` (cf.
+    * [[Dedup.invalidateContainmentIndex]]). */
+  def invalidateBm25Index(path: String): Unit = bm25Indexes.remove(path)
+
+  /** BM25 top-k through the materialized index: build-once memoized
+    * ([[graft.io.IndexPaths.complete]] commit markers, torn dirs
+    * rebuild), then every query-set evaluation is ONE postings read +
+    * the broadcast-match scoring pass — the corpus text is never
+    * re-tokenized at query time. */
+  def bm25TopKIndexed(spark: SparkSession, docs: => DataFrame,
+      idCol: String, textCol: String, path: String, queries: DataFrame,
+      k: Int, qidCol: String = "query_id", qtextCol: String = "qtext")
+      : DataFrame = {
+    bm25Indexes.computeIfAbsent(path, { _ =>
+      if (!graft.io.IndexPaths.complete(spark, path) ||
+          !graft.io.IndexPaths.complete(spark, path + ".stats"))
+        writeBm25Index(docs, idCol, textCol, path, coalesceTo = 8)
+      java.lang.Boolean.TRUE
+    })
+    rankPostings(spark.read.parquet(path),
+      spark.read.parquet(path + ".stats"),
+      queryTerms(queries, qidCol, qtextCol), k)
+  }
+}

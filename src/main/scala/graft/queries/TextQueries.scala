@@ -35,6 +35,58 @@ object TextQueries {
        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
 
+  /** The fixed BM25 query set shared by q_bm25 / q_bm25_indexed and
+    * replayed as VALUES in their oracle. */
+  private val bm25QuerySet: Seq[(Long, String)] = Seq(
+    1L -> "hash join order",
+    2L -> "vector scan filter",
+    3L -> "customer data stream window")
+
+  private def bm25Queries(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    s.createDataFrame(bm25QuerySet).toDF("query_id", "qtext")
+
+  /** Full integer replay of [[graft.operators.Retrieval.bm25TopK]]:
+    * postings, df, floor-avgdl, the odds idf and cross-multiplied tf
+    * normalization, per-term integer contributions, and the
+    * (score DESC, doc_id ASC) ranking — shared by q_bm25 and
+    * q_bm25_indexed (the stored path must be bit-identical). */
+  private lazy val sqlBm25: String = {
+    val values = bm25QuerySet
+      .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+      .mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $values),
+       |qt AS (SELECT DISTINCT query_id,
+       |    unnest(list_filter(string_split_regex(qtext, '[^\\p{L}]+'),
+       |      x -> x <> '')) AS term
+       |  FROM q),
+       |d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM
+       |    (SELECT doc_id, $SQL_TOKS AS ws FROM documents)
+       |  WHERE len(ws) >= 1),
+       |tf AS (SELECT doc_id, dl, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
+       |  GROUP BY doc_id, dl, w),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY term),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS total FROM d),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |    CAST(SUM(
+       |      ( (((2 * st.n_docs - 2 * dfq.df + 1) * 100) // (2 * dfq.df + 1))
+       |        * ((4400000000 * tf.tf) //
+       |           (2000 * tf.tf + 600 +
+       |            18 * ((tf.dl * 100) // (st.total // st.n_docs)))) ) // 100
+       |    ) AS BIGINT) AS score_q
+       |  FROM tf JOIN qt USING (term) JOIN dfq USING (term), st
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score_q, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT query_id, doc_id, score_q,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_q DESC, doc_id ASC) AS rk
+       |  FROM sc)
+       |WHERE rk <= 10""".stripMargin
+  }
+
   private def sqlJaccard(threshold: Double): String =
     s"""SELECT da AS doc_a, db AS doc_b,
        |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
@@ -656,6 +708,30 @@ object TextQueries {
     "q_domain_cap" -> { (s, dir) =>
       TextAnalysis.domainCap(t(s, dir, "documents"), "doc_id", "source",
         cap = 10)
+    },
+
+    // Exact-integer BM25 retrieval: top-10 documents per query for a
+    // fixed 3-query set — rational odds idf + cross-multiplied tf
+    // normalization (k1=6/5, b=3/4), so the ENTIRE scorer (postings,
+    // df, avgdl, per-term contributions, ranking, tie-break) replays
+    // bit-for-bit in the SQL oracle; ln is the only textbook step that
+    // cannot, and it is deliberately absent.
+    "q_bm25" -> { (s, dir) =>
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", bm25Queries(s), k = 10)
+    },
+
+    // The same retrieval through the MATERIALIZED postings index
+    // (build-once, commit-marker gated): query time pays one postings
+    // read + the broadcast-match scoring pass — the corpus text is
+    // never re-tokenized. Same oracle as q_bm25: the stored path must
+    // reproduce the ad-hoc path exactly.
+    "q_bm25_indexed" -> { (s, dir) =>
+      val indexPath = graft.io.IndexPaths.indexPath("bm25",
+        s"$dir/documents.parquet", "v1")
+      graft.operators.Retrieval.bm25TopKIndexed(s,
+        t(s, dir, "documents"), "doc_id", "text", indexPath,
+        bm25Queries(s), k = 10)
     },
 
     // Fuzzy string matching (edit distance <= 3) over distinct part
@@ -1369,6 +1445,9 @@ object TextQueries {
         |        doc_id) AS BIGINT) AS pick_rank
         |  FROM documents)
         |WHERE pick_rank <= 10""".stripMargin,
+
+    "q_bm25" -> sqlBm25,
+    "q_bm25_indexed" -> sqlBm25,
 
     "q_fuzzy_match" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Behavioral pins for the exact-integer BM25 scorer: term matching,
+  * idf monotonicity, length normalization, and the stored-index path's
+  * bit-parity with the ad-hoc path. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(qs: (Long, String)*) =
+    qs.toDF("query_id", "qtext")
+
+  test("bm25TopK: all-terms doc outranks partial matches; non-matches absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // both query terms
+      (2L, "alpha delta epsilon zeta"), // one query term
+      (3L, "epsilon zeta eta theta"), // no query terms
+      (4L, "beta gamma gamma gamma") // both, higher tf on gamma
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        q(1L -> "alpha gamma"), k = 10)
+      .orderBy("rk").as[(Long, Long, Long, Long)].collect()
+    val ranked = got.map(_._2)
+    assert(!ranked.contains(3L), "doc without query terms must not match")
+    assert(ranked.toSet === Set(1L, 2L, 4L))
+    // doc 2 matches only one of the two terms -> strictly last
+    assert(ranked.last === 2L, s"partial match must rank below: ${ranked.toSeq}")
+    // ranks are 1..n, scores non-increasing
+    assert(got.map(_._4).toSeq === (1L to got.length))
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("bm25TopK: rarer term contributes more (odds idf is monotone in df)") {
+    // 'rare' appears in 1 doc, 'common' in 9; both target docs have
+    // identical tf and length, so score order is pure idf
+    val filler = (10L to 17L).map(i => (i, "common pad pad pad"))
+    val docs = (Seq(
+      (1L, "rare pad pad pad"),
+      (2L, "common pad pad pad")) ++ filler).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        q(1L -> "rare", 2L -> "common"), k = 1)
+      .select("query_id", "score_q").as[(Long, Long)].collect().toMap
+    assert(got(1L) > got(2L),
+      s"rare-term hit must outscore common-term hit: $got")
+  }
+
+  test("bm25TopK: same tf, longer doc scores lower (length normalization)") {
+    val docs = Seq(
+      (1L, "target pad pad pad"),
+      (2L, "target pad pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "pad other filler words")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+        q(1L -> "target"), k = 10)
+      .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+    assert(got(1L) > got(2L),
+      s"shorter doc with equal tf must score higher: $got")
+  }
+
+  test("bm25TopKIndexed == bm25TopK through a fresh index; memo survives re-query") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val queries = q(1L -> "hash join order", 2L -> "vector scan filter")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-").toString
+    val adhoc = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val indexed = Retrieval.bm25TopKIndexed(spark, docs, "doc_id", "text",
+        s"$tmp/idx", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(indexed === adhoc, "stored postings path must be bit-identical")
+    // second call reuses the committed index (memo + _SUCCESS)
+    val again = Retrieval.bm25TopKIndexed(spark, docs, "doc_id", "text",
+        s"$tmp/idx", queries, k = 10).count()
+    assert(again === adhoc.size)
+    assert(graft.io.IndexPaths.complete(spark, s"$tmp/idx") &&
+      graft.io.IndexPaths.complete(spark, s"$tmp/idx.stats"))
+  }
+}
