@@ -313,6 +313,18 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bm25: query terms broadcast into the postings scan; no rank window, no sort-merge") {
+    val p = plan(SparkEntry.queries("q_bm25")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term match must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the BM25 path may sort-merge (corpus-side sorts):\n$p")
+    assert(!p.contains("Window"),
+      s"per-query top-k must be the bounded-heap aggregate, not a rank window:\n$p")
+    assert(p.contains("partial_topkbyscore"),
+      "per-query top-k must partially aggregate map-side")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
