@@ -49,19 +49,19 @@ object TextQueries {
   /** Full integer replay of [[graft.operators.Retrieval.bm25TopK]]:
     * postings, df, floor-avgdl, the odds idf and cross-multiplied tf
     * normalization, per-term integer contributions, and the
-    * (score DESC, doc_id ASC) ranking — shared by q_bm25 and
-    * q_bm25_indexed (the stored path must be bit-identical). */
-  private lazy val sqlBm25: String = {
-    val values = bm25QuerySet
-      .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
-      .mkString(", ")
-    s"""WITH q(query_id, qtext) AS (VALUES $values),
+    * (score DESC, doc_id ASC) ranking — parameterized by the query
+    * relation, the corpus restriction, and k so q_bm25 /
+    * q_bm25_indexed / q_eval_retrieval_audit all replay through one
+    * builder. */
+  private def sqlBm25Of(queryCte: String, docsWhere: String,
+      k: Int): String =
+    s"""WITH q(query_id, qtext) AS ($queryCte),
        |qt AS (SELECT DISTINCT query_id,
        |    unnest(list_filter(string_split_regex(qtext, '[^\\p{L}]+'),
        |      x -> x <> '')) AS term
        |  FROM q),
        |d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM
-       |    (SELECT doc_id, $SQL_TOKS AS ws FROM documents)
+       |    (SELECT doc_id, $SQL_TOKS AS ws FROM documents $docsWhere)
        |  WHERE len(ws) >= 1),
        |tf AS (SELECT doc_id, dl, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM d)
@@ -84,8 +84,13 @@ object TextQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score_q DESC, doc_id ASC) AS rk
        |  FROM sc)
-       |WHERE rk <= 10""".stripMargin
-  }
+       |WHERE rk <= $k""".stripMargin
+
+  private lazy val sqlBm25: String = sqlBm25Of(
+    "VALUES " + bm25QuerySet
+      .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+      .mkString(", "),
+    "", 10)
 
   private def sqlJaccard(threshold: Double): String =
     s"""SELECT da AS doc_a, db AS doc_b,
@@ -732,6 +737,23 @@ object TextQueries {
       graft.operators.Retrieval.bm25TopKIndexed(s,
         t(s, dir, "documents"), "doc_id", "text", indexPath,
         bm25Queries(s), k = 10)
+    },
+
+    // RETRIEVAL-based decontamination audit: every EVAL doc, used
+    // verbatim as a query, retrieves its top-5 BM25-nearest TRAIN
+    // docs — the ranked "which training documents look most like this
+    // benchmark item" report a release audit publishes next to the
+    // exact-gram decontaminate pass (exact matching catches verbatim
+    // leaks; retrieval surfaces the paraphrased/partial ones a human
+    // then reviews). Eval benchmarks are fixed-size, so the broadcast
+    // query-term relation is bounded at any corpus scale.
+    "q_eval_retrieval_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Retrieval.bm25TopK(
+        docs.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        k = 5)
     },
 
     // Fuzzy string matching (edit distance <= 3) over distinct part
@@ -1448,6 +1470,9 @@ object TextQueries {
 
     "q_bm25" -> sqlBm25,
     "q_bm25_indexed" -> sqlBm25,
+    "q_eval_retrieval_audit" -> sqlBm25Of(
+      "SELECT CAST(doc_id AS BIGINT), text FROM documents WHERE doc_id % 20 = 0",
+      "WHERE doc_id % 20 <> 0", 5),
 
     "q_fuzzy_match" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
