@@ -636,6 +636,28 @@ object Similarity {
         Window.orderBy(col("qcos").desc, col("vec_id").asc)))
   }
 
+  /** Batched [[quantizedTopK]] over a probe set — the int8 index's
+    * recall-eval shape: the corpus is quantized ONCE, the probes' qvecs
+    * broadcast (|probes| rows), each corpus row scores against every
+    * probe by the integer dot product, and per-probe top-k is the
+    * bounded-heap aggregate. Same ordering and tie-break as the
+    * single-probe operator (spec-pinned); columns
+    * (probe_id, vec_id, qcos, rk). */
+  def quantizedTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int): DataFrame = {
+    require(probeIds.nonEmpty)
+    val q = quantizeInt8(emb, vecCol)
+    val probes = broadcast(q.where(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col("qvec").as("__pq")))
+    val dot = VectorFns.dotLong(col("qvec"), col("__pq"))
+    val na = VectorFns.dotLong(col("qvec"), col("qvec"))
+    val nq = VectorFns.dotLong(col("__pq"), col("__pq"))
+    topKPerProbe(q.join(probes, col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("vec_id"),
+        (dot.cast("double") / sqrt((na * nq).cast("double"))).as("cos_sim")),
+      k).withColumnRenamed("cos_sim", "qcos")
+  }
+
   // ---------------- K-means corpus clustering ----------------
 
   /** Corpus-size-derived cluster count for the clustering family:

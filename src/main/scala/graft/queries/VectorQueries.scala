@@ -300,6 +300,37 @@ object VectorQueries {
       out
     },
 
+    // Recall eval for the INT8-quantized index: batched quantized-
+    // cosine probes (corpus quantized once, probe qvecs broadcast,
+    // bounded-heap per-probe top-k) vs batched exact float. Unlike the
+    // PQ/IVF property oracles, BOTH sides replay exactly in SQL
+    // (quantization, integer dots, correctly-rounded division/sqrt),
+    // so the report carries a FULL oracle including the recall column.
+    "q_ann_recall_int8" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val probeIds = Seq(0L, 7L, 19L, 42L)
+      val int8 = Similarity.quantizedTopKBatch(emb, "vec_id", "embedding",
+          probeIds, K)
+        .select(col("probe_id"), col("vec_id"))
+      val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+          probeIds, K)
+        .select(col("probe_id"), col("vec_id")).persist()
+      val nEx = exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      val n8 = int8.groupBy("probe_id").agg(count(lit(1)).as("n_int8"))
+      val hits = exact.join(int8, Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("hits_int8"))
+      val out = nEx.join(n8, Seq("probe_id"), "left")
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_int8"), lit(0L)).as("n_int8"),
+          coalesce(col("hits_int8"), lit(0L)).as("hits_int8"),
+          (coalesce(col("hits_int8"), lit(0L)).cast("double") /
+            col("n_exact").cast("double")).as("recall_int8"))
+      out.count() // force before unpersist
+      exact.unpersist()
+      out
+    },
+
     // Recall eval for the COMPRESSED index: batched PQ probes — one
     // ADC scan of the stored codes serves the whole probe set, exact
     // rerank of the bounded shortlists — vs batched exact. Float
@@ -471,6 +502,58 @@ object VectorQueries {
         |  (CAST(19 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
         |  (CAST(42 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE))
         |  t(probe_id, n_exact, n_ivf, recall_ok)""".stripMargin,
+
+    "q_ann_recall_int8" ->
+      s"""WITH $sqlQuantized,
+         |nn8 AS (SELECT vec_id, list_sum(list_transform(range(1, 65),
+         |    i -> qv[i] * qv[i])) AS n8 FROM v),
+         |pr8 AS (SELECT vec_id AS probe_id, qv AS pq FROM v
+         |  WHERE vec_id IN (0, 7, 19, 42)),
+         |sc8 AS (SELECT pr8.probe_id, v.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |        i -> v.qv[i] * pr8.pq[i])) AS DOUBLE) /
+         |      SQRT(CAST(na.n8 * np.n8 AS DOUBLE)) AS qcos
+         |  FROM v CROSS JOIN pr8
+         |  JOIN nn8 na ON na.vec_id = v.vec_id
+         |  JOIN nn8 np ON np.vec_id = pr8.probe_id
+         |  WHERE v.vec_id <> pr8.probe_id),
+         |i8k AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY qcos DESC, vec_id) AS rk
+         |    FROM sc8) WHERE rk <= $K),
+         |nnf AS (SELECT vec_id,
+         |    ${sqlDotQ("embedding", "embedding")} AS nsq FROM embeddings),
+         |prf AS (SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
+         |scf AS (SELECT prf.probe_id, e.vec_id,
+         |    CAST(${sqlDotQ("e.embedding", "prf.pe")} AS DOUBLE) /
+         |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos
+         |  FROM embeddings e CROSS JOIN prf
+         |  JOIN nnf na ON na.vec_id = e.vec_id
+         |  JOIN nnf np ON np.vec_id = prf.probe_id
+         |  WHERE e.vec_id <> prf.probe_id),
+         |exk AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cos DESC, vec_id) AS rk
+         |    FROM scf) WHERE rk <= $K),
+         |nex AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM exk GROUP BY probe_id),
+         |n8c AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_int8
+         |  FROM i8k GROUP BY probe_id),
+         |hit AS (SELECT exk.probe_id, CAST(COUNT(*) AS BIGINT) AS hits_int8
+         |  FROM exk JOIN i8k ON i8k.probe_id = exk.probe_id
+         |    AND i8k.vec_id = exk.vec_id
+         |  GROUP BY exk.probe_id)
+         |SELECT nex.probe_id, nex.n_exact,
+         |  COALESCE(n8c.n_int8, 0) AS n_int8,
+         |  COALESCE(hit.hits_int8, 0) AS hits_int8,
+         |  CAST(COALESCE(hit.hits_int8, 0) AS DOUBLE) /
+         |    CAST(nex.n_exact AS DOUBLE) AS recall_int8
+         |FROM nex
+         |LEFT JOIN n8c ON n8c.probe_id = nex.probe_id
+         |LEFT JOIN hit ON hit.probe_id = nex.probe_id""".stripMargin,
 
     "q_ann_recall_pq" ->
       """SELECT * FROM (VALUES

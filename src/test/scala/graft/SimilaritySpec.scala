@@ -143,6 +143,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("999999"))
   }
 
+  test("quantizedTopKBatch matches per-probe quantizedTopK") {
+    val probes = Seq(0L, 7L, 19L)
+    val batch = Similarity.quantizedTopKBatch(emb, "vec_id", "embedding",
+        probes, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    probes.foreach { p =>
+      val single = Similarity.quantizedTopK(emb, "vec_id", "embedding", p, 10)
+        .orderBy("rk").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(p, Seq.empty) === single, s"probe $p")
+    }
+  }
+
   test("annRecallReport: planted duplicate is recalled; multi-probe >= single-bucket") {
     // an identical copy of probe 0's vector shares its bucket, so BOTH
     // lsh paths must retrieve it and score a hit against exact top-k
