@@ -322,5 +322,37 @@ class EdgeCasesSpec extends SparkSpec {
         s"empty batch must not create $d")
   }
 
+  test("bm25TopK edge cases: letterless query matches nothing; empty corpus yields no rows; partition-invariant") {
+    import graft.operators.Retrieval
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "gamma delta epsilon")).toDF("doc_id", "text")
+    // a query with no letter tokens produces no terms -> no rows
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq((1L, "12345 !!!")).toDF("query_id", "qtext"), 10).count() === 0L)
+    // empty corpus -> no rows (and no divide-by-zero in avgdl)
+    assert(Retrieval.bm25TopK(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      Seq((1L, "alpha")).toDF("query_id", "qtext"), 10).count() === 0L)
+    // integer scoring is partition-invariant: 1 vs 7 partitions agree
+    val q = Seq((1L, "beta gamma")).toDF("query_id", "qtext")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(d, "doc_id", "text", q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(rows(docs.repartition(1)) === rows(docs.repartition(7)))
+  }
+
+  test("temperatureMixDocs: a zero-token source keeps cut_q = 65536 (no divide-by-zero)") {
+    val counts = Seq((1L, "a", 10L), (2L, "a", 6L), (3L, "b", 0L))
+      .toDF("doc_id", "source", "n_tok")
+    val got = TextAnalysis.temperatureMixDocs(counts, budgetTokens = 8L)
+      .select("doc_id", "cut_q", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got(3L)._1 === 65536L && got(3L)._2,
+      s"zero-token source must keep everything: $got")
+    assert(got(1L)._1 < 65536L, "non-empty source must be cut under budget")
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 }
