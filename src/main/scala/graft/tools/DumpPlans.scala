@@ -27,7 +27,9 @@ object DumpPlans {
     "q_containment" -> "prefix-filtered exact containment join: no rank window; scoring count above the broadcast candidate semi-join",
     "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore",
     "q_exact_substring" -> "first-occurrence span ownership: vocabulary-keyed joins pinned to ShuffledHashJoin (the round-6 rule — a vocabulary relation is never broadcast), covered-position shuffle ∝ removed volume",
-    "q_pagerank" -> "integer PageRank final round: co-partitioned rank⋈edge join + map-side partial SUM by dst; edge layout reused")
+    "q_pagerank" -> "integer PageRank final round: co-partitioned rank⋈edge join + map-side partial SUM by dst; edge layout reused",
+    "q_bm25" -> "BM25 retrieval: query terms broadcast into the postings pass, row-local integer scoring, per-query bounded top-k aggregate — no rank window, no sort-merge, corpus never shuffles for the match",
+    "q_pagerank_redistribute" -> "dangling-redistribute PageRank final round: the round's dangling mass is a ONE-ROW broadcast (nested-loop against the scalar), added map-side to every node — never a per-node join against the dangling set")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
