@@ -156,18 +156,44 @@ object Retrieval {
     * rebuild), then every query-set evaluation is ONE postings read +
     * the broadcast-match scoring pass — the corpus text is never
     * re-tokenized at query time. */
-  def bm25TopKIndexed(spark: SparkSession, docs: => DataFrame,
-      idCol: String, textCol: String, path: String, queries: DataFrame,
-      k: Int, qidCol: String = "query_id", qtextCol: String = "qtext")
-      : DataFrame = {
+  /** Build-once memo around [[writeBm25Index]] (committed on-disk
+    * indexes reused across JVMs, torn dirs rebuild — the
+    * [[Dedup.ensureContainmentIndex]] contract). */
+  def ensureBm25Index(spark: SparkSession, docs: => DataFrame,
+      idCol: String, textCol: String, path: String): Unit =
     bm25Indexes.computeIfAbsent(path, { _ =>
       if (!graft.io.IndexPaths.complete(spark, path) ||
           !graft.io.IndexPaths.complete(spark, path + ".stats"))
         writeBm25Index(docs, idCol, textCol, path, coalesceTo = 8)
       java.lang.Boolean.TRUE
     })
+
+  def bm25TopKIndexed(spark: SparkSession, docs: => DataFrame,
+      idCol: String, textCol: String, path: String, queries: DataFrame,
+      k: Int, qidCol: String = "query_id", qtextCol: String = "qtext")
+      : DataFrame = {
+    ensureBm25Index(spark, docs, idCol, textCol, path)
     rankPostings(spark.read.parquet(path),
       spark.read.parquet(path + ".stats"),
       queryTerms(queries, qidCol, qtextCol), k)
+  }
+
+  /** REBUILD ALARM for the rebuild-only index (cf.
+    * [[Similarity.pqQuantizationError]] — every no-retrain index here
+    * carries a one-scan staleness signal): term-distribution drift
+    * between the STORED postings (term counts = Σ tf, read straight
+    * off the index — the corpus is not re-tokenized) and an arriving
+    * batch, as [[TextAnalysis.termDriftFromCounts]]'s exact ppm
+    * relation. Sum `rate_diff_ppm` ≈ 2·10⁶ × TV distance: small for
+    * on-distribution growth (df/avgdl barely move — queries stay
+    * well-served), large when the corpus has shifted under the index
+    * (rebuild before scores mislead). Work ∝ batch + vocabulary. */
+  def bm25IndexDrift(spark: SparkSession, path: String,
+      batch: DataFrame, textCol: String = "text",
+      minCount: Long = 5L): DataFrame = {
+    val stored = spark.read.parquet(path)
+      .groupBy(col("term")).agg(sum(col("tf")).as("c_a"))
+    graft.operators.TextAnalysis.termDriftFromCounts(stored, batch,
+      textCol, minCount)
   }
 }

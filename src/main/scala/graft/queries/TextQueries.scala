@@ -739,6 +739,25 @@ object TextQueries {
         bm25Queries(s), k = 10)
     },
 
+    // The BM25 index's rebuild ALARM: term-distribution TV drift
+    // between the STORED postings' term counts and an arriving slice
+    // (here the doc_id % 20 eval slice vs the full-corpus index) —
+    // top-100 drifted terms. The oracle re-derives the stored counts
+    // from the corpus, so a stored index whose tf sums diverge from
+    // the corpus ALSO fails the hash: the query pins index integrity
+    // and the drift arithmetic at once.
+    "q_bm25_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val indexPath = graft.io.IndexPaths.indexPath("bm25",
+        s"$dir/documents.parquet", "v1")
+      graft.operators.Retrieval.ensureBm25Index(s, docs, "doc_id", "text",
+        indexPath)
+      graft.operators.Retrieval.bm25IndexDrift(s, indexPath,
+          docs.where(col("doc_id") % 20 === 0))
+        .orderBy(col("rate_diff_ppm").desc, col("term").asc)
+        .limit(100)
+    },
+
     // RETRIEVAL-based decontamination audit: every EVAL doc, used
     // verbatim as a query, retrieves its top-5 BM25-nearest TRAIN
     // docs — the ranked "which training documents look most like this
@@ -1470,6 +1489,28 @@ object TextQueries {
 
     "q_bm25" -> sqlBm25,
     "q_bm25_indexed" -> sqlBm25,
+    // side A = the stored postings' term counts, re-derived from the
+    // corpus (docs with >= 1 token; tf sums == corpus occurrence
+    // counts) — an index whose counts diverge fails the hash too
+    "q_bm25_drift" ->
+      s"""WITH ta AS (SELECT unnest($SQL_TOKS) AS term FROM documents),
+         |tb AS (SELECT unnest($SQL_TOKS) AS term FROM documents
+         |  WHERE doc_id % 20 = 0),
+         |ca AS (SELECT term, COUNT(*) AS c_a FROM ta GROUP BY term),
+         |cb AS (SELECT term, COUNT(*) AS c_b FROM tb GROUP BY term),
+         |na AS (SELECT SUM(c_a) AS n_a FROM ca),
+         |nb AS (SELECT SUM(c_b) AS n_b FROM cb),
+         |j AS (SELECT COALESCE(ca.term, cb.term) AS term,
+         |    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+         |  WHERE COALESCE(c_a, 0) >= 5 OR COALESCE(c_b, 0) >= 5)
+         |SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         |  CAST((c_a * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+         |  CAST((c_b * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+         |  CAST(ABS((c_a * 1000000) // n_a - (c_b * 1000000) // n_b)
+         |    AS BIGINT) AS rate_diff_ppm
+         |FROM j, na, nb
+         |ORDER BY rate_diff_ppm DESC, term ASC LIMIT 100""".stripMargin,
     "q_eval_retrieval_audit" -> sqlBm25Of(
       "SELECT CAST(doc_id AS BIGINT), text FROM documents WHERE doc_id % 20 = 0",
       "WHERE doc_id % 20 <> 0", 5),

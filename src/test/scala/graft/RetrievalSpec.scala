@@ -60,6 +60,26 @@ class RetrievalSpec extends SparkSpec {
       s"shorter doc with equal tf must score higher: $got")
   }
 
+  test("bm25IndexDrift: on-distribution batch reads small, shifted batch reads large; corpus not re-read") {
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-drift-")
+      .toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text", s"$tmp/idx")
+    def tv(batch: org.apache.spark.sql.DataFrame): Long =
+      Retrieval.bm25IndexDrift(spark, s"$tmp/idx", batch, minCount = 1L)
+        .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L)))
+        .head().getLong(0)
+    val onDist = tv(Seq((100L, "the lazy dog jumps over the quick brown fox"))
+      .toDF("doc_id", "text"))
+    val shifted = tv(Seq((101L, "zebra quagga okapi tapir capuchin marmoset"))
+      .toDF("doc_id", "text"))
+    assert(onDist < 200000L, s"on-distribution drift too large: $onDist")
+    assert(shifted > 1500000L, s"shifted drift too small: $shifted")
+    assert(shifted > 5 * onDist)
+  }
+
   test("bm25TopKIndexed == bm25TopK through a fresh index; memo survives re-query") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
