@@ -325,6 +325,14 @@ class PlanPropertiesSpec extends SparkSpec {
       "per-query top-k must partially aggregate map-side")
   }
 
+  test("q_sql_bm25: the SQL twin also plans the bounded aggregate, no rank window") {
+    val p = plan(SparkEntry.queries("q_sql_bm25")(spark, sf))
+    assert(!p.contains("Window"),
+      s"the SQL text's top-k must be top_k_by_score, not a window:\n$p")
+    assert(p.contains("partial_topkbyscore"),
+      "SQL-registered bounded aggregate must partially aggregate map-side")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
