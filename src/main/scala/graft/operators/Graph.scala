@@ -91,6 +91,18 @@ object Graph {
     * variant a host-quality ranking should run. `edges` must be
     * DISTINCT (src, dst) rows; multiplicity is not weighted.
     *
+    * PERSONALIZED (TrustRank) form: with `seeds = Some(df)` (an (id)
+    * relation), the teleport term lands ONLY on the seed set — each
+    * seed receives `(N · base) DIV |S|` per round instead of every
+    * node receiving `base` (same total teleport mass up to floor
+    * slack), and the dangling redistribution (when enabled) teleports
+    * to the seeds too. This is the spam-demotion ranking of web
+    * curation: rank flows outward from trusted hosts, so pages far
+    * from any seed keep only inherited mass. With seeds = ALL nodes
+    * the personalized form degenerates to the uniform one exactly
+    * (`(N · base) DIV N = base` — spec-pinned). Seed ids not incident
+    * to any edge are ignored (they hold no rank row).
+    *
     * Scale shape: the edge table is hash-partitioned on `src` ONCE and
     * persisted; each of the `iters` rounds is one co-partitioned
     * rank⋈edge join + one map-side-combined SUM by dst + one left join
@@ -105,7 +117,8 @@ object Graph {
   def pageRankInt(edges: DataFrame, iters: Int = 3, dampNum: Long = 85,
       dampDen: Long = 100, scale: Long = 1000000L,
       checkpointDir: Option[String] = None,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && dampDen > dampNum && dampNum > 0 && scale > 0)
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def truncated(df: DataFrame): DataFrame =
@@ -115,14 +128,36 @@ object Graph {
     // out-degree rides the same src layout as the per-round join
     val withDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src").persist()
-    val nodes = truncated(
+    val nodesBare = truncated(
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct())
     // distinct sources = the non-dangling nodes; node count N is the
-    // teleport denominator (both only needed on the redistribute path)
+    // teleport denominator (needed on the redistribute/seeded paths)
     lazy val srcs = e.select(col("src").as("__src")).distinct().persist()
-    lazy val nNodes = nodes.count()
+    lazy val nNodes = nodesBare.count()
     val base = scale * (dampDen - dampNum) / dampDen
+    // the teleport term per node, precomputed as a COLUMN of the node
+    // set: uniform `base` everywhere, or (N·base) DIV |S| on seeds
+    // and 0 elsewhere — seed membership is a node-sized semi-join
+    // done ONCE, so rounds stay two node-sized shuffles
+    val (nodes, nTeleport) = seeds match {
+      case None => (nodesBare.select(col("id"), lit(base).as("__base"),
+        lit(true).as("__tgt")), () => nNodes)
+      case Some(sd) =>
+        val seedIds = sd.select(col("id")).distinct()
+          .join(nodesBare, Seq("id"), "left_semi").persist()
+        val nSeeds = seedIds.count()
+        require(nSeeds > 0, "pageRankInt: no seed id is incident to an edge")
+        val perSeed = nNodes * base / nSeeds
+        (truncated(nodesBare
+          .join(seedIds.select(col("id"), lit(true).as("__isSeed")),
+            Seq("id"), "left")
+          .select(col("id"),
+            when(col("__isSeed"), lit(perSeed)).otherwise(lit(0L))
+              .as("__base"),
+            coalesce(col("__isSeed"), lit(false)).as("__tgt"))),
+          () => nSeeds)
+    }
     var ranks = nodes.select(col("id"), lit(scale).as("rank_q"))
     for (_ <- 1 to iters) {
       val contrib = withDeg
@@ -134,17 +169,20 @@ object Graph {
       ranks = truncated(
         if (!redistributeDangling)
           joined.select(col("id"),
-            (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_q"))
+            (col("__base") + coalesce(col("__in"), lit(0L))).as("rank_q"))
         else {
           // the round's dangling mass: ONE scalar row (an anti-join of
-          // node-sized relations + a SUM), broadcast to every node —
-          // never a per-node join against the dangling set
+          // node-sized relations + a SUM), broadcast — never a
+          // per-node join against the dangling set. It teleports where
+          // the base term does: uniformly, or onto the seeds.
           val dm = ranks.join(srcs, ranks("id") === col("__src"), "left_anti")
             .agg(coalesce(sum(col("rank_q")), lit(0L)).as("__dm"))
+          val shareCol = when(col("__tgt"),
+            expr(s"(__dm * $dampNum) DIV (${dampDen}L * ${nTeleport()})"))
+            .otherwise(lit(0L))
           joined.crossJoin(broadcast(dm))
             .select(col("id"),
-              (lit(base) + coalesce(col("__in"), lit(0L)) +
-                expr(s"(__dm * $dampNum) DIV (${dampDen}L * $nNodes)"))
+              (col("__base") + coalesce(col("__in"), lit(0L)) + shareCol)
                 .as("rank_q"))
         })
     }

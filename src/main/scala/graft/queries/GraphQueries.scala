@@ -72,6 +72,24 @@ object GraphQueries {
       Graph.pageRankInt(edges, iters = 3, redistributeDangling = true)
     },
 
+    // PERSONALIZED (TrustRank) PageRank: teleport mass lands only on
+    // the seed set (every 97th part — the BFS seeds), so rank flows
+    // outward from trusted nodes and unreachable regions decay — the
+    // spam-demotion ranking of web curation. Integer per-seed base
+    // ((N*base) DIV |S|), unrolled 3-round oracle with the seed CASE.
+    "q_pagerank_personalized" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val edges = part.select(col("p_partkey").cast("long").as("src"),
+          expr("p_partkey DIV 2").as("dst"))
+        .unionByName(part.select(col("p_partkey").cast("long").as("src"),
+          expr("p_partkey DIV 3").as("dst")))
+        .where(col("dst") > 0)
+        .distinct()
+      val seeds = part.where(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").cast("long").as("id"))
+      Graph.pageRankInt(edges, iters = 3, seeds = Some(seeds))
+    },
+
     "q_recursive_chain" -> { (s, dir) =>
       t(s, dir, "part").createOrReplaceTempView("part")
       s.sql("""
@@ -169,6 +187,51 @@ object GraphQueries {
         |r3 AS (SELECT n.id,
         |    150000 + COALESCE(c.c, 0) + (d3.dm * 85) // (100 * nn.n) AS r
         |  FROM nodes n LEFT JOIN c3 c USING (id) CROSS JOIN d3 CROSS JOIN nn)
+        |SELECT id, CAST(r AS BIGINT) AS rank_q FROM r3""".stripMargin,
+
+    "q_pagerank_personalized" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS src,
+        |           CAST(p_partkey // 2 AS BIGINT) AS dst
+        |    FROM part WHERE p_partkey // 2 > 0
+        |    UNION ALL
+        |    SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT)
+        |    FROM part WHERE p_partkey // 3 > 0)),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |sd AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS id FROM part
+        |  WHERE p_partkey % 97 = 0),
+        |sdn AS (SELECT sd.id FROM sd JOIN nodes USING (id)),
+        |bs AS (SELECT (nn.n * 150000) // (SELECT COUNT(*) FROM sdn) AS pb
+        |  FROM nn),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r0 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.id,
+        |    CASE WHEN s.id IS NOT NULL THEN bs.pb ELSE 0 END
+        |      + COALESCE(c.c, 0) AS r
+        |  FROM nodes n LEFT JOIN sdn s ON s.id = n.id
+        |  LEFT JOIN c1 c ON c.id = n.id CROSS JOIN bs),
+        |c2 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r1 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.id,
+        |    CASE WHEN s.id IS NOT NULL THEN bs.pb ELSE 0 END
+        |      + COALESCE(c.c, 0) AS r
+        |  FROM nodes n LEFT JOIN sdn s ON s.id = n.id
+        |  LEFT JOIN c2 c ON c.id = n.id CROSS JOIN bs),
+        |c3 AS (SELECT e.dst AS id, SUM((r.r * 85) // (100 * deg.d)) AS c
+        |  FROM e JOIN r2 r ON r.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.id,
+        |    CASE WHEN s.id IS NOT NULL THEN bs.pb ELSE 0 END
+        |      + COALESCE(c.c, 0) AS r
+        |  FROM nodes n LEFT JOIN sdn s ON s.id = n.id
+        |  LEFT JOIN c3 c ON c.id = n.id CROSS JOIN bs)
         |SELECT id, CAST(r AS BIGINT) AS rank_q FROM r3""".stripMargin,
 
     "q_recursive_chain" ->

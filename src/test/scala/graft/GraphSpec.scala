@@ -163,6 +163,54 @@ class GraphSpec extends SparkSpec {
     assert(redis(100L) > redis(101L) && redis(101L) > redis(1L))
   }
 
+  test("pageRankInt seeds: seeds-as-all-nodes degenerates to uniform; trust decays off-seed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    // seeds = every node -> (N*base) DIV N = base, bit-identical
+    val allIds = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val uniform = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val seededAll = Graph.pageRankInt(edges, iters = 3,
+        seeds = Some(allIds))
+      .as[(Long, Long)].collect().toMap
+    assert(uniform === seededAll)
+    // seeds = {1}: the 1->2->3 cycle keeps teleport mass; the {10,11}
+    // island receives none and its rank decays geometrically — the
+    // TrustRank spam-demotion property
+    val seeded = Graph.pageRankInt(edges, iters = 3,
+        seeds = Some(Seq(1L).toDF("id")))
+      .as[(Long, Long)].collect().toMap
+    assert(seeded(1L) > seeded(10L) && seeded(2L) > seeded(10L))
+    assert(seeded(10L) === seeded(11L)) // symmetric island
+    // island rank after 3 rounds = scale * (d)^3 with floor slack
+    assert(seeded(10L) < (1000000L * 85 * 85 * 85) / (100 * 100 * 100) + 1,
+      s"unreached island must hold only decayed initial mass: ${seeded(10L)}")
+    // total teleport mass conserved onto the seed (within floor slack):
+    // seeded total tracks the uniform total
+    assert(seeded.values.sum <= uniform.values.sum)
+    assert(seeded.values.sum > uniform.values.sum * 98 / 100)
+  }
+
+  test("pageRankInt seeds + redistributeDangling: dangling mass teleports to the seeds") {
+    // 1 -> 2 -> sink 3; seed {1}; without redistribution 3's mass
+    // drains, with it the drained mass lands back on 1
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Some(Seq(1L).toDF("id"))
+    val drop = Graph.pageRankInt(edges, iters = 3, seeds = seeds)
+      .as[(Long, Long)].collect().toMap
+    val redis = Graph.pageRankInt(edges, iters = 3, seeds = seeds,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(redis(1L) > drop(1L), s"seed must receive the dangling mass: $redis vs $drop")
+    assert(redis(2L) >= drop(2L) && redis(3L) >= drop(3L))
+    // a seed id with no incident edge fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankInt(edges, iters = 1,
+        seeds = Some(Seq(999L).toDF("id"))).collect()
+    }
+    assert(ex.getMessage.contains("seed"))
+  }
+
   test("pageRankInt redistributeDangling: no dangling nodes => identical to drop variant") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val a = Graph.pageRankInt(edges, iters = 3)
