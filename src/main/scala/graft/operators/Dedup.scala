@@ -970,6 +970,46 @@ object Dedup {
     } finally Caches.release()
   }
 
+  /** The drift GATE composed in FRONT of the dedup loop — the
+    * production ingest pipeline as one batch step (the composition the
+    * gate exists for): the batch's term-distribution TV distance
+    * against the STORED reference counts
+    * ([[graft.operators.TextAnalysis.writeReferenceCounts]]) decides
+    * admit vs quarantine; a quarantined batch lands whole under
+    * `quarantineRoot/batch=<id>` and touches neither the corpus nor
+    * the index; an admitted batch runs [[ingestDedupBatch]] — dedup vs
+    * the stored band index, first-keeper admission, index fold.
+    *
+    * Replay contract: the gate decision is deterministic in batch
+    * content (one scalar reaches the driver), so a replayed batch
+    * takes the same branch and inherits that branch's exactly-once /
+    * idempotent-fold guarantees; the two roots stay disjoint.
+    * Per-batch cost: the gate adds one batch-side token pass + a
+    * vocabulary-sized join in front of the dedup shapes — and SAVES
+    * the whole dedup cost for poisoned batches, which is the point:
+    * a mis-routed feed cannot pollute the index. */
+  def gatedIngestDedupBatch(batch: DataFrame, batchId: Long,
+      referenceCountsPath: String, quarantineRoot: String,
+      indexPath: String, admittedRoot: String, idCol: String = "doc_id",
+      textCol: String = "text", maxDriftPpm: Long = 400000L,
+      minCount: Long = 5L, ngram: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 64): Unit = {
+    if (batch.isEmpty) return
+    val refCounts =
+      batch.sparkSession.read.parquet(referenceCountsPath)
+    val tv = graft.operators.TextAnalysis
+      .termDriftFromCounts(refCounts, batch, textCol, minCount)
+      .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L)).as("tv"))
+      .head().getLong(0)
+    if (tv > maxDriftPpm)
+      batch.coalesce(4).write.mode("overwrite")
+        .parquet(s"$quarantineRoot/batch=$batchId")
+    else
+      ingestDedupBatch(batch, batchId, indexPath, admittedRoot, idCol,
+        textCol, ngram, numHashes, bands, threshold, maxBucket)
+  }
+
   /** One step of the CONTAINMENT ingest loop — [[ingestDedupBatch]]'s
     * admission rule driven by the asymmetric-overlap join instead of
     * Jaccard: a batch doc is REJECTED iff it has a containment pair

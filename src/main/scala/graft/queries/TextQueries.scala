@@ -489,6 +489,50 @@ object TextQueries {
         .unionByName(readRoot(s"$root/quarantine", "quarantine"))
     },
 
+    // The drift gate composed in FRONT of the dedup loop (the
+    // gatedIngestDedupStream foreachBatch path, batch-evaluated):
+    // batch-0 docs become the stored reference counts; batches 1 and 2
+    // are gated by TV distance (threshold 60000 decides one each way
+    // at sf0.01, as in q_drift_gate), and the gated-IN batch runs the
+    // index-backed first-keeper dedup. Per doc: admitted / rejected
+    // (gated in, deduped away) / quarantine — the oracle replays the
+    // gate arithmetic AND the conditional admission (batch 2's corpus
+    // is batch 1's keepers ONLY if batch 1 was itself admitted).
+    "q_stream_gated_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val root = graft.io.IndexPaths.indexPath("gateddedup",
+        s"$dir/documents.parquet", "t60000m5n3h64b16t08")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_LOOP_COMPLETE")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        TextAnalysis.writeReferenceCounts(
+          docs.where(col("doc_id") % 3 === 0), s"$root/refcounts")
+        for (b <- 1L to 2L)
+          Dedup.gatedIngestDedupBatch(docs.where(col("doc_id") % 3 === b),
+            b, s"$root/refcounts", s"$root/quarantine",
+            s"$root/bandidx", s"$root/admitted", maxDriftPpm = 60000L)
+        fs.create(done).close()
+      }
+      def readRoot(p: String, decision: String) =
+        if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+          s.read.parquet(p).select(col("doc_id"),
+            col("batch").cast("long").as("batch"),
+            lit(decision).as("decision"))
+        else
+          s.range(0).select(col("id").as("doc_id"), col("id").as("batch"),
+            lit(decision).as("decision"))
+      val adm = readRoot(s"$root/admitted", "admitted")
+      val qua = readRoot(s"$root/quarantine", "quarantine")
+      val rej = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), (col("doc_id") % 3).as("batch"),
+          lit("rejected").as("decision"))
+        .join(adm.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(qua.select("doc_id"), Seq("doc_id"), "left_anti")
+      adm.unionByName(qua).unionByName(rej)
+    },
+
     // SimHash near-dup pairs (hamming <= 3 on 60-bit portable
     // signatures: md5-derived token hashes through the native
     // long-input buffer aggregate). The banded pair search returns
@@ -1270,6 +1314,54 @@ object TextQueries {
     // relation, batch by batch: a batch-b doc is rejected iff paired
     // with an ADMITTED doc of an earlier batch or a smaller-id doc of
     // its OWN batch (admitted or not — the greedy rule, no closure)
+    // the gate arithmetic (q_drift_gate's TV CTEs) + the CONDITIONAL
+    // admission: batch 2's corpus clause is active only when tv1
+    // admitted batch 1 — the composition is replayed, not assumed
+    "q_stream_gated_dedup" ->
+      s"""WITH ${sqlGrams("")},
+         |pr AS (${sqlJaccard(0.8)}),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |      UNION ALL SELECT doc_b, doc_a FROM pr),
+         |tok AS (SELECT doc_id % 3 AS b, unnest($SQL_TOKS) AS term
+         |  FROM documents),
+         |cr AS (SELECT term, COUNT(*) AS c FROM tok WHERE b = 0 GROUP BY term),
+         |nr AS (SELECT SUM(c) AS n FROM cr),
+         |cb1 AS (SELECT term, COUNT(*) AS c FROM tok WHERE b = 1 GROUP BY term),
+         |nb1 AS (SELECT SUM(c) AS n FROM cb1),
+         |cb2 AS (SELECT term, COUNT(*) AS c FROM tok WHERE b = 2 GROUP BY term),
+         |nb2 AS (SELECT SUM(c) AS n FROM cb2),
+         |tv1 AS (SELECT CAST(SUM(ABS(
+         |    (COALESCE(cr.c, 0) * 1000000) // nr.n
+         |    - (COALESCE(cb1.c, 0) * 1000000) // nb1.n)) AS BIGINT) AS tv
+         |  FROM cr FULL OUTER JOIN cb1 ON cr.term = cb1.term, nr, nb1
+         |  WHERE COALESCE(cr.c, 0) >= 5 OR COALESCE(cb1.c, 0) >= 5),
+         |tv2 AS (SELECT CAST(SUM(ABS(
+         |    (COALESCE(cr.c, 0) * 1000000) // nr.n
+         |    - (COALESCE(cb2.c, 0) * 1000000) // nb2.n)) AS BIGINT) AS tv
+         |  FROM cr FULL OUTER JOIN cb2 ON cr.term = cb2.term, nr, nb2
+         |  WHERE COALESCE(cr.c, 0) >= 5 OR COALESCE(cb2.c, 0) >= 5),
+         |d1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         |d2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+         |a1 AS (SELECT doc_id FROM d1 dd WHERE NOT EXISTS (
+         |    SELECT 1 FROM e JOIN d1 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id AND e.a < dd.doc_id)),
+         |a2 AS (SELECT doc_id FROM d2 dd
+         |  WHERE NOT EXISTS (SELECT 1 FROM e JOIN a1 x ON e.a = x.doc_id, tv1
+         |    WHERE tv1.tv <= 60000 AND e.b = dd.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM e JOIN d2 x ON e.a = x.doc_id
+         |    WHERE e.b = dd.doc_id AND e.a < dd.doc_id))
+         |SELECT dd.doc_id, CAST(1 AS BIGINT) AS batch,
+         |  CASE WHEN tv1.tv > 60000 THEN 'quarantine'
+         |       WHEN dd.doc_id IN (SELECT doc_id FROM a1) THEN 'admitted'
+         |       ELSE 'rejected' END AS decision
+         |FROM d1 dd, tv1
+         |UNION ALL
+         |SELECT dd.doc_id, CAST(2 AS BIGINT) AS batch,
+         |  CASE WHEN tv2.tv > 60000 THEN 'quarantine'
+         |       WHEN dd.doc_id IN (SELECT doc_id FROM a2) THEN 'admitted'
+         |       ELSE 'rejected' END AS decision
+         |FROM d2 dd, tv2""".stripMargin,
+
     "q_stream_ingest_dedup" ->
       s"""WITH ${sqlGrams("")},
          |pr AS (${sqlJaccard(0.8)}),

@@ -417,6 +417,44 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The drift gate composed in FRONT of the streaming dedup loop —
+    * the full production ingest as ONE running query
+    * ([[graft.operators.Dedup.gatedIngestDedupBatch]] under
+    * foreachBatch): each micro-batch is admitted or quarantined by its
+    * TV distance against the stored reference counts; admitted batches
+    * run the index-backed dedup loop, quarantined ones land whole and
+    * never touch the corpus or the index. Deterministic branch per
+    * batch → each branch's exactly-once contract is inherited;
+    * `compactEvery` folds the admitted/index artifacts as in
+    * [[ingestDedupStream]]. */
+  def gatedIngestDedupStream(docs: DataFrame,
+      referenceCountsPath: String, quarantineRoot: String,
+      indexPath: String, admittedRoot: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDriftPpm: Long = 400000L, minCount: Long = 5L, ngram: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      maxBucket: Int = 64, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (compactEvery > 0) {
+          graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
+          graft.io.Compaction.recover(spark, indexPath)
+        }
+        graft.operators.Dedup.gatedIngestDedupBatch(batch, id,
+          referenceCountsPath, quarantineRoot, indexPath, admittedRoot,
+          idCol, textCol, maxDriftPpm, minCount, ngram, numHashes,
+          bands, threshold, maxBucket)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          graft.operators.Dedup.compactAdmitted(spark, admittedRoot)
+          graft.operators.Dedup.compactBandIndex(spark, indexPath)
+        }
+      }
+      .outputMode("append")
+      .start()
+
   /** [[driftGatedIngestStream]] against a STORED reference-counts
     * table ([[graft.operators.TextAnalysis.writeReferenceCounts]] —
     * built once, offline): the production form, whose per-batch cost

@@ -686,6 +686,52 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("gatedIngestDedupStream: shifted batch quarantined whole (index untouched); admitted batch deduped") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gated-dedup-")
+      .toString
+    val refText = "the quick brown fox jumps over the lazy dog"
+    graft.operators.TextAnalysis.writeReferenceCounts(
+      Seq.tabulate(20)(i => (100L + i, refText)).toDF("doc_id", "text"),
+      s"$tmp/refcounts")
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.gatedIngestDedupStream(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/refcounts", s"$tmp/quarantine", s"$tmp/bandidx",
+      s"$tmp/admitted", s"$tmp/ckpt", maxDriftPpm = 500000L, minCount = 1L)
+    // batch 0: on-distribution, contains a within-batch dup pair (2
+    // dups 1) -> gated IN, dedup admits {1, 3}
+    ms.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the lazy dog naps beside the quick brown fox"))
+    sq.processAllAvailable()
+    // batch 1: disjoint vocabulary -> quarantined WHOLE; neither the
+    // admitted corpus nor the index may grow
+    ms.addData((10L, "zebra quagga okapi tapir capuchin marmoset lemur"))
+    sq.processAllAvailable()
+    sq.stop()
+
+    val admitted = spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(1L, 3L), s"admitted: $admitted")
+    assert(spark.read.parquet(s"$tmp/quarantine")
+      .select("doc_id").as[Long].collect().toSet === Set(10L))
+    // the quarantined batch's signatures never entered the index
+    assert(spark.read.parquet(s"$tmp/bandidx")
+      .select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 3L))
+
+    // crash replay of the quarantined batch: same branch, overwrite
+    graft.operators.Dedup.gatedIngestDedupBatch(
+      Seq((10L, "zebra quagga okapi tapir capuchin marmoset lemur"))
+        .toDF("doc_id", "text"), 1L, s"$tmp/refcounts",
+      s"$tmp/quarantine", s"$tmp/bandidx", s"$tmp/admitted",
+      maxDriftPpm = 500000L, minCount = 1L)
+    assert(spark.read.parquet(s"$tmp/quarantine")
+      .select("doc_id").as[Long].collect().toSet === Set(10L))
+    assert(spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("ingestDedupStream compactEvery: file counts bounded over 3x the cadence; results identical") {
     import spark.implicits._
     val texts = Seq(
