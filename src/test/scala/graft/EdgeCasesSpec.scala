@@ -315,9 +315,16 @@ class EdgeCasesSpec extends SparkSpec {
     TextAnalysis.driftGatedIngestBatch(empty, 0L,
       Seq((1L, "ref words here")).toDF("doc_id", "text"),
       s"$tmp/gadm", s"$tmp/gq")
+    TextAnalysis.writeReferenceCounts(
+      Seq((1L, "ref words here")).toDF("doc_id", "text"), s"$tmp/refc")
+    TextAnalysis.driftGatedIngestBatchStored(empty, 0L, s"$tmp/refc",
+      s"$tmp/sgadm", s"$tmp/sgq")
+    Dedup.gatedIngestDedupBatch(empty, 0L, s"$tmp/refc", s"$tmp/ggq",
+      s"$tmp/ggidx", s"$tmp/ggadm")
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (d <- Seq("cidx", "cadm", "sidx", "sadm", "gadm", "gq"))
+    for (d <- Seq("cidx", "cadm", "sidx", "sadm", "gadm", "gq",
+        "sgadm", "sgq", "ggq", "ggidx", "ggadm"))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/$d")),
         s"empty batch must not create $d")
   }
