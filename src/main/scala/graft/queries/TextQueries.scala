@@ -904,6 +904,27 @@ object TextQueries {
         "source", budgetTokens = 20000L)
     },
 
+    // LANGUAGE-balanced temperature mix: the mT5 rebalancing applied
+    // along the PREDICTED-language axis instead of provenance — the
+    // multilingual curation move (sources say where a doc came from;
+    // the sampling that matters for a multilingual model is per
+    // language). langId's deterministic heuristic feeds
+    // temperatureMixDocs' sqrt-weighted cuts; both pieces replay in
+    // the composed oracle, so the doc-level keep decisions are pinned
+    // per predicted language.
+    "q_lang_balanced_mix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val counts = TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang").as("source"))
+        .join(docs.select(col("doc_id"),
+          size(TextFns.letterTokens(col("text"))).cast("long").as("n_tok")),
+          Seq("doc_id"))
+      TextAnalysis.temperatureMixDocs(counts, budgetTokens = 5000L)
+        .where(col("kept"))
+        .select(col("doc_id"), col("source").as("pred_lang"),
+          col("n_tok"), col("cut_q"))
+    },
+
     // Gopher-style quality rule battery (word count, mean word length,
     // alpha-word ratio, bullet/ellipsis line ratios) — hard pass/fail
     // verdict in pure integer arithmetic, zero shuffle.
@@ -1489,6 +1510,44 @@ object TextQueries {
          |       WHEN score_de >= score_fr THEN 'de'
          |       ELSE 'fr' END AS pred_lang
          |FROM s""".stripMargin
+    },
+
+    "q_lang_balanced_mix" -> {
+      s"""WITH sc AS (SELECT doc_id, length(text) AS n,
+         |  ${sqlScore("en")} AS score_en,
+         |  ${sqlScore("es")} AS score_es,
+         |  ${sqlScore("de")} AS score_de,
+         |  ${sqlScore("fr")} AS score_fr,
+         |  CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT)
+         |    AS han_chars,
+         |  CAST(len($SQL_TOKS) AS BIGINT) AS n_tok
+         |FROM documents),
+         |d AS (SELECT doc_id, n_tok,
+         |  CASE WHEN han_chars * 5 > n THEN 'zh'
+         |       WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
+         |       WHEN score_en >= score_es AND score_en >= score_de
+         |            AND score_en >= score_fr THEN 'en'
+         |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |       WHEN score_de >= score_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
+         |  FROM sc),
+         |st AS (SELECT pred_lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY pred_lang),
+         |w AS (SELECT pred_lang, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |cu AS (SELECT pred_lang, n_tokens,
+         |    CAST((5000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |cu2 AS (SELECT pred_lang, CASE WHEN n_tokens = 0 THEN 65536
+         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens) END AS cut_q
+         |  FROM cu)
+         |SELECT d.doc_id, d.pred_lang, d.n_tok,
+         |  CAST(cu2.cut_q AS BIGINT) AS cut_q
+         |FROM d JOIN cu2 USING (pred_lang)
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+         |        AS BIGINT) < cu2.cut_q""".stripMargin
     },
 
     "q_quality_score" -> {
