@@ -1094,19 +1094,22 @@ object Dedup {
         // one row per stored doc; the postings probe is a single-column
         // doc_id scan of the postings table (column-pruned, map-side-
         // combined semi-join — never the gram payload).
-        def freshAgainst(tbl: String) = Caches.persist(admitted.join(
+        // tokenize + gram-hash the admitted set ONCE (the dominant
+        // cost per the ingest profiling); each table then anti-joins
+        // the PRECOMPUTED sets against its own doc_ids — in the
+        // normal no-crash path both anti-joins pass the same rows
+        // through, with zero re-tokenization
+        val sets = Caches.persist(
+          gramSetArrays(admitted, idCol, textCol, ngram))
+        def freshAgainst(tbl: String) = Caches.persist(sets.join(
           spark.read.parquet(tbl).select(col("doc_id").as("__stored")),
-          col(idCol) === col("__stored"), "left_anti"))
+          col("doc_id") === col("__stored"), "left_anti"))
         val freshPost = freshAgainst(indexPath)
         if (!freshPost.isEmpty)
-          appendPostingsFromSets(
-            Caches.persist(gramSetArrays(freshPost, idCol, textCol, ngram)),
-            indexPath, coalesceTo = 8)
+          appendPostingsFromSets(freshPost, indexPath, coalesceTo = 8)
         val freshG = freshAgainst(indexPath + ".gsets")
         if (!freshG.isEmpty)
-          appendGramSetsFromSets(
-            Caches.persist(gramSetArrays(freshG, idCol, textCol, ngram)),
-            indexPath, coalesceTo = 8)
+          appendGramSetsFromSets(freshG, indexPath, coalesceTo = 8)
       }
     } finally Caches.release()
   }

@@ -149,14 +149,18 @@ object Graph {
         val nSeeds = seedIds.count()
         require(nSeeds > 0, "pageRankInt: no seed id is incident to an edge")
         val perSeed = nNodes * base / nSeeds
-        (truncated(nodesBare
+        val seeded = truncated(nodesBare
           .join(seedIds.select(col("id"), lit(true).as("__isSeed")),
             Seq("id"), "left")
           .select(col("id"),
             when(col("__isSeed"), lit(perSeed)).otherwise(lit(0L))
               .as("__base"),
-            coalesce(col("__isSeed"), lit(false)).as("__tgt"))),
-          () => nSeeds)
+            coalesce(col("__isSeed"), lit(false)).as("__tgt")))
+        // truncated() is eager — seedIds is baked into the node frame
+        // and never read again; drop the cached relation now rather
+        // than leaking it for the session lifetime
+        seedIds.unpersist()
+        (seeded, () => nSeeds)
     }
     var ranks = nodes.select(col("id"), lit(scale).as("rank_q"))
     for (_ <- 1 to iters) {

@@ -102,14 +102,17 @@ object Retrieval {
         expr("(__idf * __tfn) DIV 100L").as("__c"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__c")).as("score_q"))
-    val agg = shim.column(graft.functions.expr.TopKByScore(
-        shim.expression(col("score_q").cast("double")),
+    // long-keyed heap: the exact integer scores rank without a double
+    // round-trip, whose 2^53 mantissa would round adjacent scores
+    // together on huge-corpus/long-doc queries and flip tie-breaks
+    val agg = shim.column(graft.functions.expr.TopKByLongScore(
+        shim.expression(col("score_q")),
         shim.expression(col("doc_id")), k)
       .toAggregateExpression())
     scored.groupBy(col("query_id")).agg(agg.as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
       .select(col("query_id"), col("__e.id").as("doc_id"),
-        col("__e.score").cast("long").as("score_q"),
+        col("__e.score").as("score_q"),
         (col("__p") + 1).cast("long").as("rk"))
   }
 

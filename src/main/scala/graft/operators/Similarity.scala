@@ -647,6 +647,12 @@ object Similarity {
       probeIds: Seq[Long], k: Int): DataFrame = {
     require(probeIds.nonEmpty)
     val q = quantizeInt8(emb, vecCol)
+    // validate every probe up front (cf. probeVecsOf): a typo'd probe
+    // id must fail loudly, not silently shrink the recall report
+    val found = q.where(col(idCol).isin(probeIds: _*))
+      .select(col(idCol)).collect().map(_.getLong(0)).toSet
+    probeIds.foreach(pid => require(found.contains(pid),
+      s"probe $pid not found in the embedding relation"))
     val probes = broadcast(q.where(col(idCol).isin(probeIds: _*))
       .select(col(idCol).as("probe_id"), col("qvec").as("__pq")))
     val dot = VectorFns.dotLong(col("qvec"), col("__pq"))

@@ -312,12 +312,14 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        if (compactEvery > 0) {
-          // crash between a committed swap and its rename: roll forward
-          // before this batch's corpus/index reads can miss the data
-          graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
-          graft.io.Compaction.recover(spark, indexPath)
-        }
+        // crash between a committed swap and its rename: roll forward
+        // before this batch's corpus/index reads can miss the data.
+        // UNCONDITIONAL (not gated on compactEvery): a stream that
+        // previously ran WITH compaction and crashed mid-swap must
+        // still heal when restarted with compaction off — recover is
+        // a cheap existence check when no swap is pending
+        graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
+        graft.io.Compaction.recover(spark, indexPath)
         graft.operators.Dedup.ingestDedupBatch(batch, id, indexPath,
           admittedRoot, idCol, textCol, ngram, numHashes, bands, threshold,
           maxBucket)
@@ -351,11 +353,10 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        if (compactEvery > 0) {
-          graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
-          graft.io.Compaction.recover(spark, indexPath)
-          graft.io.Compaction.recover(spark, indexPath + ".gsets")
-        }
+        // unconditional roll-forward, cf. ingestDedupStream
+        graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
+        graft.io.Compaction.recover(spark, indexPath)
+        graft.io.Compaction.recover(spark, indexPath + ".gsets")
         graft.operators.Dedup.ingestContainmentBatch(batch, id, indexPath,
           admittedRoot, idCol, textCol, ngram, threshold, maxDf)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
@@ -381,10 +382,9 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        if (compactEvery > 0) {
-          graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
-          graft.io.Compaction.recover(spark, indexPath)
-        }
+        // unconditional roll-forward, cf. ingestDedupStream
+        graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
+        graft.io.Compaction.recover(spark, indexPath)
         graft.operators.TextAnalysis.ingestSubstringScrubBatch(batch, id,
           indexPath, admittedRoot, idCol, textCol, n)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
@@ -439,10 +439,9 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        if (compactEvery > 0) {
-          graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
-          graft.io.Compaction.recover(spark, indexPath)
-        }
+        // unconditional roll-forward, cf. ingestDedupStream
+        graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
+        graft.io.Compaction.recover(spark, indexPath)
         graft.operators.Dedup.gatedIngestDedupBatch(batch, id,
           referenceCountsPath, quarantineRoot, indexPath, admittedRoot,
           idCol, textCol, maxDriftPpm, minCount, ngram, numHashes,

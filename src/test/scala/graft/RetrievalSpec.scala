@@ -100,4 +100,36 @@ class RetrievalSpec extends SparkSpec {
     assert(graft.io.IndexPaths.complete(spark, s"$tmp/idx") &&
       graft.io.IndexPaths.complete(spark, s"$tmp/idx.stats"))
   }
+
+  test("TopKByLongScore ranks adjacent scores past 2^53 exactly (no double rounding)") {
+    import org.apache.spark.sql.graft.shim
+    // adjacent longs above 2^53 collapse to the SAME double, so a
+    // double-keyed heap would fall back to the id tie-break and rank
+    // id 1 (score big) above id 2 (score big+1) — exactly the failure
+    // mode the BM25 scorer's bit-reproducibility contract forbids
+    val big = 1L << 53 // 2^53+1 rounds down to 2^53 (ties-to-even)
+    assert(big.toDouble == (big + 1L).toDouble,
+      "precondition: the two scores are double-indistinguishable")
+    val df = Seq((1L, big, 1L), (1L, big + 1L, 2L), (1L, 5L, 3L))
+      .toDF("g", "score", "id")
+    val agg = shim.column(graft.functions.expr.TopKByLongScore(
+        shim.expression(col("score")), shim.expression(col("id")), 2)
+      .toAggregateExpression())
+    val got = df.groupBy(col("g")).agg(agg.as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("e.id"), col("e.score")).as[(Long, Long)]
+      .collect().toSeq
+    assert(got === Seq((2L, big + 1L), (1L, big)),
+      s"long heap must order exactly at >2^53 magnitudes: $got")
+    // and the double-keyed heap provably cannot (documents the why)
+    val dagg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression(col("score").cast("double")),
+        shim.expression(col("id")), 2)
+      .toAggregateExpression())
+    val dgot = df.groupBy(col("g")).agg(dagg.as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("e.id")).as[Long].collect().toSeq
+    assert(dgot === Seq(1L, 2L),
+      "double heap ties on the rounded score and mis-orders — the reason the long variant exists")
+  }
 }
