@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -1215,6 +1215,51 @@ object Dedup {
       idCol: String, textCol: String, ngram: Int = 3): Unit = {
     writeContainmentIndex(docs, idCol, textCol, path, ngram)
     containmentIndexes.put(path, java.lang.Boolean.TRUE)
+  }
+
+  /** REBUILD ALARM for the containment index (cf.
+    * [[graft.operators.Retrieval.bm25IndexDrift]]): gram-frequency
+    * drift between the STORED postings (per-gram doc counts read
+    * straight off the index's single `gh` column — the corpus text is
+    * never re-read) and an arriving batch's distinct-gram sets, as the
+    * exact integer ppm relation of
+    * [[graft.operators.TextAnalysis.termDrift]] (sum `rate_diff_ppm`
+    * ≈ 2·10⁶ × TV distance). Small for on-distribution growth — the
+    * appended batch-local ranks stay NEAR global-df order and
+    * candidate prescoring keeps its selectivity; large when the gram
+    * distribution has shifted under the index, i.e. when the
+    * rarest-first prefix cut is degrading. Work ∝ batch + gram
+    * vocabulary. */
+  def containmentIndexDrift(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3,
+      minCount: Long = 5L): DataFrame = {
+    val stored = spark.read.parquet(path)
+      .groupBy(col("gh")).agg(count(lit(1)).as("c_a"))
+    val fresh = gramSetArrays(batch, idCol, textCol, ngram)
+      .select(explode(col("__hs")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("c_b"))
+    graft.operators.TextAnalysis.countsDrift(stored, fresh, "gh", minCount)
+  }
+
+  /** ALARM → REBUILD for the containment index (cf.
+    * [[graft.operators.Similarity.rebuildPqIndexIfDrifted]]): total
+    * the [[containmentIndexDrift]] ppm relation for the arriving batch
+    * and iff it exceeds `maxDriftPpm` rebuild both index tables from
+    * `docs` (the current corpus, lazily evaluated — untouched when the
+    * alarm stays quiet), restoring global-df rank order and one-dir
+    * layout. @return true iff a rebuild ran. */
+  def rebuildContainmentIndexIfDrifted(docs: => DataFrame,
+      batch: DataFrame, path: String, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3,
+      maxDriftPpm: Long = 400000L, minCount: Long = 5L): Boolean = {
+    val spark = batch.sparkSession
+    val tv = containmentIndexDrift(spark, path, batch, idCol, textCol,
+        ngram, minCount)
+      .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L))).head().getLong(0)
+    val drifted = tv > maxDriftPpm
+    if (drifted) rebuildContainmentIndex(docs, path, idCol, textCol, ngram)
+    drifted
   }
 
   /** Connected components over near-dup pairs — the "cluster duplicates,

@@ -199,4 +199,32 @@ object Retrieval {
     graft.operators.TextAnalysis.termDriftFromCounts(stored, batch,
       textCol, minCount)
   }
+
+  /** ALARM → REBUILD for the rebuild-only BM25 index (cf.
+    * [[graft.operators.Similarity.rebuildPqIndexIfDrifted]] — the
+    * same composed arc on the most expensive rebuild here): total the
+    * [[bm25IndexDrift]] ppm relation for the arriving batch against
+    * the STORED postings, and iff it exceeds `maxDriftPpm`
+    * (≈ 2·10⁶ × TV distance; the drift-gate default 400 000 ≙ 0.2 TV)
+    * rebuild the whole index from `docs` — the CURRENT corpus, lazily
+    * evaluated, untouched when the alarm stays quiet. The check costs
+    * one postings-column scan + one batch tokenization (work ∝ batch
+    * + vocabulary, the corpus is never re-read for the alarm); the
+    * rebuilt index is identical to a fresh [[writeBm25Index]] build
+    * (spec-pinned), and the build-once memo is refreshed so in-session
+    * [[bm25TopKIndexed]] queries pick it up without a JVM bounce.
+    * @return true iff a rebuild ran. */
+  def refreshBm25IndexIfDrifted(spark: SparkSession, docs: => DataFrame,
+      idCol: String, textCol: String, path: String, batch: DataFrame,
+      batchTextCol: String = "text", maxDriftPpm: Long = 400000L,
+      minCount: Long = 5L): Boolean = {
+    val tv = bm25IndexDrift(spark, path, batch, batchTextCol, minCount)
+      .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L))).head().getLong(0)
+    val drifted = tv > maxDriftPpm
+    if (drifted) {
+      writeBm25Index(docs, idCol, textCol, path, coalesceTo = 8)
+      bm25Indexes.put(path, java.lang.Boolean.TRUE)
+    }
+    drifted
+  }
 }

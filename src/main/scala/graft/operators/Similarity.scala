@@ -644,24 +644,93 @@ object Similarity {
     * single-probe operator (spec-pinned); columns
     * (probe_id, vec_id, qcos, rk). */
   def quantizedTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
-      probeIds: Seq[Long], k: Int): DataFrame = {
+      probeIds: Seq[Long], k: Int): DataFrame =
+    quantizedTail(
+      quantizeInt8(emb, vecCol).select(col(idCol).as("vec_id"), col("qvec")),
+      probeIds, k, "the embedding relation")
+
+  /** The shared scoring tail of the in-memory and stored int8 paths,
+    * over a (vec_id, qvec) relation: validate + broadcast the probes'
+    * qvecs, integer dot per (corpus row, probe), bounded-heap top-k
+    * per probe. Sharing the tail is what makes
+    * [[quantizedTopKIndexedBatch]] bit-identical to
+    * [[quantizedTopKBatch]] (parquet round-trips longs exactly). */
+  private def quantizedTail(q: DataFrame, probeIds: Seq[Long], k: Int,
+      what: String): DataFrame = {
     require(probeIds.nonEmpty)
-    val q = quantizeInt8(emb, vecCol)
     // validate every probe up front (cf. probeVecsOf): a typo'd probe
     // id must fail loudly, not silently shrink the recall report
-    val found = q.where(col(idCol).isin(probeIds: _*))
-      .select(col(idCol)).collect().map(_.getLong(0)).toSet
+    val found = q.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     probeIds.foreach(pid => require(found.contains(pid),
-      s"probe $pid not found in the embedding relation"))
-    val probes = broadcast(q.where(col(idCol).isin(probeIds: _*))
-      .select(col(idCol).as("probe_id"), col("qvec").as("__pq")))
+      s"probe $pid not found in $what"))
+    val probes = broadcast(q.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("qvec").as("__pq")))
     val dot = VectorFns.dotLong(col("qvec"), col("__pq"))
     val na = VectorFns.dotLong(col("qvec"), col("qvec"))
     val nq = VectorFns.dotLong(col("__pq"), col("__pq"))
-    topKPerProbe(q.join(probes, col(idCol) =!= col("probe_id"))
-      .select(col("probe_id"), col(idCol).as("vec_id"),
+    topKPerProbe(q.join(probes, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
         (dot.cast("double") / sqrt((na * nq).cast("double"))).as("cos_sim")),
       k).withColumnRenamed("cos_sim", "qcos")
+  }
+
+  /** Materialize the int8 index: the (vec_id, qvec) table at `path` —
+    * conversion paid ONCE, and every subsequent scan reads the 8×
+    * smaller long-array column instead of re-quantizing the float
+    * corpus per query (the [[pqWriteIndex]] lifecycle, minus
+    * codebooks: int8 scaling is PER-VECTOR max-abs, so the index
+    * carries no corpus-global statistic). */
+  def writeQuantizedIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, coalesceTo: Int = 8): Unit = {
+    def bounded(df: DataFrame) =
+      if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    bounded(quantizeInt8(emb, vecCol)
+      .select(col(idCol).as("vec_id"), col("qvec")))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold new embeddings INTO the stored int8 index. Unlike
+    * [[appendToPqIndex]]/[[appendToIvfIndex]] this append is EXACT
+    * with no drift trade: each vector quantizes against its own
+    * max-abs, so appended rows are bit-identical to what a full
+    * rebuild would store — the one ANN index here that needs no
+    * staleness alarm. */
+  def appendToQuantizedIndex(newEmb: DataFrame, path: String,
+      idCol: String, vecCol: String): Unit =
+    quantizeInt8(newEmb, vecCol)
+      .select(col(idCol).as("vec_id"), col("qvec"))
+      .write.mode("append").parquet(path)
+
+  private val quantizedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Drop the build-once memo for `path`. */
+  def invalidateQuantizedIndex(path: String): Unit =
+    quantizedIndexes.remove(path)
+
+  /** Build-once memo around [[writeQuantizedIndex]]: committed
+    * on-disk indexes reused across JVMs, torn dirs rebuild — the
+    * [[graft.operators.Dedup.ensureBandIndex]] contract. */
+  def ensureQuantizedIndex(spark: SparkSession, emb: => DataFrame,
+      idCol: String, vecCol: String, path: String): Unit =
+    quantizedIndexes.computeIfAbsent(path, { _ =>
+      if (!graft.io.IndexPaths.complete(spark, path))
+        writeQuantizedIndex(emb, idCol, vecCol, path)
+      java.lang.Boolean.TRUE
+    })
+
+  /** [[quantizedTopKBatch]] through the stored (vec_id, qvec) index:
+    * quantization paid at build time, every query-set evaluation is
+    * one scan of the 8×-smaller long-array table. Bit-identical to
+    * the in-memory path (shared [[quantizedTail]], longs round-trip
+    * parquet exactly — spec-pinned). */
+  def quantizedTopKIndexedBatch(spark: SparkSession, emb: => DataFrame,
+      idCol: String, vecCol: String, path: String, probeIds: Seq[Long],
+      k: Int): DataFrame = {
+    ensureQuantizedIndex(spark, emb, idCol, vecCol, path)
+    quantizedTail(spark.read.parquet(path), probeIds, k,
+      s"the stored int8 index at $path")
   }
 
   // ---------------- K-means corpus clustering ----------------
@@ -816,6 +885,34 @@ object Similarity {
     val cbs = kmeansWriteIndex(emb, idCol, vecCol, path, k, iters)
     kmeansIndexes.put(path, java.lang.Boolean.TRUE)
     cbs
+  }
+
+  /** ALARM → REBUILD for the kmeans index (cf.
+    * [[rebuildPqIndexIfDrifted]]): classify the arriving batch against
+    * the stored centroids (one zero-shuffle scan — centroids ride as a
+    * literal), compare its mean `dist_q` to the STORED table's mean at
+    * check time (the baseline needs no sibling file — the index
+    * carries per-row distances by construction), retrain over `emb`
+    * iff the ratio exceeds `threshold`. Check BEFORE folding the batch
+    * in ([[appendToKmeansIndex]]), so the baseline is not polluted by
+    * the batch being judged. Result identical to a manual
+    * [[rebuildKmeansIndex]] (spec-pinned). The `+ 1` slack on the
+    * baseline keeps a perfectly-clustered seed corpus (mean 0) from
+    * alarming on quantization noise. @return true iff a rebuild ran. */
+  def rebuildKmeansIndexIfDrifted(emb: => DataFrame, batch: DataFrame,
+      path: String, idCol: String, vecCol: String, k: Int = 8,
+      iters: Int = 2, threshold: Double = 2.0): Boolean = {
+    val spark = batch.sparkSession
+    val cbs = loadKmeansCentroids(spark, path)
+    val batchMean = batch
+      .select(transform(col(vecCol), x => VectorFns.qint(x)).as("__qv"))
+      .select(kmAssign(col("__qv"), cbs).getField("d").as("dist_q"))
+      .agg(avg(col("dist_q"))).head().getDouble(0)
+    val storedMean = spark.read.parquet(path)
+      .agg(avg(col("dist_q"))).head().getDouble(0)
+    val drifted = batchMean > threshold * (storedMean + 1.0)
+    if (drifted) rebuildKmeansIndex(emb, path, idCol, vecCol, k, iters)
+    drifted
   }
 
   /** Outlier mining over a stored clustering ([[kmeansWriteIndex]]
@@ -1045,6 +1142,13 @@ object Similarity {
     val cbs = pqTrain(cached, idCol, vecCol, m, k)
     pqEncode(cached, idCol, vecCol, cbs)
       .write.mode("overwrite").parquet(path)
+    // the drift BASELINE, captured while the build corpus is in hand:
+    // the fresh codebooks' mean reconstruction error over the corpus
+    // they were trained on — what [[rebuildPqIndexIfDrifted]] compares
+    // arriving batches against
+    pqQuantizationError(cached, idCol, vecCol, cbs)
+      .agg(avg(col("pq_err")).as("mean_err"))
+      .coalesce(1).write.mode("overwrite").parquet(pqBuildStatsPath(path))
     cached.unpersist()
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1054,6 +1158,10 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(pqCodebooksPath(path))
     cbs
   }
+
+  /** Sibling location of a PQ index's build-time error baseline. */
+  def pqBuildStatsPath(path: String): String =
+    path.stripSuffix("/") + ".buildstats"
 
   /** Reload the codebooks written by [[pqWriteIndex]]. */
   def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Seq[Float]]] = {
@@ -1119,6 +1227,41 @@ object Similarity {
     val cbs = pqWriteIndex(emb, idCol, vecCol, path, m, k)
     pqIndexes.put(path, cbs)
     cbs
+  }
+
+  /** ALARM → REBUILD, composed — the arc that makes the PQ index
+    * lifecycle unattended-safe: measure the arriving batch's mean
+    * [[pqQuantizationError]] under the CURRENT codebooks, compare to
+    * the build-time corpus baseline stored at [[pqBuildStatsPath]],
+    * and retrain over `emb` (the current full corpus, lazily
+    * evaluated — untouched when the alarm stays quiet) iff the ratio
+    * exceeds `threshold`. The check is one zero-shuffle scan of the
+    * BATCH (codebooks ride as literals) + a one-row stats read; the
+    * result is identical to calling [[rebuildPqIndex]] by hand
+    * (spec-pinned). A baseline written by a pre-baseline builder is
+    * healed in place from `emb`. @return true iff a rebuild ran. */
+  def rebuildPqIndexIfDrifted(emb: => DataFrame, batch: DataFrame,
+      path: String, idCol: String, vecCol: String, m: Int = 16,
+      k: Int = 16, threshold: Double = 2.0): Boolean = {
+    val spark = batch.sparkSession
+    val cbs = Option(pqIndexes.get(path))
+      .getOrElse(loadPqCodebooks(spark, path))
+    def meanErr(df: DataFrame): Double =
+      pqQuantizationError(df, idCol, vecCol, cbs)
+        .agg(avg(col("pq_err"))).head().getDouble(0)
+    val baseline =
+      if (graft.io.IndexPaths.complete(spark, pqBuildStatsPath(path)))
+        spark.read.parquet(pqBuildStatsPath(path)).head().getDouble(0)
+      else { // index predates the baseline sibling: heal it in place
+        val b = meanErr(emb)
+        import spark.implicits._
+        Seq(b).toDF("mean_err").coalesce(1)
+          .write.mode("overwrite").parquet(pqBuildStatsPath(path))
+        b
+      }
+    val drifted = meanErr(batch) > threshold * (baseline + 1e-9)
+    if (drifted) rebuildPqIndex(emb, path, idCol, vecCol, m, k)
+    drifted
   }
 
   private val pqIndexes =

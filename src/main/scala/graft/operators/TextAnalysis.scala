@@ -1012,12 +1012,21 @@ object TextAnalysis {
     * docs the counts came from; per-call work is ∝ batch + vocabulary,
     * never ∝ reference corpus. */
   def termDriftFromCounts(refCounts: DataFrame, docsB: DataFrame,
-      textCol: String, minCount: Long = 5L): DataFrame = {
-    val ca = refCounts.select(col("term"), col("c_a"))
-    val cb = termCounts(docsB, textCol, "c_b")
+      textCol: String, minCount: Long = 5L): DataFrame =
+    countsDrift(refCounts.select(col("term"), col("c_a")),
+      termCounts(docsB, textCol, "c_b"), "term", minCount)
+
+  /** The counts-vs-counts core of the drift family — both sides
+    * already aggregated to (`keyCol`, c_a) / (`keyCol`, c_b): the
+    * exact integer ppm-rate relation of [[termDrift]], generalized so
+    * non-term keys (gram hashes — [[graft.operators.Dedup
+    * .containmentIndexDrift]]) ride the same math and the same
+    * 2·10⁶ × TV-distance reading of the summed diff. */
+  private[graft] def countsDrift(ca: DataFrame, cb: DataFrame,
+      keyCol: String, minCount: Long): DataFrame = {
     val na = ca.agg(sum(col("c_a")).as("n_a"))
     val nb = cb.agg(sum(col("c_b")).as("n_b"))
-    ca.join(cb, Seq("term"), "full_outer")
+    ca.join(cb, Seq(keyCol), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
       .where(col("c_a") >= minCount || col("c_b") >= minCount)
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
@@ -1025,7 +1034,7 @@ object TextAnalysis {
       .withColumn("rate_b_ppm", expr("(c_b * 1000000L) DIV n_b"))
       .withColumn("rate_diff_ppm",
         abs(col("rate_a_ppm") - col("rate_b_ppm")))
-      .select("term", "c_a", "c_b", "rate_a_ppm", "rate_b_ppm",
+      .select(keyCol, "c_a", "c_b", "rate_a_ppm", "rate_b_ppm",
         "rate_diff_ppm")
   }
 

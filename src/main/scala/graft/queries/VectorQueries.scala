@@ -309,8 +309,14 @@ object VectorQueries {
     "q_ann_recall_int8" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val probeIds = Seq(0L, 7L, 19L, 42L)
-      val int8 = Similarity.quantizedTopKBatch(emb, "vec_id", "embedding",
-          probeIds, K)
+      // through the STORED (vec_id, qvec) index — conversion paid at
+      // build, the scan reads 8x fewer bytes; bit-identical to the
+      // in-memory quantizedTopKBatch (parity spec-pinned), so the
+      // full SQL oracle is unchanged
+      val indexPath = graft.io.IndexPaths.indexPath("int8",
+        s"$dir/embeddings.parquet", "int8")
+      val int8 = Similarity.quantizedTopKIndexedBatch(s, emb, "vec_id",
+          "embedding", indexPath, probeIds, K)
         .select(col("probe_id"), col("vec_id"))
       val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
           probeIds, K)

@@ -343,11 +343,24 @@ object Streams {
     * TTL. `compactEvery` (0 = off): every N batches, fold the admitted
     * batch dirs ([[graft.operators.Dedup.compactAdmitted]]) and both
     * index tables ([[graft.operators.Dedup.compactContainmentIndex]])
-    * in the loop — same contract as [[ingestDedupStream]]. */
+    * in the loop — same contract as [[ingestDedupStream]].
+    * `checkDriftEvery` (0 = off): every N batches, total the
+    * gram-frequency drift of the just-ingested batch against the
+    * stored postings and REBUILD the index from the admitted corpus
+    * iff it exceeds `maxDriftPpm`
+    * ([[graft.operators.Dedup.rebuildContainmentIndexIfDrifted]]) —
+    * the alarm that was previously an operator's job to watch now
+    * closes its own loop, restoring global-df rank order before the
+    * appended batch-local ranks degrade candidate selectivity. The
+    * check is ∝ batch + gram vocabulary; the rebuild only runs when
+    * the alarm fires, and its result is identical to a manual
+    * [[graft.operators.Dedup.rebuildContainmentIndex]]. */
   def ingestContainmentStream(docs: DataFrame, indexPath: String,
       admittedRoot: String, checkpoint: String, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 3, threshold: Double = 0.8,
-      maxDf: Option[Long] = None, compactEvery: Int = 0)
+      maxDf: Option[Long] = None, compactEvery: Int = 0,
+      checkDriftEvery: Int = 0, maxDriftPpm: Long = 400000L,
+      driftMinCount: Long = 5L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -363,6 +376,14 @@ object Streams {
           graft.operators.Dedup.compactAdmitted(spark, admittedRoot)
           graft.operators.Dedup.compactContainmentIndex(spark, indexPath)
         }
+        if (checkDriftEvery > 0 && (id + 1) % checkDriftEvery == 0 &&
+            !batch.isEmpty)
+          graft.operators.Dedup.rebuildContainmentIndexIfDrifted(
+            spark.read.parquet(admittedRoot)
+              .select(col(idCol), col(textCol)),
+            batch, indexPath, idCol, textCol, ngram, maxDriftPpm,
+            driftMinCount)
+        ()
       }
       .outputMode("append")
       .start()
@@ -499,6 +520,120 @@ object Streams {
         if (!batch.isEmpty)
           graft.operators.Similarity.appendToIvfIndex(batch, indexPath,
             idCol, vecCol)
+      }
+      .outputMode("append")
+      .start()
+
+  /** Streaming PQ-index maintenance with the alarm→rebuild arc CLOSED
+    * IN the loop: each micro-batch of embeddings lands exactly-once in
+    * `corpusRoot/batch=<id>` (the raw-vector corpus a rebuild retrains
+    * from — the codes table alone cannot, it stores no floats), then
+    * folds into the stored PQ index by encoding against the EXISTING
+    * codebooks ([[graft.operators.Similarity.appendToPqIndex]], the
+    * standard no-retrain append whose recall decays silently under
+    * distribution shift). `checkDriftEvery` (0 = off): every N
+    * batches, compare the batch's mean reconstruction error under the
+    * current codebooks to the build-time baseline and RETRAIN over the
+    * whole accumulated corpus iff it exceeds `driftThreshold`×
+    * ([[graft.operators.Similarity.rebuildPqIndexIfDrifted]]) — the
+    * long-running ingest no longer serves a degrading index until an
+    * operator notices. A rebuild already covers the triggering batch
+    * (it is in `corpusRoot` by then), so the append is skipped that
+    * cycle. Replay contract: exactly-once — the per-batch dir
+    * overwrites, and the fold anti-joins the stored ids so a
+    * re-delivered batch cannot duplicate codes. First batch builds the
+    * index. */
+  def ingestPqStream(emb: DataFrame, indexPath: String,
+      corpusRoot: String, checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", m: Int = 16, k: Int = 16,
+      checkDriftEvery: Int = 0, driftThreshold: Double = 2.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) try {
+          val b = batch.select(col(idCol), col(vecCol))
+          b.coalesce(4).write.mode("overwrite")
+            .parquet(s"$corpusRoot/batch=$id")
+          def corpus = spark.read.parquet(corpusRoot)
+            .select(col(idCol), col(vecCol))
+          if (!graft.io.IndexPaths.complete(spark, indexPath))
+            graft.operators.Similarity.rebuildPqIndex(corpus, indexPath,
+              idCol, vecCol, m, k)
+          else {
+            val rebuilt = checkDriftEvery > 0 &&
+              (id + 1) % checkDriftEvery == 0 &&
+              graft.operators.Similarity.rebuildPqIndexIfDrifted(corpus,
+                b, indexPath, idCol, vecCol, m, k, driftThreshold)
+            if (!rebuilt) {
+              val fresh = b.join(
+                spark.read.parquet(indexPath)
+                  .select(col(idCol).as("__stored")),
+                col(idCol) === col("__stored"), "left_anti")
+              if (!fresh.isEmpty)
+                graft.operators.Similarity.appendToPqIndex(fresh,
+                  indexPath, idCol, vecCol)
+            }
+          }
+          // drop every tracked intermediate so the NEXT batch's
+          // corpus re-read cannot hit a stale cached plan (a cached
+          // read of `corpusRoot` canonicalizes equal to a fresh one
+          // and would serve the old file listing)
+        } finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
+  /** Streaming kmeans-index maintenance — [[ingestPqStream]]'s shape
+    * for the clustering index: batches land exactly-once in
+    * `corpusRoot/batch=<id>`, classify against the stored centroids
+    * ([[graft.operators.Similarity.appendToKmeansIndex]]), and on the
+    * `checkDriftEvery` cadence the batch's mean `dist_q` against the
+    * stored table's mean decides an in-loop retrain
+    * ([[graft.operators.Similarity.rebuildKmeansIndexIfDrifted]] —
+    * checked BEFORE the fold, so the baseline is not polluted by the
+    * batch being judged). Exactly-once: per-batch dir overwrite +
+    * stored-id anti-join on the fold. First batch builds the index. */
+  def ingestKmeansStream(emb: DataFrame, indexPath: String,
+      corpusRoot: String, checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8, iters: Int = 2,
+      checkDriftEvery: Int = 0, driftThreshold: Double = 2.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) try {
+          val b = batch.select(col(idCol), col(vecCol))
+          b.coalesce(4).write.mode("overwrite")
+            .parquet(s"$corpusRoot/batch=$id")
+          def corpus = spark.read.parquet(corpusRoot)
+            .select(col(idCol), col(vecCol))
+          if (!graft.io.IndexPaths.complete(spark, indexPath))
+            graft.operators.Similarity.rebuildKmeansIndex(corpus,
+              indexPath, idCol, vecCol, k, iters)
+          else {
+            val rebuilt = checkDriftEvery > 0 &&
+              (id + 1) % checkDriftEvery == 0 &&
+              graft.operators.Similarity.rebuildKmeansIndexIfDrifted(
+                corpus, b, indexPath, idCol, vecCol, k, iters,
+                driftThreshold)
+            if (!rebuilt) {
+              val fresh = b.join(
+                spark.read.parquet(indexPath)
+                  .select(col(idCol).as("__stored")),
+                col(idCol) === col("__stored"), "left_anti")
+              if (!fresh.isEmpty)
+                graft.operators.Similarity.appendToKmeansIndex(fresh,
+                  indexPath, idCol, vecCol)
+            }
+          }
+          // release per batch — cf. ingestPqStream (stale cached
+          // corpus-read plans; kmeansFixedPoint tracks its persist)
+        } finally graft.operators.Caches.release()
+        ()
       }
       .outputMode("append")
       .start()

@@ -101,6 +101,54 @@ class RetrievalSpec extends SparkSpec {
       graft.io.IndexPaths.complete(spark, s"$tmp/idx.stats"))
   }
 
+  test("refreshBm25IndexIfDrifted: quiet batch leaves the index alone; planted shift rebuilds to a fresh-build match") {
+    val base = Seq.tabulate(20)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val shifted = Seq.tabulate(20)(i =>
+      (1000L + i, "zebra quagga okapi tapir capuchin marmoset lemur"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-refresh-")
+      .toString
+    val idx = s"$tmp/idx"
+    Retrieval.writeBm25Index(base.toDF("doc_id", "text"), "doc_id", "text",
+      idx)
+    val partsBefore = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    // on-distribution batch: alarm quiet, index files untouched
+    val quiet = Retrieval.refreshBm25IndexIfDrifted(spark,
+      sys.error("corpus must not be evaluated when the alarm is quiet"),
+      "doc_id", "text", idx,
+      Seq((500L, "the lazy dog jumps over the quick brown fox"))
+        .toDF("doc_id", "text"), minCount = 1L)
+    assert(!quiet, "on-distribution batch must not trigger a rebuild")
+    assert(new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet === partsBefore,
+      "quiet alarm must leave the stored index untouched")
+    // shifted batch: alarm fires, rebuild over the grown corpus
+    val grown = (base ++ shifted).toDF("doc_id", "text")
+    val fired = Retrieval.refreshBm25IndexIfDrifted(spark, grown,
+      "doc_id", "text", idx, shifted.toDF("doc_id", "text"),
+      minCount = 1L)
+    assert(fired, "shifted batch must trigger the rebuild")
+    // the refreshed index answers exactly like a from-scratch build
+    val queries = Seq((1L, "lazy dog"), (2L, "zebra okapi"))
+      .toDF("query_id", "qtext")
+    val viaRefreshed = Retrieval.bm25TopKIndexed(spark, grown, "doc_id",
+        "text", idx, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    Retrieval.writeBm25Index(grown, "doc_id", "text", s"$tmp/fresh")
+    val viaFresh = Retrieval.bm25TopKIndexed(spark, grown, "doc_id",
+        "text", s"$tmp/fresh", queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaRefreshed === viaFresh,
+      "alarm-triggered rebuild must equal a fresh build")
+    // and the shifted vocabulary is actually served now
+    assert(viaRefreshed.exists { case (qid, doc, _, _) =>
+      qid == 2L && doc >= 1000L },
+      "rebuilt index must rank the shifted docs for shifted queries")
+  }
+
   test("TopKByLongScore ranks adjacent scores past 2^53 exactly (no double rounding)") {
     import org.apache.spark.sql.graft.shim
     // adjacent longs above 2^53 collapse to the SAME double, so a

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
 import graft.operators.Similarity
+import graft.streaming.Streams
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -157,6 +158,39 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(batch.getOrElse(p, Seq.empty) === single, s"probe $p")
     }
+  }
+
+  test("quantizedTopKIndexedBatch: stored index bit-identical to in-memory; append-exact; bad probe fails") {
+    val probes = Seq(0L, 7L, 19L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-int8-").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val mem = rows(Similarity.quantizedTopKBatch(emb, "vec_id", "embedding",
+      probes, 10))
+    val stored = rows(Similarity.quantizedTopKIndexedBatch(spark, emb,
+      "vec_id", "embedding", s"$tmp/idx", probes, 10))
+    assert(stored === mem, "stored int8 path must be bit-identical")
+    assert(graft.io.IndexPaths.complete(spark, s"$tmp/idx"),
+      "index must be a committed write")
+    // append path: build on a prefix, fold the rest in — per-vector
+    // max-abs scaling makes the append EXACT, so the incrementally
+    // built index answers identically to the one-shot build
+    val lo = emb.where(col("vec_id") < 300L)
+    val hi = emb.where(col("vec_id") >= 300L)
+    Similarity.writeQuantizedIndex(lo, "vec_id", "embedding", s"$tmp/idx2")
+    Similarity.appendToQuantizedIndex(hi, s"$tmp/idx2", "vec_id", "embedding")
+    Similarity.ensureQuantizedIndex(spark, emb, "vec_id", "embedding",
+      s"$tmp/idx2") // memo only — already complete on disk
+    val appended = rows(Similarity.quantizedTopKIndexedBatch(spark, emb,
+      "vec_id", "embedding", s"$tmp/idx2", probes, 10))
+    assert(appended === mem, "append-built index must equal one-shot build")
+    // a typo'd probe id fails loudly on the indexed path too
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.quantizedTopKIndexedBatch(spark, emb, "vec_id",
+        "embedding", s"$tmp/idx", Seq(0L, 999999L), 10)
+    }
+    assert(ex.getMessage.contains("999999"))
   }
 
   test("annRecallReport: planted duplicate is recalled; multi-probe >= single-bucket") {
@@ -663,6 +697,100 @@ class SimilaritySpec extends SparkSpec {
     assert(meanErr(batchDf, fresh) < batchErr / 10,
       "retrained codebooks must reconstruct the batch again")
     assert(recall() == 10, "rebuild must restore full recall")
+  }
+
+  test("ingestPqStream checkDriftEvery: quiet batches append; planted shift rebuilds IN-LOOP and restores recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-loop-")
+      .toString
+    val idx = s"$tmp/idx"
+    // on-distribution second batch: same generator family as the seed
+    val onDist = (41L to 60L).map { i =>
+      val b = (i % 4).toInt
+      (i, driftVec(j => if (j < 8) 0.5f + 0.1f * b + 0.01f * ((i + j) % 5)
+                        else 0.0f))
+    }
+    val shifted = driftDecoys ++ driftProbe ++ driftNeighbors
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val sq = Streams.ingestPqStream(
+      ms.toDF().toDF("vec_id", "embedding"), idx, s"$tmp/corpus",
+      s"$tmp/ckpt", m = 4, k = 8, checkDriftEvery = 1)
+    // batch 0 builds the index (+ its build-time error baseline)
+    ms.addData(driftBase: _*); sq.processAllAvailable()
+    val cbsAfterBuild = Similarity.loadPqCodebooks(spark, idx)
+    // batch 1 is on-distribution: the in-loop check stays quiet —
+    // codebooks unchanged, batch folded by APPEND
+    ms.addData(onDist: _*); sq.processAllAvailable()
+    assert(Similarity.loadPqCodebooks(spark, idx).map(_.toSeq).toSeq ===
+      cbsAfterBuild.map(_.toSeq).toSeq,
+      "quiet batch must not retrain the codebooks")
+    val idsAfterQuiet = spark.read.parquet(idx).select("vec_id")
+      .as[Long].collect().toSet
+    assert(idsAfterQuiet === (driftBase ++ onDist).map(_._1).toSet,
+      "quiet batch must still fold into the index")
+    // batch 2 is the planted shift: the alarm fires IN the loop and
+    // retrains over the accumulated corpus — no operator in the arc
+    ms.addData(shifted: _*); sq.processAllAvailable()
+    sq.stop()
+    assert(Similarity.loadPqCodebooks(spark, idx).map(_.toSeq).toSeq !==
+      cbsAfterBuild.map(_.toSeq).toSeq,
+      "shifted batch must retrain the codebooks in-loop")
+    val all = (driftBase ++ onDist ++ shifted).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopKIndexed(spark, all, "vec_id", "embedding",
+        idx, probeId = 500L, k = 10, m = 4, kCode = 8, shortlistFactor = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === (900L to 909L).toSet,
+      s"in-loop rebuild must restore full recall, got $got")
+    // and the loop's rebuild is exactly what a manual rebuild produces
+    // (deterministic train init), from the identical corpus
+    val manual = Similarity.pqWriteIndex(
+      spark.read.parquet(s"$tmp/corpus").select("vec_id", "embedding"),
+      "vec_id", "embedding", s"$tmp/manual", m = 4, k = 8)
+    assert(Similarity.loadPqCodebooks(spark, idx).map(_.toSeq).toSeq ===
+      manual.map(_.toSeq).toSeq,
+      "in-loop rebuild must equal a manual rebuild over the same corpus")
+  }
+
+  test("ingestKmeansStream checkDriftEvery: planted shift retrains IN-LOOP; assignment quality restored") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-km-loop-")
+      .toString
+    val idx = s"$tmp/idx"
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val sq = Streams.ingestKmeansStream(
+      ms.toDF().toDF("vec_id", "embedding"), idx, s"$tmp/corpus",
+      s"$tmp/ckpt", k = 5, iters = 3, checkDriftEvery = 1)
+    // batch 0 builds the clustering over the seed corpus
+    ms.addData(driftBase: _*); sq.processAllAvailable()
+    val staleMean = spark.read.parquet(idx)
+      .agg(avg("dist_q")).head().getDouble(0)
+    // what the stale centroids would say about the shifted batch —
+    // the degradation the in-loop check prevents from being stored
+    val staleCbs = Similarity.loadKmeansCentroids(spark, idx)
+    // batch 1 is the shifted blob: alarm fires, retrain runs in-loop
+    ms.addData(driftDecoys: _*); sq.processAllAvailable()
+    sq.stop()
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.select("vec_id").as[Long].collect().toSet ===
+      (driftBase ++ driftDecoys).map(_._1).toSet,
+      "every row classified exactly once")
+    val batchMeanAfter = idxDf.where(col("vec_id") >= 100L)
+      .agg(avg("dist_q")).head().getDouble(0)
+    // under the stale centroids the decoys sat an order of magnitude
+    // off; the in-loop retrain pulled a centroid to them
+    assert(batchMeanAfter < 10 * (staleMean + 1),
+      s"in-loop retrain must restore assignment quality: $batchMeanAfter")
+    assert(Similarity.loadKmeansCentroids(spark, idx).map(_.toSeq).toSeq
+      !== staleCbs.map(_.toSeq).toSeq, "centroids must have moved")
+    // identical to the manual rebuild over the same corpus
+    val manual = Similarity.rebuildKmeansIndex(
+      spark.read.parquet(s"$tmp/corpus").select("vec_id", "embedding"),
+      s"$tmp/manual", "vec_id", "embedding", k = 5, iters = 3)
+    assert(Similarity.loadKmeansCentroids(spark, idx).map(_.toSeq).toSeq
+      === manual.map(_.toSeq).toSeq,
+      "in-loop rebuild must equal a manual rebuild over the same corpus")
   }
 
   test("kmeans append drift: stored dist_q is the alarm; rebuild restores assignment quality") {

@@ -522,6 +522,60 @@ class StreamingSpec extends SparkSpec {
       s"replay duplicated index rows: $gsetsBefore -> $gsetsAfter")
   }
 
+  test("ingestContainmentStream checkDriftEvery: quiet batch appends; shifted batch rebuilds the index in-loop") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cont-drift-")
+      .toString
+    def parts(path: String): Set[String] =
+      new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    // base vocabulary docs — each shares grams with the others so the
+    // stored gram distribution is well-populated
+    val baseDocs = Seq.tabulate(8)(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota"))
+    val onDist = Seq((100L, "beta gamma delta epsilon zeta eta theta"))
+    val shifted = Seq.tabulate(6)(i =>
+      (200L + i, s"zebra quagga okapi tapir capuchin marmoset lemur m$i"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.ingestContainmentStream(
+      ms.toDF().toDF("doc_id", "text"), s"$tmp/idx", s"$tmp/admitted",
+      s"$tmp/ckpt", checkDriftEvery = 1, maxDriftPpm = 1000000L,
+      driftMinCount = 1L)
+    ms.addData(baseDocs: _*); sq.processAllAvailable()
+    val partsAfterBuild = parts(s"$tmp/idx")
+    // batch 1 shares the vocabulary: drift quiet, index grows by
+    // APPEND — the build files survive
+    ms.addData(onDist: _*); sq.processAllAvailable()
+    assert(partsAfterBuild.subsetOf(parts(s"$tmp/idx")),
+      "quiet batch must append, not rewrite the index")
+    // batch 2 is a disjoint-vocabulary shift: the in-loop alarm fires
+    // and the index is REBUILT from the admitted corpus — the old
+    // part files are gone
+    ms.addData(shifted: _*); sq.processAllAvailable()
+    sq.stop()
+    assert(partsAfterBuild.intersect(parts(s"$tmp/idx")).isEmpty,
+      "shifted batch must rebuild the index in-loop")
+    // the rebuilt index equals a manual rebuild over the same corpus
+    val admitted = spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id", "text")
+    graft.operators.Dedup.rebuildContainmentIndex(admitted,
+      s"$tmp/manual", "doc_id", "text")
+    def postings(path: String) = spark.read.parquet(path)
+      .select("gh", "doc_id", "__df", "__r", "__sz")
+      .collect().map(_.toString).sorted.toSeq
+    assert(postings(s"$tmp/idx") === postings(s"$tmp/manual"),
+      "in-loop rebuild must equal a manual rebuild (global-df ranks)")
+    // and the loop still works after the rebuild: a doc contained in
+    // an admitted one is rejected through the REBUILT index
+    graft.operators.Dedup.ingestContainmentBatch(
+      Seq((900L, "zebra quagga okapi tapir capuchin")).toDF("doc_id", "text"),
+      3L, s"$tmp/idx", s"$tmp/admitted")
+    val ids = spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(900L),
+      "contained doc must be rejected through the rebuilt index")
+  }
+
   test("ingestSubstringScrubStream: first ARRIVAL owns a span; replay appends nothing") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sub-spec-")
