@@ -200,6 +200,89 @@ object Retrieval {
       textCol, minCount)
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the
+    * standard hybrid-retrieval combiner (lexical BM25 + dense ANN):
+    * `rrf_q = Σ_sides 1 000 000 DIV (rrfK + rk)`, all integer
+    * (micro-scaled so the classic 1/(60+r) fractions rank exactly —
+    * no float sums to break cross-engine replay), absent-side
+    * contribution 0. Rank fusion needs only the RANKS, so arbitrarily
+    * scaled scores from heterogeneous systems (integer BM25 micro
+    * scores, double cosines) fuse without calibration — the reason
+    * RRF is the default hybrid combiner in production search.
+    *
+    * Scale shape: both inputs are ALREADY top-k-per-query relations
+    * (≤ k rows per query per side), so the full-outer join and the
+    * per-query bounded heap ([[graft.functions.expr.TopKByLongScore]])
+    * touch query-bounded data only — the fusion costs nothing at any
+    * corpus size; the retrieval passes it fuses carry the scale story.
+    * @param a,b (query_id, doc_id, rk) relations, rk 1-based
+    * @return (query_id, doc_id, rrf_q, rk) — ties by doc_id asc */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    def side(d: DataFrame, cn: String) =
+      d.select(col("query_id"), col("doc_id"), col("rk").as(cn))
+    val scored = side(a, "__rka")
+      .join(side(b, "__rkb"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000L DIV (${rrfK}L + __rka)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV (${rrfK}L + __rkb)"), lit(0L)))
+          .as("rrf_q"))
+    val agg = shim.column(graft.functions.expr.TopKByLongScore(
+        shim.expression(col("rrf_q")),
+        shim.expression(col("doc_id")), k)
+      .toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(agg.as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as("doc_id"),
+        col("__e.score").as("rrf_q"),
+        (col("__p") + 1).cast("long").as("rk"))
+  }
+
+  /** FLOAT log-idf BM25 — the Lucene-comparable variant of [[bm25TopK]]
+    * for users expecting textbook scores: idf = ln(1 + (N−df+½)/(df+½))
+    * (Lucene's non-negative form), tf normalization with float
+    * k1/b/avgdl. Same tokens, postings pass, broadcast query match,
+    * and (score DESC, doc_id ASC) tie-break as the integer scorer —
+    * only the scoring arithmetic differs. NOT oracle-hash-checkable:
+    * `ln` is not correctly-rounded by IEEE, so scores can differ in
+    * the last ulp across engines/libms (the documented reason the
+    * flagship scorer is integer, `Retrieval` scaladoc) — rankings
+    * agree with the odds-idf form on rank-determined contracts
+    * (RetrievalSpec pins the behavioral battery on both). */
+  def bm25TopKLog(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, qidCol: String = "query_id",
+      qtextCol: String = "qtext", k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val (postings, stats) = postingsOf(docs, idCol, textCol)
+    val scored = postings
+      .join(broadcast(queryTerms(queries, qidCol, qtextCol)), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("__tfn",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl"))))
+      .select(col("query_id"), col("doc_id"),
+        (col("__idf") * col("__tfn")).as("__c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("score"))
+    val agg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression(col("score")),
+        shim.expression(col("doc_id")), k)
+      .toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(agg.as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as("doc_id"),
+        col("__e.score").as("score"),
+        (col("__p") + 1).cast("long").as("rk"))
+  }
+
   /** ALARM → REBUILD for the rebuild-only BM25 index (cf.
     * [[graft.operators.Similarity.rebuildPqIndexIfDrifted]] — the
     * same composed arc on the most expensive rebuild here): total the

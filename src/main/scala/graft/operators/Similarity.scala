@@ -733,6 +733,37 @@ object Similarity {
       s"the stored int8 index at $path")
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * [[TextAnalysis.decontaminate]]'s n-gram overlap: flag every
+    * corpus vector whose quantized cosine against ANY eval-set vector
+    * reaches `tau` (paraphrased or translated eval leakage that shares
+    * no n-grams and so slips past the lexical check). For each flagged
+    * corpus row, report the best-matching eval id and the cosine.
+    *
+    * Scale shape: an eval benchmark is a BOUNDED set (thousands of
+    * rows — KBs of vectors), so the eval side broadcasts and the
+    * corpus is scanned ONCE with per-row |eval| dot products — no
+    * shuffle of corpus data, the same corpus-never-moves shape as
+    * [[bruteForceTopKBatch]]. All arithmetic is the quantized integer
+    * dot + one double division ([[VectorFns.cosineQ]]), so the full
+    * relation replays in SQL. Ties on cosine break to the LARGEST
+    * eval_id (max-struct semantics, deterministic).
+    * @return (id, eval_id, qcos) for flagged corpus rows only */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val ev = broadcast(evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).as("__ev")))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(ev)
+      .select(col(idCol),
+        struct(VectorFns.cosineQ(col(vecCol), col("__ev")).as("qcos"),
+          col("eval_id")).as("__m"))
+      .where(col("__m.qcos") >= tau)
+      .groupBy(col(idCol)).agg(max(col("__m")).as("__best"))
+      .select(col(idCol), col("__best.eval_id").as("eval_id"),
+        col("__best.qcos").as("qcos"))
+  }
+
   // ---------------- K-means corpus clustering ----------------
 
   /** Corpus-size-derived cluster count for the clustering family:

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import Q._
 
 /** Text-analysis + deduplication coverage over the `documents` table:
@@ -45,6 +45,23 @@ object TextQueries {
   private def bm25Queries(s: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame =
     s.createDataFrame(bm25QuerySet).toDF("query_id", "qtext")
+
+  /** The hybrid-retrieval query set: query ids double as embedding
+    * probe ids (documents.doc_id and embeddings.vec_id share an id
+    * space — cf. q_hybrid_neardup), so each query has BOTH a lexical
+    * text and a dense probe vector. */
+  private val hybridQuerySet: Seq[(Long, String)] = Seq(
+    0L -> "hash join order",
+    7L -> "vector scan filter",
+    19L -> "customer data stream window",
+    42L -> "hash vector stream")
+
+  /** DuckDB fixed-point dot product (mirror of `VectorFns.dotQ` —
+    * duplicated from VectorQueries for the hybrid oracle). */
+  private def sqlDotQT(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |  i -> CAST(FLOOR(CAST($a[i] AS DOUBLE) * 1000) AS BIGINT)
+       |     * CAST(FLOOR(CAST($b[i] AS DOUBLE) * 1000) AS BIGINT)))""".stripMargin
 
   /** Full integer replay of [[graft.operators.Retrieval.bm25TopK]]:
     * postings, df, floor-avgdl, the odds idf and cross-multiplied tf
@@ -768,6 +785,36 @@ object TextQueries {
     "q_bm25" -> { (s, dir) =>
       graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", bm25Queries(s), k = 10)
+    },
+
+    // FLOAT log-idf BM25 — the Lucene-comparable scorer for users who
+    // need textbook-magnitude scores (VERDICT r7 gap #4). ln is not
+    // correctly-rounded IEEE, so this variant is deliberately OUTSIDE
+    // the hash oracle (rows-only driver check); RetrievalSpec pins its
+    // ranking behavior against the integer scorer instead.
+    "q_bm25_log" -> { (s, dir) =>
+      graft.operators.Retrieval.bm25TopKLog(t(s, dir, "documents"),
+        "doc_id", "text", bm25Queries(s), k = 10)
+    },
+
+    // HYBRID retrieval — the production search composition: lexical
+    // BM25 over the document text AND dense cosine over the embedding
+    // table, fused by reciprocal rank (exact integer RRF). Query ids
+    // double as probe vec_ids; both retrieval passes are the
+    // corpus-never-shuffles batched shapes, and the fusion is
+    // query-bounded. Full SQL oracle: the BM25 CTE, the quantized
+    // cosine ranking, and the integer RRF all replay in DuckDB.
+    "q_hybrid_retrieval" -> { (s, dir) =>
+      val queries = s.createDataFrame(hybridQuerySet)
+        .toDF("query_id", "qtext")
+      val text = graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+          "doc_id", "text", queries, k = 10)
+        .select("query_id", "doc_id", "rk")
+      val dense = Similarity.bruteForceTopKBatch(t(s, dir, "embeddings"),
+          "vec_id", "embedding", hybridQuerySet.map(_._1), 10)
+        .select(col("probe_id").as("query_id"),
+          col("vec_id").as("doc_id"), col("rk"))
+      graft.operators.Retrieval.rrfFuse(text, dense, k = 10)
     },
 
     // The same retrieval through the MATERIALIZED postings index
@@ -1702,6 +1749,41 @@ object TextQueries {
     "q_bm25" -> sqlBm25,
     "q_bm25_indexed" -> sqlBm25,
     "q_sql_bm25" -> sqlBm25,
+    // NOTE: q_bm25_log deliberately has NO oracle entry (ln is not
+    // bit-stable cross-engine) — the driver records rows-only.
+
+    "q_hybrid_retrieval" -> {
+      val qcte = "VALUES " + hybridQuerySet
+        .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+        .mkString(", ")
+      s"""WITH bm AS (${sqlBm25Of(qcte, "", 10)}),
+         |pr AS (SELECT vec_id AS query_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
+         |nn AS (SELECT vec_id,
+         |    ${sqlDotQT("embedding", "embedding")} AS nsq FROM embeddings),
+         |sc AS (SELECT pr.query_id, e.vec_id AS doc_id,
+         |    CAST(${sqlDotQT("e.embedding", "pr.pe")} AS DOUBLE) /
+         |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos
+         |  FROM embeddings e CROSS JOIN pr
+         |  JOIN nn na ON na.vec_id = e.vec_id
+         |  JOIN nn np ON np.vec_id = pr.query_id
+         |  WHERE e.vec_id <> pr.query_id),
+         |dn AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rk
+         |    FROM sc) WHERE rk <= 10),
+         |u AS (SELECT COALESCE(bm.query_id, dn.query_id) AS query_id,
+         |    COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+         |    COALESCE(1000000 // (60 + bm.rk), 0) +
+         |      COALESCE(1000000 // (60 + dn.rk), 0) AS rrf_q
+         |  FROM bm FULL OUTER JOIN dn
+         |    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id)
+         |SELECT query_id, doc_id, CAST(rrf_q AS BIGINT) AS rrf_q,
+         |  CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT query_id, doc_id, rrf_q, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rrf_q DESC, doc_id ASC) AS rk
+         |  FROM u) WHERE rk <= 10""".stripMargin
+    },
     // side A = the stored postings' term counts, re-derived from the
     // corpus (docs with >= 1 token; tf sums == corpus occurrence
     // counts) — an index whose counts diverge fails the hash too

@@ -131,6 +131,22 @@ object VectorQueries {
        |     * CAST(FLOOR(CAST($b[i] AS DOUBLE) * 1000) AS BIGINT)))""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    // SEMANTIC decontamination: flag every training vector whose
+    // cosine against ANY eval vector (every 20th id — mirroring
+    // q_decontaminate's lexical split) reaches 0.40 — this synthetic
+    // embedding space's near-dup threshold (the one q_neardup_exact
+    // uses; its cross-split cosines top out at ~0.49) — with the
+    // best-matching eval id. Catches paraphrased/translated eval
+    // leakage the n-gram check misses; eval side broadcast, corpus
+    // scanned once. Quantized dots -> full SQL oracle.
+    "q_decontaminate_semantic" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.where(col("vec_id") % 20 =!= 0),
+        emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", tau = 0.40)
+    },
+
     // Exact top-k nearest neighbors of vec 0 by (quantized) cosine.
     "q_embedding_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -714,6 +730,22 @@ object VectorQueries {
          |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) AS cos_sim
          |FROM sc
          |WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) >= 0.40""".stripMargin,
+
+    "q_decontaminate_semantic" ->
+      s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ev
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 20 <> 0),
+         |sc AS (SELECT tr.vec_id, ev.eval_id,
+         |    CAST(${sqlDotQ("tr.embedding", "ev.ev")} AS DOUBLE) /
+         |      SQRT(CAST(${sqlDotQ("tr.embedding", "tr.embedding")} *
+         |        ${sqlDotQ("ev.ev", "ev.ev")} AS DOUBLE)) AS qcos
+         |  FROM tr CROSS JOIN ev),
+         |f AS (SELECT * FROM sc WHERE qcos >= 0.40)
+         |SELECT vec_id, eval_id, qcos FROM (
+         |  SELECT vec_id, eval_id, qcos, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY qcos DESC, eval_id DESC) AS rn
+         |  FROM f) WHERE rn = 1""".stripMargin,
 
     "q_embedding_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -149,6 +149,55 @@ class RetrievalSpec extends SparkSpec {
       "rebuilt index must rank the shifted docs for shifted queries")
   }
 
+  test("bm25TopKLog: same ranking battery as the integer scorer; agrees on the documents queries") {
+    // the three rank-determined contracts of the integer scorer hold
+    // for the float log-idf form too
+    val docs1 = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha delta epsilon zeta"),
+      (3L, "epsilon zeta eta theta"),
+      (4L, "beta gamma gamma gamma")).toDF("doc_id", "text")
+    val got1 = Retrieval.bm25TopKLog(docs1, "doc_id", "text",
+        q(1L -> "alpha gamma"), k = 10)
+      .orderBy("rk").select("doc_id").as[Long].collect()
+    assert(!got1.contains(3L) && got1.last === 2L)
+    val filler = (10L to 17L).map(i => (i, "common pad pad pad"))
+    val docs2 = (Seq((1L, "rare pad pad pad"),
+      (2L, "common pad pad pad")) ++ filler).toDF("doc_id", "text")
+    val got2 = Retrieval.bm25TopKLog(docs2, "doc_id", "text",
+        q(1L -> "rare", 2L -> "common"), k = 1)
+      .select("query_id", "score").as[(Long, Double)].collect().toMap
+    assert(got2(1L) > got2(2L), "rare term must outscore common")
+    // on the real table, top-1 per query matches the integer scorer
+    // (log idf and odds idf are both monotone-decreasing in df, so
+    // clear winners agree; full rankings may differ in ties)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val queries = q(1L -> "hash join order", 2L -> "vector scan filter")
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("rk") === 1L).select("query_id", "doc_id")
+        .as[(Long, Long)].collect().toMap
+    assert(top1(Retrieval.bm25TopKLog(docs, "doc_id", "text", queries, 5))
+      === top1(Retrieval.bm25TopK(docs, "doc_id", "text", queries, 5)))
+  }
+
+  test("rrfFuse: both-lists doc beats single-list; absent side scores 0; integer RRF exact") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rk")
+    val got = Retrieval.rrfFuse(a, b, k = 10)
+      .orderBy("rk").as[(Long, Long, Long, Long)].collect().toSeq
+    // exact integer expectations: 1e6 DIV (60 + rk)
+    def s(rk: Long) = 1000000L / (60L + rk)
+    val want = Seq(
+      (1L, 11L, s(2) + s(1), 1L), // in both lists: ranks 2 and 1
+      (1L, 10L, s(1), 2L), // a-only rank 1
+      (1L, 13L, s(2), 3L), // b-only rank 2 (15873 < 16393)
+      (1L, 12L, s(3), 4L)) // a-only rank 3
+    assert(got === want, s"got $got")
+  }
+
   test("TopKByLongScore ranks adjacent scores past 2^53 exactly (no double rounding)") {
     import org.apache.spark.sql.graft.shim
     // adjacent longs above 2^53 collapse to the SAME double, so a

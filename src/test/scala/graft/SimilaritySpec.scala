@@ -193,6 +193,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("999999"))
   }
 
+  test("semanticDecontaminate: planted eval copy flagged at ~1.0; clean rows not flagged; best eval_id reported") {
+    val evalSet = emb.where(col("vec_id") % 20 === 0)
+      .select("vec_id", "embedding")
+    // plant an exact copy of eval vec 0 into the training side
+    val evalVec0 = emb.where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val train = emb.where(col("vec_id") % 20 =!= 0)
+      .select("vec_id", "embedding")
+      .unionByName(Seq((999999L, evalVec0)).toDF("vec_id", "embedding"))
+    val flagged = Similarity.semanticDecontaminate(train, evalSet,
+        "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.length === 1, s"only the planted copy at tau=0.95: ${flagged.toSeq}")
+    val (id, evalId, qcos) = flagged.head
+    assert(id === 999999L && evalId === 0L)
+    assert(qcos > 0.999, s"exact copy must score ~1: $qcos")
+  }
+
   test("annRecallReport: planted duplicate is recalled; multi-probe >= single-bucket") {
     // an identical copy of probe 0's vector shares its bucket, so BOTH
     // lsh paths must retrieve it and score a hit against exact top-k
