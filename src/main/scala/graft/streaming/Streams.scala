@@ -586,6 +586,96 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming int8-ANN-index maintenance — the trivial member of the
+    * index-loop family: each micro-batch of embeddings lands
+    * exactly-once in `corpusRoot/batch=<id>` and folds into the stored
+    * (vec_id, qvec) table
+    * ([[graft.operators.Similarity.appendToQuantizedIndex]]). No
+    * drift check EXISTS to wire: int8 scaling is per-vector max-abs,
+    * so appended rows are bit-identical to a full rebuild's — the
+    * documented no-alarm index. Exactly-once via per-batch dir
+    * overwrite + stored-id anti-join. First batch builds the index. */
+  def ingestQuantizedStream(emb: DataFrame, indexPath: String,
+      corpusRoot: String, checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) try {
+          val b = batch.select(col(idCol), col(vecCol))
+          b.coalesce(4).write.mode("overwrite")
+            .parquet(s"$corpusRoot/batch=$id")
+          if (!graft.io.IndexPaths.complete(spark, indexPath))
+            graft.operators.Similarity.writeQuantizedIndex(
+              spark.read.parquet(corpusRoot).select(col(idCol), col(vecCol)),
+              idCol, vecCol, indexPath)
+          else {
+            val fresh = b.join(
+              spark.read.parquet(indexPath)
+                .select(col("vec_id").as("__stored")),
+              col(idCol) === col("__stored"), "left_anti")
+            if (!fresh.isEmpty)
+              graft.operators.Similarity.appendToQuantizedIndex(fresh,
+                indexPath, idCol, vecCol)
+          }
+        } finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
+  /** Streaming BM25-index maintenance — the REBUILD-ONLY member of the
+    * index-loop family: document batches land exactly-once in
+    * `corpusRoot/batch=<id>`, and because the BM25 index stores
+    * corpus-global df/avgdl it is NEVER appended to
+    * ([[graft.operators.Retrieval.writeBm25Index]] scaladoc — folding
+    * a batch without rescoring would serve stale df to every query).
+    * Instead the loop composes the TV-drift alarm with the rebuild on
+    * the `checkDriftEvery` cadence
+    * ([[graft.operators.Retrieval.refreshBm25IndexIfDrifted]]): an
+    * on-distribution stream leaves the index alone (queries see a
+    * slightly stale but well-served corpus until the next rebuild
+    * cadence an operator chooses), a shifted stream triggers the full
+    * rebuild from the accumulated corpus. `rebuildEvery` (0 = off)
+    * additionally forces an unconditional rebuild every N batches —
+    * the freshness knob for corpora that grow without shifting. */
+  def ingestBm25Stream(docs: DataFrame, indexPath: String,
+      corpusRoot: String, checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", checkDriftEvery: Int = 0,
+      maxDriftPpm: Long = 400000L, driftMinCount: Long = 5L,
+      rebuildEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) try {
+          val b = batch.select(col(idCol), col(textCol))
+          b.coalesce(4).write.mode("overwrite")
+            .parquet(s"$corpusRoot/batch=$id")
+          def corpus = spark.read.parquet(corpusRoot)
+            .select(col(idCol), col(textCol))
+          if (!graft.io.IndexPaths.complete(spark, indexPath)) {
+            graft.operators.Retrieval.writeBm25Index(corpus, idCol,
+              textCol, indexPath, coalesceTo = 8)
+            graft.operators.Retrieval.invalidateBm25Index(indexPath)
+          } else if (rebuildEvery > 0 && (id + 1) % rebuildEvery == 0) {
+            graft.operators.Retrieval.writeBm25Index(corpus, idCol,
+              textCol, indexPath, coalesceTo = 8)
+            graft.operators.Retrieval.invalidateBm25Index(indexPath)
+          } else if (checkDriftEvery > 0 &&
+              (id + 1) % checkDriftEvery == 0)
+            graft.operators.Retrieval.refreshBm25IndexIfDrifted(spark,
+              corpus, idCol, textCol, indexPath, b, textCol,
+              maxDriftPpm, driftMinCount)
+        } finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming kmeans-index maintenance — [[ingestPqStream]]'s shape
     * for the clustering index: batches land exactly-once in
     * `corpusRoot/batch=<id>`, classify against the stored centroids

@@ -576,6 +576,77 @@ class StreamingSpec extends SparkSpec {
       "contained doc must be rejected through the rebuilt index")
   }
 
+  test("ingestBm25Stream: quiet batches leave the rebuild-only index alone; shifted batch rebuilds to a fresh-build match") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-loop-")
+      .toString
+    def parts(path: String): Set[String] =
+      new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val base = Seq.tabulate(10)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val onDist = Seq((100L, "the lazy dog jumps over the quick brown fox"))
+    val shifted = Seq.tabulate(10)(i =>
+      (200L + i, "zebra quagga okapi tapir capuchin marmoset lemur"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.ingestBm25Stream(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/idx", s"$tmp/corpus", s"$tmp/ckpt", checkDriftEvery = 1,
+      driftMinCount = 1L)
+    ms.addData(base: _*); sq.processAllAvailable()
+    val partsAfterBuild = parts(s"$tmp/idx")
+    // on-distribution batch: the alarm stays quiet and the rebuild-only
+    // index is NOT touched (this loop never appends by design)
+    ms.addData(onDist: _*); sq.processAllAvailable()
+    assert(parts(s"$tmp/idx") === partsAfterBuild,
+      "quiet batch must leave the rebuild-only index untouched")
+    // shifted batch: alarm fires, full rebuild from the corpus root
+    ms.addData(shifted: _*); sq.processAllAvailable()
+    sq.stop()
+    assert(parts(s"$tmp/idx").intersect(partsAfterBuild).isEmpty,
+      "shifted batch must rebuild the index")
+    // the rebuilt index answers identically to a fresh build over the
+    // accumulated corpus (base + onDist + shifted)
+    val corpus = (base ++ onDist ++ shifted).toDF("doc_id", "text")
+    val queries = Seq((1L, "lazy dog"), (2L, "zebra okapi"))
+      .toDF("query_id", "qtext")
+    def rows(path: String) = graft.operators.Retrieval.bm25TopKIndexed(
+        spark, corpus, "doc_id", "text", path, queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    graft.operators.Retrieval.writeBm25Index(corpus, "doc_id", "text",
+      s"$tmp/fresh")
+    assert(rows(s"$tmp/idx") === rows(s"$tmp/fresh"),
+      "in-loop rebuild must equal a fresh build")
+  }
+
+  test("ingestQuantizedStream: appended int8 index == one-shot build (exact append, no alarm needed)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-int8-loop-")
+      .toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val lo = emb.where(col("vec_id") < 300L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val hi = emb.where(col("vec_id") >= 300L && col("vec_id") < 600L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val sq = Streams.ingestQuantizedStream(
+      ms.toDF().toDF("vec_id", "embedding"), s"$tmp/idx", s"$tmp/corpus",
+      s"$tmp/ckpt")
+    ms.addData(lo: _*); sq.processAllAvailable()
+    ms.addData(hi: _*); sq.processAllAvailable()
+    sq.stop()
+    val both = emb.where(col("vec_id") < 600L)
+    val probes = Seq(0L, 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viaLoop = rows(graft.operators.Similarity.quantizedTopKIndexedBatch(
+      spark, both, "vec_id", "embedding", s"$tmp/idx", probes, 10))
+    val inMem = rows(graft.operators.Similarity.quantizedTopKBatch(
+      both, "vec_id", "embedding", probes, 10))
+    assert(viaLoop === inMem,
+      "stream-built int8 index must answer identically to in-memory")
+  }
+
   test("ingestSubstringScrubStream: first ARRIVAL owns a span; replay appends nothing") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sub-spec-")
