@@ -202,10 +202,14 @@ object Retrieval {
 
   /** Reciprocal-rank fusion of two ranked retrieval lists — the
     * standard hybrid-retrieval combiner (lexical BM25 + dense ANN):
-    * `rrf_q = Σ_sides 1 000 000 DIV (rrfK + rk)`, all integer
-    * (micro-scaled so the classic 1/(60+r) fractions rank exactly —
+    * `rrf_q = Σ_sides 1 000 000 000 DIV (rrfK + rk)`, all integer
+    * (nano-scaled so the classic 1/(60+r) fractions rank exactly —
     * no float sums to break cross-engine replay), absent-side
-    * contribution 0. Rank fusion needs only the RANKS, so arbitrarily
+    * contribution 0. The 10⁹ scale keeps adjacent-rank quotients
+    * DISTINCT until rrfK + rk ≈ √10⁹ ≈ 31 623 (quotient step < 1 only
+    * past that depth) — far beyond any practical fusion list; the
+    * prior 10⁶ scale degenerated ties to doc_id order from rank ~940.
+    * Summed sides stay « 2⁶³ at any depth. Rank fusion needs only the RANKS, so arbitrarily
     * scaled scores from heterogeneous systems (integer BM25 micro
     * scores, double cosines) fuse without calibration — the reason
     * RRF is the default hybrid combiner in production search.
@@ -225,8 +229,8 @@ object Retrieval {
     val scored = side(a, "__rka")
       .join(side(b, "__rkb"), Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
-        (coalesce(expr(s"1000000L DIV (${rrfK}L + __rka)"), lit(0L)) +
-          coalesce(expr(s"1000000L DIV (${rrfK}L + __rkb)"), lit(0L)))
+        (coalesce(expr(s"1000000000L DIV (${rrfK}L + __rka)"), lit(0L)) +
+          coalesce(expr(s"1000000000L DIV (${rrfK}L + __rkb)"), lit(0L)))
           .as("rrf_q"))
     val agg = shim.column(graft.functions.expr.TopKByLongScore(
         shim.expression(col("rrf_q")),
@@ -237,6 +241,33 @@ object Retrieval {
       .select(col("query_id"), col("__e.id").as("doc_id"),
         col("__e.score").as("rrf_q"),
         (col("__p") + 1).cast("long").as("rk"))
+  }
+
+  /** PRODUCTION hybrid retrieval — both sides through their STORED
+    * indexes: lexical BM25 via the materialized postings
+    * ([[bm25TopKIndexed]] — one postings read, the corpus text is
+    * never re-tokenized at query time) and dense cosine via the
+    * stored int8 index
+    * ([[Similarity.quantizedTopKIndexedBatch]] — one scan of the
+    * 8×-smaller qvec table, no per-query re-quantization), fused by
+    * exact integer RRF ([[rrfFuse]]). This is the composition the
+    * ad-hoc `bm25TopK × bruteForceTopKBatch` form prototypes: at
+    * corpus scale the ad-hoc sides pay a full tokenize + a full float
+    * scan per query set, the indexed sides pay two index scans.
+    * Query ids double as dense probe vec_ids (shared id space).
+    * @return (query_id, doc_id, rrf_q, rk) — [[rrfFuse]]'s contract */
+  def hybridTopKIndexed(spark: SparkSession,
+      docs: => DataFrame, idCol: String, textCol: String, bm25Path: String,
+      emb: => DataFrame, embIdCol: String, vecCol: String, int8Path: String,
+      queries: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
+    val text = bm25TopKIndexed(spark, docs, idCol, textCol, bm25Path,
+        queries, k)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val dense = graft.operators.Similarity.quantizedTopKIndexedBatch(spark,
+        emb, embIdCol, vecCol, int8Path, probeIds, k)
+      .select(col("probe_id").as("query_id"),
+        col("vec_id").as("doc_id"), col("rk"))
+    rrfFuse(text, dense, k)
   }
 
   /** FLOAT log-idf BM25 — the Lucene-comparable variant of [[bm25TopK]]

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{BottomKDistinctLongs, BottomKLongs, DotProductD, DotProductQ, MinHashSig, MinHashSigLong, SimHashAgg, TopKByScore}
+import graft.functions.expr.{BottomKDistinctLongs, BottomKLongs, DotProductD, DotProductQ, MinHashSig, MinHashSigLong, SimHashAgg, TopKByLongScore, TopKByScore}
 
 /** Engine extension point: registers the native expressions with the
   * Catalyst function registry so they are callable from SQL text, not
@@ -45,6 +45,12 @@ object GraftExtensions {
       info("top_k_by_score",
         "top_k_by_score(score, id, k) - bounded top-k aggregate: array<struct<score,id>> ranked by (score DESC, id ASC)"),
       (children: Seq[Expression]) => TopKByScore(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()),
+    ("top_k_by_long_score",
+      info("top_k_by_long_score",
+        "top_k_by_long_score(score, id, k) - bounded top-k aggregate over LONG scores: array<struct<score,id>> ranked by (score DESC, id ASC); exact past 2^53 where the double-keyed form rounds adjacent scores together"),
+      (children: Seq[Expression]) => TopKByLongScore(children(0), children(1),
         children(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()),
     ("minhash_sig",

@@ -321,16 +321,16 @@ class PlanPropertiesSpec extends SparkSpec {
       s"nothing in the BM25 path may sort-merge (corpus-side sorts):\n$p")
     assert(!p.contains("Window"),
       s"per-query top-k must be the bounded-heap aggregate, not a rank window:\n$p")
-    assert(p.contains("partial_topkbyscore"),
-      "per-query top-k must partially aggregate map-side")
+    assert(p.contains("partial_topkbylongscore"),
+      "per-query top-k must be the LONG-keyed heap (exact past 2^53), partially aggregated map-side")
   }
 
   test("q_sql_bm25: the SQL twin also plans the bounded aggregate, no rank window") {
     val p = plan(SparkEntry.queries("q_sql_bm25")(spark, sf))
     assert(!p.contains("Window"),
-      s"the SQL text's top-k must be top_k_by_score, not a window:\n$p")
-    assert(p.contains("partial_topkbyscore"),
-      "SQL-registered bounded aggregate must partially aggregate map-side")
+      s"the SQL text's top-k must be top_k_by_long_score, not a window:\n$p")
+    assert(p.contains("partial_topkbylongscore"),
+      "SQL-registered LONG-keyed bounded aggregate must partially aggregate map-side (the double-keyed form rounds past 2^53)")
   }
 
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {

@@ -188,12 +188,13 @@ class RetrievalSpec extends SparkSpec {
       .toDF("query_id", "doc_id", "rk")
     val got = Retrieval.rrfFuse(a, b, k = 10)
       .orderBy("rk").as[(Long, Long, Long, Long)].collect().toSeq
-    // exact integer expectations: 1e6 DIV (60 + rk)
-    def s(rk: Long) = 1000000L / (60L + rk)
+    // exact integer expectations: 1e9 DIV (60 + rk) — nano-scaled so
+    // adjacent-rank quotients stay distinct to depth ~31623
+    def s(rk: Long) = 1000000000L / (60L + rk)
     val want = Seq(
       (1L, 11L, s(2) + s(1), 1L), // in both lists: ranks 2 and 1
       (1L, 10L, s(1), 2L), // a-only rank 1
-      (1L, 13L, s(2), 3L), // b-only rank 2 (15873 < 16393)
+      (1L, 13L, s(2), 3L), // b-only rank 2 (s(2) < s(1))
       (1L, 12L, s(3), 4L)) // a-only rank 3
     assert(got === want, s"got $got")
   }
@@ -228,5 +229,53 @@ class RetrievalSpec extends SparkSpec {
       .select(col("e.id")).as[Long].collect().toSeq
     assert(dgot === Seq(1L, 2L),
       "double heap ties on the rounded score and mis-orders — the reason the long variant exists")
+  }
+
+  test("SQL-registered top_k_by_long_score ranks a >2^53 score pair exactly (the q_sql_bm25 heap)") {
+    // the SQL twin of the previous test: q_sql_bm25's SQL text ranks
+    // through the registered top_k_by_long_score, so the SQL-only user
+    // must get the same exact ordering at magnitudes where a
+    // CAST(... AS DOUBLE) key would collapse adjacent scores
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val big = 1L << 53
+    assert(big.toDouble == (big + 1L).toDouble,
+      "precondition: the two scores are double-indistinguishable")
+    Seq((1L, big, 1L), (1L, big + 1L, 2L), (1L, 5L, 3L))
+      .toDF("g", "score", "id").createOrReplaceTempView("tklong_in")
+    val got = spark.sql(
+      """SELECT e.id, e.score
+        |FROM (SELECT g, top_k_by_long_score(score, id, 2) AS top
+        |      FROM tklong_in GROUP BY g)
+        |LATERAL VIEW posexplode(top) t AS p, e
+        |ORDER BY p""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, big + 1L), (1L, big)),
+      s"SQL long heap must order exactly at >2^53 magnitudes: $got")
+  }
+
+  test("q_bm25_log rank oracle is safe: adjacent scores on the oracle corpus separated >> ulp") {
+    // the q_bm25_log CORRECTNESS entry hashes RANKS only; that is a
+    // real check iff the float ranking cannot flip under ulp-scale
+    // libm ln() divergence between Spark and DuckDB. Assert, at the
+    // oracle's own scale factor (sf0.01) and on the exact query set
+    // the oracle replays, that every adjacent pair of ranked scores is
+    // separated by a relative margin of >= 1e-9 — seven orders of
+    // magnitude above double ulp (~2.2e-16 relative), so no
+    // cross-engine rounding can reorder them.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val queries = graft.queries.TextQueries.bm25QuerySet
+      .toDF("query_id", "qtext")
+    val ranked = Retrieval.bm25TopKLog(docs, "doc_id", "text", queries, 10)
+      .select(col("query_id"), col("rk"), col("score"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).values
+    for (rows <- ranked) {
+      val scores = rows.sortBy(_._2).map(_._3)
+      for (Array(hi, lo) <- scores.sliding(2).map(_.toArray)) {
+        val rel = (hi - lo) / math.max(math.abs(hi), math.abs(lo))
+        assert(rel >= 1e-9,
+          s"adjacent ranked scores too close for a rank-level oracle: $hi vs $lo (rel $rel)")
+      }
+    }
   }
 }
