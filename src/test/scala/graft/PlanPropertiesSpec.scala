@@ -333,6 +333,18 @@ class PlanPropertiesSpec extends SparkSpec {
       "SQL-registered LONG-keyed bounded aggregate must partially aggregate map-side (the double-keyed form rounds past 2^53)")
   }
 
+  test("q_hybrid_retrieval_indexed: both sides read stored indexes — no re-tokenize, no raw embedding scan") {
+    val p = plan(SparkEntry.queries("q_hybrid_retrieval_indexed")(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      s"the lexical side must read the stored postings, never re-tokenize the corpus:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"the dense side must read the stored int8 index, never re-quantize the float corpus:\n$p")
+    assert(p.contains("partial_topkbylongscore"),
+      "RRF fusion and both per-query top-k passes rank through long bounded heaps, map-side partial")
+    assert(!p.contains("Window"),
+      s"no rank windows anywhere in the hybrid composition:\n$p")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A

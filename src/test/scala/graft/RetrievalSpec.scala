@@ -253,6 +253,42 @@ class RetrievalSpec extends SparkSpec {
       s"SQL long heap must order exactly at >2^53 magnitudes: $got")
   }
 
+  test("hybridTopKIndexed == rrfFuse over the ad-hoc sides (stored-index composition bit-identical)") {
+    // the indexed composition must be a pure storage optimization:
+    // bm25TopKIndexed is pinned bit-identical to bm25TopK and
+    // quantizedTopKIndexedBatch to quantizedTopKBatch, so the fused
+    // result must equal fusing the ad-hoc sides row for row
+    import graft.operators.Similarity
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha delta epsilon zeta"),
+      (3L, "epsilon zeta eta theta"),
+      (4L, "beta gamma gamma alpha")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.2f)),
+      (2L, Seq(0.9f, 0.2f, 0.1f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f, 0.8f, 0.0f)),
+      (4L, Seq(0.1f, 0.9f, 1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val queries = q(1L -> "alpha gamma", 3L -> "epsilon zeta")
+    val probeIds = Seq(1L, 3L)
+    val base = java.nio.file.Files.createTempDirectory("hybridx").toString
+    val got = Retrieval.hybridTopKIndexed(spark,
+        docs, "doc_id", "text", s"$base/bm25",
+        emb, "vec_id", "embedding", s"$base/int8",
+        queries, probeIds, k = 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    val adhoc = Retrieval.rrfFuse(
+        Retrieval.bm25TopK(docs, "doc_id", "text", queries, 3)
+          .select("query_id", "doc_id", "rk"),
+        Similarity.quantizedTopKBatch(emb, "vec_id", "embedding", probeIds, 3)
+          .select(col("probe_id").as("query_id"),
+            col("vec_id").as("doc_id"), col("rk")),
+        k = 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === adhoc, s"stored-index hybrid diverged from ad-hoc fusion:\ngot $got\nwant $adhoc")
+    assert(got.nonEmpty && got.map(_._1).toSet === Set(1L, 3L))
+  }
+
   test("q_bm25_log rank oracle is safe: adjacent scores on the oracle corpus separated >> ulp") {
     // the q_bm25_log CORRECTNESS entry hashes RANKS only; that is a
     // real check iff the float ranking cannot flip under ulp-scale
