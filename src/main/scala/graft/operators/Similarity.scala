@@ -764,6 +764,63 @@ object Similarity {
         col("__best.qcos").as("qcos"))
   }
 
+  /** CLUSTER-BLOCKED semantic decontamination — the large-eval-set
+    * form of [[semanticDecontaminate]]: when the eval side outgrows a
+    * broadcast (continuous decontamination against every benchmark
+    * ever released, eval suites in the millions of rows), the
+    * corpus × eval brute force becomes the same quadratic SemDeDup
+    * exists to avoid — so reuse the STORED kmeans clustering
+    * ([[kmeansWriteIndex]]) as the blocking function. Each eval vector
+    * is assigned to its `nProbe` nearest stored centroids (one
+    * zero-shuffle scan, centroids ride as a literal — multi-probe so
+    * boundary-straddling leakage still collides with the corpus's
+    * cluster), then corpus and eval meet on the cluster equi-key: a
+    * hash-partitioned join, work Σ_c |corpus_c|·|eval_c| instead of
+    * |corpus|·|eval|, and no broadcast of either side. Same scoring
+    * arithmetic and output contract as the brute-force form. Recall
+    * contract (the standard blocking trade, cf. [[semDedupPairs]]): a
+    * leaked pair is missed iff none of the eval copy's nProbe nearest
+    * centroids is the corpus copy's cluster — near-identical vectors
+    * land on the same centroid except exactly at cluster boundaries,
+    * which multi-probe covers (planted-leakage parity with brute force
+    * spec-pinned).
+    * @return (id, eval_id, qcos) for flagged corpus rows only */
+  def semanticDecontaminateBlocked(spark: SparkSession, corpus: DataFrame,
+      evalSet: DataFrame, idCol: String, vecCol: String, tau: Double,
+      indexPath: String, nProbe: Int = 2): DataFrame = {
+    val assign = spark.read.parquet(indexPath)
+    val cbs = loadKmeansCentroids(spark, indexPath)
+    val cbLit = typedLit(cbs.map(_.toSeq).toSeq)
+    require(nProbe >= 1 && nProbe <= cbs.length,
+      s"nProbe must be in [1, ${cbs.length}]")
+    // eval assignment in the clustering's own space (x1000 fixed-point
+    // quantization, integer L2², (dist, cid) struct order = lowest-cid
+    // tie-break) — the nProbe best centroids per eval vector
+    val evAssigned = evalSet
+      .select(col(idCol).as("eval_id"), col(vecCol).as("__ev"),
+        transform(col(vecCol), x => VectorFns.qint(x)).as("__eq"))
+      .select(col("eval_id"), col("__ev"),
+        explode(slice(array_sort(transform(
+          sequence(lit(0), lit(cbs.length - 1)), j =>
+            struct(aggregate(zip_with(col("__eq"), element_at(cbLit, j + 1),
+                (a, b) => (a - b) * (a - b)), lit(0L),
+              (acc, v) => acc + v).as("d"),
+              j.cast("long").as("cid")))), 1, nProbe)).as("__a"))
+      .select(col("eval_id"), col("__ev"), col("__a.cid").as("cluster"))
+    // a corpus row lives in exactly ONE cluster, so each (corpus, eval)
+    // pair is scored at most once — no post-join distinct needed
+    val tagged = corpus.select(col(idCol), col(vecCol))
+      .join(assign.select(col(idCol), col("cluster")), Seq(idCol))
+    tagged.join(evAssigned.hint("shuffle_hash"), Seq("cluster"))
+      .select(col(idCol),
+        struct(VectorFns.cosineQ(col(vecCol), col("__ev")).as("qcos"),
+          col("eval_id")).as("__m"))
+      .where(col("__m.qcos") >= tau)
+      .groupBy(col(idCol)).agg(max(col("__m")).as("__best"))
+      .select(col(idCol), col("__best.eval_id").as("eval_id"),
+        col("__best.qcos").as("qcos"))
+  }
+
   // ---------------- K-means corpus clustering ----------------
 
   /** Corpus-size-derived cluster count for the clustering family:

@@ -147,6 +147,24 @@ object VectorQueries {
         "vec_id", "embedding", tau = 0.40)
     },
 
+    // CLUSTER-BLOCKED semantic decontamination — the large-eval-set
+    // form: the stored kmeans clustering is the blocking function
+    // (eval vectors multi-probe to their 2 nearest stored centroids,
+    // corpus and eval meet on the cluster equi-key — work
+    // Σ|corpus_c|·|eval_c|, no broadcast of either side, no
+    // corpus × eval cross). The fixed-point clustering replays in SQL
+    // (sqlKmeans), so unlike most blocked/ANN forms this one keeps a
+    // FULL oracle: blocking, multi-probe assignment, quantized
+    // cosines, and the keep-best-match rule all re-derive in DuckDB.
+    "q_decontaminate_blocked" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminateBlocked(s,
+        emb.where(col("vec_id") % 20 =!= 0),
+        emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", tau = 0.40,
+        kmeansIndex(s, dir), nProbe = 2)
+    },
+
     // Exact top-k nearest neighbors of vec 0 by (quantized) cosine.
     "q_embedding_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -741,6 +759,38 @@ object VectorQueries {
          |      SQRT(CAST(${sqlDotQ("tr.embedding", "tr.embedding")} *
          |        ${sqlDotQ("ev.ev", "ev.ev")} AS DOUBLE)) AS qcos
          |  FROM tr CROSS JOIN ev),
+         |f AS (SELECT * FROM sc WHERE qcos >= 0.40)
+         |SELECT vec_id, eval_id, qcos FROM (
+         |  SELECT vec_id, eval_id, qcos, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY qcos DESC, eval_id DESC) AS rn
+         |  FROM f) WHERE rn = 1""".stripMargin,
+
+    // full replay of the blocked form: the sqlKmeans CTE chain yields
+    // both the corpus assignments (asg) and the trained centroids
+    // (c2); eval rows multi-probe to their 2 nearest centroids
+    // (integer L2², (dist, cid) order), blocking is the cluster
+    // equi-join, scoring is the same quantized cosine as the
+    // brute-force twin
+    "q_decontaminate_blocked" ->
+      s"""$sqlKmeans,
+         |evp AS (SELECT q.vec_id AS eval_id, e.embedding AS ev, q.v AS eq
+         |  FROM qv q JOIN embeddings e USING (vec_id)
+         |  WHERE q.vec_id % 20 = 0),
+         |ed AS (SELECT evp.eval_id, evp.ev, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (evp.eq[i] - c.c[i]) * (evp.eq[i] - c.c[i]))) AS dist
+         |  FROM evp CROSS JOIN c2 c),
+         |ea AS (SELECT eval_id, ev, CAST(cid AS BIGINT) AS cluster FROM ed
+         |  QUALIFY row_number() OVER (PARTITION BY eval_id
+         |    ORDER BY dist, cid) <= 2),
+         |tr AS (SELECT a.vec_id, e.embedding, a.cluster
+         |  FROM asg a JOIN embeddings e USING (vec_id)
+         |  WHERE a.vec_id % 20 <> 0),
+         |sc AS (SELECT tr.vec_id, ea.eval_id,
+         |    CAST(${sqlDotQ("tr.embedding", "ea.ev")} AS DOUBLE) /
+         |      SQRT(CAST(${sqlDotQ("tr.embedding", "tr.embedding")} *
+         |        ${sqlDotQ("ea.ev", "ea.ev")} AS DOUBLE)) AS qcos
+         |  FROM tr JOIN ea USING (cluster)),
          |f AS (SELECT * FROM sc WHERE qcos >= 0.40)
          |SELECT vec_id, eval_id, qcos FROM (
          |  SELECT vec_id, eval_id, qcos, row_number() OVER (

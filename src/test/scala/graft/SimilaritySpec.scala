@@ -211,6 +211,39 @@ class SimilaritySpec extends SparkSpec {
     assert(qcos > 0.999, s"exact copy must score ~1: $qcos")
   }
 
+  test("semanticDecontaminateBlocked: planted-leakage recall parity with brute force; no cross join") {
+    // plant exact copies of THREE eval vectors into the training side —
+    // the blocked form must flag every one (an exact copy quantizes to
+    // the same point, so its nearest centroid IS the corpus copy's
+    // cluster; multi-probe covers the boundary case), matching the
+    // brute-force twin on the planted set
+    val evalSet = emb.where(col("vec_id") % 20 === 0)
+      .select("vec_id", "embedding")
+    val planted = Seq(0L, 20L, 40L)
+    val copies = emb.where(col("vec_id").isin(planted: _*))
+      .select((col("vec_id") + 999000L).as("vec_id"), col("embedding"))
+    val train = emb.where(col("vec_id") % 20 =!= 0)
+      .select("vec_id", "embedding")
+      .unionByName(copies)
+    val idxPath = java.nio.file.Files.createTempDirectory("decon").toString + "/km"
+    Similarity.kmeansWriteIndex(train, "vec_id", "embedding", idxPath,
+      k = Similarity.deriveK(train.count()), iters = 2)
+    val blocked = Similarity.semanticDecontaminateBlocked(spark, train,
+      evalSet, "vec_id", "embedding", tau = 0.95, idxPath, nProbe = 2)
+    val brute = Similarity.semanticDecontaminate(train, evalSet,
+      "vec_id", "embedding", tau = 0.95)
+    val gotB = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotF = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = planted.map(p => (p + 999000L, p)).toSet
+    assert(gotF === want, s"brute force must flag exactly the planted copies: $gotF")
+    assert(gotB === want, s"blocked form must match brute force on the planted set: $gotB")
+    // candidate-bounded: the blocked plan joins on the cluster equi-key,
+    // never a corpus x eval cross
+    val p = blocked.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked decontamination must not plan a cross join:\n$p")
+  }
+
   test("annRecallReport: planted duplicate is recalled; multi-probe >= single-bucket") {
     // an identical copy of probe 0's vector shares its bucket, so BOTH
     // lsh paths must retrieve it and score a hit against exact top-k
