@@ -32,6 +32,7 @@ object Bench {
       // the dedup pipelines persist intermediates; drop them so cached
       // blocks don't accumulate heap pressure across the queries
       spark.catalog.clearCache()
+      graft.operators.Caches.release()
       dt
     }
     // deterministic order → per-query numbers comparable across rounds.

@@ -32,12 +32,32 @@ object Caches {
     df
   }
 
+  private val trackedRdds = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.rdd.RDD[_], java.lang.Boolean]())
+
+  /** Eagerly `localCheckpoint()` `df` (lineage truncation — deep
+    * composed plans stop re-optimizing per downstream stage) and track
+    * the checkpoint RDD's blocks for [[release]]. Unlike [[persist]]ed
+    * frames, a checkpointed frame CANNOT recompute after release
+    * (lineage is gone — that is the point), so only use this on
+    * frames fully consumed before the releasing boundary; repeated
+    * query/bench iterations then return the MEMORY_AND_DISK blocks
+    * instead of accumulating them until the ContextCleaner notices. */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    org.apache.spark.sql.graft.shim.leafRdds(out).foreach(trackedRdds.add)
+    out
+  }
+
   /** Unpersist (non-blocking) every tracked intermediate. */
   def release(): Unit = {
     val it = tracked.iterator()
     while (it.hasNext) { it.next().unpersist(false); it.remove() }
+    val rit = trackedRdds.iterator()
+    while (rit.hasNext) { rit.next().unpersist(false); rit.remove() }
   }
 
   /** Number of currently-tracked intermediates (test hook). */
-  def trackedCount: Int = tracked.size()
+  def trackedCount: Int = tracked.size() + trackedRdds.size()
 }

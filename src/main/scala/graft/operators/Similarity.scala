@@ -658,14 +658,22 @@ object Similarity {
   private def quantizedTail(q: DataFrame, probeIds: Seq[Long], k: Int,
       what: String): DataFrame = {
     require(probeIds.nonEmpty)
-    // validate every probe up front (cf. probeVecsOf): a typo'd probe
-    // id must fail loudly, not silently shrink the recall report
-    val found = q.where(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // ONE probe pass: collect the |probes| (id, qvec) rows, validate
+    // from the collected set (cf. probeVecsOf: a typo'd probe id must
+    // fail loudly, not silently shrink the recall report), and build
+    // the broadcast side from the collected rows — the prior shape
+    // scanned the (possibly re-quantized in-memory) relation once for
+    // validation and AGAIN for the broadcast
+    val spark = q.sparkSession
+    import spark.implicits._
+    val probeRows = q.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("qvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val found = probeRows.map(_._1).toSet
     probeIds.foreach(pid => require(found.contains(pid),
       s"probe $pid not found in $what"))
-    val probes = broadcast(q.where(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("probe_id"), col("qvec").as("__pq")))
+    val probes = broadcast(probeRows.toSeq
+      .toDF("probe_id", "__pq"))
     val dot = VectorFns.dotLong(col("qvec"), col("__pq"))
     val na = VectorFns.dotLong(col("qvec"), col("qvec"))
     val nq = VectorFns.dotLong(col("__pq"), col("__pq"))
@@ -910,11 +918,26 @@ object Similarity {
     assign.write.mode("overwrite").parquet(path)
     val spark = emb.sparkSession
     import spark.implicits._
+    // the drift BASELINE, captured at build time (cf. pqWriteIndex):
+    // the fresh centroids' mean dist_q over the corpus they were
+    // trained on. [[rebuildKmeansIndexIfDrifted]] compares arriving
+    // batches against THIS fixed number — comparing against the live
+    // table's mean instead would let a slowly drifting stream ratchet
+    // the baseline upward with every quiet append and evade the
+    // threshold indefinitely.
+    spark.read.parquet(path).agg(avg(col("dist_q")).as("mean_dist_q"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(kmeansBuildStatsPath(path))
     cbs.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
     cbs
   }
+
+  /** Sibling location of a kmeans index's build-time mean-distance
+    * baseline (cf. [[pqBuildStatsPath]]). */
+  def kmeansBuildStatsPath(path: String): String =
+    path.stripSuffix("/") + ".buildstats"
 
   /** Reload the centroid matrix written by [[kmeansWriteIndex]]. */
   def loadKmeansCentroids(spark: SparkSession, path: String): Array[Seq[Long]] =
@@ -978,15 +1001,20 @@ object Similarity {
   /** ALARM → REBUILD for the kmeans index (cf.
     * [[rebuildPqIndexIfDrifted]]): classify the arriving batch against
     * the stored centroids (one zero-shuffle scan — centroids ride as a
-    * literal), compare its mean `dist_q` to the STORED table's mean at
-    * check time (the baseline needs no sibling file — the index
-    * carries per-row distances by construction), retrain over `emb`
-    * iff the ratio exceeds `threshold`. Check BEFORE folding the batch
-    * in ([[appendToKmeansIndex]]), so the baseline is not polluted by
-    * the batch being judged. Result identical to a manual
-    * [[rebuildKmeansIndex]] (spec-pinned). The `+ 1` slack on the
-    * baseline keeps a perfectly-clustered seed corpus (mean 0) from
-    * alarming on quantization noise. @return true iff a rebuild ran. */
+    * literal), compare its mean `dist_q` to the BUILD-TIME corpus
+    * baseline stored at [[kmeansBuildStatsPath]] (fixed at training —
+    * a baseline derived from the live table would ratchet upward as
+    * [[appendToKmeansIndex]] folds each quiet batch's larger
+    * distances in, letting a slowly drifting stream evade the
+    * threshold forever), retrain over `emb` iff the ratio exceeds
+    * `threshold`. Check BEFORE folding the batch in
+    * ([[appendToKmeansIndex]]), so the baseline is not polluted by
+    * the batch being judged. A baseline written by a pre-baseline
+    * builder is healed in place from the stored assignments. Result
+    * identical to a manual [[rebuildKmeansIndex]] (spec-pinned). The
+    * `+ 1` slack on the baseline keeps a perfectly-clustered seed
+    * corpus (mean 0) from alarming on quantization noise.
+    * @return true iff a rebuild ran. */
   def rebuildKmeansIndexIfDrifted(emb: => DataFrame, batch: DataFrame,
       path: String, idCol: String, vecCol: String, k: Int = 8,
       iters: Int = 2, threshold: Double = 2.0): Boolean = {
@@ -996,9 +1024,23 @@ object Similarity {
       .select(transform(col(vecCol), x => VectorFns.qint(x)).as("__qv"))
       .select(kmAssign(col("__qv"), cbs).getField("d").as("dist_q"))
       .agg(avg(col("dist_q"))).head().getDouble(0)
-    val storedMean = spark.read.parquet(path)
-      .agg(avg(col("dist_q"))).head().getDouble(0)
-    val drifted = batchMean > threshold * (storedMean + 1.0)
+    // the FIXED build-time baseline (cf. rebuildPqIndexIfDrifted) —
+    // NOT the live table's mean: appendToKmeansIndex folds each quiet
+    // batch's (larger) dist_q rows into the table, so a live-mean
+    // baseline ratchets upward with every append and a slowly
+    // drifting stream evades the threshold indefinitely
+    val baseline =
+      if (graft.io.IndexPaths.complete(spark, kmeansBuildStatsPath(path)))
+        spark.read.parquet(kmeansBuildStatsPath(path)).head().getDouble(0)
+      else { // index predates the baseline sibling: heal it in place
+        import spark.implicits._
+        val b = spark.read.parquet(path)
+          .agg(avg(col("dist_q"))).head().getDouble(0)
+        Seq(b).toDF("mean_dist_q").coalesce(1)
+          .write.mode("overwrite").parquet(kmeansBuildStatsPath(path))
+        b
+      }
+    val drifted = batchMean > threshold * (baseline + 1.0)
     if (drifted) rebuildKmeansIndex(emb, path, idCol, vecCol, k, iters)
     drifted
   }

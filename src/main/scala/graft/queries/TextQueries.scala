@@ -1181,13 +1181,18 @@ object TextQueries {
       // On a cluster this boundary is exactly where the curated corpus
       // would be committed to storage between pipeline stages (swap
       // localCheckpoint for a reliable checkpoint/table write).
-      val fin = TextAnalysis.temperatureMixDocs(counts, budgetTokens = 2000L)
-        .where(col("kept"))
-        .select(col("doc_id"), col("source"),
-          col("n_tok").as("n_tok_scrubbed"))
-        .localCheckpoint()
-      val finDocs = docs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text")).localCheckpoint()
+      // Caches.checkpoint tracks the checkpoint blocks so the harness's
+      // between-queries release() frees them — bare localCheckpoint
+      // left each bench iteration's MEMORY_AND_DISK blocks to the
+      // ContextCleaner's GC schedule.
+      val fin = graft.operators.Caches.checkpoint(
+        TextAnalysis.temperatureMixDocs(counts, budgetTokens = 2000L)
+          .where(col("kept"))
+          .select(col("doc_id"), col("source"),
+            col("n_tok").as("n_tok_scrubbed")))
+      val finDocs = graft.operators.Caches.checkpoint(
+        docs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")))
       val pairs = Dedup.minhashDedupPairs(finDocs, "doc_id", "text",
         ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
       fin.join(

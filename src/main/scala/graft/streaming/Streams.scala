@@ -345,16 +345,20 @@ object Streams {
     * index tables ([[graft.operators.Dedup.compactContainmentIndex]])
     * in the loop — same contract as [[ingestDedupStream]].
     * `checkDriftEvery` (0 = off): every N batches, total the
-    * gram-frequency drift of the just-ingested batch against the
-    * stored postings and REBUILD the index from the admitted corpus
-    * iff it exceeds `maxDriftPpm`
+    * gram-frequency drift of the ARRIVING batch against the stored
+    * postings BEFORE the batch folds in (check-before-fold, like
+    * [[ingestKmeansStream]] — judging a batch against an index that
+    * already contains it dilutes the measured drift by up to half for
+    * corpus-sized batches) and REBUILD the index from the admitted
+    * corpus iff it exceeds `maxDriftPpm`
     * ([[graft.operators.Dedup.rebuildContainmentIndexIfDrifted]]) —
     * the alarm that was previously an operator's job to watch now
     * closes its own loop, restoring global-df rank order before the
     * appended batch-local ranks degrade candidate selectivity. The
-    * check is ∝ batch + gram vocabulary; the rebuild only runs when
-    * the alarm fires, and its result is identical to a manual
-    * [[graft.operators.Dedup.rebuildContainmentIndex]]. */
+    * check is ∝ batch + gram vocabulary (skipped on the very first
+    * batch — no stored index to drift against yet); the rebuild only
+    * runs when the alarm fires, and its result is identical to a
+    * manual [[graft.operators.Dedup.rebuildContainmentIndex]]. */
   def ingestContainmentStream(docs: DataFrame, indexPath: String,
       admittedRoot: String, checkpoint: String, idCol: String = "doc_id",
       textCol: String = "text", ngram: Int = 3, threshold: Double = 0.8,
@@ -370,19 +374,24 @@ object Streams {
         graft.io.Compaction.recover(spark, s"$admittedRoot/batch=-1")
         graft.io.Compaction.recover(spark, indexPath)
         graft.io.Compaction.recover(spark, indexPath + ".gsets")
+        // drift check BEFORE the fold (mirroring ingestKmeansStream's
+        // check-before-fold): judging the batch against an index that
+        // already contains it dilutes the measured drift by up to half
+        // for corpus-sized batches, desensitizing the alarm
+        if (checkDriftEvery > 0 && (id + 1) % checkDriftEvery == 0 &&
+            !batch.isEmpty &&
+            graft.io.IndexPaths.complete(spark, indexPath))
+          graft.operators.Dedup.rebuildContainmentIndexIfDrifted(
+            spark.read.parquet(admittedRoot)
+              .select(col(idCol), col(textCol)),
+            batch, indexPath, idCol, textCol, ngram, maxDriftPpm,
+            driftMinCount)
         graft.operators.Dedup.ingestContainmentBatch(batch, id, indexPath,
           admittedRoot, idCol, textCol, ngram, threshold, maxDf)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           graft.operators.Dedup.compactAdmitted(spark, admittedRoot)
           graft.operators.Dedup.compactContainmentIndex(spark, indexPath)
         }
-        if (checkDriftEvery > 0 && (id + 1) % checkDriftEvery == 0 &&
-            !batch.isEmpty)
-          graft.operators.Dedup.rebuildContainmentIndexIfDrifted(
-            spark.read.parquet(admittedRoot)
-              .select(col(idCol), col(textCol)),
-            batch, indexPath, idCol, textCol, ngram, maxDriftPpm,
-            driftMinCount)
         ()
       }
       .outputMode("append")

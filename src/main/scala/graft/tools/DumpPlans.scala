@@ -78,6 +78,7 @@ object DumpPlans {
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("```\n")
       spark.catalog.clearCache()
+      graft.operators.Caches.release()
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${all.size} plans)")

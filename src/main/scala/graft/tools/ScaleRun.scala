@@ -34,6 +34,7 @@ object ScaleRun {
       graft.SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      graft.operators.Caches.release()
       dt
     }
     names.foreach(once) // warm-up round, untimed

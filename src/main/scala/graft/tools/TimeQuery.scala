@@ -28,6 +28,7 @@ object TimeQuery {
       graft.SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      graft.operators.Caches.release()
       println(f"[timequery] run $i: $dt%.3f s")
       dt
     }

@@ -27,6 +27,17 @@ object shim {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** The materialized RDDs at the LogicalRDD leaves of `df`'s analyzed
+    * plan — what `Dataset.localCheckpoint()` returns wraps exactly one
+    * of these. Exposed so a cache registry can unpersist checkpoint
+    * blocks explicitly instead of waiting for the ContextCleaner to GC
+    * them. */
+  def leafRdds(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
   /** Create-or-lookup the driver's StateStoreCoordinator RPC endpoint.
     * Streaming queries register it on start; BATCH execution of
     * stateful operators (transformWithState) looks it up but never

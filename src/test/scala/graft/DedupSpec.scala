@@ -188,6 +188,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 1)
   }
 
+  test("Caches.checkpoint: lineage truncated, blocks tracked, release frees them") {
+    import graft.operators.Caches
+    Caches.release()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val cp = Caches.checkpoint(df)
+    assert(cp.count() == 2)
+    // the checkpoint RDD's blocks are tracked for release
+    assert(Caches.trackedCount > 0,
+      "checkpoint blocks must be tracked, not left to the ContextCleaner")
+    val rdds = org.apache.spark.sql.graft.shim.leafRdds(cp)
+    assert(rdds.nonEmpty, "a checkpointed frame plans as a LogicalRDD leaf")
+    assert(rdds.forall(_.getStorageLevel.useMemory),
+      "checkpoint blocks live in the block manager before release")
+    Caches.release()
+    assert(Caches.trackedCount == 0)
+    assert(rdds.forall(_.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE),
+      "release must unpersist the checkpoint blocks")
+  }
+
   test("dedupClusters: empty pair list yields empty clustering") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(empty).count() === 0)

@@ -871,4 +871,46 @@ class SimilaritySpec extends SparkSpec {
     assert(after < batchMean / 10,
       s"rebuild must restore assignment quality: $after vs $batchMean")
   }
+
+  test("kmeans drift baseline is FIXED at build time: quiet appends cannot ratchet it; missing sibling heals") {
+    import spark.implicits._
+    val baseDf = driftBase.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_km_base")
+      .toString + "/idx"
+    Similarity.kmeansWriteIndex(baseDf, "vec_id", "embedding", dir, k = 4)
+    val statsPath = Similarity.kmeansBuildStatsPath(dir)
+    val buildMean = spark.read.parquet(statsPath).head().getDouble(0)
+    val liveMean0 = spark.read.parquet(dir)
+      .agg(avg("dist_q")).head().getDouble(0)
+    assert(buildMean === liveMean0,
+      "the sibling must capture the build corpus's mean dist_q")
+    // fold in a drifted batch WITHOUT checking (the ratchet scenario):
+    // the live table's mean rises, the stored baseline must not
+    Similarity.appendToKmeansIndex(driftDecoys.toDF("vec_id", "embedding"),
+      dir, "vec_id", "embedding")
+    val liveMean1 = spark.read.parquet(dir)
+      .agg(avg("dist_q")).head().getDouble(0)
+    assert(liveMean1 > buildMean,
+      "precondition: the append inflated the live mean")
+    assert(spark.read.parquet(statsPath).head().getDouble(0) === buildMean,
+      "appends must not move the build-time baseline")
+    // a same-magnitude second drifted batch still alarms against the
+    // FIXED baseline (against the ratcheted live mean it might not)
+    val again = driftDecoys.map { case (id, v) => (id + 1000L, v) }
+      .toDF("vec_id", "embedding")
+    assert(Similarity.rebuildKmeansIndexIfDrifted(
+      baseDf, again, dir, "vec_id", "embedding", k = 4),
+      "the fixed baseline must keep alarming after quiet-append inflation")
+    // heal path: an index written without the sibling gets one on check
+    val fs = new java.io.File(statsPath.stripPrefix("file:"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(fs)
+    assert(!Similarity.rebuildKmeansIndexIfDrifted(
+      baseDf, baseDf, dir, "vec_id", "embedding", k = 4),
+      "the build corpus itself must read quiet")
+    assert(graft.io.IndexPaths.complete(spark, statsPath),
+      "a missing baseline sibling must be healed in place")
+  }
 }
