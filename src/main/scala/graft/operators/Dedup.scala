@@ -1291,8 +1291,11 @@ object Dedup {
     // with it. On a real cluster pass `checkpointDir` (HDFS/object
     // store) to switch every truncation to a RELIABLE checkpoint.
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // Caches.checkpoint tracks the local-checkpoint blocks so the
+    // harness's between-queries release() frees every round's labels
+    // instead of leaving them to the ContextCleaner
     def truncated(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else Caches.checkpoint(df)
     val edges = truncated(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))

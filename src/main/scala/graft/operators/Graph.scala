@@ -39,7 +39,7 @@ object Graph {
     // loss-safe) lineage truncation; local blocks otherwise
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def truncated(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else Caches.checkpoint(df)
     // one shuffle up front; every round's frontier join reuses it
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
@@ -122,7 +122,7 @@ object Graph {
     require(iters >= 1 && dampDen > dampNum && dampNum > 0 && scale > 0)
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def truncated(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else Caches.checkpoint(df)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     // out-degree rides the same src layout as the per-round join

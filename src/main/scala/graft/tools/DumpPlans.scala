@@ -28,8 +28,12 @@ object DumpPlans {
     "q_fuzzy_match" -> "composed (length-band, q-gram) block key; equi-join, thresholded levenshtein rescore",
     "q_exact_substring" -> "first-occurrence span ownership: vocabulary-keyed joins pinned to ShuffledHashJoin (the round-6 rule — a vocabulary relation is never broadcast), covered-position shuffle ∝ removed volume",
     "q_pagerank" -> "integer PageRank final round: co-partitioned rank⋈edge join + map-side partial SUM by dst; edge layout reused",
-    "q_bm25" -> "BM25 retrieval: query terms broadcast into the postings pass, row-local integer scoring, per-query bounded top-k aggregate — no rank window, no sort-merge, corpus never shuffles for the match",
-    "q_pagerank_redistribute" -> "dangling-redistribute PageRank final round: the round's dangling mass is a ONE-ROW broadcast (nested-loop against the scalar), added map-side to every node — never a per-node join against the dangling set")
+    "q_bm25" -> "BM25 retrieval: query terms broadcast into the postings pass, row-local integer scoring, per-query bounded top-k via the LONG-keyed heap aggregate (exact past 2^53) — no rank window, no sort-merge, corpus never shuffles for the match",
+    "q_pagerank_redistribute" -> "dangling-redistribute PageRank final round: the round's dangling mass is a ONE-ROW broadcast (nested-loop against the scalar), added map-side to every node — never a per-node join against the dangling set",
+    "q_sql_bm25" -> "the BM25 SQL twin: the registered top_k_by_long_score native aggregate in pure SQL text — same long bounded heap, no double cast, no window",
+    "q_corpus_pipeline_v3" -> "five-stage curation composition with LINEAGE TRUNCATION at the keeper boundary: the dedup/split tail plans against Scan ExistingRDD leaves (localCheckpoint), not the re-optimized gopher→cap→scrub→mix tree",
+    "q_hybrid_retrieval_indexed" -> "stored-index hybrid retrieval: one postings read + one int8 index scan (no documents/embeddings scan anywhere), RRF fusion and both top-k passes as long bounded heaps",
+    "q_decontaminate_blocked" -> "cluster-blocked semantic decontamination: eval multi-probe centroid assignment (zero-shuffle, codebook literal), corpus meets eval on the cluster equi-key — no corpus×eval cross join")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
