@@ -158,10 +158,16 @@ object VectorQueries {
     // cosines, and the keep-best-match rule all re-derive in DuckDB.
     "q_decontaminate_blocked" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
+      // tau 0.25 (vs the brute twin's 0.40): the blocked form reports
+      // within-cluster affinity, and at the smallest SFs no cross-split
+      // pair reaches 0.40 INSIDE a cluster — the wider net keeps the
+      // query's result non-degenerate at every scale factor while the
+      // high-tau near-dup contract stays covered by the planted-copy
+      // parity spec (SimilaritySpec, tau 0.95)
       Similarity.semanticDecontaminateBlocked(s,
         emb.where(col("vec_id") % 20 =!= 0),
         emb.where(col("vec_id") % 20 === 0),
-        "vec_id", "embedding", tau = 0.40,
+        "vec_id", "embedding", tau = 0.25,
         kmeansIndex(s, dir), nProbe = 2)
     },
 
@@ -791,7 +797,7 @@ object VectorQueries {
          |      SQRT(CAST(${sqlDotQ("tr.embedding", "tr.embedding")} *
          |        ${sqlDotQ("ea.ev", "ea.ev")} AS DOUBLE)) AS qcos
          |  FROM tr JOIN ea USING (cluster)),
-         |f AS (SELECT * FROM sc WHERE qcos >= 0.40)
+         |f AS (SELECT * FROM sc WHERE qcos >= 0.25)
          |SELECT vec_id, eval_id, qcos FROM (
          |  SELECT vec_id, eval_id, qcos, row_number() OVER (
          |      PARTITION BY vec_id ORDER BY qcos DESC, eval_id DESC) AS rn
