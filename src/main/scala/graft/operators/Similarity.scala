@@ -174,6 +174,86 @@ object Similarity {
     core.unionByName(star).dropDuplicates("id_a", "id_b")
   }
 
+  /** Per-document k-NEAREST-NEIGHBOR JOIN over the whole corpus — the
+    * self-join sibling of the probe-set ANN family
+    * ([[bruteForceTopKBatch]] answers "top-k for THESE probes";
+    * this answers "top-k for EVERY document", the shape behind
+    * dedup-cluster diagnostics, retrieval-augmentation candidate
+    * generation, and kNN-graph construction). All-pairs is n² and
+    * off the table at corpus scale, so candidates come from the SAME
+    * banded-LSH blocking as [[nearDupPairsLsh]] (deterministic md5
+    * hyperplanes, exact integer sign dots, hot-bucket guard) — but
+    * DIRECTED (each member of a pair sees the other as a candidate)
+    * and unthresholded: per source doc, the k best candidates by
+    * quantized cosine through the bounded-heap
+    * [[graft.functions.expr.TopKByScore]] aggregate (map-side
+    * partials, never a per-doc rank window over the corpus).
+    *
+    * Recall contract (the LSH trade, spec-measured): a true neighbor
+    * is a candidate iff it shares ≥1 of the `nBands` band buckets —
+    * near-identical vectors agree on all sign bits and always
+    * collide; cosine-`τ` neighbors collide with probability
+    * `1−(1−p^nPlanes)^nBands`, `p = 1 − θ/π`. A doc whose every
+    * bucket is a singleton has no candidates and is ABSENT from the
+    * output (deterministic; the oracle replays it). Overflow members
+    * of a hot bucket (guard, cf. [[graft.operators.Dedup
+    * .cappedBucketPairs]]) pair only with the bucket's rank-1
+    * representative in that band.
+    *
+    * Scale shape: identical to [[nearDupPairsLsh]] (scoring rides the
+    * band co-location; the dedup + heap shuffles carry ids and one
+    * double each) plus one (id)-keyed bounded aggregate — work ∝
+    * capped candidates, never n².
+    * @return (idCol, nn_id, cos_sim, rk) — rk 1-based, ties to the
+    *         lowest nn_id; ≤ k rows per source doc */
+  def knnJoinLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nBands: Int = 8, dim: Int = 0,
+      maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val d = if (dim > 0) dim else probeDim(emb, vecCol)
+    val planes = hyperplanes(nPlanes * nBands, d)
+    val bandKeys = array((0 until nBands).map { bnd =>
+      (0 until nPlanes).map { p =>
+        val dotP = VectorFns.dotQ(col(vecCol),
+          typedLit(planes(bnd * nPlanes + p).map(_.toFloat).toSeq))
+        when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)) + lit(bnd.toLong * 256L)
+    }: _*)
+    import org.apache.spark.sql.expressions.Window
+    val exploded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
+        explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
+    val pairable = exploded.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+      .select(col("bkey"))
+    val keyed = graft.operators.Caches.persist(
+      exploded.join(pairable, Seq("bkey"), "left_semi")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("bkey")).orderBy(col("id").asc))))
+    // directed scoring: x is the SOURCE doc, y the candidate neighbor
+    def scored(x: DataFrame, y: DataFrame): DataFrame =
+      x.as("x").join(y.as("y"), Seq("bkey"))
+        .where(col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("id"), col("y.id").as("nn_id"),
+          (VectorFns.dotQ(col("x.v"), col("y.v")).cast("double") /
+            sqrt((col("x.nq") * col("y.nq")).cast("double"))).as("cos_sim"))
+    val kept = keyed.where(col("r") <= maxBucket)
+    val over = keyed.where(col("r") > maxBucket)
+    val rep = keyed.where(col("r") === 1)
+    val cands = scored(kept, kept) // both directions: same relation both sides
+      .unionByName(scored(rep, over)) // rep sees overflow members...
+      .unionByName(scored(over, rep)) // ...and overflow members see the rep
+      .dropDuplicates("id", "nn_id") // band collisions
+    val agg = shim.column(graft.functions.expr.TopKByScore(
+        shim.expression(col("cos_sim")), shim.expression(col("nn_id")), k)
+      .toAggregateExpression())
+    cands.groupBy(col("id")).agg(agg.as("__top"))
+      .select(col("id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("id").as(idCol), col("__e.id").as("nn_id"),
+        col("__e.score").as("cos_sim"),
+        (col("__p") + 1).cast("long").as("rk"))
+  }
+
   /** IVF coarse quantizer: k-means centroids trained with a few Lloyd
     * iterations. Deterministic init (lowest-id vectors); each iteration
     * is fully distributed (argmin assignment + per-dimension mean);

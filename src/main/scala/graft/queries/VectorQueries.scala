@@ -279,6 +279,18 @@ object VectorQueries {
         threshold = 0.40)
     },
 
+    // Per-document k-NN JOIN — top-5 nearest neighbors for EVERY doc
+    // (kNN-graph construction / RAG candidate generation), candidates
+    // from the same banded-LSH blocking as q_neardup_lsh but DIRECTED
+    // and unthresholded, per-doc top-k through the bounded-heap
+    // aggregate. Deterministic planes + quantized cosine -> the whole
+    // operator (buckets, guard, candidates, ranking) replays as a
+    // full SQL oracle.
+    "q_knn_join" -> { (s, dir) =>
+      Similarity.knnJoinLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5)
+    },
+
     // Multi-probe LSH ANN: probe bucket + its 8 hamming-1 neighbor
     // buckets — the recall amplifier over q_ann_lsh at ~3.5% corpus
     // read. Same md5 planes + integer sign dots, so the oracle replays
@@ -754,6 +766,40 @@ object VectorQueries {
          |  CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) AS cos_sim
          |FROM sc
          |WHERE CAST(dot AS DOUBLE) / SQRT(CAST(na * nb AS DOUBLE)) >= 0.40""".stripMargin,
+
+    // directed twin of the q_neardup_lsh replay: the UNION turns each
+    // undirected capped candidate pair into both (source, neighbor)
+    // directions (and dedupes band collisions, = dropDuplicates), the
+    // window ranks per source doc by (cos DESC, nn_id) — the bounded
+    // heap's exact order
+    "q_knn_join" ->
+      s"""WITH ${sqlPlanes(64)},
+         |$sqlPlaneDots,
+         |bk AS (SELECT vec_id, p // 8 AS bnd,
+         |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM pd GROUP BY vec_id, p // 8),
+         |rk AS (SELECT vec_id, bnd, bucket,
+         |    row_number() OVER (PARTITION BY bnd, bucket ORDER BY vec_id) AS r
+         |  FROM bk),
+         |und AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM rk a JOIN rk b
+         |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |    AND (b.r <= 64 OR a.r = 1)),
+         |cand AS (SELECT id_a AS vec_id, id_b AS nn_id FROM und
+         |  UNION SELECT id_b, id_a FROM und),
+         |sc AS (SELECT c.vec_id, c.nn_id,
+         |    CAST(${sqlDotQ("ea.embedding", "eb.embedding")} AS DOUBLE) /
+         |      SQRT(CAST(${sqlDotQ("ea.embedding", "ea.embedding")} *
+         |        ${sqlDotQ("eb.embedding", "eb.embedding")} AS DOUBLE)) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.nn_id)
+         |SELECT vec_id, nn_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT vec_id, nn_id, cos_sim, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rk
+         |  FROM sc)
+         |WHERE rk <= 5""".stripMargin,
 
     "q_decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ev

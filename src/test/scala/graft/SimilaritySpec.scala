@@ -306,6 +306,56 @@ class SimilaritySpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("LSH plane dim")), s"got: ${msgs(ex)}")
   }
 
+  test("knnJoinLsh: planted twins are mutual rank-1; per-doc contract holds; planted-blob recall") {
+    // plant an exact copy of vec 3 — identical sign bits collide in
+    // every band, so each copy MUST surface as the other's rank-1
+    val v3 = emb.where(col("vec_id") === 3L).select("embedding")
+      .head().getSeq[Float](0)
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(Seq((888888L, v3)).toDF("vec_id", "embedding"))
+    val knn = Similarity.knnJoinLsh(corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byDoc = knn.groupBy(_._1)
+    assert(byDoc(3L).minBy(_._4)._2 === 888888L,
+      "planted copy must be vec 3's rank-1 neighbor")
+    assert(byDoc(888888L).minBy(_._4)._2 === 3L,
+      "and vice versa")
+    // per-doc contract: <= k rows, ranks contiguous from 1, cosine
+    // non-increasing, ties to the lowest nn_id
+    for ((id, rows) <- byDoc) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.length <= 5 && sorted.map(_._4).toSeq === (1L to sorted.length))
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-_).toSeq,
+        s"doc $id: cosine must be non-increasing down the ranks")
+    }
+    // recall on a planted BLOB: four near-identical vectors (tiny
+    // coordinate noise keeps all sign bits equal, so they collide in
+    // every band) must each retrieve the other three at ranks 1-3 —
+    // high-cosine neighbors are what LSH kNN promises to find; the
+    // ~0.45-cosine background pairs of this synthetic space collide
+    // only ~23% per the documented 1−(1−p^8)^8 trade and are NOT part
+    // of the recall contract
+    val blobIds = Seq(777001L, 777002L, 777003L, 777004L)
+    val blob = blobIds.zipWithIndex.map { case (id, i) =>
+      (id, v3.zipWithIndex.map { case (x, j) =>
+        x + (if (j % 4 == i % 4) 1e-4f else 0f) })
+    }
+    val corpus2 = emb.select("vec_id", "embedding")
+      .unionByName(blob.toDF("vec_id", "embedding"))
+    val knn2 = Similarity.knnJoinLsh(corpus2, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1)
+    for (id <- blobIds) {
+      val top3 = knn2(id).sortBy(_._3).take(3).map(_._2).toSet
+      // vec 3 itself is a 5th near-identical member; accept it in place
+      // of a blob sibling
+      assert(top3.subsetOf((blobIds.toSet - id) + 3L),
+        s"blob member $id must retrieve its siblings first: $top3")
+      assert(top3.intersect(blobIds.toSet - id).size >= 2,
+        s"blob member $id: at least two siblings in the top-3: $top3")
+    }
+  }
+
   test("nearDupPairsLsh: 100% recall on planted near-duplicates, candidates pruned") {
     // plant 5 exact duplicates of existing vectors under new ids
     val planted = emb.where(col("vec_id") < 5)
