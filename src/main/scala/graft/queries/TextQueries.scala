@@ -944,6 +944,25 @@ object TextQueries {
         k = 5)
     },
 
+    // The SAME audit through a stored TRAIN-slice postings index — the
+    // production release-audit shape: the train corpus is fixed across
+    // a release cycle and audited against benchmark after benchmark,
+    // so it is tokenized ONCE into its own content-addressed index and
+    // every audit pays one postings read + the broadcast-match pass.
+    // Same oracle as the ad-hoc audit: the stored path must reproduce
+    // it exactly (the bm25TopKIndexed == bm25TopK parity contract).
+    "q_eval_audit_indexed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 100 =!= 0)
+      val indexPath = graft.io.IndexPaths.indexPath("bm25",
+        s"$dir/documents.parquet", "train100-v1")
+      graft.operators.Retrieval.bm25TopKIndexed(s, train, "doc_id", "text",
+        indexPath,
+        docs.where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        k = 5)
+    },
+
     // Fuzzy string matching (edit distance <= 3) over distinct part
     // names, length-band blocked — the candidate/verify shape at scale.
     "q_fuzzy_match" -> { (s, dir) =>
@@ -1926,6 +1945,10 @@ object TextQueries {
          |FROM j, na, nb
          |ORDER BY rate_diff_ppm DESC, term ASC LIMIT 100""".stripMargin,
     "q_eval_retrieval_audit" -> sqlBm25Of(
+      "SELECT CAST(doc_id AS BIGINT), text FROM documents WHERE doc_id % 100 = 0",
+      "WHERE doc_id % 100 <> 0", 5),
+    // stored train-slice postings reproduce the ad-hoc audit exactly
+    "q_eval_audit_indexed" -> sqlBm25Of(
       "SELECT CAST(doc_id AS BIGINT), text FROM documents WHERE doc_id % 100 = 0",
       "WHERE doc_id % 100 <> 0", 5),
 
