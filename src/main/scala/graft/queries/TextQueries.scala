@@ -111,6 +111,42 @@ object TextQueries {
       .mkString(", "),
     "", 10)
 
+  /** The hybrid-retrieval replay (BM25 CTE + exact-dot dense cosine +
+    * integer RRF) — shared by q_hybrid_retrieval and its SQL-text
+    * twin q_sql_hybrid (bit-identical by contract). */
+  private lazy val sqlHybrid: String = {
+    val qcte = "VALUES " + hybridQuerySet
+      .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+      .mkString(", ")
+    s"""WITH bm AS (${sqlBm25Of(qcte, "", 10)}),
+       |pr AS (SELECT vec_id AS query_id, embedding AS pe
+       |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
+       |nn AS (SELECT vec_id,
+       |    ${sqlDotQT("embedding", "embedding")} AS nsq FROM embeddings),
+       |sc AS (SELECT pr.query_id, e.vec_id AS doc_id,
+       |    CAST(${sqlDotQT("e.embedding", "pr.pe")} AS DOUBLE) /
+       |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos
+       |  FROM embeddings e CROSS JOIN pr
+       |  JOIN nn na ON na.vec_id = e.vec_id
+       |  JOIN nn np ON np.vec_id = pr.query_id
+       |  WHERE e.vec_id <> pr.query_id),
+       |dn AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rk
+       |    FROM sc) WHERE rk <= 10),
+       |u AS (SELECT COALESCE(bm.query_id, dn.query_id) AS query_id,
+       |    COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+       |    COALESCE(1000000000 // (60 + bm.rk), 0) +
+       |      COALESCE(1000000000 // (60 + dn.rk), 0) AS rrf_q
+       |  FROM bm FULL OUTER JOIN dn
+       |    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id)
+       |SELECT query_id, doc_id, CAST(rrf_q AS BIGINT) AS rrf_q,
+       |  CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT query_id, doc_id, rrf_q, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rrf_q DESC, doc_id ASC) AS rk
+       |  FROM u) WHERE rk <= 10""".stripMargin
+  }
+
   private def sqlJaccard(threshold: Double): String =
     s"""SELECT da AS doc_a, db AS doc_b,
        |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
@@ -842,6 +878,81 @@ object TextQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         graft.io.IndexPaths.indexPath("int8", s"$dir/embeddings.parquet", "int8"),
         queries, hybridQuerySet.map(_._1), k = 10)
+    },
+
+    // The WHOLE hybrid composition as pure SQL TEXT — the SQL-only
+    // user's flagship surface (cf. q_sql_bm25/q_sql_dedup): the BM25
+    // scorer, the dense cosine ranking (registered dot_q fixed-point
+    // dots), and the integer RRF fusion, all through the registered
+    // bounded-heap aggregates (top_k_by_long_score for the exact
+    // integer scores, top_k_by_score for the double cosines) — no
+    // window anywhere in the text. Same oracle as q_hybrid_retrieval:
+    // the SQL twin must be bit-identical to the Scala composition.
+    "q_sql_hybrid" -> { (s, dir) =>
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      val values = hybridQuerySet
+        .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+        .mkString(", ")
+      val probeIds = hybridQuerySet.map(_._1).mkString(", ")
+      s.sql(("""WITH q AS (SELECT * FROM VALUES """ + values +
+        """ AS t(query_id, qtext)),
+          |qt AS (SELECT DISTINCT query_id, term
+          |  FROM q LATERAL VIEW explode(
+          |    filter(split(qtext, '[^\\p{L}]+'), x -> x <> '')) t AS term),
+          |d AS (SELECT doc_id, ws, CAST(size(ws) AS BIGINT) AS dl
+          |  FROM (SELECT doc_id,
+          |          filter(split(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+          |        FROM documents)
+          |  WHERE size(ws) >= 1),
+          |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+          |  FROM d LATERAL VIEW explode(ws) t AS term
+          |  GROUP BY doc_id, dl, term),
+          |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM d),
+          |sc AS (SELECT qt.query_id, tf.doc_id,
+          |    SUM( ( (((2L * st.n_docs - 2L * dfq.df + 1L) * 100L)
+          |            DIV (2L * dfq.df + 1L))
+          |         * ((4400000000L * tf.tf) DIV (2000L * tf.tf + 600L +
+          |             18L * ((tf.dl * 100L) DIV (st.total DIV st.n_docs)))) )
+          |         DIV 100L
+          |    ) AS score_q
+          |  FROM tf JOIN qt ON qt.term = tf.term
+          |  JOIN dfq ON dfq.term = tf.term CROSS JOIN st
+          |  GROUP BY qt.query_id, tf.doc_id),
+          |btk AS (SELECT query_id,
+          |    top_k_by_long_score(score_q, doc_id, 10) AS top
+          |  FROM sc GROUP BY query_id),
+          |bm AS (SELECT query_id, e.id AS doc_id, CAST(p + 1 AS BIGINT) AS rk
+          |  FROM btk LATERAL VIEW posexplode(top) t AS p, e),
+          |pr AS (SELECT vec_id AS query_id, embedding AS pe
+          |  FROM embeddings WHERE vec_id IN (""" + probeIds + """)),
+          |nn AS (SELECT vec_id, dot_q(embedding, embedding) AS nsq
+          |  FROM embeddings),
+          |dsc AS (SELECT pr.query_id, e.vec_id AS doc_id,
+          |    CAST(dot_q(e.embedding, pr.pe) AS DOUBLE) /
+          |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos
+          |  FROM embeddings e CROSS JOIN pr
+          |  JOIN nn na ON na.vec_id = e.vec_id
+          |  JOIN nn np ON np.vec_id = pr.query_id
+          |  WHERE e.vec_id <> pr.query_id),
+          |dtk AS (SELECT query_id, top_k_by_score(cos, doc_id, 10) AS top
+          |  FROM dsc GROUP BY query_id),
+          |dn AS (SELECT query_id, e.id AS doc_id, CAST(p + 1 AS BIGINT) AS rk
+          |  FROM dtk LATERAL VIEW posexplode(top) t AS p, e),
+          |u AS (SELECT COALESCE(bm.query_id, dn.query_id) AS query_id,
+          |    COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+          |    COALESCE(1000000000L DIV (60L + bm.rk), 0L) +
+          |      COALESCE(1000000000L DIV (60L + dn.rk), 0L) AS rrf_q
+          |  FROM bm FULL OUTER JOIN dn
+          |    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id),
+          |utk AS (SELECT query_id,
+          |    top_k_by_long_score(rrf_q, doc_id, 10) AS top
+          |  FROM u GROUP BY query_id)
+          |SELECT query_id, e.id AS doc_id, e.score AS rrf_q,
+          |  CAST(p + 1 AS BIGINT) AS rk
+          |FROM utk LATERAL VIEW posexplode(top) t AS p, e""").stripMargin)
     },
 
     // The same retrieval through the MATERIALIZED postings index
@@ -1841,38 +1952,9 @@ object TextQueries {
          |WHERE rk <= 10""".stripMargin
     },
 
-    "q_hybrid_retrieval" -> {
-      val qcte = "VALUES " + hybridQuerySet
-        .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
-        .mkString(", ")
-      s"""WITH bm AS (${sqlBm25Of(qcte, "", 10)}),
-         |pr AS (SELECT vec_id AS query_id, embedding AS pe
-         |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
-         |nn AS (SELECT vec_id,
-         |    ${sqlDotQT("embedding", "embedding")} AS nsq FROM embeddings),
-         |sc AS (SELECT pr.query_id, e.vec_id AS doc_id,
-         |    CAST(${sqlDotQT("e.embedding", "pr.pe")} AS DOUBLE) /
-         |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos
-         |  FROM embeddings e CROSS JOIN pr
-         |  JOIN nn na ON na.vec_id = e.vec_id
-         |  JOIN nn np ON np.vec_id = pr.query_id
-         |  WHERE e.vec_id <> pr.query_id),
-         |dn AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk FROM (
-         |    SELECT query_id, doc_id, row_number() OVER (
-         |        PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rk
-         |    FROM sc) WHERE rk <= 10),
-         |u AS (SELECT COALESCE(bm.query_id, dn.query_id) AS query_id,
-         |    COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
-         |    COALESCE(1000000000 // (60 + bm.rk), 0) +
-         |      COALESCE(1000000000 // (60 + dn.rk), 0) AS rrf_q
-         |  FROM bm FULL OUTER JOIN dn
-         |    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id)
-         |SELECT query_id, doc_id, CAST(rrf_q AS BIGINT) AS rrf_q,
-         |  CAST(rk AS BIGINT) AS rk FROM (
-         |  SELECT query_id, doc_id, rrf_q, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY rrf_q DESC, doc_id ASC) AS rk
-         |  FROM u) WHERE rk <= 10""".stripMargin
-    },
+    "q_hybrid_retrieval" -> sqlHybrid,
+    // the SQL-text twin is bit-identical to the Scala composition
+    "q_sql_hybrid" -> sqlHybrid,
 
     // the indexed composition's oracle: same BM25 CTE (the stored
     // postings are spec-pinned bit-identical to the ad-hoc scorer),

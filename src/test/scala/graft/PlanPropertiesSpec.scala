@@ -333,6 +333,16 @@ class PlanPropertiesSpec extends SparkSpec {
       "SQL-registered LONG-keyed bounded aggregate must partially aggregate map-side (the double-keyed form rounds past 2^53)")
   }
 
+  test("q_sql_hybrid: all three top-k passes in the SQL text are bounded heaps, no window") {
+    val p = plan(SparkEntry.queries("q_sql_hybrid")(spark, sf))
+    assert(!p.contains("Window"),
+      s"the SQL hybrid's BM25, dense, and fusion top-k must all be registered heap aggregates:\n$p")
+    assert(p.contains("partial_topkbylongscore"),
+      "exact integer scores (BM25 + RRF) rank through the long heap, map-side partial")
+    assert(p.contains("partial_topkbyscore"),
+      "the dense cosine side ranks through the double heap, map-side partial")
+  }
+
   test("q_hybrid_retrieval_indexed: both sides read stored indexes — no re-tokenize, no raw embedding scan") {
     val p = plan(SparkEntry.queries("q_hybrid_retrieval_indexed")(spark, sf))
     assert(!p.contains("documents.parquet"),
