@@ -812,6 +812,76 @@ object TextAnalysis {
         (col("__p") + 1).cast("long").as("pick_rank"))
   }
 
+  /** Hashed-bucket feature id of a token: md5 first 3 hex digits
+    * (uniform in [0, 4095]) mod `dim` — deterministic, portable, the
+    * hashing-trick feature map shared by [[trainHashedPerceptron]]
+    * and [[scoreHashedWeights]]. */
+  private def hashBucket(w: Column, dim: Int): Column =
+    conv(substring(md5(w), 1, 3), 16, 10).cast("long") % dim
+
+  /** TRAIN a hashed linear quality model IN the engine — batch
+    * perceptron over hashing-trick token-count features, the
+    * "distill the rule filter into a cheap classifier" step of a
+    * curation pipeline (rules are interpretable but slow to extend;
+    * the distilled model generalizes them to scan-speed inference via
+    * [[scoreHashedWeights]]). All-INTEGER and batch-synchronous, so
+    * training is deterministic under any partitioning and replays
+    * bit-exactly in SQL (unlike SGD, whose result depends on row
+    * order): each iteration computes every doc's margin
+    * `y · Σ_tok w[bucket(tok)]` with the CURRENT weights riding as a
+    * codegen literal (one zero-shuffle scan), then folds the
+    * mislabeled docs' feature counts into the weights,
+    * `w[b] += Σ_mislabeled y · count_b` (one token-bucket
+    * aggregation ∝ mislabeled volume). Iteration 0 starts from w = 0,
+    * where every margin is 0 ≤ 0 — the first update is the class
+    * centroid difference. Only the `dim`-long weight vector reaches
+    * the driver (the bounded model artifact, cf. k-means centroids).
+    *
+    * @param labels (idCol, y) with y ∈ {+1, −1} — e.g. a rules
+    *               verdict ([[gopherRules]]) as the teacher
+    * @return the final weight vector, indexed by bucket */
+  def trainHashedPerceptron(docs: DataFrame, idCol: String,
+      textCol: String, labels: DataFrame, dim: Int = 512,
+      iters: Int = 2): Array[Long] = {
+    require(dim >= 2 && iters >= 1)
+    val featured = Caches.persist(docs
+      .select(col(idCol).as("doc_id"),
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .join(labels.select(col(idCol).as("doc_id"), col("y")), Seq("doc_id")))
+    val w = new Array[Long](dim)
+    for (_ <- 0 until iters) {
+      val wLit = typedLit(w.toSeq)
+      val margin = col("y") * aggregate(col("__toks"), lit(0L),
+        (acc, t) => acc + element_at(wLit, (hashBucket(t, dim) + 1).cast("int")))
+      val delta = featured.where(margin <= 0L)
+        .select(col("y"), explode(col("__toks")).as("__t"))
+        .groupBy(hashBucket(col("__t"), dim).as("__b"))
+        .agg(sum(col("y")).as("__dw"))
+        .collect()
+      delta.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    w
+  }
+
+  /** Inference with a TRAINED weight vector ([[trainHashedPerceptron]])
+    * — same zero-shuffle scan shape as [[scoreHashedLinear]], but the
+    * weights are the distilled model riding as a literal (at real
+    * model sizes, a broadcast array): score_q = Σ w[bucket(tok)] over
+    * token occurrences, verdict = keep iff score_q >= 0. */
+  def scoreHashedWeights(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long]): DataFrame = {
+    val dim = weights.length
+    val wLit = typedLit(weights.toSeq)
+    val toks = TextFns.letterTokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + element_at(wLit, (hashBucket(t, dim) + 1).cast("int")))
+          .as("score_q"))
+      .withColumn("verdict",
+        when(col("score_q") >= 0L, lit("keep")).otherwise(lit("drop")))
+  }
+
   /** Hashed linear quality-classifier inference — the fastText-style
     * model-based filter of a curation pipeline, with the hashing trick:
     * each token's weight is a deterministic function of its hash

@@ -1170,6 +1170,28 @@ object TextQueries {
       TextAnalysis.scoreHashedLinear(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // TRAIN a quality model IN the engine: batch-perceptron
+    // distillation of the Gopher rule filter into a 512-bucket hashed
+    // linear model (2 synchronous integer iterations — deterministic
+    // under any partitioning, unlike SGD), output = the nonzero
+    // weights. The ENTIRE training run replays in the SQL oracle:
+    // teacher labels (the gopher verdict CTEs), hashed features,
+    // iteration-0 class-centroid update, iteration-1 margin +
+    // mislabeled fold. Inference over the trained vector is
+    // scoreHashedWeights (spec-pinned to agree with the teacher on
+    // most docs after two rounds).
+    "q_distill_quality" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val labels = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          when(col("verdict"), lit(1L)).otherwise(lit(-1L)).as("y"))
+      val w = TextAnalysis.trainHashedPerceptron(docs, "doc_id", "text",
+        labels, dim = 512, iters = 2)
+      w.zipWithIndex.collect { case (wt, b) if wt != 0L => (b.toLong, wt) }
+        .toSeq.toDF("bucket", "w")
+    },
+
     // Pairwise source overlap: exact 3-gram Jaccard + containment for
     // every source pair — the cross-source redundancy diagnostic of a
     // data-mixture report.
@@ -2095,6 +2117,57 @@ object TextQueries {
         |   AND n_bullet_lines * 10 <= n_lines
         |   AND n_ellipsis_lines * 10 <= n_lines * 3) AS verdict
         |FROM m2""".stripMargin,
+
+    // full training replay: gopher teacher CTEs -> labels, hashed
+    // token-count features (md5 3-hex mod 512), iteration 0 (w=0 =>
+    // every margin 0 <= 0 => class-centroid update w1), iteration 1
+    // (margins under w1, mislabeled fold d1), final nonzero weights
+    "q_distill_quality" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+         |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, x -> regexp_matches(x, '^\\s*[-*•]')))
+         |      AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(ls, x -> regexp_matches(x, '\\.\\.\\.$$')))
+         |      AS BIGINT) AS n_ellipsis_lines
+         |  FROM d),
+         |m2 AS (SELECT *, CASE WHEN n_words > 0
+         |      THEN CAST((chars * 100) // n_words AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS mean_wlen_q
+         |  FROM m),
+         |lab AS (SELECT doc_id, CASE WHEN
+         |    (n_words >= 10 AND n_words <= 100000
+         |     AND mean_wlen_q >= 300 AND mean_wlen_q <= 1000
+         |     AND n_alpha_words * 5 >= n_words * 4
+         |     AND n_bullet_lines * 10 <= n_lines
+         |     AND n_ellipsis_lines * 10 <= n_lines * 3)
+         |    THEN 1 ELSE -1 END AS y FROM m2),
+         |tk AS (SELECT doc_id, unnest($SQL_TOKS) AS w FROM documents),
+         |ft AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(w), 1, 3)) AS BIGINT) % 512 AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |w1 AS (SELECT b, SUM(lab.y * ft.c) AS w
+         |  FROM ft JOIN lab USING (doc_id) GROUP BY b),
+         |m1 AS (SELECT ft.doc_id, lab.y, SUM(COALESCE(w1.w, 0) * ft.c) AS s
+         |  FROM ft JOIN lab USING (doc_id) LEFT JOIN w1 USING (b)
+         |  GROUP BY ft.doc_id, lab.y),
+         |mis AS (SELECT doc_id, y FROM m1 WHERE y * s <= 0),
+         |d1 AS (SELECT ft.b, SUM(mis.y * ft.c) AS dw
+         |  FROM ft JOIN mis USING (doc_id) GROUP BY ft.b),
+         |w2 AS (SELECT COALESCE(w1.b, d1.b) AS b,
+         |    COALESCE(w1.w, 0) + COALESCE(d1.dw, 0) AS w
+         |  FROM w1 FULL OUTER JOIN d1 ON w1.b = d1.b)
+         |SELECT b AS bucket, CAST(w AS BIGINT) AS w
+         |FROM w2 WHERE w <> 0""".stripMargin,
 
     "q_source_mix" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -104,6 +104,34 @@ class ScrubModelSpec extends SparkSpec {
     assert(got._5 === (if (got._4 >= 0) "keep" else "drop"))
   }
 
+  test("trainHashedPerceptron: deterministic, partition-invariant; student learns the teacher") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val labels = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        when(col("verdict"), lit(1L)).otherwise(lit(-1L)).as("y"))
+    val w1 = TextAnalysis.trainHashedPerceptron(docs, "doc_id", "text",
+      labels, dim = 512, iters = 2)
+    // batch-synchronous integer updates: identical weights under any
+    // partitioning — the property SGD cannot give
+    val w2 = TextAnalysis.trainHashedPerceptron(docs.repartition(13),
+      "doc_id", "text", labels, dim = 512, iters = 2)
+    assert(w1.toSeq === w2.toSeq,
+      "training must be deterministic under repartitioning")
+    // the distilled student agrees with the rules teacher on a clear
+    // majority of docs after two rounds (linear separability of this
+    // synthetic corpus is imperfect — the floor pins learning, not
+    // memorization)
+    val teacher = labels.withColumnRenamed("y", "ty")
+    val student = TextAnalysis.scoreHashedWeights(docs, "doc_id", "text", w1)
+      .select(col("doc_id"),
+        when(col("verdict") === "keep", lit(1L)).otherwise(lit(-1L)).as("sy"))
+    val joined = teacher.join(student, "doc_id")
+    val n = joined.count().toDouble
+    val agree = joined.where(col("ty") === col("sy")).count().toDouble
+    assert(agree / n >= 0.6,
+      s"student must beat chance against the teacher: ${agree / n}")
+  }
+
   test("temperatureMix: sqrt weights favor the small source vs proportional") {
     // source A: 16 docs x 4 tokens = 64 tokens; source B: 1 doc x 4
     val docs = ((0L until 16L).map(i => (i, "alpha beta gamma delta", "A")) :+
