@@ -254,6 +254,45 @@ object Similarity {
         (col("__p") + 1).cast("long").as("rk"))
   }
 
+  /** CONTRASTIVE training-pair generation — the (anchor, positive,
+    * negatives) triplet builder for embedding-model training data:
+    * each anchor's POSITIVE is its LSH-kNN rank-1 neighbor
+    * ([[knnJoinLsh]] with k = 1 — anchors whose every bucket is a
+    * singleton have no positive and emit nothing), and its `nNeg`
+    * NEGATIVES are drawn deterministically by hashed bucketing: every
+    * corpus doc is assigned one of `nBuckets` md5 buckets, each bucket
+    * is represented by its MIN id (a `nBuckets`-row broadcast table),
+    * and negative slot j of anchor a is the representative of bucket
+    * `md5(a ++ "_" ++ j) mod nBuckets` — uniform over representatives,
+    * reproducible on any engine (production would salt the slot hash
+    * per epoch for fresh negatives). A slot whose representative
+    * collides with the anchor or the positive is DROPPED (not
+    * resampled — determinism over density; ~ (nNeg · 2 / nBuckets)
+    * expected loss). Work: the kNN join + one broadcast equi-join of
+    * (anchors × nNeg) rows — nothing corpus-quadratic anywhere.
+    * @return (anchor, pos_id, neg_slot, neg_id) */
+  def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
+      nNeg: Int = 3, nBuckets: Int = 64, nPlanes: Int = 8,
+      nBands: Int = 8, dim: Int = 0, maxBucket: Int = 64): DataFrame = {
+    require(nNeg >= 1 && nBuckets >= 2)
+    def mdBucket(c: Column) =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long") % nBuckets
+    val pos = knnJoinLsh(emb, idCol, vecCol, k = 1, nPlanes, nBands, dim,
+        maxBucket)
+      .select(col(idCol).as("anchor"), col("nn_id").as("pos_id"))
+    val reps = emb.select(mdBucket(col(idCol).cast("string")).as("__bk"),
+        col(idCol).cast("long").as("neg_id"))
+      .groupBy(col("__bk")).agg(min(col("neg_id")).as("neg_id"))
+    pos.select(col("anchor"), col("pos_id"),
+        explode(sequence(lit(0), lit(nNeg - 1))).as("neg_slot"))
+      .withColumn("__bk", mdBucket(concat(col("anchor").cast("string"),
+        lit("_"), col("neg_slot").cast("string"))))
+      .join(broadcast(reps), Seq("__bk"))
+      .where(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("pos_id"))
+      .select(col("anchor"), col("pos_id"),
+        col("neg_slot").cast("long").as("neg_slot"), col("neg_id"))
+  }
+
   /** IVF coarse quantizer: k-means centroids trained with a few Lloyd
     * iterations. Deterministic init (lowest-id vectors); each iteration
     * is fully distributed (argmin assignment + per-dimension mean);

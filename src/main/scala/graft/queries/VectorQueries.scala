@@ -123,6 +123,39 @@ object VectorQueries {
     path
   }
 
+  /** DuckDB replay of [[graft.operators.Similarity.knnJoinLsh]]
+    * (default 8×8 planes, cap 64): a CTE chain ending in
+    * `knn(vec_id, nn_id, cos_sim, rk)` with rk ≤ `k` — shared by
+    * q_knn_join and the contrastive-pairs builder. */
+  private def sqlKnnOf(k: Int): String =
+    s"""${sqlPlanes(64)},
+       |$sqlPlaneDots,
+       |bk AS (SELECT vec_id, p // 8 AS bnd,
+       |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM pd GROUP BY vec_id, p // 8),
+       |rk AS (SELECT vec_id, bnd, bucket,
+       |    row_number() OVER (PARTITION BY bnd, bucket ORDER BY vec_id) AS r
+       |  FROM bk),
+       |und AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM rk a JOIN rk b
+       |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |    AND (b.r <= 64 OR a.r = 1)),
+       |cand AS (SELECT id_a AS vec_id, id_b AS nn_id FROM und
+       |  UNION SELECT id_b, id_a FROM und),
+       |csc AS (SELECT c.vec_id, c.nn_id,
+       |    CAST(${sqlDotQ("ea.embedding", "eb.embedding")} AS DOUBLE) /
+       |      SQRT(CAST(${sqlDotQ("ea.embedding", "ea.embedding")} *
+       |        ${sqlDotQ("eb.embedding", "eb.embedding")} AS DOUBLE)) AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.nn_id),
+       |knn AS (SELECT vec_id, nn_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT vec_id, nn_id, cos_sim, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rk
+       |  FROM csc)
+       |  WHERE rk <= $k)""".stripMargin
+
   /** DuckDB fixed-point dot product mirror of
     * [[graft.functions.VectorFns.dotQ]]. */
   private def sqlDotQ(a: String, b: String): String =
@@ -289,6 +322,17 @@ object VectorQueries {
     "q_knn_join" -> { (s, dir) =>
       Similarity.knnJoinLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5)
+    },
+
+    // CONTRASTIVE (anchor, positive, negatives) triplets for
+    // embedding-model training: positive = LSH-kNN rank-1, negatives
+    // by deterministic md5 bucketing (slot hash -> bucket -> min-id
+    // representative, colliding slots dropped). Everything — the kNN
+    // CTE, the bucket representatives, the slot hashes — replays in
+    // the SQL oracle.
+    "q_contrastive_pairs" -> { (s, dir) =>
+      Similarity.contrastivePairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nNeg = 3, nBuckets = 64)
     },
 
     // Multi-probe LSH ANN: probe bucket + its 8 hamming-1 neighbor
@@ -773,33 +817,26 @@ object VectorQueries {
     // window ranks per source doc by (cos DESC, nn_id) — the bounded
     // heap's exact order
     "q_knn_join" ->
-      s"""WITH ${sqlPlanes(64)},
-         |$sqlPlaneDots,
-         |bk AS (SELECT vec_id, p // 8 AS bnd,
-         |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT)
-         |      AS bucket
-         |  FROM pd GROUP BY vec_id, p // 8),
-         |rk AS (SELECT vec_id, bnd, bucket,
-         |    row_number() OVER (PARTITION BY bnd, bucket ORDER BY vec_id) AS r
-         |  FROM bk),
-         |und AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM rk a JOIN rk b
-         |    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |    AND (b.r <= 64 OR a.r = 1)),
-         |cand AS (SELECT id_a AS vec_id, id_b AS nn_id FROM und
-         |  UNION SELECT id_b, id_a FROM und),
-         |sc AS (SELECT c.vec_id, c.nn_id,
-         |    CAST(${sqlDotQ("ea.embedding", "eb.embedding")} AS DOUBLE) /
-         |      SQRT(CAST(${sqlDotQ("ea.embedding", "ea.embedding")} *
-         |        ${sqlDotQ("eb.embedding", "eb.embedding")} AS DOUBLE)) AS cos_sim
-         |  FROM cand c
-         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = c.nn_id)
-         |SELECT vec_id, nn_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
-         |  SELECT vec_id, nn_id, cos_sim, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rk
-         |  FROM sc)
-         |WHERE rk <= 5""".stripMargin,
+      s"""WITH ${sqlKnnOf(5)}
+         |SELECT vec_id, nn_id, cos_sim, rk FROM knn""".stripMargin,
+
+    // kNN CTE at k=1 -> positives; md5-bucket representatives ->
+    // negatives; colliding slots dropped (WHERE), exactly the
+    // operator's contract
+    "q_contrastive_pairs" ->
+      s"""WITH ${sqlKnnOf(1)},
+         |pos AS (SELECT vec_id AS anchor, nn_id AS pos_id FROM knn),
+         |rep AS (SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+         |      AS BIGINT) % 64 AS bk,
+         |    MIN(vec_id) AS neg_id
+         |  FROM embeddings GROUP BY 1),
+         |sl AS (SELECT anchor, pos_id, CAST(j AS BIGINT) AS neg_slot,
+         |    CAST(('0x' || substr(md5(anchor || '_' || j), 1, 4)) AS BIGINT)
+         |      % 64 AS bk
+         |  FROM pos, UNNEST(range(0, 3)) t(j))
+         |SELECT anchor, pos_id, neg_slot, neg_id
+         |FROM sl JOIN rep USING (bk)
+         |WHERE neg_id <> anchor AND neg_id <> pos_id""".stripMargin,
 
     "q_decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ev

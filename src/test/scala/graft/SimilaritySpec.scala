@@ -356,6 +356,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastivePairs: planted twin is the positive; triplet contract holds") {
+    val v3 = emb.where(col("vec_id") === 3L).select("embedding")
+      .head().getSeq[Float](0)
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(Seq((555555L, v3)).toDF("vec_id", "embedding"))
+    val got = Similarity.contrastivePairs(corpus, "vec_id", "embedding",
+        nNeg = 3, nBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byAnchor = got.groupBy(_._1)
+    // the planted copy's positive is vec 3 (identical sign bits -> it
+    // collides in every band and scores cosine ~1)
+    assert(byAnchor(555555L).head._2 === 3L,
+      "exact copy must be the anchor's rank-1 positive")
+    assert(byAnchor(3L).head._2 === 555555L)
+    for ((a, rows) <- byAnchor) {
+      assert(rows.length <= 3, s"anchor $a: at most nNeg negatives")
+      assert(rows.map(_._3).distinct.length === rows.length,
+        s"anchor $a: negative slots must be distinct")
+      for ((anchor, pos, _, neg) <- rows)
+        assert(neg != anchor && neg != pos,
+          s"anchor $a: negative must differ from anchor and positive")
+      assert(rows.map(_._2).distinct.length === 1,
+        s"anchor $a: one positive per anchor (k = 1)")
+    }
+  }
+
   test("nearDupPairsLsh: 100% recall on planted near-duplicates, candidates pruned") {
     // plant 5 exact duplicates of existing vectors under new ids
     val planted = emb.where(col("vec_id") < 5)
