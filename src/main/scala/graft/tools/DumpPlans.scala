@@ -33,7 +33,10 @@ object DumpPlans {
     "q_sql_bm25" -> "the BM25 SQL twin: the registered top_k_by_long_score native aggregate in pure SQL text — same long bounded heap, no double cast, no window",
     "q_corpus_pipeline_v3" -> "five-stage curation composition with LINEAGE TRUNCATION at the keeper boundary: the dedup/split tail plans against Scan ExistingRDD leaves (localCheckpoint), not the re-optimized gopher→cap→scrub→mix tree",
     "q_hybrid_retrieval_indexed" -> "stored-index hybrid retrieval: one postings read + one int8 index scan (no documents/embeddings scan anywhere), RRF fusion and both top-k passes as long bounded heaps",
-    "q_decontaminate_blocked" -> "cluster-blocked semantic decontamination: eval multi-probe centroid assignment (zero-shuffle, codebook literal), corpus meets eval on the cluster equi-key — no corpus×eval cross join")
+    "q_decontaminate_blocked" -> "cluster-blocked semantic decontamination: eval multi-probe centroid assignment (zero-shuffle, codebook literal), corpus meets eval on the cluster equi-key — no corpus×eval cross join",
+    "q_knn_join" -> "per-document kNN join: banded-LSH candidates with the hot-bucket guard, directed scoring rides the band co-location, per-doc top-k as the bounded heap — never an all-pairs join or a per-doc window over the corpus",
+    "q_sql_hybrid" -> "the whole hybrid composition from pure SQL text: three registered heap aggregates (long BM25, double cosine, long RRF), zero windows",
+    "q_distill_quality" -> "in-engine model training: per-iteration margin scan with the weight vector as a codegen literal (zero shuffle), mislabeled fold as one token-bucket aggregation — only the dim-long weights reach the driver")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
