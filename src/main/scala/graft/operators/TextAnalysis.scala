@@ -882,6 +882,76 @@ object TextAnalysis {
         when(col("score_q") >= 0L, lit("keep")).otherwise(lit("drop")))
   }
 
+  /** [[trainHashedPerceptron]] with the Gopher rules as the teacher —
+    * the one-call distillation used by the query surface and the
+    * streaming model loop: rules label the corpus, the perceptron
+    * compresses them into the `dim`-bucket linear model. */
+  def distillQualityModel(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 512, iters: Int = 2): Array[Long] = {
+    val labels = gopherRules(docs, idCol, textCol)
+      .select(col("doc_id").as(idCol),
+        when(col("verdict"), lit(1L)).otherwise(lit(-1L)).as("y"))
+    trainHashedPerceptron(docs, idCol, textCol, labels, dim, iters)
+  }
+
+  /** Sibling location of a stored model's TRAINING-corpus term counts
+    * — the drift baseline (fixed at training time, cf.
+    * [[graft.operators.Similarity.kmeansBuildStatsPath]]). */
+  def modelTrainCountsPath(path: String): String =
+    path.stripSuffix("/") + ".traincounts"
+
+  /** Commit a trained model: the full `dim`-row (bucket, w) table at
+    * `path` (zeros included so dim round-trips) plus the training
+    * corpus's term counts at [[modelTrainCountsPath]] — what
+    * [[rebuildQualityModelIfDrifted]] compares arriving batches
+    * against. The same self-describing-on-disk contract as the ANN
+    * indexes: inference needs only the table, the alarm needs only
+    * the sibling; the training corpus is never re-read. */
+  def writeQualityModel(weights: Array[Long], path: String,
+      trainDocs: DataFrame, textCol: String = "text"): Unit = {
+    val spark = trainDocs.sparkSession
+    import spark.implicits._
+    weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
+      .toDF("bucket", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    writeReferenceCounts(trainDocs, modelTrainCountsPath(path), textCol)
+  }
+
+  /** Reload the weight vector committed by [[writeQualityModel]]. */
+  def loadQualityModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Long] =
+    spark.read.parquet(path).orderBy(col("bucket").asc)
+      .select(col("w")).collect().map(_.getLong(0))
+
+  /** ALARM → RETRAIN for the stored quality model — the model-lifecycle
+    * twin of the index arcs ([[graft.operators.Retrieval
+    * .refreshBm25IndexIfDrifted]] et al.): a distilled filter silently
+    * degrades when the corpus distribution shifts under it (new
+    * domains, new languages — features the teacher never labeled), so
+    * total the arriving batch's term drift against the STORED
+    * training-time counts (work ∝ batch + vocabulary; the training
+    * corpus is never re-read for the check) and re-distill over `docs`
+    * — the CURRENT corpus, lazily evaluated, untouched when the alarm
+    * stays quiet — iff it exceeds `maxDriftPpm`. The rebuilt model and
+    * baseline are identical to a fresh [[writeQualityModel]] commit
+    * (spec-pinned). @return true iff a retrain ran. */
+  def rebuildQualityModelIfDrifted(docs: => DataFrame, batch: DataFrame,
+      path: String, idCol: String = "doc_id", textCol: String = "text",
+      dim: Int = 512, iters: Int = 2, maxDriftPpm: Long = 400000L,
+      minCount: Long = 5L): Boolean = {
+    val spark = batch.sparkSession
+    val refCounts = spark.read.parquet(modelTrainCountsPath(path))
+    val tv = termDriftFromCounts(refCounts, batch, textCol, minCount)
+      .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L))).head().getLong(0)
+    val drifted = tv > maxDriftPpm
+    if (drifted) {
+      val d = docs
+      writeQualityModel(distillQualityModel(d, idCol, textCol, dim, iters),
+        path, d, textCol)
+    }
+    drifted
+  }
+
   /** Hashed linear quality-classifier inference — the fastText-style
     * model-based filter of a curation pipeline, with the hashing trick:
     * each token's weight is a deterministic function of its hash

@@ -1182,12 +1182,8 @@ object TextQueries {
     // most docs after two rounds).
     "q_distill_quality" -> { (s, dir) =>
       import s.implicits._
-      val docs = t(s, dir, "documents")
-      val labels = TextAnalysis.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"),
-          when(col("verdict"), lit(1L)).otherwise(lit(-1L)).as("y"))
-      val w = TextAnalysis.trainHashedPerceptron(docs, "doc_id", "text",
-        labels, dim = 512, iters = 2)
+      val w = TextAnalysis.distillQualityModel(t(s, dir, "documents"),
+        "doc_id", "text", dim = 512, iters = 2)
       w.zipWithIndex.collect { case (wt, b) if wt != 0L => (b.toLong, wt) }
         .toSeq.toDF("bucket", "w")
     },

@@ -737,6 +737,54 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The streaming MODEL-maintenance loop — the lifecycle twin of
+    * [[ingestKmeansStream]] for the distilled quality model
+    * ([[graft.operators.TextAnalysis.distillQualityModel]]): each
+    * arriving batch folds into the accumulated corpus (per-batch dir
+    * overwrite — exactly-once under replay); the FIRST batch trains
+    * and commits the model + its training-time term counts; after
+    * that, every `checkDriftEvery` batches the batch's term drift
+    * against the STORED training counts is totaled (work ∝ batch +
+    * vocabulary — the training corpus is never re-read for the check,
+    * and the baseline is fixed at train time so quiet folds cannot
+    * ratchet it) and the model is re-distilled over the whole
+    * accumulated corpus iff the alarm fires
+    * ([[graft.operators.TextAnalysis.rebuildQualityModelIfDrifted]]) —
+    * scan-speed inference ([[graft.operators.TextAnalysis
+    * .scoreHashedWeights]]) keeps serving the committed table
+    * throughout. */
+  def ingestModelStream(docs: DataFrame, modelPath: String,
+      corpusRoot: String, checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 512, iters: Int = 2,
+      checkDriftEvery: Int = 0, maxDriftPpm: Long = 400000L,
+      driftMinCount: Long = 5L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) try {
+          val b = batch.select(col(idCol), col(textCol))
+          b.coalesce(4).write.mode("overwrite")
+            .parquet(s"$corpusRoot/batch=$id")
+          def corpus = spark.read.parquet(corpusRoot)
+            .select(col(idCol), col(textCol))
+          if (!graft.io.IndexPaths.complete(spark, modelPath)) {
+            val c = corpus
+            graft.operators.TextAnalysis.writeQualityModel(
+              graft.operators.TextAnalysis.distillQualityModel(c, idCol,
+                textCol, dim, iters),
+              modelPath, c, textCol)
+          } else if (checkDriftEvery > 0 && (id + 1) % checkDriftEvery == 0)
+            graft.operators.TextAnalysis.rebuildQualityModelIfDrifted(
+              corpus, b, modelPath, idCol, textCol, dim, iters,
+              maxDriftPpm, driftMinCount)
+        } finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   case class OpenSession(startMicros: Long, lastMicros: Long, events: Long)
   case class ClosedSession(user_id: Long, s_start: java.sql.Timestamp,
       s_end: java.sql.Timestamp, n_events: Long)

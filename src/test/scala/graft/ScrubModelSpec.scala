@@ -132,6 +132,51 @@ class ScrubModelSpec extends SparkSpec {
       s"student must beat chance against the teacher: ${agree / n}")
   }
 
+  test("ingestModelStream: first batch trains; quiet batch leaves the model; planted shift retrains IN-LOOP") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val tmp = java.nio.file.Files.createTempDirectory("graft-model-loop-")
+      .toString
+    val modelPath = s"$tmp/model"
+    def keepDoc(id: Long) = (id,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mun")
+    def dropDoc(id: Long) = (id, "bad doc here")
+    val seed = (0L until 20L).map(keepDoc) ++ (20L until 30L).map(dropDoc)
+    val quiet = (100L until 120L).map(keepDoc) ++ (120L until 130L).map(dropDoc)
+    val shifted = (200L until 220L).map(id => (id,
+      "zulu xray yankee whiskey victor uniform tango sierra romeo quebec papa oscar"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.ingestModelStream(ms.toDF().toDF("doc_id", "text"),
+      modelPath, s"$tmp/corpus", s"$tmp/ckpt", dim = 128, iters = 2,
+      checkDriftEvery = 1)
+    // batch 0 trains and commits model + training-time term counts
+    ms.addData(seed: _*); sq.processAllAvailable()
+    val w0 = graft.operators.TextAnalysis.loadQualityModel(spark, modelPath)
+    assert(w0.length === 128)
+    assert(graft.io.IndexPaths.complete(spark,
+      graft.operators.TextAnalysis.modelTrainCountsPath(modelPath)))
+    assert(w0.toSeq === graft.operators.TextAnalysis.distillQualityModel(
+      seed.toDF("doc_id", "text"), "doc_id", "text", dim = 128,
+      iters = 2).toSeq,
+      "first-batch training must equal a manual distillation over the seed")
+    // batch 1: same distribution — the alarm stays quiet, model untouched
+    ms.addData(quiet: _*); sq.processAllAvailable()
+    assert(graft.operators.TextAnalysis.loadQualityModel(spark, modelPath)
+      .toSeq === w0.toSeq,
+      "an on-distribution batch must not retrain")
+    // batch 2: all-new vocabulary — the term-drift alarm fires and the
+    // model is re-distilled over the ACCUMULATED corpus in-loop
+    ms.addData(shifted: _*); sq.processAllAvailable()
+    sq.stop()
+    val w2 = graft.operators.TextAnalysis.loadQualityModel(spark, modelPath)
+    assert(w2.toSeq !== w0.toSeq, "the planted shift must retrain")
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id", "text")
+    assert(w2.toSeq === graft.operators.TextAnalysis.distillQualityModel(
+      corpus, "doc_id", "text", dim = 128, iters = 2).toSeq,
+      "in-loop retrain must equal a manual distillation over the accumulated corpus")
+  }
+
   test("temperatureMix: sqrt weights favor the small source vs proportional") {
     // source A: 16 docs x 4 tokens = 64 tokens; source B: 1 doc x 4
     val docs = ((0L until 16L).map(i => (i, "alpha beta gamma delta", "A")) :+
