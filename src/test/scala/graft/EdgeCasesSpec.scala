@@ -123,6 +123,41 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got(2L) === null)
   }
 
+  test("knnJoinLsh/contrastivePairs: two-doc corpus — mutual rank-1, negatives all dropped") {
+    import graft.operators.Similarity
+    // identical vectors: collide in every band, each is the other's
+    // only neighbor; every negative slot resolves to one of the two
+    // docs (the only bucket representatives) and is dropped by the
+    // anchor/positive collision rule — empty negatives, not a crash
+    val emb2 = Seq(
+      (1L, Seq(1.0f, 0.5f, 0.25f, 0.125f)),
+      (2L, Seq(1.0f, 0.5f, 0.25f, 0.125f))).toDF("vec_id", "embedding")
+    val knn = Similarity.knnJoinLsh(emb2, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(knn.toSet === Set((1L, 2L, 1L), (2L, 1L, 1L)),
+      s"each doc's only neighbor is the other, at rank 1: ${knn.toSeq}")
+    val trip = Similarity.contrastivePairs(emb2, "vec_id", "embedding",
+      nNeg = 3, nBuckets = 64)
+    assert(trip.isEmpty,
+      "all negative slots collide with anchor/positive and drop — deterministically empty")
+  }
+
+  test("trainHashedPerceptron: single-class corpus converges to that class everywhere") {
+    import graft.operators.TextAnalysis
+    // every label +1: iteration 0 folds all docs in (margins 0), after
+    // which every margin is positive — iteration 2 is a no-op and the
+    // student keeps everything
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val labels = docs.select(col("doc_id"), lit(1L).as("y"))
+    val w = TextAnalysis.trainHashedPerceptron(docs, "doc_id", "text",
+      labels, dim = 32, iters = 2)
+    val verdicts = TextAnalysis.scoreHashedWeights(docs, "doc_id", "text", w)
+      .select("verdict").as[String].collect().toSeq
+    assert(verdicts === Seq("keep", "keep"),
+      "an all-keep teacher must distill to an all-keep student")
+  }
+
   test("hot-bucket guard: 1k-copy cluster yields linear pair counts, stays connected") {
     // A boilerplate page duplicated m times shares ONE MinHash signature
     // → one bucket per band; unguarded that's m(m-1)/2 pairs in a single
