@@ -940,10 +940,19 @@ object TextAnalysis {
       dim: Int = 512, iters: Int = 2, maxDriftPpm: Long = 400000L,
       minCount: Long = 5L): Boolean = {
     val spark = batch.sparkSession
-    val refCounts = spark.read.parquet(modelTrainCountsPath(path))
-    val tv = termDriftFromCounts(refCounts, batch, textCol, minCount)
-      .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L))).head().getLong(0)
-    val drifted = tv > maxDriftPpm
+    // a model table without its counts sibling is a TORN commit (crash
+    // between the two writes) — the baseline corpus is gone by design
+    // (never re-read), so the only sound recovery is a full retrain,
+    // which rewrites both
+    val drifted =
+      if (!graft.io.IndexPaths.complete(spark, modelTrainCountsPath(path)))
+        true
+      else {
+        val refCounts = spark.read.parquet(modelTrainCountsPath(path))
+        termDriftFromCounts(refCounts, batch, textCol, minCount)
+          .agg(coalesce(sum(col("rate_diff_ppm")), lit(0L)))
+          .head().getLong(0) > maxDriftPpm
+      }
     if (drifted) {
       val d = docs
       writeQualityModel(distillQualityModel(d, idCol, textCol, dim, iters),
