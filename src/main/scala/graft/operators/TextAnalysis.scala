@@ -1357,4 +1357,93 @@ object TextAnalysis {
       .select("name_a", "name_b")
       .distinct() // a pair can share several bands and several grams
   }
+
+  // ── Training-shard export (the last mile of a curation pipeline) ──
+
+  /** 48-bit md5-of-id prefix as a long — the shared deterministic
+    * uniform hash of the mix/selection family ([[domainCap]],
+    * [[Similarity.clusterBalancedSample]]); exact in SQL via
+    * `CAST('0x' || substr(md5(id),1,12) AS BIGINT)`. */
+  private def hash48(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Deterministic training-shard layout: the step AFTER curation and
+    * mixing, where the corpus is dealt into `nShards` shards and given
+    * a reproducible random READ ORDER for the training job — no
+    * engine randomness anywhere, so any worker (or a re-run after a
+    * failure) derives the identical layout.
+    *
+    * Two independent hashes split the two concerns:
+    *  - `shard` = 48-bit md5-of-id mod nShards — EPOCH-STABLE
+    *    membership. A doc's shard never changes, so downstream caches
+    *    keyed by shard (tokenized blocks, loader state) survive epoch
+    *    turns, and a new epoch never re-shuffles data between shards.
+    *  - `pos`   = rank of md5(epoch:id) within the shard — the
+    *    PER-EPOCH permutation. Advancing the epoch re-orders every
+    *    shard locally (a per-shard re-sort — zero data movement
+    *    across shards) which is exactly the "reshuffle each epoch"
+    *    contract training loaders expect.
+    *
+    * The rank is a window partitioned by shard — here that is the
+    * honest physical shape, not a scale hazard: a shard IS the unit
+    * one writer task must fully order anyway, and `nShards` is chosen
+    * so corpus/nShards fits a task (e.g. 100 TB / 50k shards = 2 GB;
+    * the sort spills). Contrast the top-k family, where a rank window
+    * would sort whole groups to find k rows; here all rows are kept.
+    *
+    * Returns (doc_id, shard, pos, n_tokens) — n_tokens rides along
+    * for the manifest / length-aware batch scheduling. */
+  def trainingShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, epoch: Long = 0L): DataFrame = {
+    require(nShards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__oh").asc, col("doc_id").asc)
+    docs.select(col(idCol).as("doc_id"),
+        (hash48(col(idCol)) % nShards).as("shard"),
+        md5(concat_ws(":", lit(epoch), col(idCol).cast("string"))).as("__oh"),
+        size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"), col("n_tokens"))
+  }
+
+  /** Per-shard manifest of a [[trainingShards]] layout: row/token
+    * totals (for length-aware loader scheduling) plus an
+    * order-independent integrity checksum (sum of bounded id hashes —
+    * verifiable shard-local by any reader, no cross-shard pass). */
+  def shardManifest(shards: DataFrame): DataFrame =
+    shards.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(hash48(col("doc_id")) % lit(1000003L)).as("id_checksum"))
+
+  /** Materialize a [[trainingShards]] layout: one `shard=K/` directory
+    * per shard, each holding ONE parquet file whose ROW ORDER is the
+    * epoch permutation (training loaders stream it sequentially — no
+    * read-side sort), plus a `_manifest` sibling (underscore-prefixed,
+    * so table readers of `dir` skip it).
+    *
+    * One hash shuffle on the shard key (`repartition(nShards, shard)`
+    * puts each shard wholly in one task → exactly one file per
+    * directory) and one in-task spillable sort — the minimum physical
+    * work any sharded-ordered layout costs. Epoch advance rewrites
+    * with the same membership (shard dirs keep their doc sets; only
+    * in-file order changes). */
+  def writeTrainingShards(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nShards: Int, epoch: Long = 0L): Unit = {
+    require(nShards >= 1)
+    val assigned = docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("text"),
+        (hash48(col(idCol)) % nShards).as("shard"),
+        md5(concat_ws(":", lit(epoch), col(idCol).cast("string"))).as("__oh"),
+        size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tokens"))
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__oh"), col("doc_id"))
+      .drop("__oh")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    shardManifest(assigned.select(col("doc_id"), col("shard"),
+        col("n_tokens")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+  }
 }

@@ -814,6 +814,25 @@ object TextQueries {
         cap = 10)
     },
 
+    // Training-shard layout: deal the curated corpus into 8 shards
+    // (epoch-stable md5-of-id membership) with a reproducible epoch-1
+    // read order (rank of md5(epoch:id) within shard). The whole
+    // layout — assignment, permutation, token counts — is pure md5
+    // arithmetic, so it replays bit-exactly in the oracle.
+    "q_training_shards" -> { (s, dir) =>
+      TextAnalysis.trainingShards(t(s, dir, "documents"), "doc_id",
+        "text", nShards = 8, epoch = 1L)
+    },
+
+    // Per-shard manifest of the same layout: doc/token totals plus an
+    // order-independent bounded-hash checksum — what a training
+    // loader reads for length-aware scheduling and integrity checks.
+    "q_shard_manifest" -> { (s, dir) =>
+      TextAnalysis.shardManifest(TextAnalysis.trainingShards(
+        t(s, dir, "documents"), "doc_id", "text", nShards = 8,
+        epoch = 1L))
+    },
+
     // Exact-integer BM25 retrieval: top-10 documents per query for a
     // fixed 3-query set — rational odds idf + cross-multiplied tf
     // normalization (k1=6/5, b=3/4), so the ENTIRE scorer (postings,
@@ -1927,6 +1946,30 @@ object TextQueries {
         |        doc_id) AS BIGINT) AS pick_rank
         |  FROM documents)
         |WHERE pick_rank <= 10""".stripMargin,
+
+    "q_training_shards" ->
+      s"""WITH a AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) % 8 AS shard,
+         |    md5('1:' || CAST(doc_id AS VARCHAR)) AS oh,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id)
+         |    AS BIGINT) AS pos,
+         |  n_tokens
+         |FROM a""".stripMargin,
+
+    "q_shard_manifest" ->
+      s"""WITH a AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) AS h48,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT h48 % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(h48 % 1000003) AS BIGINT) AS id_checksum
+         |FROM a GROUP BY 1""".stripMargin,
 
     "q_bm25" -> sqlBm25,
     "q_bm25_indexed" -> sqlBm25,

@@ -90,4 +90,65 @@ class PipelineSpec extends SparkSpec {
       Relational.splitAssign(df, col("id"), Seq("a" -> 0.5, "b" -> 0.2))
     }
   }
+
+  private def shardDocs = (0L until 40L)
+    .map(i => (i, s"alpha beta tok$i gamma")).toDF("doc_id", "text")
+
+  test("trainingShards: epoch-stable membership, per-epoch permutation") {
+    def layout(epoch: Long) = TextAnalysis.trainingShards(shardDocs,
+        "doc_id", "text", nShards = 4, epoch = epoch)
+      .as[(Long, Long, Long, Long)].collect()
+    val e0 = layout(0L)
+    val e1 = layout(1L)
+    // membership never moves between epochs
+    assert(e0.map(r => (r._1, r._2)).toSet === e1.map(r => (r._1, r._2)).toSet)
+    // pos is a contiguous 1..n sequence within every shard, both epochs
+    for (e <- Seq(e0, e1); (_, rows) <- e.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    // advancing the epoch re-permutes at least one shard's read order
+    def orders(e: Array[(Long, Long, Long, Long)]) =
+      e.groupBy(_._2).map { case (s, r) => s -> r.sortBy(_._3).map(_._1).toSeq }
+    val (o0, o1) = (orders(e0), orders(e1))
+    assert(o0.keys.exists(s => o0(s) != o1(s)))
+    // every token count is the letter-token count of the doc
+    assert(e0.forall(_._4 === 4L))
+    // fully deterministic: a re-run reproduces the layout bit-for-bit
+    assert(layout(0L).sortBy(r => (r._2, r._3)).toSeq ===
+      e0.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
+  test("writeTrainingShards: one ordered file per shard dir + manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString
+    TextAnalysis.writeTrainingShards(shardDocs, "doc_id", "text", dir,
+      nShards = 4, epoch = 1L)
+    val want = TextAnalysis.trainingShards(shardDocs, "doc_id", "text",
+      nShards = 4, epoch = 1L)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    for (sd <- shardDirs) {
+      val k = sd.getName.stripPrefix("shard=").toLong
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      // the whole shard landed in one task -> exactly one data file
+      assert(files.length === 1, s"shard $k files: ${files.length}")
+      // file row order IS the epoch permutation (loaders stream as-is)
+      val got = spark.read.parquet(files.head.toString)
+        .select("doc_id").as[Long].collect().toSeq
+      val expect = want.where(col("shard") === k).orderBy(col("pos"))
+        .select("doc_id").as[Long].collect().toSeq
+      assert(got === expect, s"shard $k order")
+    }
+    // a table read of the layout sees every doc once and NOT _manifest
+    val all = spark.read.parquet(dir)
+    assert(all.count() === 40L)
+    assert(all.columns.toSet === Set("doc_id", "text", "n_tokens", "shard"))
+    // the manifest matches a recompute from the logical layout
+    val man = spark.read.parquet(s"$dir/_manifest")
+      .select("shard", "n_docs", "n_tokens", "id_checksum")
+    val recomputed = TextAnalysis.shardManifest(want)
+      .select("shard", "n_docs", "n_tokens", "id_checksum")
+    assert(man.except(recomputed).count() === 0L &&
+      recomputed.except(man).count() === 0L)
+  }
 }
