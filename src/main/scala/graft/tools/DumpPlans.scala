@@ -36,7 +36,8 @@ object DumpPlans {
     "q_decontaminate_blocked" -> "cluster-blocked semantic decontamination: eval multi-probe centroid assignment (zero-shuffle, codebook literal), corpus meets eval on the cluster equi-key — no corpus×eval cross join",
     "q_knn_join" -> "per-document kNN join: banded-LSH candidates with the hot-bucket guard, directed scoring rides the band co-location, per-doc top-k as the bounded heap — never an all-pairs join or a per-doc window over the corpus",
     "q_sql_hybrid" -> "the whole hybrid composition from pure SQL text: three registered heap aggregates (long BM25, double cosine, long RRF), zero windows",
-    "q_distill_quality" -> "in-engine model training: per-iteration margin scan with the weight vector as a codegen literal (zero shuffle), mislabeled fold as one token-bucket aggregation — only the dim-long weights reach the driver")
+    "q_distill_quality" -> "in-engine model training: per-iteration margin scan with the weight vector as a codegen literal (zero shuffle), mislabeled fold as one token-bucket aggregation — only the dim-long weights reach the driver",
+    "q_training_shards" -> "training-shard layout: tokenize-at-scan, ONE hash exchange on the epoch-stable shard key, per-shard spillable sort for the epoch permutation — the same physical work the shard writer does, no second shuffle for the rank")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
