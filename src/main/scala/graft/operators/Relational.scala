@@ -200,6 +200,43 @@ object Relational {
     df.where(lpad(substring(md5(key.cast("string")), 1, 4), 5, "0") < cutHex)
   }
 
+  /** Deterministic EXACT-COUNT uniform sample: the `n` rows with the
+    * globally smallest 48-bit md5-of-key prefixes (key tie-break) —
+    * "exactly 50k eval docs", where the rate-based
+    * [[deterministicSample]] only promises the count in expectation.
+    *
+    * Scale shape — two scans, never a global sort of the input:
+    *  1. a hash-threshold filter keeps an expected `overscan·n`
+    *     candidate rows (pure map-side, like the rate sampler): at
+    *     100 TB and n = 50k it discards 99.99+% of rows before
+    *     anything moves;
+    *  2. an exact top-n by (hash, key) over the surviving sliver —
+    *     a sort of ~overscan·n rows, not of the corpus.
+    * If the threshold under-collects (hash-thinned tail; probability
+    * falls exponentially in `overscan`), the cut widens 8× and
+    * rescans until it holds ≥ n — the final trim makes the result
+    * identical whichever cut admitted it, so the sample is the same
+    * on every run, partitioning, and engine. */
+  def sampleExactN(df: DataFrame, key: Column, n: Int,
+      overscan: Double = 4.0): DataFrame = {
+    require(n >= 0, "n must be non-negative")
+    require(overscan > 0.0, "overscan must be positive")
+    if (n == 0) return df.limit(0)
+    val h = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val total = df.count()
+    if (n >= total) return df
+    val max48 = 1L << 48
+    var cut = math.min(max48.toDouble,
+      math.ceil(max48.toDouble * overscan * n / total)).toLong
+    var cand = df.where(h < lit(cut))
+    while (cut < max48 && cand.count() < n) {
+      cut = math.min(max48, cut * 8) // cut <= 2^48, no overflow
+      cand = df.where(h < lit(cut))
+    }
+    cand.orderBy(h.asc, key.asc).limit(n)
+  }
+
   /** Per-group winsorization: clip `valueCol` to its group's exact
     * interpolated [pLo, pHi] percentiles — outlier damping before
     * statistics or training. Two passes: the per-group bounds table is

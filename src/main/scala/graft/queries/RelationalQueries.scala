@@ -455,6 +455,16 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
     },
 
+    // Exact-count uniform sample: exactly 500 orders — the 500 with
+    // the globally smallest 48-bit md5-of-key prefixes, found by a
+    // map-side hash-threshold scan + a sort of only the surviving
+    // sliver (never a global sort). Pure md5 arithmetic -> the oracle
+    // replays the identical 500 rows.
+    "q_sample_exact_n" -> { (s, dir) =>
+      Relational.sampleExactN(t(s, dir, "orders"), col("o_orderkey"), 500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
     // Unpivot (wide -> long): melt the pivoted status counts back into
     // rows — Dataset.unpivot, the inverse of q_pivot's conditional aggs.
     "q_unpivot" -> { (s, dir) =>
@@ -1219,6 +1229,13 @@ object RelationalQueries {
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'""".stripMargin,
+
+    "q_sample_exact_n" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+        |           AS BIGINT),
+        |         o_orderkey
+        |LIMIT 500""".stripMargin,
 
     "q_unpivot" ->
       """WITH w AS (SELECT o_orderpriority,

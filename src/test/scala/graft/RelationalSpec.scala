@@ -320,4 +320,36 @@ class RelationalSpec extends SparkSpec {
     assert(w(50.0) === 50.0)
     assert(w(96.0) === 95.05 && w(100.0) === 95.05)
   }
+
+  test("sampleExactN: exact count, equals the full-sort reference, " +
+      "partitioning-invariant") {
+    val df = spark.range(0, 2000).toDF("id")
+    val h = conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val want = df.orderBy(h.asc, col("id").asc).limit(137)
+      .select("id").as[Long].collect().toSet
+    val got = Relational.sampleExactN(df, col("id"), 137)
+      .select("id").as[Long].collect().toSet
+    assert(got.size === 137 && got === want)
+    // same sample from any physical layout
+    val again = Relational.sampleExactN(df.repartition(7), col("id"), 137)
+      .select("id").as[Long].collect().toSet
+    assert(again === got)
+  }
+
+  test("sampleExactN: degenerate n, and the widening loop on a too-" +
+      "tight initial cut") {
+    val df = spark.range(0, 100).toDF("id")
+    assert(Relational.sampleExactN(df, col("id"), 0).count() === 0L)
+    assert(Relational.sampleExactN(df, col("id"), 100).count() === 100L)
+    assert(Relational.sampleExactN(df, col("id"), 500).count() === 100L)
+    // overscan 0.05 admits an expected 2.5 candidates for n=50: the
+    // cut MUST widen (possibly several 8x rounds) and still land on
+    // the identical exact sample
+    val tight = Relational.sampleExactN(df, col("id"), 50, overscan = 0.05)
+      .select("id").as[Long].collect().toSet
+    val easy = Relational.sampleExactN(df, col("id"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(tight.size === 50 && tight === easy)
+  }
 }
