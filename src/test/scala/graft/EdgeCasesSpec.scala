@@ -396,5 +396,20 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got(1L)._1 < 65536L, "non-empty source must be cut under budget")
   }
 
+  test("trainingShards edge cases: nShards=1 is a pure permutation; empty corpus is empty, not a crash") {
+    val docs = Seq((1L, "a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    val one = TextAnalysis.trainingShards(docs, "doc_id", "text",
+        nShards = 1, epoch = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // everything in shard 0, pos a permutation of 1..3
+    assert(one.forall(_._2 === 0L))
+    assert(one.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L))
+    val empty = TextAnalysis.trainingShards(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      nShards = 4)
+    assert(empty.count() === 0L)
+    assert(TextAnalysis.shardManifest(empty).count() === 0L)
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 }
