@@ -940,12 +940,16 @@ object TextAnalysis {
       dim: Int = 512, iters: Int = 2, maxDriftPpm: Long = 400000L,
       minCount: Long = 5L): Boolean = {
     val spark = batch.sparkSession
-    // a model table without its counts sibling is a TORN commit (crash
-    // between the two writes) — the baseline corpus is gone by design
-    // (never re-read), so the only sound recovery is a full retrain,
-    // which rewrites both
+    // either artifact without its _SUCCESS is a TORN commit — a crash
+    // DURING the model overwrite leaves a partial table with the OLD
+    // counts sibling still complete (so the drift check alone would
+    // stay quiet and inference would read garbage), a crash BETWEEN
+    // the writes leaves the model without its baseline. The training
+    // corpus is gone by design (never re-read), so the only sound
+    // recovery from both is a full retrain, which rewrites both.
     val drifted =
-      if (!graft.io.IndexPaths.complete(spark, modelTrainCountsPath(path)))
+      if (!graft.io.IndexPaths.complete(spark, path) ||
+          !graft.io.IndexPaths.complete(spark, modelTrainCountsPath(path)))
         true
       else {
         val refCounts = spark.read.parquet(modelTrainCountsPath(path))

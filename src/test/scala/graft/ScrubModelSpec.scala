@@ -177,6 +177,38 @@ class ScrubModelSpec extends SparkSpec {
       "in-loop retrain must equal a manual distillation over the accumulated corpus")
   }
 
+  test("rebuildQualityModelIfDrifted heals BOTH torn-commit variants; intact + quiet batch is a no-op") {
+    import graft.operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-model-heal-")
+      .toString
+    val modelPath = s"$tmp/model"
+    val docs = ((0L until 20L).map(i => (i,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mun")) ++
+      (20L until 30L).map(i => (i, "bad doc here"))).toDF("doc_id", "text")
+    val quiet = docs.where(col("doc_id") < 10L)
+    def success(p: String) = new java.io.File(p, "_SUCCESS")
+    TextAnalysis.writeQualityModel(TextAnalysis.distillQualityModel(
+      docs, "doc_id", "text", dim = 128, iters = 2), modelPath, docs)
+    val w0 = TextAnalysis.loadQualityModel(spark, modelPath)
+    // intact artifacts + on-distribution batch: alarm quiet, untouched
+    assert(!TextAnalysis.rebuildQualityModelIfDrifted(docs, quiet,
+      modelPath, dim = 128, iters = 2))
+    // torn variant 1: counts sibling lost (crash between the writes)
+    assert(success(TextAnalysis.modelTrainCountsPath(modelPath)).delete())
+    assert(TextAnalysis.rebuildQualityModelIfDrifted(docs, quiet,
+      modelPath, dim = 128, iters = 2), "missing sibling must retrain")
+    assert(success(TextAnalysis.modelTrainCountsPath(modelPath)).exists())
+    // torn variant 2: partial MODEL table, OLD sibling complete (crash
+    // during the model overwrite) — the drift check alone would stay
+    // quiet here, which is exactly why completeness gates it
+    assert(success(modelPath).delete())
+    assert(TextAnalysis.rebuildQualityModelIfDrifted(docs, quiet,
+      modelPath, dim = 128, iters = 2), "torn model table must retrain")
+    assert(success(modelPath).exists())
+    assert(TextAnalysis.loadQualityModel(spark, modelPath).toSeq ===
+      w0.toSeq, "healed model must equal the original commit")
+  }
+
   test("temperatureMix: sqrt weights favor the small source vs proportional") {
     // source A: 16 docs x 4 tokens = 64 tokens; source B: 1 doc x 4
     val docs = ((0L until 16L).map(i => (i, "alpha beta gamma delta", "A")) :+
