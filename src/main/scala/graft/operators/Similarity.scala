@@ -263,9 +263,13 @@ object Similarity {
     * corpus doc is assigned one of `nBuckets` md5 buckets, each bucket
     * is represented by its MIN id (a `nBuckets`-row broadcast table),
     * and negative slot j of anchor a is the representative of bucket
-    * `md5(a ++ "_" ++ j) mod nBuckets` — uniform over representatives,
-    * reproducible on any engine (production would salt the slot hash
-    * per epoch for fresh negatives). A slot whose representative
+    * `md5(a ++ "_" ++ j ++ "_" ++ epoch) mod nBuckets` — uniform over
+    * representatives, reproducible on any engine, and EPOCH-salted:
+    * advancing `epoch` redraws every anchor's negatives (fresh
+    * negatives per training epoch) while the positives — a property
+    * of the corpus geometry, not of the salt — are untouched, the
+    * same split of concerns as [[TextAnalysis.trainingShards]]'
+    * membership/permutation hashes. A slot whose representative
     * collides with the anchor or the positive is DROPPED (not
     * resampled — determinism over density; ~ (nNeg · 2 / nBuckets)
     * expected loss). Work: the kNN join + one broadcast equi-join of
@@ -273,7 +277,8 @@ object Similarity {
     * @return (anchor, pos_id, neg_slot, neg_id) */
   def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
       nNeg: Int = 3, nBuckets: Int = 64, nPlanes: Int = 8,
-      nBands: Int = 8, dim: Int = 0, maxBucket: Int = 64): DataFrame = {
+      nBands: Int = 8, dim: Int = 0, maxBucket: Int = 64,
+      epoch: Long = 0L): DataFrame = {
     require(nNeg >= 1 && nBuckets >= 2)
     def mdBucket(c: Column) =
       conv(substring(md5(c), 1, 4), 16, 10).cast("long") % nBuckets
@@ -286,7 +291,8 @@ object Similarity {
     pos.select(col("anchor"), col("pos_id"),
         explode(sequence(lit(0), lit(nNeg - 1))).as("neg_slot"))
       .withColumn("__bk", mdBucket(concat(col("anchor").cast("string"),
-        lit("_"), col("neg_slot").cast("string"))))
+        lit("_"), col("neg_slot").cast("string"), lit("_"),
+        lit(epoch).cast("string"))))
       .join(broadcast(reps), Seq("__bk"))
       .where(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("pos_id"))
       .select(col("anchor"), col("pos_id"),

@@ -831,8 +831,8 @@ object VectorQueries {
          |    MIN(vec_id) AS neg_id
          |  FROM embeddings GROUP BY 1),
          |sl AS (SELECT anchor, pos_id, CAST(j AS BIGINT) AS neg_slot,
-         |    CAST(('0x' || substr(md5(anchor || '_' || j), 1, 4)) AS BIGINT)
-         |      % 64 AS bk
+         |    CAST(('0x' || substr(md5(anchor || '_' || j || '_0'), 1, 4))
+         |      AS BIGINT) % 64 AS bk
          |  FROM pos, UNNEST(range(0, 3)) t(j))
          |SELECT anchor, pos_id, neg_slot, neg_id
          |FROM sl JOIN rep USING (bk)

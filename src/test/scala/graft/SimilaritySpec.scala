@@ -382,6 +382,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastivePairs: epoch salt redraws negatives, positives untouched") {
+    val corpus = emb.select("vec_id", "embedding")
+    def run(epoch: Long) = Similarity.contrastivePairs(corpus, "vec_id",
+        "embedding", nNeg = 3, nBuckets = 64, epoch = epoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val e0 = run(0L)
+    val e1 = run(1L)
+    // positives are corpus geometry, not salt: identical per anchor
+    assert(e0.map(r => r._1 -> r._2).toMap === e1.map(r => r._1 -> r._2).toMap)
+    // the salt redraws negatives: some shared (anchor, slot) resolves
+    // to a different representative across epochs
+    val n0 = e0.map(r => (r._1, r._3) -> r._4).toMap
+    val n1 = e1.map(r => (r._1, r._3) -> r._4).toMap
+    val shared = n0.keySet.intersect(n1.keySet)
+    assert(shared.nonEmpty)
+    assert(shared.exists(k => n0(k) != n1(k)),
+      "advancing the epoch must redraw at least one negative")
+    // same epoch -> bit-identical triplets
+    assert(run(1L).sortBy(r => (r._1, r._3)).toSeq ===
+      e1.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("nearDupPairsLsh: 100% recall on planted near-duplicates, candidates pruned") {
     // plant 5 exact duplicates of existing vectors under new ids
     val planted = emb.where(col("vec_id") < 5)
