@@ -151,4 +151,34 @@ class PipelineSpec extends SparkSpec {
     assert(man.except(recomputed).count() === 0L &&
       recomputed.except(man).count() === 0L)
   }
+
+  test("end-to-end last mile: curation keepers -> shard layout, manifest accounts for every kept doc") {
+    import graft.operators.{Dedup, Relational}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // the curation front half: quality gate + exact-dedup keepers
+    val kept = docs
+      .join(TextAnalysis.quality(docs, "doc_id", "text")
+        .where(col("verdict") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(Dedup.exactKeepers(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val nKept = kept.count()
+    assert(nKept > 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lastmile")
+      .toString
+    TextAnalysis.writeTrainingShards(kept, "doc_id", "text", dir,
+      nShards = 4, epoch = 0L)
+    // the layout carries exactly the kept docs, nothing filtered back in
+    val laid = spark.read.parquet(dir)
+    assert(laid.count() === nKept)
+    assert(laid.select("doc_id").except(kept.select("doc_id")).count() === 0L)
+    // the manifest accounts for every kept doc across the shards
+    val man = spark.read.parquet(s"$dir/_manifest")
+    assert(man.agg(sum("n_docs")).head().getLong(0) === nKept)
+    // md5 membership is roughly balanced: no shard above 2x fair share
+    val maxShard = man.agg(max("n_docs")).head().getLong(0)
+    assert(maxShard <= 2L * ((nKept / 4L) + 1L),
+      s"shard skew: max $maxShard of $nKept over 4 shards")
+  }
 }
