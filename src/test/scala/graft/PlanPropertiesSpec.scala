@@ -355,6 +355,37 @@ class PlanPropertiesSpec extends SparkSpec {
       s"no rank windows anywhere in the hybrid composition:\n$p")
   }
 
+  test("q_training_shards: one shard-key exchange feeds the per-shard sort; scan pruned to (doc_id, text)") {
+    val p = plan(SparkEntry.queries("q_training_shards")(spark, sf))
+    // exactly one hash exchange on the shard key (the Q.t round-robin
+    // re-split of one-row-group testdata is REPARTITION_BY_NUM, not a
+    // second hash exchange)
+    assert("hashpartitioning\\(shard".r.findAllIn(p).size >= 1,
+      "the layout must shuffle once on the epoch-stable shard key")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"exactly one hash exchange:\n$p")
+    // the rank rides the shard partitioning: a Window directly over
+    // the shard sort, never a second shuffle for pos
+    assert(p.contains("Window [row_number()"))
+    // tokenize-at-scan: only the two needed columns are read
+    assert(!p.split("ReadSchema").last.contains("source"),
+      "unused columns must be pruned from the documents scan")
+  }
+
+  test("q_sample_exact_n: sliver top-n, never a global sort of the corpus") {
+    val p = plan(SparkEntry.queries("q_sample_exact_n")(spark, sf))
+    // the exact trim is a distributed top-n over the hash-filtered
+    // sliver (TakeOrderedAndProject), not a Sort + Exchange of orders
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact trim must plan as top-n:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range-partitioned global sort anywhere is the failure mode " +
+        "this operator exists to avoid")
+    // the threshold filter sits below, on the scan side
+    assert(p.contains("Filter") && p.contains("md5"),
+      "the hash-threshold filter must appear in the plan")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
