@@ -1446,8 +1446,14 @@ object TextAnalysis {
       .sortWithinPartitions(col("shard"), col("__oh"), col("doc_id"))
       .drop("__oh")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
-    shardManifest(assigned.select(col("doc_id"), col("shard"),
-        col("n_tokens")))
+    // manifest from the WRITTEN layout, not the input: re-deriving
+    // `assigned` would re-scan and re-tokenize the whole corpus a
+    // second time, where the layout read is a pruned columnar scan of
+    // three small columns (and doubles as a write-back audit)
+    val layout = docs.sparkSession.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("n_tokens"))
+    shardManifest(layout)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
   }
 }
