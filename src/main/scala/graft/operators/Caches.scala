@@ -22,8 +22,19 @@ import org.apache.spark.storage.StorageLevel
   * unpersisted frame silently recomputes if re-used. */
 object Caches {
 
-  private val tracked = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  // WEAK-reference tracking (both sets): the registry must never be
+  // the thing that keeps a block alive. A library caller that drops
+  // its frame without ever calling release() leaves the entry
+  // collectable, so Spark's ContextCleaner GC fallback can still
+  // reclaim the MEMORY_AND_DISK blocks — with strong refs here, an
+  // unreleased localCheckpoint RDD was pinned FOREVER (the registry
+  // disabled the very fallback that reclaimed bare localCheckpoints
+  // before it existed). WeakHashMap is not thread-safe, so access is
+  // synchronized on the set itself ([[release]] copies under the
+  // lock, unpersists outside it).
+  private val tracked = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Boolean]()))
 
   /** Persist `df` at MEMORY_AND_DISK and track it for [[release]]. */
   def persist(df: DataFrame): DataFrame = {
@@ -32,9 +43,10 @@ object Caches {
     df
   }
 
-  private val trackedRdds = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.rdd.RDD[_], java.lang.Boolean]())
+  private val trackedRdds = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_],
+        java.lang.Boolean]()))
 
   /** Eagerly `localCheckpoint()` `df` (lineage truncation — deep
     * composed plans stop re-optimizing per downstream stage) and track
@@ -50,12 +62,20 @@ object Caches {
     out
   }
 
-  /** Unpersist (non-blocking) every tracked intermediate. */
+  /** Unpersist (non-blocking) every tracked intermediate. Entries are
+    * drained under the set's lock (synchronized-set iteration is not
+    * safe without it), then unpersisted outside it. */
   def release(): Unit = {
-    val it = tracked.iterator()
-    while (it.hasNext) { it.next().unpersist(false); it.remove() }
-    val rit = trackedRdds.iterator()
-    while (rit.hasNext) { rit.next().unpersist(false); rit.remove() }
+    val dfs = tracked.synchronized {
+      val c = new java.util.ArrayList[DataFrame](tracked)
+      tracked.clear(); c
+    }
+    dfs.forEach(_.unpersist(false))
+    val rdds = trackedRdds.synchronized {
+      val c = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]](trackedRdds)
+      trackedRdds.clear(); c
+    }
+    rdds.forEach(_.unpersist(false))
   }
 
   /** Number of currently-tracked intermediates (test hook). */

@@ -921,6 +921,13 @@ object Similarity {
   def semanticDecontaminateBlocked(spark: SparkSession, corpus: DataFrame,
       evalSet: DataFrame, idCol: String, vecCol: String, tau: Double,
       indexPath: String, nProbe: Int = 2): DataFrame = {
+    // a torn index (crash mid-build, no _SUCCESS) must fail LOUDLY:
+    // silently joining a partial assignment table would drop corpus
+    // rows from the check and pass leaked documents unflagged
+    require(graft.io.IndexPaths.complete(spark, indexPath) &&
+        graft.io.IndexPaths.complete(spark, centroidsPath(indexPath)),
+      s"kmeans index at $indexPath is absent or torn (no _SUCCESS); " +
+        "build it with kmeansWriteIndex/ensureKmeansIndex first")
     val assign = spark.read.parquet(indexPath)
     val cbs = loadKmeansCentroids(spark, indexPath)
     val cbLit = typedLit(cbs.map(_.toSeq).toSeq)
@@ -941,9 +948,19 @@ object Similarity {
               j.cast("long").as("cid")))), 1, nProbe)).as("__a"))
       .select(col("eval_id"), col("__ev"), col("__a.cid").as("cluster"))
     // a corpus row lives in exactly ONE cluster, so each (corpus, eval)
-    // pair is scored at most once — no post-join distinct needed
+    // pair is scored at most once — no post-join distinct needed.
+    // LEFT join + centroid-classify fallback (not inner): corpus rows
+    // appended AFTER the index build have no stored assignment, and an
+    // inner join would silently drop them from the check — leaked
+    // documents passing decontamination unflagged. Classifying them
+    // against the stored centroids (same integer argmin as the eval
+    // side) keeps them covered; coalesce short-circuits, so assigned
+    // rows never pay the k x dim scan.
     val tagged = corpus.select(col(idCol), col(vecCol))
-      .join(assign.select(col(idCol), col("cluster")), Seq(idCol))
+      .join(assign.select(col(idCol), col("cluster")), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"),
+        kmAssign(transform(col(vecCol), x => VectorFns.qint(x)), cbs)
+          .getField("cid").cast("long")))
     tagged.join(evAssigned.hint("shuffle_hash"), Seq("cluster"))
       .select(col(idCol),
         struct(VectorFns.cosineQ(col(vecCol), col("__ev")).as("qcos"),

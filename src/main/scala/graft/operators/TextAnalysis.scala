@@ -812,12 +812,38 @@ object TextAnalysis {
         (col("__p") + 1).cast("long").as("pick_rank"))
   }
 
-  /** Hashed-bucket feature id of a token: md5 first 3 hex digits
-    * (uniform in [0, 4095]) mod `dim` — deterministic, portable, the
-    * hashing-trick feature map shared by [[trainHashedPerceptron]]
-    * and [[scoreHashedWeights]]. */
+  /** Hashed-bucket feature id of a token — deterministic, portable,
+    * the hashing-trick feature map shared by [[trainHashedPerceptron]]
+    * and [[scoreHashedWeights]]: md5 first 3 hex digits (uniform in
+    * [0, 4095]) mod `dim` while `dim` fits that range; for dim > 4096
+    * the prefix WIDENS to 12 hex digits (48 bits) so every bucket
+    * stays reachable — a 3-digit prefix mod a larger dim would leave
+    * buckets 4096..dim-1 permanently zero and silently skew the
+    * feature map. The regime is a pure function of dim, so train and
+    * score always agree. */
   private def hashBucket(w: Column, dim: Int): Column =
-    conv(substring(md5(w), 1, 3), 16, 10).cast("long") % dim
+    if (dim <= 4096) conv(substring(md5(w), 1, 3), 16, 10).cast("long") % dim
+    else conv(substring(md5(w), 1, 12), 16, 10).cast("long") % dim
+
+  /** JVM twin of [[hashBucket]] (bit-identical by construction: the
+    * same md5 hex-prefix arithmetic) — the bucket function used inside
+    * the broadcast-weights scoring closure, where the weight array is
+    * shipped once per executor instead of riding the plan as a
+    * codegen literal. */
+  private[operators] def hashBucketJvm(w: String, dim: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h =
+      if (dim <= 4096) // first 3 hex digits = 12 bits
+        ((md(0) & 0xffL) << 4) | ((md(1) & 0xf0L) >> 4)
+      else { // first 12 hex digits = 48 bits
+        var v = 0L
+        var i = 0
+        while (i < 6) { v = (v << 8) | (md(i) & 0xffL); i += 1 }
+        v
+      }
+    (h % dim).toInt
+  }
 
   /** TRAIN a hashed linear quality model IN the engine — batch
     * perceptron over hashing-trick token-count features, the
@@ -850,9 +876,8 @@ object TextAnalysis {
       .join(labels.select(col(idCol).as("doc_id"), col("y")), Seq("doc_id")))
     val w = new Array[Long](dim)
     for (_ <- 0 until iters) {
-      val wLit = typedLit(w.toSeq)
-      val margin = col("y") * aggregate(col("__toks"), lit(0L),
-        (acc, t) => acc + element_at(wLit, (hashBucket(t, dim) + 1).cast("int")))
+      val margin = col("y") *
+        weightedTokenSum(docs.sparkSession, col("__toks"), w)
       val delta = featured.where(margin <= 0L)
         .select(col("y"), explode(col("__toks")).as("__t"))
         .groupBy(hashBucket(col("__t"), dim).as("__b"))
@@ -863,20 +888,68 @@ object TextAnalysis {
     w
   }
 
+  /** The literal/broadcast crossover for the weight vector: at or
+    * below this dim the weights ride the plan as a `typedLit` codegen
+    * literal (bit-replayable in SQL, whole-stage-codegen fused — the
+    * plan grows linearly in dim, fine to ~4k); above it the plan
+    * would bloat linearly per operator instance, so the vector ships
+    * ONCE per executor as a broadcast variable and the scan runs a
+    * closure lookup instead. Same bucket arithmetic on both sides
+    * ([[hashBucket]] / [[hashBucketJvm]] — spec-pinned equal). 4096
+    * also marks where [[hashBucket]] widens its md5 prefix. */
+  private[operators] val weightLiteralMaxDim = 4096
+
+  /** `Σ w[bucket(tok)]` over a token-array column — the shared scoring
+    * kernel of [[trainHashedPerceptron]] (margin scans) and
+    * [[scoreHashedWeights]] (inference). Dispatches on
+    * [[weightLiteralMaxDim]]; `forceBroadcast` exists so specs can pin
+    * literal/broadcast parity at equal dim. */
+  private[operators] def weightedTokenSum(
+      spark: org.apache.spark.sql.SparkSession, toksCol: Column,
+      weights: Array[Long], forceBroadcast: Boolean = false): Column = {
+    val dim = weights.length
+    if (dim <= weightLiteralMaxDim && !forceBroadcast) {
+      val wLit = typedLit(weights.toSeq)
+      aggregate(toksCol, lit(0L), (acc, t) =>
+        acc + element_at(wLit, (hashBucket(t, dim) + 1).cast("int")))
+    } else {
+      val bc = spark.sparkContext.broadcast(weights)
+      val f = udf { toks: Seq[String] =>
+        val wv = bc.value
+        var s = 0L
+        if (toks != null) toks.foreach(t => s += wv(hashBucketJvm(t, wv.length)))
+        s
+      }
+      f(toksCol)
+    }
+  }
+
   /** Inference with a TRAINED weight vector ([[trainHashedPerceptron]])
     * — same zero-shuffle scan shape as [[scoreHashedLinear]], but the
-    * weights are the distilled model riding as a literal (at real
-    * model sizes, a broadcast array): score_q = Σ w[bucket(tok)] over
+    * weights are the distilled model: a codegen literal up to
+    * [[weightLiteralMaxDim]] (bit-replayable), a broadcast array past
+    * it (one executor-wide copy, plan size constant in dim — both
+    * paths spec-pinned equal): score_q = Σ w[bucket(tok)] over
     * token occurrences, verdict = keep iff score_q >= 0. */
   def scoreHashedWeights(docs: DataFrame, idCol: String, textCol: String,
-      weights: Array[Long]): DataFrame = {
-    val dim = weights.length
-    val wLit = typedLit(weights.toSeq)
+      weights: Array[Long]): DataFrame =
+    scoreHashedWeightsImpl(docs, idCol, textCol, weights,
+      forceBroadcast = false)
+
+  /** [[scoreHashedWeights]] forced through the broadcast path at any
+    * dim (parity-spec hook). */
+  private[graft] def scoreHashedWeightsBroadcast(docs: DataFrame,
+      idCol: String, textCol: String, weights: Array[Long]): DataFrame =
+    scoreHashedWeightsImpl(docs, idCol, textCol, weights,
+      forceBroadcast = true)
+
+  private def scoreHashedWeightsImpl(docs: DataFrame, idCol: String,
+      textCol: String, weights: Array[Long],
+      forceBroadcast: Boolean): DataFrame = {
     val toks = TextFns.letterTokens(col(textCol))
     docs.select(col(idCol).as("doc_id"),
         size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0L), (acc, t) =>
-          acc + element_at(wLit, (hashBucket(t, dim) + 1).cast("int")))
+        weightedTokenSum(docs.sparkSession, toks, weights, forceBroadcast)
           .as("score_q"))
       .withColumn("verdict",
         when(col("score_q") >= 0L, lit("keep")).otherwise(lit("drop")))

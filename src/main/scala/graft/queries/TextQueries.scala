@@ -118,9 +118,12 @@ object TextQueries {
     val qcte = "VALUES " + hybridQuerySet
       .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
       .mkString(", ")
+    // dense probe list DERIVED from hybridQuerySet (not hardcoded) so
+    // editing the query set cannot desync the oracle's dense side
+    val probeIn = hybridQuerySet.map(_._1).mkString(", ")
     s"""WITH bm AS (${sqlBm25Of(qcte, "", 10)}),
        |pr AS (SELECT vec_id AS query_id, embedding AS pe
-       |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
+       |  FROM embeddings WHERE vec_id IN ($probeIn)),
        |nn AS (SELECT vec_id,
        |    ${sqlDotQT("embedding", "embedding")} AS nsq FROM embeddings),
        |sc AS (SELECT pr.query_id, e.vec_id AS doc_id,
@@ -2026,6 +2029,8 @@ object TextQueries {
       val qcte = "VALUES " + hybridQuerySet
         .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
         .mkString(", ")
+      // probe list derived from hybridQuerySet (cf. sqlHybrid)
+      val probeIn = hybridQuerySet.map(_._1).mkString(", ")
       s"""WITH bm AS (${sqlBm25Of(qcte, "", 10)}),
          |qz AS (SELECT vec_id, embedding,
          |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
@@ -2040,7 +2045,7 @@ object TextQueries {
          |nn8 AS (SELECT vec_id, list_sum(list_transform(range(1, 65),
          |    i -> qv[i] * qv[i])) AS n8 FROM v),
          |pr8 AS (SELECT vec_id AS query_id, qv AS pq FROM v
-         |  WHERE vec_id IN (0, 7, 19, 42)),
+         |  WHERE vec_id IN ($probeIn)),
          |sc8 AS (SELECT pr8.query_id, v.vec_id AS doc_id,
          |    CAST(list_sum(list_transform(range(1, 65),
          |        i -> v.qv[i] * pr8.pq[i])) AS DOUBLE) /

@@ -132,6 +132,45 @@ class ScrubModelSpec extends SparkSpec {
       s"student must beat chance against the teacher: ${agree / n}")
   }
 
+  test("scoreHashedWeights: broadcast path is bit-identical to the codegen-literal path") {
+    // same dim (512 <= weightLiteralMaxDim) forced down both vehicles:
+    // pins hashBucketJvm == hashBucket (the md5 hex-prefix arithmetic)
+    // and the closure fold == the codegen aggregate
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val w = TextAnalysis.distillQualityModel(docs, "doc_id", "text",
+      dim = 512, iters = 1)
+    val lit = TextAnalysis.scoreHashedWeights(docs, "doc_id", "text", w)
+      .orderBy("doc_id").collect().toSeq
+    val bc = TextAnalysis.scoreHashedWeightsBroadcast(docs, "doc_id",
+      "text", w).orderBy("doc_id").collect().toSeq
+    assert(lit === bc, "literal and broadcast scoring must agree bit-for-bit")
+  }
+
+  test("dim > 4096 widens the feature hash: high buckets reachable, scoring consistent") {
+    // the r9 ADVICE hazard: a 3-hex-digit md5 prefix mod dim leaves
+    // buckets 4096..dim-1 permanently zero for dim > 4096. The widened
+    // 12-digit prefix must populate them, and train/score must agree
+    // on the same bucket map (the margin filter drives the weights, so
+    // student-teacher agreement would collapse if they diverged).
+    val docs = ((0L until 40L).map(i => (i,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")) ++
+      (40L until 60L).map(i => (i, "bad doc here"))).toDF("doc_id", "text")
+    val labels = docs.select(col("doc_id"),
+      when(col("doc_id") < 40L, lit(1L)).otherwise(lit(-1L)).as("y"))
+    val w = TextAnalysis.trainHashedPerceptron(docs, "doc_id", "text",
+      labels, dim = 8192, iters = 2)
+    assert(w.length === 8192)
+    assert(w.zipWithIndex.exists { case (v, i) => i >= 4096 && v != 0L },
+      "widened hash must reach buckets beyond 4096")
+    // dim > weightLiteralMaxDim scores through the broadcast closure;
+    // the perfect linearly-separable teacher must be fully recovered
+    val verdicts = TextAnalysis.scoreHashedWeights(docs, "doc_id", "text", w)
+      .select(col("doc_id"), col("verdict")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 40L).foreach(i => assert(verdicts(i) === "keep"))
+    (40L until 60L).foreach(i => assert(verdicts(i) === "drop"))
+  }
+
   test("ingestModelStream: first batch trains; quiet batch leaves the model; planted shift retrains IN-LOOP") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streams

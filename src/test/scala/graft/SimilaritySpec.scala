@@ -244,6 +244,40 @@ class SimilaritySpec extends SparkSpec {
       s"blocked decontamination must not plan a cross join:\n$p")
   }
 
+  test("semanticDecontaminateBlocked: torn index fails loudly; post-build corpus rows still covered") {
+    val evalSet = emb.where(col("vec_id") % 20 === 0)
+      .select("vec_id", "embedding")
+    val train = emb.where(col("vec_id") % 20 =!= 0)
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("decon-guard").toString
+    // 1. torn index (no _SUCCESS): must fail loudly, not silently pass
+    //    leaked docs by inner-joining a partial assignment table
+    val torn = s"$tmp/torn"
+    Similarity.kmeansWriteIndex(train, "vec_id", "embedding", torn,
+      k = 8, iters = 1)
+    assert(new java.io.File(torn, "_SUCCESS").delete())
+    Similarity.invalidateKmeansIndex(torn)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminateBlocked(spark, train, evalSet,
+        "vec_id", "embedding", tau = 0.95, torn, nProbe = 2)
+    }
+    assert(ex.getMessage.contains("torn") || ex.getMessage.contains("absent"))
+    // 2. corpus rows appended AFTER the index build (no stored
+    //    assignment) classify against the centroids instead of being
+    //    dropped: a leaked copy appended post-build must still flag
+    val idx = s"$tmp/km"
+    Similarity.kmeansWriteIndex(train, "vec_id", "embedding", idx,
+      k = Similarity.deriveK(train.count()), iters = 2)
+    val copy = emb.where(col("vec_id") === 0L)
+      .select((col("vec_id") + 999000L).as("vec_id"), col("embedding"))
+    val grown = train.unionByName(copy) // 999000 has no index row
+    val flagged = Similarity.semanticDecontaminateBlocked(spark, grown,
+        evalSet, "vec_id", "embedding", tau = 0.95, idx, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged === Set((999000L, 0L)),
+      s"post-build leaked copy must be classified and flagged: $flagged")
+  }
+
   test("annRecallReport: planted duplicate is recalled; multi-probe >= single-bucket") {
     // an identical copy of probe 0's vector shares its bucket, so BOTH
     // lsh paths must retrieve it and score a hit against exact top-k
