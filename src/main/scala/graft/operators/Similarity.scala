@@ -112,20 +112,34 @@ object Similarity {
     * trades shuffle volume for recall; at 100 TB the (band, bucket)
     * join key hash-partitions, so cost is ~nBands·n rows shuffled +
     * per-bucket pair generation, vs n² for the exact variant. */
-  def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, nBands: Int = 8,
-      dim: Int = 0, maxBucket: Int = 64): DataFrame = {
-    val d = if (dim > 0) dim else probeDim(emb, vecCol)
+  /** The exploded (id, v, nq, bkey) relation of banded sign-LSH — the
+    * shared blocking front of [[nearDupPairsLsh]], [[knnJoinLsh]] and
+    * the stored kNN-index family ([[knnWriteIndex]] /
+    * [[incrementalKnnEdges]]). `bkey` packs (band, bucket) into one
+    * long (band·256 + 8 sign bits); the hyperplanes are md5-derived
+    * from (count, dim) alone, so batch and corpus sides of an
+    * incremental probe derive IDENTICAL keys with no stored
+    * plane state. Quantized integer dots: exact sign, SQL-replayable
+    * (see [[withLshBucket]]). */
+  private def bandExploded(emb: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, nBands: Int, d: Int): DataFrame = {
     val planes = hyperplanes(nPlanes * nBands, d)
     val bandKeys = array((0 until nBands).map { bnd =>
       (0 until nPlanes).map { p =>
-        // quantized integer dot: exact sign, SQL-replayable (see
-        // withLshBucket)
         val dotP = VectorFns.dotQ(col(vecCol),
           typedLit(planes(bnd * nPlanes + p).map(_.toFloat).toSeq))
         when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)) + lit(bnd.toLong * 256L)
     }: _*)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
+      explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
+  }
+
+  def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, nBands: Int = 8,
+      dim: Int = 0, maxBucket: Int = 64): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(emb, vecCol)
     // hot-bucket guard (cf. Dedup.cappedBucketPairs): an embedding
     // cluster of m near-identical vectors lands in ONE bucket per band;
     // rank members by id within each bucket, pair all-pairs among the
@@ -140,9 +154,7 @@ object Similarity {
     // ∝ dup rate. The count branch recomputes the plane dots once
     // (map-side, no shuffle); that 2× dot cost replaces the old full
     // sort + corpus-sized cache.
-    val exploded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
-        explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
+    val exploded = bandExploded(emb, idCol, vecCol, nPlanes, nBands, d)
     val pairable = exploded.groupBy(col("bkey"))
       .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
       .select(col("bkey"))
@@ -211,18 +223,8 @@ object Similarity {
       maxBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.graft.shim
     val d = if (dim > 0) dim else probeDim(emb, vecCol)
-    val planes = hyperplanes(nPlanes * nBands, d)
-    val bandKeys = array((0 until nBands).map { bnd =>
-      (0 until nPlanes).map { p =>
-        val dotP = VectorFns.dotQ(col(vecCol),
-          typedLit(planes(bnd * nPlanes + p).map(_.toFloat).toSeq))
-        when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_)) + lit(bnd.toLong * 256L)
-    }: _*)
     import org.apache.spark.sql.expressions.Window
-    val exploded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"),
-        explode(dimGuarded(vecCol, d, bandKeys)).as("bkey"))
+    val exploded = bandExploded(emb, idCol, vecCol, nPlanes, nBands, d)
     val pairable = exploded.groupBy(col("bkey"))
       .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
       .select(col("bkey"))
@@ -244,12 +246,23 @@ object Similarity {
       .unionByName(scored(rep, over)) // rep sees overflow members...
       .unionByName(scored(over, rep)) // ...and overflow members see the rep
       .dropDuplicates("id", "nn_id") // band collisions
+    knnHeapTail(cands, idCol, k)
+  }
+
+  /** The per-source bounded-heap ranking tail shared by [[knnJoinLsh]]
+    * and [[incrementalKnnEdges]]: candidates (id, nn_id, cos_sim) →
+    * (outIdCol, nn_id, cos_sim, rk), rk 1-based, ties to the lowest
+    * nn_id — map-side-combined [[graft.functions.expr.TopKByScore]],
+    * never a per-doc rank window over the corpus. */
+  private def knnHeapTail(cands: DataFrame, outIdCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.shim
     val agg = shim.column(graft.functions.expr.TopKByScore(
         shim.expression(col("cos_sim")), shim.expression(col("nn_id")), k)
       .toAggregateExpression())
     cands.groupBy(col("id")).agg(agg.as("__top"))
       .select(col("id"), posexplode(col("__top")).as(Seq("__p", "__e")))
-      .select(col("id").as(idCol), col("__e.id").as("nn_id"),
+      .select(col("id").as(outIdCol), col("__e.id").as("nn_id"),
         col("__e.score").as("cos_sim"),
         (col("__p") + 1).cast("long").as("rk"))
   }
@@ -272,19 +285,40 @@ object Similarity {
     * membership/permutation hashes. A slot whose representative
     * collides with the anchor or the positive is DROPPED (not
     * resampled — determinism over density; ~ (nNeg · 2 / nBuckets)
-    * expected loss). Work: the kNN join + one broadcast equi-join of
+    * expected loss).
+    *
+    * EPOCH TURNS ARE CHEAP THROUGH THE STORED INDEX: positives are
+    * epoch-INVARIANT, yet the kNN join that derives them is the whole
+    * triplet cost (~97% measured, SCALE.md) — so pass `indexPath` to
+    * read them from the stored kNN graph ([[knnWriteIndex]], built
+    * once per corpus version via [[ensureKnnIndex]]) and every
+    * `epoch = e` call costs ONE pruned (id, nn_id) index read + the
+    * broadcast negative join. The stored rank-1 edge is bit-identical
+    * to a fresh `knnJoinLsh(k = 1)` (the bounded heap's rank 1 is the
+    * same row at any k ≥ 1 — spec-pinned), so routing through the
+    * index changes nothing but the cost. Without `indexPath` the
+    * ad-hoc kNN join runs per call (prototyping form). Work:
+    * one index read (or the kNN join) + one broadcast equi-join of
     * (anchors × nNeg) rows — nothing corpus-quadratic anywhere.
     * @return (anchor, pos_id, neg_slot, neg_id) */
   def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
       nNeg: Int = 3, nBuckets: Int = 64, nPlanes: Int = 8,
       nBands: Int = 8, dim: Int = 0, maxBucket: Int = 64,
-      epoch: Long = 0L): DataFrame = {
+      epoch: Long = 0L, indexPath: Option[String] = None,
+      indexK: Int = 5): DataFrame = {
     require(nNeg >= 1 && nBuckets >= 2)
     def mdBucket(c: Column) =
       conv(substring(md5(c), 1, 4), 16, 10).cast("long") % nBuckets
-    val pos = knnJoinLsh(emb, idCol, vecCol, k = 1, nPlanes, nBands, dim,
-        maxBucket)
-      .select(col(idCol).as("anchor"), col("nn_id").as("pos_id"))
+    val pos = indexPath match {
+      case Some(p) =>
+        ensureKnnIndex(emb, idCol, vecCol, p, indexK, nPlanes, nBands,
+          dim, maxBucket)
+        knnPositives(emb.sparkSession, p)
+      case None =>
+        knnJoinLsh(emb, idCol, vecCol, k = 1, nPlanes, nBands, dim,
+            maxBucket)
+          .select(col(idCol).as("anchor"), col("nn_id").as("pos_id"))
+    }
     val reps = emb.select(mdBucket(col(idCol).cast("string")).as("__bk"),
         col(idCol).cast("long").as("neg_id"))
       .groupBy(col("__bk")).agg(min(col("neg_id")).as("neg_id"))
@@ -297,6 +331,340 @@ object Similarity {
       .where(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("pos_id"))
       .select(col("anchor"), col("pos_id"),
         col("neg_slot").cast("long").as("neg_slot"), col("neg_id"))
+  }
+
+  // ─────────────── Stored kNN-graph index ───────────────
+
+  /** Sibling location of a kNN index's band-bucket postings — the
+    * probe surface of the incremental path (cf.
+    * [[graft.operators.Dedup.writeBandIndex]]'s stored ranks). */
+  def knnBucketsPath(path: String): String =
+    path.stripSuffix("/") + ".buckets"
+
+  /** Sibling location of a kNN index's build-time novelty baseline
+    * (cf. [[kmeansBuildStatsPath]] — fixed at build so quiet appends
+    * cannot ratchet it). */
+  def knnBuildStatsPath(path: String): String =
+    path.stripSuffix("/") + ".buildstats"
+
+  /** Materialize the kNN GRAPH as an index: the full [[knnJoinLsh]]
+    * edge table at `path` (id, nn_id, cos_sim, rk), the band-bucket
+    * postings sibling at [[knnBucketsPath]] (id, bkey, __r — ranks
+    * over ALL buckets, singletons included: a later batch may probe a
+    * today-singleton bucket), and the build-time novelty baseline at
+    * [[knnBuildStatsPath]] (n_docs, orphan_ppm — the ppm of docs whose
+    * every bucket was a singleton, i.e. absent from the edge table).
+    *
+    * This is the "compute the expensive geometry once per corpus
+    * version" move the VERDICT r9 worklist asked for: the kNN join is
+    * ~97% of the contrastive-triplet cost and its output is
+    * epoch-invariant, so multi-epoch training runs
+    * ([[contrastivePairs]] with `indexPath`) and graph consumers pay
+    * one pruned read instead of a full banded-LSH pipeline per call.
+    * Build cost: the kNN join itself + one full-bucket rank window
+    * (the [[graft.operators.Dedup.writeBandIndex]] build shape — a
+    * shard of the corpus×nBands keyed relation per task, offline). */
+  def knnWriteIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int = 5, nPlanes: Int = 8, nBands: Int = 8,
+      dim: Int = 0, maxBucket: Int = 64, coalesceTo: Int = 8): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val d = if (dim > 0) dim else probeDim(emb, vecCol)
+    def bounded(df: DataFrame) =
+      if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    bounded(knnJoinLsh(emb, idCol, vecCol, k, nPlanes, nBands, d, maxBucket)
+        .select(col(idCol).as("id"), col("nn_id"), col("cos_sim"), col("rk")))
+      .write.mode("overwrite").parquet(path)
+    val w = Window.partitionBy(col("bkey")).orderBy(col("id").asc)
+    bounded(bandExploded(emb, idCol, vecCol, nPlanes, nBands, d)
+        .select(col("id"), col("bkey"))
+        .withColumn("__r", row_number().over(w)))
+      .write.mode("overwrite").parquet(knnBucketsPath(path))
+    val n = emb.count()
+    val matched = spark.read.parquet(path)
+      .select(col("id")).distinct().count()
+    import spark.implicits._
+    Seq((n, if (n > 0) (n - matched) * 1000000L / n else 0L))
+      .toDF("n_docs", "orphan_ppm")
+      .coalesce(1).write.mode("overwrite").parquet(knnBuildStatsPath(path))
+  }
+
+  private val knnIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around [[knnWriteIndex]] (committed on-disk
+    * indexes reused across JVMs, torn dirs rebuild — the
+    * [[graft.operators.Dedup.ensureBandIndex]] contract; all three
+    * artifacts gate, so a crash between the writes rebuilds). */
+  def ensureKnnIndex(emb: => DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int = 5, nPlanes: Int = 8, nBands: Int = 8,
+      dim: Int = 0, maxBucket: Int = 64): Unit =
+    knnIndexes.computeIfAbsent(path, { _ =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!(graft.io.IndexPaths.complete(spark, path) &&
+          graft.io.IndexPaths.complete(spark, knnBucketsPath(path)) &&
+          graft.io.IndexPaths.complete(spark, knnBuildStatsPath(path))))
+        knnWriteIndex(emb, idCol, vecCol, path, k, nPlanes, nBands, dim,
+          maxBucket)
+      java.lang.Boolean.TRUE
+    })
+
+  /** Drop the build-once memo for `path`. */
+  def invalidateKnnIndex(path: String): Unit = knnIndexes.remove(path)
+
+  /** Retrain the kNN graph over the CURRENT corpus and overwrite the
+    * stored index (all three artifacts) — the restore for
+    * [[appendToKnnIndex]]'s documented one-sided staleness. Refreshes
+    * the build-once memo. */
+  def rebuildKnnIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int = 5, nPlanes: Int = 8, nBands: Int = 8,
+      dim: Int = 0, maxBucket: Int = 64): Unit = {
+    knnWriteIndex(emb, idCol, vecCol, path, k, nPlanes, nBands, dim,
+      maxBucket)
+    knnIndexes.put(path, java.lang.Boolean.TRUE)
+  }
+
+  /** The stored (anchor, pos_id) rank-1 slice of a kNN index — the
+    * contrastive-positive table. The bounded heap's rank 1 is the
+    * same row at ANY build k ≥ 1 (same ordering contract), so one
+    * stored graph serves both graph consumers (k edges) and the
+    * positive reads (rank 1). */
+  def knnPositives(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).where(col("rk") === 1L)
+      .select(col("id").as("anchor"), col("nn_id").as("pos_id"))
+
+  /** INCREMENTAL per-document kNN — the production ingest shape (the
+    * embedding twin of [[graft.operators.Dedup.incrementalDedupPairs]]):
+    * a NEW batch is kNN-joined against an EXISTING corpus through the
+    * stored band postings WITHOUT recomputing corpus band keys or
+    * corpus edges. READ-ONLY (the fold is [[appendToKnnIndex]]).
+    *
+    * Work at query time: band keys for the batch only (the planes are
+    * md5-derived — no stored plane state), one postings read pruned to
+    * the buckets the batch touches (broadcast semi-join on batch
+    * keys), a batch-sized rank window, candidate vectors fetched by id
+    * from `corpusEmb` (semi-join — only capped members of touched
+    * buckets), scoring ∝ capped candidates, and the per-doc bounded
+    * heap. Nothing corpus-sized moves.
+    *
+    * Rank semantics — the ARRIVAL-order contract of
+    * [[graft.operators.Dedup.appendToBandIndex]]: batch members extend
+    * each touched bucket's stored rank sequence (rank = stored max +
+    * rank within batch by id), so the hot-bucket guard keeps a
+    * bounded, deterministic kept set whose representative is the
+    * earliest-ingested member. When corpus ids all precede batch ids,
+    * arrival ranks EQUAL the global id ranks and the result is
+    * bit-identical to the new-side restriction of a full
+    * [[knnJoinLsh]] over the union (spec-pinned). Candidate rules
+    * mirror the batch operator on the union: a kept batch member sees
+    * every kept union member in its bucket; an overflow batch member
+    * sees the bucket's rank-1 representative; a batch member that IS
+    * the representative (possible only in all-new buckets) sees the
+    * batch overflow. Corpus-side edges are NOT updated (one-sided
+    * growth — the documented staleness [[rebuildKnnIndexIfDrifted]]
+    * restores).
+    *
+    * `newEmb` ids must be disjoint from the indexed corpus (the
+    * [[graft.operators.Dedup.incrementalDedupPairs]] contract).
+    * Persists intermediates through [[Caches]] — release with
+    * `Caches.release()` after the consuming action.
+    * @return (idCol, nn_id, cos_sim, rk) for batch docs only */
+  def incrementalKnnEdges(newEmb: DataFrame, corpusEmb: DataFrame,
+      path: String, idCol: String, vecCol: String, k: Int = 5,
+      nPlanes: Int = 8, nBands: Int = 8, dim: Int = 0,
+      maxBucket: Int = 64): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(newEmb, vecCol)
+    incrementalKnnEdgesFromKeyed(
+      Caches.persist(bandExploded(newEmb, idCol, vecCol, nPlanes, nBands, d)),
+      corpusEmb, path, idCol, vecCol, k, maxBucket)
+  }
+
+  /** [[incrementalKnnEdges]] over precomputed (persisted — consumed
+    * several times) batch band keys. */
+  private def incrementalKnnEdgesFromKeyed(newKeyed: DataFrame,
+      corpusEmb: DataFrame, path: String, idCol: String, vecCol: String,
+      k: Int, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newKeyed.sparkSession
+    require(graft.io.IndexPaths.complete(spark, path) &&
+        graft.io.IndexPaths.complete(spark, knnBucketsPath(path)),
+      s"kNN index at $path is absent or torn (no _SUCCESS); " +
+        "build it with knnWriteIndex/ensureKnnIndex first")
+    val touched = newKeyed.select(col("bkey")).distinct()
+    // ALL stored rows of touched buckets: the base ranks must include
+    // overflow rows, or batch ranks would collide with them and a
+    // batch doc could slip under the cap in an overflowed bucket
+    val storedTouched = Caches.persist(
+      spark.read.parquet(knnBucketsPath(path))
+        .join(broadcast(touched), Seq("bkey"), "left_semi"))
+    val base = storedTouched.groupBy(col("bkey"))
+      .agg(max(col("__r")).as("__base"))
+    val newRanked = Caches.persist(newKeyed
+      .withColumn("__nr", row_number().over(
+        Window.partitionBy(col("bkey")).orderBy(col("id").asc)))
+      .join(base, Seq("bkey"), "left")
+      .select(col("id"), col("v"), col("nq"), col("bkey"),
+        (col("__nr") + coalesce(col("__base"), lit(0))).as("r")))
+    // candidate corpus vectors: only capped members of touched buckets,
+    // fetched by id (broadcast-built semi-join — the corpus itself
+    // never shuffles)
+    val storedKeptIds = storedTouched.where(col("__r") <= maxBucket)
+    val corpusVecs = corpusEmb
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorFns.dotQ(col(vecCol), col(vecCol)).as("nq"))
+      .join(storedKeptIds.select(col("id")).distinct(), Seq("id"), "left_semi")
+    val storedSide = Caches.persist(storedKeptIds
+      .join(corpusVecs, Seq("id"))
+      .select(col("id"), col("v"), col("nq"), col("bkey"),
+        col("__r").as("r")))
+    def scoredX(x: DataFrame, y: DataFrame): DataFrame =
+      x.as("x").join(y.as("y"), Seq("bkey"))
+        .where(col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("id"), col("y.id").as("nn_id"),
+          (VectorFns.dotQ(col("x.v"), col("y.v")).cast("double") /
+            sqrt((col("x.nq") * col("y.nq")).cast("double"))).as("cos_sim"))
+    val newKept = newRanked.where(col("r") <= maxBucket)
+    val newOver = newRanked.where(col("r") > maxBucket)
+    val unionKept = storedSide.unionByName(newKept)
+    val unionRep = unionKept.where(col("r") === 1)
+    // a batch member can be the representative only in an all-new
+    // bucket (any stored member would own rank 1), so the rep→overflow
+    // direction needs only the batch overflow
+    val newRep = newRanked.where(col("r") === 1)
+    val cands = scoredX(newKept, unionKept)
+      .unionByName(scoredX(newOver, unionRep))
+      .unionByName(scoredX(newRep, newOver))
+      .dropDuplicates("id", "nn_id")
+    knnHeapTail(cands, idCol, k)
+  }
+
+  /** Fold a new batch INTO the stored kNN index — the step that closes
+    * the kNN-graph ingest loop (batch N+1's neighbors include batch
+    * N): computes the batch's edges through the stored postings
+    * ([[incrementalKnnEdges]]), APPENDS them to the edge table, and
+    * folds the batch's band keys into the postings sibling with
+    * continued arrival ranks. Replay-idempotent on both artifacts:
+    * batch ids already present in the edge table are dropped before
+    * the edge append, and (id, bkey) rows already stored are dropped
+    * before the postings rank-extend — an at-least-once re-delivery
+    * appends nothing (cf. [[graft.operators.Dedup
+    * .appendToBandIndexFromBuckets]]). The buildstats baseline is NOT
+    * touched (fixed at build — the anti-ratchet contract). Corpus-side
+    * edges go stale one-sidedly; [[rebuildKnnIndexIfDrifted]] is the
+    * restore arc. */
+  def appendToKnnIndex(newEmb: DataFrame, corpusEmb: DataFrame,
+      path: String, idCol: String, vecCol: String, k: Int = 5,
+      nPlanes: Int = 8, nBands: Int = 8, dim: Int = 0,
+      maxBucket: Int = 64, coalesceTo: Int = 8): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newEmb.sparkSession
+    val d = if (dim > 0) dim else probeDim(newEmb, vecCol)
+    def bounded(df: DataFrame) =
+      if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    val newKeyed = Caches.persist(
+      bandExploded(newEmb, idCol, vecCol, nPlanes, nBands, d))
+    val edges = incrementalKnnEdgesFromKeyed(newKeyed, corpusEmb, path,
+      idCol, vecCol, k, maxBucket)
+    // replay guard: a batch id already carrying stored edges was
+    // folded by a previous (crashed-after-append) delivery
+    val batchIds = newKeyed.select(col("id")).distinct()
+    val already = spark.read.parquet(path)
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+      .select(col("id")).distinct()
+    bounded(edges
+        .select(col(idCol).as("id"), col("nn_id"), col("cos_sim"), col("rk"))
+        .join(already, Seq("id"), "left_anti"))
+      .write.mode("append").parquet(path)
+    // postings fold (membership-idempotent, continued arrival ranks)
+    val touched = newKeyed.select(col("bkey")).distinct()
+    val storedB = spark.read.parquet(knnBucketsPath(path))
+      .join(broadcast(touched), Seq("bkey"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fresh = newKeyed.select(col("id"), col("bkey"))
+        .join(storedB.select(col("id"), col("bkey")),
+          Seq("id", "bkey"), "left_anti")
+      val baseB = storedB.groupBy(col("bkey"))
+        .agg(max(col("__r")).as("__base"))
+      bounded(fresh
+          .withColumn("__nr", row_number().over(
+            Window.partitionBy(col("bkey")).orderBy(col("id").asc)))
+          .join(baseB, Seq("bkey"), "left")
+          .select(col("id"), col("bkey"),
+            (col("__nr") + coalesce(col("__base"), lit(0))).as("__r")))
+        .write.mode("append").parquet(knnBucketsPath(path))
+    } finally storedB.unpersist()
+  }
+
+  /** NOVELTY of a batch against a stored kNN index, in ppm: the
+    * fraction of batch docs with NO band-bucket collision anywhere in
+    * the stored postings — on-distribution content lands in occupied
+    * buckets (near-dups agree on every sign bit; same-topic vectors
+    * collide with the standard LSH probability), while a distribution
+    * shift flips sign patterns and lands in fresh buckets. Work: batch
+    * band keys (map-side) + one postings read pruned to the batch's
+    * buckets. */
+  def knnIndexNoveltyPpm(batch: DataFrame, path: String, idCol: String,
+      vecCol: String, nPlanes: Int = 8, nBands: Int = 8,
+      dim: Int = 0): Long = {
+    val spark = batch.sparkSession
+    val d = if (dim > 0) dim else probeDim(batch, vecCol)
+    val keyed = bandExploded(batch, idCol, vecCol, nPlanes, nBands, d)
+      .select(col("id"), col("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = keyed.select(col("bkey")).distinct()
+      val storedKeys = spark.read.parquet(knnBucketsPath(path))
+        .join(broadcast(touched), Seq("bkey"), "left_semi")
+        .select(col("bkey")).distinct()
+      val n = keyed.select(col("id")).distinct().count()
+      val collided = keyed.join(storedKeys, Seq("bkey"), "left_semi")
+        .select(col("id")).distinct().count()
+      if (n == 0) 0L else (n - collided) * 1000000L / n
+    } finally keyed.unpersist()
+  }
+
+  /** ALARM → REBUILD for the kNN index (cf.
+    * [[rebuildKmeansIndexIfDrifted]]): compare the arriving batch's
+    * novelty ([[knnIndexNoveltyPpm]]) against the BUILD-TIME baseline
+    * stored at [[knnBuildStatsPath]] (the seed corpus's own orphan
+    * rate, fixed at training — a live-table baseline would ratchet as
+    * appends fold each quiet batch's buckets in), retrain over `emb`
+    * iff `novelty > threshold · baseline + slackPpm`. The additive
+    * slack keeps a fully-connected seed corpus (baseline 0) from
+    * alarming on ordinary growth; a genuine shift lands near 10⁶ ppm.
+    * A baseline written by a pre-baseline builder is healed in place
+    * from the stored artifacts. Check BEFORE folding the batch
+    * ([[appendToKnnIndex]]) so the judged batch cannot pollute its own
+    * evidence. @return true iff a rebuild ran. */
+  def rebuildKnnIndexIfDrifted(emb: => DataFrame, batch: DataFrame,
+      path: String, idCol: String, vecCol: String, k: Int = 5,
+      nPlanes: Int = 8, nBands: Int = 8, dim: Int = 0,
+      maxBucket: Int = 64, threshold: Double = 4.0,
+      slackPpm: Long = 100000L): Boolean = {
+    val spark = batch.sparkSession
+    val baseline =
+      if (graft.io.IndexPaths.complete(spark, knnBuildStatsPath(path)))
+        spark.read.parquet(knnBuildStatsPath(path)).head().getLong(1)
+      else { // index predates the baseline sibling: heal it in place
+        import spark.implicits._
+        val n = spark.read.parquet(knnBucketsPath(path))
+          .select(col("id")).distinct().count()
+        val matched = spark.read.parquet(path)
+          .select(col("id")).distinct().count()
+        val ppm = if (n > 0) (n - matched) * 1000000L / n else 0L
+        Seq((n, ppm)).toDF("n_docs", "orphan_ppm")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(knnBuildStatsPath(path))
+        ppm
+      }
+    val novelty = knnIndexNoveltyPpm(batch, path, idCol, vecCol,
+      nPlanes, nBands, dim)
+    val drifted = novelty > threshold * baseline + slackPpm
+    if (drifted)
+      rebuildKnnIndex(emb, idCol, vecCol, path, k, nPlanes, nBands, dim,
+        maxBucket)
+    drifted
   }
 
   /** IVF coarse quantizer: k-means centroids trained with a few Lloyd

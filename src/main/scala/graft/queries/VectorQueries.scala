@@ -123,6 +123,19 @@ object VectorQueries {
     path
   }
 
+  /** Ensure the content-addressed kNN-graph index (k=5, default 8×8
+    * planes, cap 64) for `dir`'s embeddings, returning its path — the
+    * shared build-once step of the kNN/contrastive query family (cf.
+    * [[kmeansIndex]]). */
+  private def knnIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = graft.io.IndexPaths.indexPath("knn",
+      s"$dir/embeddings.parquet", "k5p8b8c64")
+    Similarity.ensureKnnIndex(t(s, dir, "embeddings"), "vec_id",
+      "embedding", path, k = 5)
+    path
+  }
+
   /** DuckDB replay of [[graft.operators.Similarity.knnJoinLsh]]
     * (default 8×8 planes, cap 64): a CTE chain ending in
     * `knn(vec_id, nn_id, cos_sim, rk)` with rk ≤ `k` — shared by
@@ -155,6 +168,25 @@ object VectorQueries {
        |      PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rk
        |  FROM csc)
        |  WHERE rk <= $k)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Similarity.contrastivePairs]]
+    * at a given epoch salt: kNN CTE at k=1 → positives, md5-bucket
+    * min-id representatives → negatives, epoch-salted slot hashes,
+    * colliding slots dropped. */
+  private def sqlContrastiveOf(epoch: Long): String =
+    s"""WITH ${sqlKnnOf(1)},
+       |pos AS (SELECT vec_id AS anchor, nn_id AS pos_id FROM knn),
+       |rep AS (SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+       |      AS BIGINT) % 64 AS bk,
+       |    MIN(vec_id) AS neg_id
+       |  FROM embeddings GROUP BY 1),
+       |sl AS (SELECT anchor, pos_id, CAST(j AS BIGINT) AS neg_slot,
+       |    CAST(('0x' || substr(md5(anchor || '_' || j || '_$epoch'), 1, 4))
+       |      AS BIGINT) % 64 AS bk
+       |  FROM pos, UNNEST(range(0, 3)) t(j))
+       |SELECT anchor, pos_id, neg_slot, neg_id
+       |FROM sl JOIN rep USING (bk)
+       |WHERE neg_id <> anchor AND neg_id <> pos_id""".stripMargin
 
   /** DuckDB fixed-point dot product mirror of
     * [[graft.functions.VectorFns.dotQ]]. */
@@ -329,10 +361,58 @@ object VectorQueries {
     // by deterministic md5 bucketing (slot hash -> bucket -> min-id
     // representative, colliding slots dropped). Everything — the kNN
     // CTE, the bucket representatives, the slot hashes — replays in
-    // the SQL oracle.
+    // the SQL oracle. Routed through the STORED kNN graph (positives
+    // = the index's rank-1 edges, bit-identical to an ad-hoc
+    // knnJoinLsh(k=1) — spec-pinned), so the expensive geometry is
+    // computed once per corpus version and each epoch call is an
+    // index read + a broadcast join.
     "q_contrastive_pairs" -> { (s, dir) =>
       Similarity.contrastivePairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", nNeg = 3, nBuckets = 64)
+        "embedding", nNeg = 3, nBuckets = 64,
+        indexPath = Some(knnIndex(s, dir)))
+    },
+
+    // The EPOCH TURN of the same builder — what a multi-epoch training
+    // run issues per epoch: positives unchanged (read from the stored
+    // graph, the corpus geometry is epoch-invariant), negatives
+    // redrawn by the epoch-salted slot hash. Cost is ONE pruned index
+    // read + the broadcast negative join — the full banded-LSH kNN
+    // pipeline that dominated the epoch-0 ad-hoc form never re-runs.
+    "q_contrastive_epoch" -> { (s, dir) =>
+      Similarity.contrastivePairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nNeg = 3, nBuckets = 64, epoch = 1L,
+        indexPath = Some(knnIndex(s, dir)))
+    },
+
+    // The stored kNN GRAPH itself, read back from the index — the
+    // surface a graph consumer (cluster diagnostics, RAG candidate
+    // generation) queries: build-once via ensureKnnIndex, then every
+    // read is a pruned columnar scan. Same oracle as q_knn_join: the
+    // materialized graph must be bit-identical to the ad-hoc join.
+    "q_knn_graph_indexed" -> { (s, dir) =>
+      s.read.parquet(knnIndex(s, dir))
+        .select(col("id").as("vec_id"), col("nn_id"), col("cos_sim"),
+          col("rk"))
+    },
+
+    // INCREMENTAL kNN — the ingest form: a new batch (vec_id % 5 = 0,
+    // 20% of the table) kNN-joins against the already-indexed corpus
+    // (the other 80%) through the stored band postings; the corpus is
+    // never re-keyed, batch ranks continue each bucket's stored rank
+    // sequence (arrival order). Ground truth restricted to new-side
+    // rows; the ENTIRE incremental model — corpus bucket ranks, batch
+    // rank continuation, the capped candidate rules, scoring, the
+    // bounded heap — unrolls in the SQL oracle.
+    "q_incremental_knn" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 5 =!= 0)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+      val path = graft.io.IndexPaths.indexPath("knn",
+        s"$dir/embeddings.parquet", "k5p8b8c64-slice80")
+      Similarity.ensureKnnIndex(corpus, "vec_id", "embedding", path,
+        k = 5)
+      Similarity.incrementalKnnEdges(batch, corpus, path, "vec_id",
+        "embedding", k = 5)
     },
 
     // Multi-probe LSH ANN: probe bucket + its 8 hamming-1 neighbor
@@ -822,21 +902,72 @@ object VectorQueries {
 
     // kNN CTE at k=1 -> positives; md5-bucket representatives ->
     // negatives; colliding slots dropped (WHERE), exactly the
-    // operator's contract
-    "q_contrastive_pairs" ->
-      s"""WITH ${sqlKnnOf(1)},
-         |pos AS (SELECT vec_id AS anchor, nn_id AS pos_id FROM knn),
-         |rep AS (SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
-         |      AS BIGINT) % 64 AS bk,
-         |    MIN(vec_id) AS neg_id
-         |  FROM embeddings GROUP BY 1),
-         |sl AS (SELECT anchor, pos_id, CAST(j AS BIGINT) AS neg_slot,
-         |    CAST(('0x' || substr(md5(anchor || '_' || j || '_0'), 1, 4))
-         |      AS BIGINT) % 64 AS bk
-         |  FROM pos, UNNEST(range(0, 3)) t(j))
-         |SELECT anchor, pos_id, neg_slot, neg_id
-         |FROM sl JOIN rep USING (bk)
-         |WHERE neg_id <> anchor AND neg_id <> pos_id""".stripMargin,
+    // operator's contract. The Spark side reads positives from the
+    // stored k=5 graph; rank-1 is the same row at any k, so the k=1
+    // replay still matches bit-for-bit.
+    "q_contrastive_pairs" -> sqlContrastiveOf(0L),
+
+    // the epoch turn: same positives (epoch-invariant geometry), slot
+    // hashes salted with epoch 1 — negatives redrawn
+    "q_contrastive_epoch" -> sqlContrastiveOf(1L),
+
+    // the stored graph must be bit-identical to the ad-hoc join
+    "q_knn_graph_indexed" ->
+      s"""WITH ${sqlKnnOf(5)}
+         |SELECT vec_id, nn_id, cos_sim, rk FROM knn""".stripMargin,
+
+    // FULL replay of the incremental model: corpus (vec_id % 5 <> 0)
+    // bucket ranks by id; batch ranks CONTINUE each bucket's corpus
+    // rank sequence (arrival order = corpus first, then batch by id);
+    // union kept set capped at 64; capped candidate rules (kept sees
+    // union kept; overflow sees the rank-1 rep; a batch rep — possible
+    // only in an all-new bucket — sees the batch overflow); quantized
+    // cosine; per-batch-doc top-5 by (cos DESC, nn_id)
+    "q_incremental_knn" ->
+      s"""WITH ${sqlPlanes(64)},
+         |$sqlPlaneDots,
+         |bk AS (SELECT vec_id, p // 8 AS bnd,
+         |    CAST(SUM(CASE WHEN dp >= 0 THEN 1 << (p % 8) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM pd GROUP BY vec_id, p // 8),
+         |cr AS (SELECT vec_id, bnd, bucket,
+         |    row_number() OVER (PARTITION BY bnd, bucket ORDER BY vec_id) AS r
+         |  FROM bk WHERE vec_id % 5 <> 0),
+         |base AS (SELECT bnd, bucket, MAX(r) AS b FROM cr GROUP BY bnd, bucket),
+         |br AS (SELECT t.vec_id, t.bnd, t.bucket,
+         |    COALESCE(base.b, 0) + row_number() OVER (
+         |      PARTITION BY t.bnd, t.bucket ORDER BY t.vec_id) AS r
+         |  FROM (SELECT * FROM bk WHERE vec_id % 5 = 0) t
+         |  LEFT JOIN base ON base.bnd = t.bnd AND base.bucket = t.bucket),
+         |uk AS (SELECT vec_id, bnd, bucket, r FROM cr WHERE r <= 64
+         |  UNION ALL SELECT vec_id, bnd, bucket, r FROM br WHERE r <= 64),
+         |cand AS (
+         |  SELECT n.vec_id AS vec_id, m.vec_id AS nn_id
+         |  FROM br n JOIN uk m ON m.bnd = n.bnd AND m.bucket = n.bucket
+         |    AND m.vec_id <> n.vec_id
+         |  WHERE n.r <= 64
+         |  UNION
+         |  SELECT n.vec_id, m.vec_id
+         |  FROM br n JOIN uk m ON m.bnd = n.bnd AND m.bucket = n.bucket
+         |    AND m.r = 1
+         |  WHERE n.r > 64
+         |  UNION
+         |  SELECT n.vec_id, m.vec_id
+         |  FROM br n JOIN br m ON m.bnd = n.bnd AND m.bucket = n.bucket
+         |    AND m.r > 64
+         |  WHERE n.r = 1),
+         |csc AS (SELECT c.vec_id, c.nn_id,
+         |    CAST(${sqlDotQ("ea.embedding", "eb.embedding")} AS DOUBLE) /
+         |      SQRT(CAST(${sqlDotQ("ea.embedding", "ea.embedding")} *
+         |        ${sqlDotQ("eb.embedding", "eb.embedding")} AS DOUBLE)) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = c.nn_id)
+         |SELECT vec_id, nn_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT vec_id, nn_id, cos_sim, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rk
+         |  FROM csc)
+         |WHERE rk <= 5""".stripMargin,
 
     "q_decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ev

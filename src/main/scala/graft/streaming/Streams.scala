@@ -685,6 +685,71 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming kNN-GRAPH maintenance — the ingest loop for the stored
+    * kNN index ([[graft.operators.Similarity.knnWriteIndex]]): each
+    * batch lands exactly-once in `corpusRoot/batch=<id>`, the first
+    * batch builds the index, and every later batch kNN-joins against
+    * the stored band postings and folds its edges + band keys in
+    * ([[graft.operators.Similarity.appendToKnnIndex]] — batch N+1's
+    * neighbors include batch N, the corpus is never re-keyed). On the
+    * `checkDriftEvery` cadence the batch's bucket NOVELTY against the
+    * build-time baseline decides an in-loop full rebuild
+    * ([[graft.operators.Similarity.rebuildKnnIndexIfDrifted]] —
+    * checked BEFORE the fold, so the judged batch cannot occupy the
+    * buckets it is measured against), which also heals the documented
+    * one-sided staleness of corpus edges. Exactly-once: per-batch dir
+    * overwrite; the append is replay-idempotent on both artifacts. */
+  def ingestKnnStream(emb: DataFrame, indexPath: String,
+      corpusRoot: String, checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 5, nPlanes: Int = 8,
+      nBands: Int = 8, dim: Int = 0, maxBucket: Int = 64,
+      checkDriftEvery: Int = 0, driftThreshold: Double = 4.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) try {
+          val b = batch.select(col(idCol), col(vecCol))
+          b.coalesce(4).write.mode("overwrite")
+            .parquet(s"$corpusRoot/batch=$id")
+          // one accumulated-corpus read serves both the rebuild and the
+          // append's candidate-vector fetch: the fetch semi-joins on
+          // STORED ids, so the current batch's own rows filter out
+          def corpus = spark.read.parquet(corpusRoot)
+            .select(col(idCol), col(vecCol))
+          if (!(graft.io.IndexPaths.complete(spark, indexPath) &&
+              graft.io.IndexPaths.complete(spark,
+                graft.operators.Similarity.knnBucketsPath(indexPath)) &&
+              graft.io.IndexPaths.complete(spark,
+                graft.operators.Similarity.knnBuildStatsPath(indexPath))))
+            graft.operators.Similarity.rebuildKnnIndex(corpus, idCol,
+              vecCol, indexPath, k, nPlanes, nBands, dim, maxBucket)
+          else {
+            val rebuilt = checkDriftEvery > 0 &&
+              (id + 1) % checkDriftEvery == 0 &&
+              graft.operators.Similarity.rebuildKnnIndexIfDrifted(
+                corpus, b, indexPath, idCol, vecCol, k, nPlanes, nBands,
+                dim, maxBucket, driftThreshold)
+            if (!rebuilt) {
+              // replay guard at the loop level too: only ids absent
+              // from the edge table fold (appendToKnnIndex re-guards)
+              val fresh = b.join(
+                spark.read.parquet(indexPath)
+                  .select(col("id").as("__stored")),
+                col(idCol) === col("__stored"), "left_anti")
+              if (!fresh.isEmpty)
+                graft.operators.Similarity.appendToKnnIndex(fresh,
+                  corpus, indexPath, idCol, vecCol, k, nPlanes,
+                  nBands, dim, maxBucket)
+            }
+          }
+        } finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming kmeans-index maintenance — [[ingestPqStream]]'s shape
     * for the clustering index: batches land exactly-once in
     * `corpusRoot/batch=<id>`, classify against the stored centroids

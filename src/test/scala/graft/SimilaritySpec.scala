@@ -438,6 +438,178 @@ class SimilaritySpec extends SparkSpec {
       e1.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("knnWriteIndex: stored graph == ad-hoc join; positives = rank-1 at any k; indexed contrastive == ad-hoc") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-idx-")
+      .toString
+    val path = s"$tmp/knn"
+    val corpus = emb.select("vec_id", "embedding")
+    Similarity.ensureKnnIndex(corpus, "vec_id", "embedding", path, k = 5)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val stored = edgeSet(spark.read.parquet(path)
+      .select(col("id"), col("nn_id"), col("cos_sim"), col("rk")))
+    val adhoc = edgeSet(Similarity.knnJoinLsh(corpus, "vec_id",
+      "embedding", k = 5))
+    assert(stored === adhoc,
+      "the materialized graph must be bit-identical to the ad-hoc join")
+    // the k=5 index's rank-1 slice IS knnJoinLsh(k=1): the heap's rank
+    // 1 is the same row at any k — the contract that lets one stored
+    // graph serve both graph reads and contrastive positives
+    val pos = Similarity.knnPositives(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k1 = Similarity.knnJoinLsh(corpus, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos === k1)
+    // contrastivePairs through the stored index == ad-hoc, per epoch
+    for (e <- Seq(0L, 1L)) {
+      def trip(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val viaIdx = trip(Similarity.contrastivePairs(corpus, "vec_id",
+        "embedding", nNeg = 3, nBuckets = 64, epoch = e,
+        indexPath = Some(path)))
+      val ad = trip(Similarity.contrastivePairs(corpus, "vec_id",
+        "embedding", nNeg = 3, nBuckets = 64, epoch = e))
+      assert(viaIdx === ad,
+        s"epoch $e: indexed triplets must equal the ad-hoc builder")
+    }
+    // torn buckets sibling (no _SUCCESS) reads as absent: ensure rebuilds
+    assert(new java.io.File(Similarity.knnBucketsPath(path), "_SUCCESS")
+      .delete())
+    Similarity.invalidateKnnIndex(path)
+    Similarity.ensureKnnIndex(corpus, "vec_id", "embedding", path, k = 5)
+    assert(graft.io.IndexPaths.complete(spark,
+      Similarity.knnBucketsPath(path)), "torn sibling must rebuild")
+  }
+
+  test("incrementalKnnEdges == new-side of the full join when arrival order is id order") {
+    // corpus = the lower 80% of ids, batch = the upper 20%: batch ids
+    // all FOLLOW corpus ids, so arrival ranks (stored + continuation)
+    // coincide with the global id ranks and the incremental result
+    // must be BIT-IDENTICAL to the new-side restriction of one full
+    // knnJoinLsh over the union
+    val ids = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val cut = ids(ids.length * 4 / 5)
+    val corpus = emb.where(col("vec_id") < cut).select("vec_id", "embedding")
+    val batch = emb.where(col("vec_id") >= cut).select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-inc-")
+      .toString
+    val path = s"$tmp/knn"
+    Similarity.knnWriteIndex(corpus, "vec_id", "embedding", path, k = 5)
+    val inc = Similarity.incrementalKnnEdges(batch, corpus, path,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val full = Similarity.knnJoinLsh(
+        corpus.unionByName(batch), "vec_id", "embedding", k = 5)
+      .where(col("vec_id") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(inc === full,
+      "incremental edges must equal the new-side of the full join")
+    // planted twin across the boundary: a batch copy of a corpus
+    // vector must come back as its own rank-1 neighbor
+    val v3 = emb.where(col("vec_id") === 3L).select("embedding")
+      .head().getSeq[Float](0)
+    val twin = Seq((999999L, v3)).toDF("vec_id", "embedding")
+    val got = Similarity.incrementalKnnEdges(twin, corpus, path,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.exists(r => r._1 === 999999L && r._2 === 3L && r._3 === 1L),
+      s"planted twin must find its corpus original at rank 1: ${got.toSeq}")
+    graft.operators.Caches.release()
+  }
+
+  test("appendToKnnIndex: fold extends the graph; replay-idempotent; batch 2 sees batch 1") {
+    val ids = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val cut = ids(ids.length * 4 / 5)
+    val corpus = emb.where(col("vec_id") < cut).select("vec_id", "embedding")
+    val b1ids = ids.filter(_ >= cut).take(ids.count(_ >= cut) / 2).toSet
+    val b1 = emb.where(col("vec_id").isin(b1ids.toSeq: _*))
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-fold-")
+      .toString
+    val path = s"$tmp/knn"
+    Similarity.knnWriteIndex(corpus, "vec_id", "embedding", path, k = 5)
+    Similarity.appendToKnnIndex(b1, corpus, path, "vec_id", "embedding",
+      k = 5)
+    val after1 = spark.read.parquet(path)
+    val edgeIds1 = after1.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(b1ids.intersect(edgeIds1).nonEmpty,
+      "folded batch must carry edges in the stored graph")
+    val rows1 = after1.count()
+    val buckets1 = spark.read.parquet(Similarity.knnBucketsPath(path)).count()
+    // replay: an at-least-once re-delivery must append NOTHING
+    Similarity.appendToKnnIndex(b1, corpus, path, "vec_id", "embedding",
+      k = 5)
+    assert(spark.read.parquet(path).count() === rows1,
+      "edge replay must be idempotent")
+    assert(spark.read.parquet(Similarity.knnBucketsPath(path)).count()
+      === buckets1, "postings replay must be idempotent")
+    // batch 2 contains an exact copy of a BATCH-1 vector: the ingest
+    // loop's point — batch N+1 dedups/joins against batch N through
+    // the stored postings, not just the seed corpus
+    val b1probe = b1.orderBy("vec_id").limit(1)
+      .select("embedding").head().getSeq[Float](0)
+    val b1pid = b1.orderBy("vec_id").limit(1)
+      .select("vec_id").head().getLong(0)
+    val b2 = Seq((888777L, b1probe)).toDF("vec_id", "embedding")
+    val corpusPlusB1 = corpus.unionByName(b1)
+    val got = Similarity.incrementalKnnEdges(b2, corpusPlusB1, path,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.exists(r => r._1 === 888777L && r._2 === b1pid && r._3 === 1L),
+      s"batch 2 must see batch 1 through the folded postings: ${got.toSeq}")
+    graft.operators.Caches.release()
+  }
+
+  test("knn novelty alarm: replica batch quiet; orthogonal shift rebuilds == manual; baseline heals") {
+    import spark.implicits._
+    val baseDf = driftBase.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-drift-")
+      .toString
+    val path = s"$tmp/knn"
+    Similarity.knnWriteIndex(baseDf, "vec_id", "embedding", path, k = 3)
+    // replicas of the seed (new ids, identical vectors): every band
+    // bucket collides -> novelty 0 -> quiet
+    val quiet = driftBase.map { case (i, v) => (i + 1000L, v) }
+      .toDF("vec_id", "embedding")
+    assert(Similarity.knnIndexNoveltyPpm(quiet, path, "vec_id",
+      "embedding") === 0L)
+    assert(!Similarity.rebuildKnnIndexIfDrifted(baseDf, quiet, path,
+      "vec_id", "embedding", k = 3), "replica batch must not rebuild")
+    // the orthogonal-subspace decoys flip sign patterns wholesale ->
+    // fresh buckets -> the alarm fires and the in-place rebuild equals
+    // a manual build over the grown corpus
+    val decoys = driftDecoys.toDF("vec_id", "embedding")
+    val novelty = Similarity.knnIndexNoveltyPpm(decoys, path, "vec_id",
+      "embedding")
+    assert(novelty > 500000L, s"orthogonal batch must read novel: $novelty")
+    val grown = baseDf.unionByName(decoys)
+    assert(Similarity.rebuildKnnIndexIfDrifted(grown, decoys, path,
+      "vec_id", "embedding", k = 3), "shifted batch must rebuild")
+    val manualPath = s"$tmp/manual"
+    Similarity.knnWriteIndex(grown, "vec_id", "embedding", manualPath, k = 3)
+    def edges(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(edges(path) === edges(manualPath),
+      "in-loop rebuild must equal a manual rebuild over the same corpus")
+    // baseline heal: a pre-baseline index (sibling torn) is healed in
+    // place from the stored artifacts on the next check
+    assert(new java.io.File(Similarity.knnBuildStatsPath(path),
+      "_SUCCESS").delete())
+    Similarity.rebuildKnnIndexIfDrifted(grown, quiet, path, "vec_id",
+      "embedding", k = 3)
+    assert(graft.io.IndexPaths.complete(spark,
+      Similarity.knnBuildStatsPath(path)), "baseline sibling must heal")
+    graft.operators.Caches.release()
+  }
+
   test("nearDupPairsLsh: 100% recall on planted near-duplicates, candidates pruned") {
     // plant 5 exact duplicates of existing vectors under new ids
     val planted = emb.where(col("vec_id") < 5)
@@ -974,6 +1146,48 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.loadKmeansCentroids(spark, idx).map(_.toSeq).toSeq
       === manual.map(_.toSeq).toSeq,
       "in-loop rebuild must equal a manual rebuild over the same corpus")
+  }
+
+  test("ingestKnnStream: builds, folds batch N for batch N+1, planted shift rebuilds IN-LOOP") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-loop-")
+      .toString
+    val idx = s"$tmp/idx"
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val sq = Streams.ingestKnnStream(
+      ms.toDF().toDF("vec_id", "embedding"), idx, s"$tmp/corpus",
+      s"$tmp/ckpt", k = 3, checkDriftEvery = 1)
+    // batch 0 builds all three artifacts over the seed
+    ms.addData(driftBase: _*); sq.processAllAvailable()
+    assert(graft.io.IndexPaths.complete(spark, idx) &&
+      graft.io.IndexPaths.complete(spark, Similarity.knnBucketsPath(idx)) &&
+      graft.io.IndexPaths.complete(spark, Similarity.knnBuildStatsPath(idx)))
+    // batch 1: exact replicas of the seed under new ids — novelty 0,
+    // the alarm stays quiet, the batch FOLDS and each replica's stored
+    // rank-1 edge is its original (cosine exactly 1, unique)
+    val replicas = driftBase.map { case (i, v) => (i + 1000L, v) }
+    ms.addData(replicas: _*); sq.processAllAvailable()
+    val edges1 = spark.read.parquet(idx)
+      .where(col("rk") === 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    driftBase.take(5).foreach { case (i, _) =>
+      assert(edges1.get(i + 1000L) === Some(i),
+        s"replica ${i + 1000L} must fold with its original as rank-1")
+    }
+    // batch 2: the orthogonal decoys — the novelty alarm fires and the
+    // loop rebuilds over the ACCUMULATED corpus
+    ms.addData(driftDecoys: _*); sq.processAllAvailable()
+    sq.stop()
+    val manual = s"$tmp/manual"
+    Similarity.knnWriteIndex(
+      spark.read.parquet(s"$tmp/corpus").select("vec_id", "embedding"),
+      "vec_id", "embedding", manual, k = 3)
+    def edgeSet(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(edgeSet(idx) === edgeSet(manual),
+      "in-loop rebuild must equal a manual build over the accumulated corpus")
   }
 
   test("kmeans append drift: stored dist_q is the alarm; rebuild restores assignment quality") {
