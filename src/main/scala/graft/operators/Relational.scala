@@ -216,19 +216,34 @@ object Relational {
     * falls exponentially in `overscan`), the cut widens 8× and
     * rescans until it holds ≥ n — the final trim makes the result
     * identical whichever cut admitted it, so the sample is the same
-    * on every run, partitioning, and engine. */
+    * on every run, partitioning, and engine.
+    *
+    * `knownTotal`: callers that already hold the corpus row count (a
+    * pipeline that just counted it, a manifest, a catalog statistic)
+    * pass it to skip the sizing scan — one full (column-less) pass
+    * saved per call. The count only SIZES the initial cut, so a stale
+    * value cannot break correctness: too small merely widens the
+    * first filter (more sliver rows), too large under-collects and
+    * the retry loop recovers — the returned sample is identical
+    * either way (cut-independence; spec-pinned). */
   def sampleExactN(df: DataFrame, key: Column, n: Int,
-      overscan: Double = 4.0): DataFrame = {
+      overscan: Double = 4.0, knownTotal: Option[Long] = None): DataFrame = {
     require(n >= 0, "n must be non-negative")
     require(overscan > 0.0, "overscan must be positive")
     if (n == 0) return df.limit(0)
     val h = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
       .cast("long")
-    val total = df.count()
-    if (n >= total) return df
+    val total = knownTotal.getOrElse(df.count())
+    require(total >= 0, "knownTotal must be non-negative")
+    // the whole-corpus shortcut is only safe on a count WE took: a
+    // stale knownTotal below the true count would return too many
+    // rows here, where the sized-cut path below self-corrects
+    if (knownTotal.isEmpty && n >= total) return df
     val max48 = 1L << 48
-    var cut = math.min(max48.toDouble,
-      math.ceil(max48.toDouble * overscan * n / total)).toLong
+    var cut =
+      if (n >= total) max48
+      else math.min(max48.toDouble,
+        math.ceil(max48.toDouble * overscan * n / total)).toLong
     var cand = df.where(h < lit(cut))
     while (cut < max48 && cand.count() < n) {
       cut = math.min(max48, cut * 8) // cut <= 2^48, no overflow

@@ -1529,4 +1529,46 @@ object TextAnalysis {
     shardManifest(layout)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
   }
+
+  /** Advance a WRITTEN [[writeTrainingShards]] layout to a new epoch
+    * WITHOUT re-tokenizing the corpus: membership (`shard`) and
+    * `n_tokens` are epoch-invariant and already in the layout, so the
+    * epoch turn seeds from the existing directory's
+    * (doc_id, text, shard, n_tokens) — a columnar read with zero
+    * [[graft.functions.TextFns.letterTokens]] work — recomputes only
+    * the order hash, re-sorts within shards, and swaps the new layout
+    * in. Data never moves between shards (the membership hash is
+    * untouched), exactly the per-epoch contract [[trainingShards]]
+    * documents.
+    *
+    * The rewrite stages into [[graft.io.Compaction.tmpPathOf]] and
+    * commits with the marker-file swap ([[graft.io.Compaction
+    * .swapIn]]): training loaders reading `dir` see the OLD epoch
+    * until the commit point, a crash mid-stage rolls back, a crash
+    * mid-commit rolls forward. Result layout (files, row order,
+    * manifest) is identical to a from-scratch
+    * `writeTrainingShards(epoch)` over the same docs (spec-pinned) —
+    * minus the corpus-wide tokenize pass. */
+  def advanceTrainingShardEpoch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nShards: Int, epoch: Long): Unit = {
+    require(nShards >= 1)
+    graft.io.Compaction.swapIn(spark, dir, Seq(dir)) { tmp =>
+      // the staging write re-reads `dir`, which survives until the
+      // commit-point delete — no read-under-overwrite hazard
+      spark.read.parquet(dir)
+        .select(col("doc_id"), col("text"),
+          col("shard").cast("long").as("shard"), col("n_tokens"),
+          md5(concat_ws(":", lit(epoch), col("doc_id").cast("string")))
+            .as("__oh"))
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("__oh"), col("doc_id"))
+        .drop("__oh")
+        .write.partitionBy("shard").parquet(tmp)
+      val layout = spark.read.parquet(tmp)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("n_tokens"))
+      shardManifest(layout)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_manifest")
+    }
+  }
 }

@@ -150,6 +150,57 @@ object TextQueries {
        |  FROM u) WHERE rk <= 10""".stripMargin
   }
 
+  /** The indexed-hybrid replay (stored-postings BM25 + int8-quantized
+    * dense cosine + integer RRF) — shared by q_hybrid_retrieval_indexed
+    * and its SQL-text twin q_sql_hybrid_indexed (bit-identical by
+    * contract: the stored postings are pinned identical to the ad-hoc
+    * scorer, and the int8 quantization replays per-vector). */
+  private lazy val sqlHybridIndexed: String = {
+    val qcte = "VALUES " + hybridQuerySet
+      .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+      .mkString(", ")
+    // probe list derived from hybridQuerySet (cf. sqlHybrid)
+    val probeIn = hybridQuerySet.map(_._1).mkString(", ")
+    s"""WITH bm AS (${sqlBm25Of(qcte, "", 10)}),
+       |qz AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       |  FROM embeddings),
+       |v AS (SELECT vec_id,
+       |    CASE WHEN mx = 0
+       |         THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(embedding,
+       |           x -> CAST(FLOOR((CAST(x AS DOUBLE) * 127.0) / mx) AS BIGINT))
+       |    END AS qv
+       |  FROM qz),
+       |nn8 AS (SELECT vec_id, list_sum(list_transform(range(1, 65),
+       |    i -> qv[i] * qv[i])) AS n8 FROM v),
+       |pr8 AS (SELECT vec_id AS query_id, qv AS pq FROM v
+       |  WHERE vec_id IN ($probeIn)),
+       |sc8 AS (SELECT pr8.query_id, v.vec_id AS doc_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |        i -> v.qv[i] * pr8.pq[i])) AS DOUBLE) /
+       |      SQRT(CAST(na.n8 * np.n8 AS DOUBLE)) AS qcos
+       |  FROM v CROSS JOIN pr8
+       |  JOIN nn8 na ON na.vec_id = v.vec_id
+       |  JOIN nn8 np ON np.vec_id = pr8.query_id
+       |  WHERE v.vec_id <> pr8.query_id),
+       |dn AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY qcos DESC, doc_id ASC) AS rk
+       |    FROM sc8) WHERE rk <= 10),
+       |u AS (SELECT COALESCE(bm.query_id, dn.query_id) AS query_id,
+       |    COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+       |    COALESCE(1000000000 // (60 + bm.rk), 0) +
+       |      COALESCE(1000000000 // (60 + dn.rk), 0) AS rrf_q
+       |  FROM bm FULL OUTER JOIN dn
+       |    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id)
+       |SELECT query_id, doc_id, CAST(rrf_q AS BIGINT) AS rrf_q,
+       |  CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT query_id, doc_id, rrf_q, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rrf_q DESC, doc_id ASC) AS rk
+       |  FROM u) WHERE rk <= 10""".stripMargin
+  }
+
   private def sqlJaccard(threshold: Double): String =
     s"""SELECT da AS doc_a, db AS doc_b,
        |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
@@ -958,6 +1009,82 @@ object TextQueries {
           |  FROM embeddings e CROSS JOIN pr
           |  JOIN nn na ON na.vec_id = e.vec_id
           |  JOIN nn np ON np.vec_id = pr.query_id
+          |  WHERE e.vec_id <> pr.query_id),
+          |dtk AS (SELECT query_id, top_k_by_score(cos, doc_id, 10) AS top
+          |  FROM dsc GROUP BY query_id),
+          |dn AS (SELECT query_id, e.id AS doc_id, CAST(p + 1 AS BIGINT) AS rk
+          |  FROM dtk LATERAL VIEW posexplode(top) t AS p, e),
+          |u AS (SELECT COALESCE(bm.query_id, dn.query_id) AS query_id,
+          |    COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+          |    COALESCE(1000000000L DIV (60L + bm.rk), 0L) +
+          |      COALESCE(1000000000L DIV (60L + dn.rk), 0L) AS rrf_q
+          |  FROM bm FULL OUTER JOIN dn
+          |    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id),
+          |utk AS (SELECT query_id,
+          |    top_k_by_long_score(rrf_q, doc_id, 10) AS top
+          |  FROM u GROUP BY query_id)
+          |SELECT query_id, e.id AS doc_id, e.score AS rrf_q,
+          |  CAST(p + 1 AS BIGINT) AS rk
+          |FROM utk LATERAL VIEW posexplode(top) t AS p, e""").stripMargin)
+    },
+
+    // The INDEXED hybrid as pure SQL TEXT — the SQL-only user's
+    // PRODUCTION surface (q_sql_hybrid is the ad-hoc twin; this is
+    // the form that scales): both retrieval sides read the STORED
+    // indexes directly in the SQL (`parquet.`-path relations over the
+    // materialized BM25 postings + stats and the int8 qvec table — no
+    // documents or embeddings scan anywhere, plan-pinned), score with
+    // builtins (the int8 integer dot is a plain aggregate/zip_with
+    // fold), rank through the registered bounded heaps, and fuse with
+    // integer RRF. Bit-identical to the Scala composition
+    // q_hybrid_retrieval_indexed (same oracle; RetrievalSpec pins the
+    // identity). The ensure calls are the build step an ingest job
+    // owns — the SQL text itself touches only the index paths.
+    "q_sql_hybrid_indexed" -> { (s, dir) =>
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val bm25Path = graft.io.IndexPaths.indexPath("bm25",
+        s"$dir/documents.parquet", "v1")
+      graft.operators.Retrieval.ensureBm25Index(s, t(s, dir, "documents"),
+        "doc_id", "text", bm25Path)
+      val int8Path = graft.io.IndexPaths.indexPath("int8",
+        s"$dir/embeddings.parquet", "int8")
+      Similarity.ensureQuantizedIndex(s, t(s, dir, "embeddings"),
+        "vec_id", "embedding", int8Path)
+      val values = hybridQuerySet
+        .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
+        .mkString(", ")
+      val probeIn = hybridQuerySet.map(_._1).mkString(", ")
+      def dotL(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+      s.sql((s"""WITH q AS (SELECT * FROM VALUES $values AS t(query_id, qtext)),
+          |qt AS (SELECT DISTINCT query_id, term
+          |  FROM q LATERAL VIEW explode(
+          |    filter(split(qtext, '[^\\\\p{L}]+'), x -> x <> '')) t AS term),
+          |p AS (SELECT * FROM parquet.`$bm25Path`),
+          |st AS (SELECT * FROM parquet.`$bm25Path.stats`),
+          |sc AS (SELECT qt.query_id, p.doc_id,
+          |    SUM( ( (((2L * st.n_docs - 2L * p.df + 1L) * 100L)
+          |            DIV (2L * p.df + 1L))
+          |         * ((4400000000L * p.tf) DIV (2000L * p.tf + 600L +
+          |             18L * ((p.dl * 100L)
+          |                    DIV (st.total_tokens DIV st.n_docs)))) )
+          |         DIV 100L
+          |    ) AS score_q
+          |  FROM p JOIN qt ON qt.term = p.term CROSS JOIN st
+          |  GROUP BY qt.query_id, p.doc_id),
+          |btk AS (SELECT query_id,
+          |    top_k_by_long_score(score_q, doc_id, 10) AS top
+          |  FROM sc GROUP BY query_id),
+          |bm AS (SELECT query_id, e.id AS doc_id, CAST(p + 1 AS BIGINT) AS rk
+          |  FROM btk LATERAL VIEW posexplode(top) t AS p, e),
+          |q8 AS (SELECT vec_id, qvec FROM parquet.`$int8Path`),
+          |pr AS (SELECT vec_id AS query_id, qvec AS pq FROM q8
+          |  WHERE vec_id IN ($probeIn)),
+          |dsc AS (SELECT pr.query_id, e.vec_id AS doc_id,
+          |    CAST(${dotL("e.qvec", "pr.pq")} AS DOUBLE) /
+          |      SQRT(CAST(${dotL("e.qvec", "e.qvec")} *
+          |        ${dotL("pr.pq", "pr.pq")} AS DOUBLE)) AS cos
+          |  FROM q8 e CROSS JOIN pr
           |  WHERE e.vec_id <> pr.query_id),
           |dtk AS (SELECT query_id, top_k_by_score(cos, doc_id, 10) AS top
           |  FROM dsc GROUP BY query_id),
@@ -2025,51 +2152,11 @@ object TextQueries {
     // dense side replayed through the int8 QUANTIZATION (per-vector
     // max-abs floor(x*127/mx), integer dots, one correctly-rounded
     // division+sqrt — cf. q_ann_recall_int8's full oracle), RRF exact
-    "q_hybrid_retrieval_indexed" -> {
-      val qcte = "VALUES " + hybridQuerySet
-        .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }
-        .mkString(", ")
-      // probe list derived from hybridQuerySet (cf. sqlHybrid)
-      val probeIn = hybridQuerySet.map(_._1).mkString(", ")
-      s"""WITH bm AS (${sqlBm25Of(qcte, "", 10)}),
-         |qz AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
-         |  FROM embeddings),
-         |v AS (SELECT vec_id,
-         |    CASE WHEN mx = 0
-         |         THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-         |         ELSE list_transform(embedding,
-         |           x -> CAST(FLOOR((CAST(x AS DOUBLE) * 127.0) / mx) AS BIGINT))
-         |    END AS qv
-         |  FROM qz),
-         |nn8 AS (SELECT vec_id, list_sum(list_transform(range(1, 65),
-         |    i -> qv[i] * qv[i])) AS n8 FROM v),
-         |pr8 AS (SELECT vec_id AS query_id, qv AS pq FROM v
-         |  WHERE vec_id IN ($probeIn)),
-         |sc8 AS (SELECT pr8.query_id, v.vec_id AS doc_id,
-         |    CAST(list_sum(list_transform(range(1, 65),
-         |        i -> v.qv[i] * pr8.pq[i])) AS DOUBLE) /
-         |      SQRT(CAST(na.n8 * np.n8 AS DOUBLE)) AS qcos
-         |  FROM v CROSS JOIN pr8
-         |  JOIN nn8 na ON na.vec_id = v.vec_id
-         |  JOIN nn8 np ON np.vec_id = pr8.query_id
-         |  WHERE v.vec_id <> pr8.query_id),
-         |dn AS (SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk FROM (
-         |    SELECT query_id, doc_id, row_number() OVER (
-         |        PARTITION BY query_id ORDER BY qcos DESC, doc_id ASC) AS rk
-         |    FROM sc8) WHERE rk <= 10),
-         |u AS (SELECT COALESCE(bm.query_id, dn.query_id) AS query_id,
-         |    COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
-         |    COALESCE(1000000000 // (60 + bm.rk), 0) +
-         |      COALESCE(1000000000 // (60 + dn.rk), 0) AS rrf_q
-         |  FROM bm FULL OUTER JOIN dn
-         |    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id)
-         |SELECT query_id, doc_id, CAST(rrf_q AS BIGINT) AS rrf_q,
-         |  CAST(rk AS BIGINT) AS rk FROM (
-         |  SELECT query_id, doc_id, rrf_q, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY rrf_q DESC, doc_id ASC) AS rk
-         |  FROM u) WHERE rk <= 10""".stripMargin
-    },
+    "q_hybrid_retrieval_indexed" -> sqlHybridIndexed,
+    // the SQL-text twin reads the same stored indexes and must be
+    // bit-identical to the Scala composition (RetrievalSpec pins it)
+    "q_sql_hybrid_indexed" -> sqlHybridIndexed,
+
     // side A = the stored postings' term counts, re-derived from the
     // corpus (docs with >= 1 token; tf sums == corpus occurrence
     // counts) — an index whose counts diverge fails the hash too

@@ -152,6 +152,46 @@ class PipelineSpec extends SparkSpec {
       recomputed.except(man).count() === 0L)
   }
 
+  test("advanceTrainingShardEpoch: identical layout to a from-scratch write, no re-tokenize, crash-safe swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_adv")
+      .toString + "/layout"
+    TextAnalysis.writeTrainingShards(shardDocs, "doc_id", "text", dir,
+      nShards = 4, epoch = 0L)
+    // the epoch turn seeds from the WRITTEN layout (columnar read of
+    // doc_id/text/shard/n_tokens — letterTokens never runs)
+    TextAnalysis.advanceTrainingShardEpoch(spark, dir, nShards = 4,
+      epoch = 7L)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_shards_scr")
+      .toString + "/layout"
+    TextAnalysis.writeTrainingShards(shardDocs, "doc_id", "text", scratch,
+      nShards = 4, epoch = 7L)
+    def shardFiles(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .sortBy(_.getName)
+    val advDirs = shardFiles(dir)
+    val scrDirs = shardFiles(scratch)
+    assert(advDirs.map(_.getName).toSeq === scrDirs.map(_.getName).toSeq)
+    for ((a, s) <- advDirs.zip(scrDirs)) {
+      val fa = a.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(fa.length === 1, s"${a.getName}: one file per shard dir")
+      def rows(f: java.io.File) = spark.read.parquet(f.toString)
+        .select("doc_id", "text", "n_tokens")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(rows(fa.head) ===
+        rows(s.listFiles().filter(_.getName.endsWith(".parquet")).head),
+        s"${a.getName}: advanced row order must equal the from-scratch epoch-7 write")
+    }
+    // manifest rewritten from the advanced layout == from-scratch one
+    def man(root: String) = spark.read.parquet(s"$root/_manifest")
+      .select("shard", "n_docs", "n_tokens", "id_checksum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(man(dir) === man(scratch))
+    // no staging residue: the swap committed and cleaned up
+    assert(!new java.io.File(
+      graft.io.Compaction.tmpPathOf(dir)).exists(),
+      "the staging dir must be gone after the swap commit")
+  }
+
   test("end-to-end last mile: curation keepers -> shard layout, manifest accounts for every kept doc") {
     import graft.operators.{Dedup, Relational}
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -355,6 +355,20 @@ class PlanPropertiesSpec extends SparkSpec {
       s"no rank windows anywhere in the hybrid composition:\n$p")
   }
 
+  test("q_sql_hybrid_indexed: SQL text reads only the stored indexes; all top-k passes are heaps") {
+    val p = plan(SparkEntry.queries("q_sql_hybrid_indexed")(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      s"the SQL lexical side must read the stored postings path, never the corpus:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"the SQL dense side must read the stored int8 path, never the float corpus:\n$p")
+    assert(!p.contains("Window"),
+      s"no rank windows anywhere in the SQL indexed hybrid:\n$p")
+    assert(p.contains("partial_topkbylongscore"),
+      "BM25 + RRF rank through the registered long heap, map-side partial")
+    assert(p.contains("partial_topkbyscore"),
+      "the dense cosine side ranks through the double heap, map-side partial")
+  }
+
   test("q_training_shards: one shard-key exchange feeds the per-shard sort; scan pruned to (doc_id, text)") {
     val p = plan(SparkEntry.queries("q_training_shards")(spark, sf))
     // exactly one hash exchange on the shard key (the Q.t round-robin

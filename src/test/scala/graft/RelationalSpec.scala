@@ -352,4 +352,60 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(tight.size === 50 && tight === easy)
   }
+
+  test("sampleExactN knownTotal: skips the sizing scan; stale counts in either direction self-correct") {
+    val df = spark.range(0, 2000).toDF("id")
+    val want = Relational.sampleExactN(df, col("id"), 137)
+      .select("id").as[Long].collect().toSet
+    // exact known total: identical sample, one fewer scan
+    val exact = Relational.sampleExactN(df, col("id"), 137,
+        knownTotal = Some(2000L))
+      .select("id").as[Long].collect().toSet
+    assert(exact === want)
+    // stale-LOW (corpus grew since the count): the undersized total
+    // inflates the first cut — more sliver rows, same trimmed sample
+    val low = Relational.sampleExactN(df, col("id"), 137,
+        knownTotal = Some(300L))
+      .select("id").as[Long].collect().toSet
+    assert(low === want)
+    // stale-low with n >= knownTotal but n < true total: the
+    // whole-corpus shortcut must NOT fire on a caller-supplied count —
+    // the widened-cut path returns exactly n, not everything
+    val lowN = Relational.sampleExactN(df, col("id"), 500,
+        knownTotal = Some(300L))
+      .select("id").as[Long].collect().toSet
+    assert(lowN.size === 500)
+    assert(lowN === Relational.sampleExactN(df, col("id"), 500)
+      .select("id").as[Long].collect().toSet)
+    // stale-HIGH (rows deleted since the count): the oversized total
+    // starves the first cut; the widening retry recovers the same set
+    val high = Relational.sampleExactN(df, col("id"), 137,
+        knownTotal = Some(2000000L))
+      .select("id").as[Long].collect().toSet
+    assert(high === want)
+  }
+
+  test("sampleExactN: hash-thin corpus (emptied bottom hash range) drives the widening retry to the same sample") {
+    // keep only rows whose 48-bit key hash lands in the TOP half of
+    // the range: the initial cut (overscan·n/total of the range) holds
+    // zero rows by construction, so the 8x widening loop MUST fire —
+    // and cut-independence still lands on the identical trimmed sample
+    val h = conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val thin = spark.range(0, 4000).toDF("id")
+      .where(h >= lit((1L << 48) / 2)).persist()
+    val total = thin.count()
+    assert(total > 100L, s"thin corpus too small: $total")
+    val got = Relational.sampleExactN(thin, col("id"), 25)
+      .select("id").as[Long].collect().toSet
+    val want = thin.orderBy(h.asc, col("id").asc).limit(25)
+      .select("id").as[Long].collect().toSet
+    assert(got.size === 25 && got === want)
+    // the initial cut really was empty: no surviving row hashes below
+    // ceil(max48 * 4 * 25 / total)
+    val cut0 = math.ceil((1L << 48).toDouble * 4 * 25 / total).toLong
+    assert(thin.where(h < lit(cut0)).count() === 0L,
+      "precondition: the sized first cut must under-collect")
+    thin.unpersist()
+  }
 }

@@ -289,6 +289,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._1).toSet === Set(1L, 3L))
   }
 
+  test("q_sql_hybrid_indexed is bit-identical to the Scala indexed composition") {
+    // the SQL text reads the same stored postings + int8 index the
+    // Scala form reads; every stage (integer BM25, int8 dots, double
+    // division, heaps, RRF) is the same arithmetic — so the rows must
+    // match exactly, not approximately
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .orderBy("query_id", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val sqlText = rows("q_sql_hybrid_indexed")
+    val scala = rows("q_hybrid_retrieval_indexed")
+    assert(sqlText === scala,
+      s"SQL indexed hybrid diverged from the Scala composition")
+    assert(sqlText.nonEmpty)
+  }
+
   test("q_bm25_log rank oracle is safe: adjacent scores on the oracle corpus separated >> ulp") {
     // the q_bm25_log CORRECTNESS entry hashes RANKS only; that is a
     // real check iff the float ranking cannot flip under ulp-scale
