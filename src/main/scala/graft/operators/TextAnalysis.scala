@@ -1530,6 +1530,180 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
   }
 
+  // ── Dataset governance / release reporting ──
+
+  /** DATASET CARD per source — the per-release governance artifact a
+    * curated corpus ships with (what dataset documentation sheets call
+    * the composition table): document/token totals, mean length,
+    * quality pass rate, exact-duplicate rate, and the dominant
+    * predicted language with its share. Every column is exact integer
+    * arithmetic (ppm rates, centitoken means) over the deterministic
+    * primitives this engine already pins ([[quality]]'s verdict rule,
+    * [[langId]]'s scores, md5 content hashes), so the WHOLE report
+    * replays bit-for-bit in SQL — a card whose numbers an auditor can
+    * re-derive on any engine.
+    *
+    * Scale shape: one corpus scan computes tokens/quality/content-hash
+    * map-side; duplicates come from one hash-keyed count (128-bit
+    * uniform keys, no skew); language attribution is a second
+    * scan-speed pass ([[langId]] is pure per-row regexes) aggregated
+    * to (source, lang) — sources×langs rows, tiny. `dup` means the
+    * doc's exact text occurs ≥ 2 times CORPUS-WIDE (cross-source
+    * copies count for both sources — the governance question is "how
+    * much of this source is duplicated anywhere").
+    * @return (source, n_docs, n_tokens, avg_tok_c, keep_ppm, dup_ppm,
+    *         top_lang, top_lang_ppm) — avg_tok_c in centitokens */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      size(TextFns.letterTokens(t)).cast("long").as("n_tok"),
+      (size(TextFns.wsTokens(t)) >= 5 &&
+        length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") /
+          length(t).cast("double") >= 0.5).as("keep"),
+      md5(t).as("__h"))
+    val dupHashes = base.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") >= 2L)
+      .select(col("__h"), lit(1L).as("__dup"))
+    val stats = base.join(dupHashes, Seq("__h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("__keep"),
+        sum(coalesce(col("__dup"), lit(0L))).as("__dups"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 100L) DIV n_docs").as("avg_tok_c"),
+        expr("(__keep * 1000000L) DIV n_docs").as("keep_ppm"),
+        expr("(__dups * 1000000L) DIV n_docs").as("dup_ppm"))
+    // dominant predicted language per source: ties break to the
+    // LEXICOGRAPHICALLY FIRST language (min over (-cnt, lang) structs)
+    val langs = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"))
+      .join(langId(docs, idCol, textCol).select(col("doc_id"),
+        col("pred_lang")), Seq("doc_id"))
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("__n")).as("nn"), col("pred_lang").as("l")))
+        .as("__top"), sum(col("__n")).as("__tot"))
+      .select(col("source"), col("__top.l").as("top_lang"),
+        expr("((-__top.nn) * 1000000L) DIV __tot").as("top_lang_ppm"))
+    stats.join(langs, Seq("source"))
+  }
+
+  /** EPOCH-ANNEALED mixture schedule — the multi-epoch form of
+    * [[temperatureMix]]: early epochs sample each source close to its
+    * natural (proportional) share, late epochs flatten toward the
+    * √-temperature mix that upweights small/rare sources — the
+    * staged-pretraining curriculum move (match the web distribution
+    * first, emphasize scarce high-value sources as training matures).
+    * Epoch e of `epochs` interpolates the two regimes with integer
+    * weights: `w_e = n_tokens · (E−1−e) + floor(√n_tokens) · e`
+    * (pure proportional at e = 0, pure √-temperature at e = E−1 —
+    * units cancel in the per-epoch share, so the interpolation is
+    * scale-free), then the per-epoch target and md5 keep-cut follow
+    * [[temperatureMix]]'s exact integer arithmetic. The whole schedule
+    * is a (epochs × sources)-row table computed from one corpus scan —
+    * the training loader applies the epoch's cut map-side, the same
+    * [[Relational.deterministicSample]] decision rule.
+    * @return (epoch, source, n_docs, n_tokens, w_q, target_tokens,
+    *         cut_q) */
+  def mixSchedule(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long, epochs: Int): DataFrame = {
+    require(budgetTokens > 0 && epochs >= 1)
+    val stats = docs.select(col(sourceCol).as("source"),
+        size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("__sq",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val perEpoch = stats
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("w_q", expr(
+        s"n_tokens * (${epochs - 1}L - epoch) + __sq * epoch"))
+    val sums = perEpoch.groupBy(col("epoch"))
+      .agg(sum(col("w_q")).as("__wsum"))
+    perEpoch.join(broadcast(sums), Seq("epoch"))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * w_q) DIV __wsum"))
+      .withColumn("cut_q",
+        when(col("n_tokens") === 0L, lit(65536L)).otherwise(
+          least(lit(65536L), expr("(target_tokens * 65536L) DIV n_tokens"))))
+      .select(col("epoch"), col("source"), col("n_docs"), col("n_tokens"),
+        col("w_q"), col("target_tokens"), col("cut_q"))
+  }
+
+  /** CONTAMINATION REPORT per eval item — the release-audit artifact
+    * that unifies the two decontamination axes: for every eval doc,
+    * how many corpus docs share ≥ `minShared` distinct word `n`-grams
+    * with it (lexical — [[decontaminate]]'s relation BEFORE the
+    * per-train-doc rollup, keeping eval attribution) and how many
+    * corpus embeddings reach cosine ≥ `tau` against it (semantic —
+    * [[Similarity.semanticDecontaminate]]'s relation before the
+    * best-match rollup), plus the overlap of the two offender sets
+    * (docs and embeddings share the id space). An eval item with
+    * n_both > 0 is leaked verbatim; n_semantic-only rows are the
+    * paraphrase leakage the lexical check misses.
+    *
+    * Scale shape: the eval side is a bounded benchmark — its gram set
+    * and vectors broadcast; the corpus is scanned once per axis, pair
+    * volume ∝ contamination (gram-key equi-join / thresholded
+    * broadcast dots), and the report is |eval|-row.
+    * @return (eval_id, n_lexical, n_semantic, n_both) */
+  def contaminationReport(train: DataFrame, evalDocs: DataFrame,
+      trainEmb: DataFrame, evalEmb: DataFrame, idCol: String,
+      textCol: String, vecIdCol: String, vecCol: String, n: Int = 5,
+      minShared: Long = 1L, tau: Double = 0.40): DataFrame = {
+    val trainGrams = Dedup.rawGrams(train, idCol, textCol, n)
+    val evalGrams = Dedup.gramSets(evalDocs, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val lex = trainGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(countDistinct(col("g")).as("__sh"))
+      .where(col("__sh") >= minShared)
+    val sem = trainEmb.select(col(vecIdCol).as("doc_id"), col(vecCol))
+      .crossJoin(broadcast(evalEmb.select(col(vecIdCol).as("eval_id"),
+        col(vecCol).as("__ev"))))
+      .where(graft.functions.VectorFns.cosineQ(col(vecCol), col("__ev"))
+        >= tau)
+      .select(col("eval_id"), col("doc_id"))
+    val nLex = lex.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_lexical"))
+    val nSem = sem.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_semantic"))
+    val nBoth = lex.select(col("eval_id"), col("doc_id"))
+      .join(sem, Seq("eval_id", "doc_id"), "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_both"))
+    nLex.join(nSem, Seq("eval_id"), "full_outer")
+      .join(nBoth, Seq("eval_id"), "full_outer")
+      .select(col("eval_id"),
+        coalesce(col("n_lexical"), lit(0L)).as("n_lexical"),
+        coalesce(col("n_semantic"), lit(0L)).as("n_semantic"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+  }
+
+  /** PACKING-EFFICIENCY report over a [[packSequences]] layout: per
+    * shard, how full the fixed-`budget` token bins actually are —
+    * the padding-waste diagnostic a training-throughput review reads
+    * (fill_ppm « 10⁶ means the loader pads, i.e. FLOPs burned on pad
+    * tokens). n_bins is derived from the packing's own arithmetic
+    * (last start position's bin + 1), capacity = n_bins · budget,
+    * fill_ppm = tokens · 10⁶ DIV capacity — all integers, fully
+    * SQL-replayable. One aggregation over the packing relation;
+    * output is |shards|-row. */
+  def packEfficiency(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1)
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("bin")) + 1L).as("n_bins"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bins"),
+        expr(s"n_bins * ${budget}L").as("capacity"),
+        expr(s"(n_tokens * 1000000L) DIV (n_bins * ${budget}L)")
+          .as("fill_ppm"))
+  }
+
   /** Advance a WRITTEN [[writeTrainingShards]] layout to a new epoch
     * WITHOUT re-tokenizing the corpus: membership (`shard`) and
     * `n_tokens` are epoch-invariant and already in the layout, so the

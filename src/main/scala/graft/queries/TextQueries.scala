@@ -1548,6 +1548,57 @@ object TextQueries {
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 5)
+    },
+
+    // DATASET CARD — the per-source governance/composition table a
+    // curated release ships with: doc/token totals, mean length,
+    // quality pass rate, exact-dup rate (corpus-wide definition), and
+    // the dominant predicted language with its share. All integer
+    // ppm/centitoken arithmetic over already-pinned primitives, so the
+    // whole card replays bit-for-bit in the oracle.
+    "q_dataset_card" -> { (s, dir) =>
+      TextAnalysis.datasetCard(t(s, dir, "documents"), "doc_id", "text",
+        "source")
+    },
+
+    // EPOCH-ANNEALED mixture schedule: epoch 0 samples sources
+    // proportionally, the last epoch at the flattened sqrt
+    // temperature, integer-interpolated between — the staged-
+    // pretraining curriculum table a training loader applies as
+    // per-epoch md5 cuts. Pure integer arithmetic, full oracle.
+    "q_mix_schedule" -> { (s, dir) =>
+      TextAnalysis.mixSchedule(t(s, dir, "documents"), "doc_id", "text",
+        "source", budgetTokens = 20000L, epochs = 3)
+    },
+
+    // CONTAMINATION REPORT per eval item — the unified release audit:
+    // lexical (shared 5-grams) and semantic (quantized cosine >= 0.40)
+    // offender counts per eval doc plus their overlap; n_both > 0 is
+    // verbatim leakage, semantic-only rows are the paraphrase leakage
+    // the n-gram check misses. Eval split = every 20th id on both
+    // tables (the split q_decontaminate and q_decontaminate_semantic
+    // already pin). Full SQL oracle on both axes.
+    "q_contamination_report" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      TextAnalysis.contaminationReport(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        emb.where(col("vec_id") % 20 =!= 0),
+        emb.where(col("vec_id") % 20 === 0),
+        "doc_id", "text", "vec_id", "embedding",
+        n = 5, minShared = 1L, tau = 0.40)
+    },
+
+    // PACKING-EFFICIENCY report over the q_pack_sequences layout: per
+    // shard, bin count, capacity, and integer fill ppm — the padding-
+    // waste diagnostic of the training loader. Same packing
+    // arithmetic as q_pack_sequences, so the report replays exactly.
+    "q_pack_efficiency" -> { (s, dir) =>
+      TextAnalysis.packEfficiency(
+        TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id",
+          "text", budget = 2048, docsPerShard = 100),
+        budget = 2048)
     })
 
   val oracles: Map[String, String] = Map(
@@ -2746,5 +2797,135 @@ object TextQueries {
          |       FROM ev, UNNEST(range(1, len(ws) - 3)) AS t(i))
          |SELECT gt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
          |FROM gt JOIN ge ON gt.g = ge.g
-         |GROUP BY gt.doc_id""".stripMargin)
+         |GROUP BY gt.doc_id""".stripMargin,
+
+    // full replay of the card: tokens/quality/md5 per doc, corpus-wide
+    // dup hashes, per-source integer rates, and the language rollup
+    // through the exact q_lang_id CASE (ties to the lexicographically
+    // first language = min over (-cnt, lang))
+    "q_dataset_card" -> {
+      s"""WITH base AS (SELECT doc_id, source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tok,
+         |    (len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5
+         |      AND CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) >= 0.5) AS keep,
+         |    md5(text) AS h
+         |  FROM documents),
+         |dup AS (SELECT h FROM base GROUP BY h HAVING COUNT(*) >= 2),
+         |st AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS nk,
+         |    SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS nd
+         |  FROM base GROUP BY source),
+         |sc AS (SELECT doc_id, length(text) AS n,
+         |    ${sqlScore("en")} AS score_en,
+         |    ${sqlScore("es")} AS score_es,
+         |    ${sqlScore("de")} AS score_de,
+         |    ${sqlScore("fr")} AS score_fr,
+         |    CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT)
+         |      AS han_chars
+         |  FROM documents),
+         |lg AS (SELECT d.source,
+         |    CASE WHEN han_chars * 5 > n THEN 'zh'
+         |         WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
+         |         WHEN score_en >= score_es AND score_en >= score_de
+         |           AND score_en >= score_fr THEN 'en'
+         |         WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |         WHEN score_de >= score_fr THEN 'de'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |lc AS (SELECT source, pred_lang, COUNT(*) AS cnt
+         |  FROM lg GROUP BY source, pred_lang),
+         |top AS (SELECT source, pred_lang AS top_lang, cnt,
+         |    SUM(cnt) OVER (PARTITION BY source) AS tot
+         |  FROM lc
+         |  QUALIFY row_number() OVER (PARTITION BY source
+         |    ORDER BY cnt DESC, pred_lang ASC) = 1)
+         |SELECT st.source, CAST(st.n_docs AS BIGINT) AS n_docs, st.n_tokens,
+         |  CAST((st.n_tokens * 100) // st.n_docs AS BIGINT) AS avg_tok_c,
+         |  CAST((st.nk * 1000000) // st.n_docs AS BIGINT) AS keep_ppm,
+         |  CAST((st.nd * 1000000) // st.n_docs AS BIGINT) AS dup_ppm,
+         |  top.top_lang,
+         |  CAST((top.cnt * 1000000) // top.tot AS BIGINT) AS top_lang_ppm
+         |FROM st JOIN top USING (source)""".stripMargin
+    },
+
+    // epochs = 3, budget = 20000: w_e = n_tokens*(2-e) + floor(sqrt)*e,
+    // per-epoch integer shares and md5 cuts — temperatureMix's exact
+    // arithmetic at each interpolation point
+    "q_mix_schedule" ->
+      s"""WITH d AS (SELECT source, CAST(len($SQL_TOKS) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |st AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY source),
+         |sq AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)))
+         |    AS BIGINT) AS sqw FROM st),
+         |pe AS (SELECT CAST(e AS BIGINT) AS epoch, source, n_docs, n_tokens,
+         |    n_tokens * (2 - e) + sqw * e AS w_q
+         |  FROM sq, UNNEST(range(0, 3)) t(e)),
+         |ws AS (SELECT epoch, SUM(w_q) AS wsum FROM pe GROUP BY epoch)
+         |SELECT pe.epoch, pe.source, CAST(pe.n_docs AS BIGINT) AS n_docs,
+         |  pe.n_tokens, CAST(pe.w_q AS BIGINT) AS w_q,
+         |  CAST((20000 * pe.w_q) // ws.wsum AS BIGINT) AS target_tokens,
+         |  CAST(CASE WHEN pe.n_tokens = 0 THEN 65536
+         |       ELSE LEAST(65536, (((20000 * pe.w_q) // ws.wsum) * 65536)
+         |                          // pe.n_tokens) END AS BIGINT) AS cut_q
+         |FROM pe JOIN ws USING (epoch)""".stripMargin,
+
+    // both audit axes replayed: 5-gram pair counts with eval
+    // attribution (>= 1 shared), quantized-cosine pairs at tau 0.40,
+    // and the offender-set overlap; spine = union of flagged eval ids
+    "q_contamination_report" ->
+      s"""WITH tr AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents
+         |            WHERE doc_id % 20 <> 0),
+         |ev AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents
+         |       WHERE doc_id % 20 = 0),
+         |gt AS (SELECT doc_id,
+         |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |       FROM tr, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |ge AS (SELECT DISTINCT doc_id AS eval_id,
+         |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |       FROM ev, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |lexk AS (SELECT ge.eval_id, gt.doc_id
+         |  FROM gt JOIN ge ON gt.g = ge.g
+         |  GROUP BY ge.eval_id, gt.doc_id
+         |  HAVING COUNT(DISTINCT gt.g) >= 1),
+         |sem AS (SELECT e2.vec_id AS eval_id, e1.vec_id AS doc_id
+         |  FROM embeddings e1 CROSS JOIN embeddings e2
+         |  WHERE e1.vec_id % 20 <> 0 AND e2.vec_id % 20 = 0
+         |    AND CAST(${sqlDotQT("e1.embedding", "e2.embedding")} AS DOUBLE) /
+         |      SQRT(CAST(${sqlDotQT("e1.embedding", "e1.embedding")} *
+         |        ${sqlDotQT("e2.embedding", "e2.embedding")} AS DOUBLE)) >= 0.40),
+         |nl AS (SELECT eval_id, COUNT(*) AS n_lexical FROM lexk GROUP BY 1),
+         |ns AS (SELECT eval_id, COUNT(*) AS n_semantic FROM sem GROUP BY 1),
+         |nb AS (SELECT l.eval_id, COUNT(*) AS n_both
+         |  FROM lexk l JOIN sem s ON s.eval_id = l.eval_id AND s.doc_id = l.doc_id
+         |  GROUP BY l.eval_id),
+         |ids AS (SELECT eval_id FROM nl UNION SELECT eval_id FROM ns
+         |  UNION SELECT eval_id FROM nb)
+         |SELECT ids.eval_id,
+         |  CAST(COALESCE(nl.n_lexical, 0) AS BIGINT) AS n_lexical,
+         |  CAST(COALESCE(ns.n_semantic, 0) AS BIGINT) AS n_semantic,
+         |  CAST(COALESCE(nb.n_both, 0) AS BIGINT) AS n_both
+         |FROM ids LEFT JOIN nl USING (eval_id)
+         |LEFT JOIN ns USING (eval_id)
+         |LEFT JOIN nb USING (eval_id)""".stripMargin,
+
+    // q_pack_sequences' packing arithmetic rolled up per shard:
+    // n_bins from the last start position's bin, capacity, fill ppm
+    "q_pack_efficiency" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens,
+         |    doc_id // 100 AS shard FROM documents),
+         |c AS (SELECT shard, doc_id, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM d)
+         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(MAX(start_tok // 2048) + 1 AS BIGINT) AS n_bins,
+         |  CAST((MAX(start_tok // 2048) + 1) * 2048 AS BIGINT) AS capacity,
+         |  CAST((SUM(n_tokens) * 1000000)
+         |    // ((MAX(start_tok // 2048) + 1) * 2048) AS BIGINT) AS fill_ppm
+         |FROM c GROUP BY shard""".stripMargin)
 }

@@ -152,6 +152,107 @@ class PipelineSpec extends SparkSpec {
       recomputed.except(man).count() === 0L)
   }
 
+  test("datasetCard: hand-computed rates; dup is corpus-wide; top lang matches langId rollup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "A"), // keep (letters dominate)
+      (2L, "dup text here today friend", "A"),
+      (3L, "dup text here today friend", "B"), // exact copy of doc 2
+      (4L, "12 34 56 78 90", "B")) // 5 ws tokens but letter_ratio 0 -> drop
+      .toDF("doc_id", "text", "source")
+    val card = TextAnalysis.datasetCard(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = card("A"); val b = card("B")
+    assert(a.getLong(1) === 2L && a.getLong(2) === 10L) // n_docs, n_tokens
+    assert(a.getLong(3) === 500L) // avg_tok_c = 10*100/2
+    assert(a.getLong(4) === 1000000L) // both A docs keep
+    assert(a.getLong(5) === 500000L) // doc 2 duplicated (cross-source!)
+    assert(b.getLong(2) === 5L) // doc 4 has zero letter tokens
+    assert(b.getLong(4) === 500000L) // doc 4 drops
+    assert(b.getLong(5) === 500000L) // doc 3 duplicated
+    // language columns agree with a direct langId rollup
+    val langs = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def top(src: String, ids: Seq[Long]) = ids.map(langs)
+      .groupBy(identity).map { case (l, xs) => (-xs.size, l) }.min._2
+    assert(a.getString(6) === top("A", Seq(1L, 2L)))
+    assert(b.getString(6) === top("B", Seq(3L, 4L)))
+  }
+
+  test("mixSchedule: epoch 0 is proportional, last epoch equals temperatureMix's sqrt regime") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sched = TextAnalysis.mixSchedule(docs, "doc_id", "text", "source",
+        budgetTokens = 20000L, epochs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val sources = sched.keys.map(_._2).toSet
+    // epoch 0: w = n_tokens * 2 -> shares proportional to n_tokens
+    val totTok = sched.collect { case ((0L, _), r) => r.getLong(3) }.sum
+    for (s <- sources) {
+      val r = sched((0L, s))
+      assert(r.getLong(4) === r.getLong(3) * 2L, "epoch-0 weight = 2 * n_tokens")
+      assert(r.getLong(5) === 20000L * (r.getLong(3) * 2L) / (totTok * 2L),
+        s"epoch-0 target proportional for $s")
+    }
+    // epoch 2 (= epochs-1): w = 2 * floor(sqrt(n_tokens)) -> identical
+    // shares/cuts to temperatureMix's pure sqrt regime
+    val tm = TextAnalysis.temperatureMix(docs, "doc_id", "text", "source",
+        budgetTokens = 20000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (s <- sources) {
+      val r = sched((2L, s))
+      assert(r.getLong(4) === 2L * tm(s).getLong(3),
+        s"last-epoch weight = 2 * sqrt weight for $s")
+      assert(r.getLong(5) === tm(s).getLong(4),
+        s"last-epoch target equals temperatureMix target for $s")
+      assert(r.getLong(6) === tm(s).getLong(5),
+        s"last-epoch cut equals temperatureMix cut for $s")
+    }
+  }
+
+  test("contaminationReport: verbatim copy flags both axes; paraphrase flags semantic only") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words appear here now")).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // verbatim copy of 1
+      (101L, "reworded paraphrase sharing no grams at all"))
+      .toDF("doc_id", "text")
+    val v1 = Seq(1.0f, 0.0f, 0.5f, 0.0f)
+    val v2 = Seq(0.0f, 1.0f, 0.0f, 0.5f)
+    val trainEmb = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    // eval 100 = v1 exactly; eval 101 = near-v2 (the paraphrase of 2)
+    val evalEmb = Seq((100L, v1), (101L, Seq(0.01f, 0.99f, 0.01f, 0.49f)))
+      .toDF("vec_id", "embedding")
+    val rep = TextAnalysis.contaminationReport(train, evalDocs, trainEmb,
+        evalEmb, "doc_id", "text", "vec_id", "embedding",
+        n = 5, minShared = 1L, tau = 0.40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep(100L)._1 === 1L, "verbatim copy: one lexical offender")
+    assert(rep(100L)._2 === 1L, "verbatim copy: one semantic offender")
+    assert(rep(100L)._3 === 1L, "verbatim copy: the same doc on both axes")
+    assert(rep(101L)._1 === 0L, "paraphrase shares no grams")
+    assert(rep(101L)._2 === 1L, "paraphrase caught by the embedding axis")
+    assert(rep(101L)._3 === 0L)
+  }
+
+  test("packEfficiency: exact bin/capacity/fill arithmetic, overflow tail included") {
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "e f g h"), (2L, "i j k l")) // 4 tokens each
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packEfficiency(
+        TextAnalysis.packSequences(docs, "doc_id", "text", budget = 10,
+          docsPerShard = 100), budget = 10)
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    // starts 0,4,8 -> bins 0,0,0 -> one bin; the tail doc OVERFLOWS the
+    // bin (fill > 1e6), which is exactly what the diagnostic surfaces
+    assert(r.getLong(0) === 0L && r.getLong(1) === 3L && r.getLong(2) === 12L)
+    assert(r.getLong(3) === 1L && r.getLong(4) === 10L)
+    assert(r.getLong(5) === 1200000L)
+  }
+
   test("advanceTrainingShardEpoch: identical layout to a from-scratch write, no re-tokenize, crash-safe swap") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_adv")
       .toString + "/layout"
