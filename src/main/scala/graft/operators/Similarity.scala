@@ -1288,7 +1288,28 @@ object Similarity {
     * @return (id, eval_id, qcos) for flagged corpus rows only */
   def semanticDecontaminateBlocked(spark: SparkSession, corpus: DataFrame,
       evalSet: DataFrame, idCol: String, vecCol: String, tau: Double,
-      indexPath: String, nProbe: Int = 2): DataFrame = {
+      indexPath: String, nProbe: Int = 2): DataFrame =
+    semanticDecontaminateBlockedPairs(spark, corpus, evalSet, idCol,
+        vecCol, tau, indexPath, nProbe)
+      .select(col(idCol),
+        struct(col("qcos"), col("eval_id")).as("__m"))
+      .groupBy(col(idCol)).agg(max(col("__m")).as("__best"))
+      .select(col(idCol), col("__best.eval_id").as("eval_id"),
+        col("__best.qcos").as("qcos"))
+
+  /** ALL flagged (corpus, eval) pairs of the cluster-blocked check —
+    * the relation [[semanticDecontaminateBlocked]] rolls up to a best
+    * match per corpus row, and the per-eval contamination report
+    * ([[TextAnalysis.contaminationReport]] with a `kmeansIndexPath`)
+    * consumes whole: a release audit needs EVERY offender per eval
+    * item, not just each corpus doc's best. A pair appears at most
+    * once (a corpus row lives in one cluster; the eval row's nProbe
+    * probes include it or not). Same blocking/recall contract as the
+    * rollup form. @return (idCol, eval_id, qcos), qcos >= tau */
+  def semanticDecontaminateBlockedPairs(spark: SparkSession,
+      corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      vecCol: String, tau: Double, indexPath: String,
+      nProbe: Int = 2): DataFrame = {
     // a torn index (crash mid-build, no _SUCCESS) must fail LOUDLY:
     // silently joining a partial assignment table would drop corpus
     // rows from the check and pass leaked documents unflagged
@@ -1330,13 +1351,9 @@ object Similarity {
         kmAssign(transform(col(vecCol), x => VectorFns.qint(x)), cbs)
           .getField("cid").cast("long")))
     tagged.join(evAssigned.hint("shuffle_hash"), Seq("cluster"))
-      .select(col(idCol),
-        struct(VectorFns.cosineQ(col(vecCol), col("__ev")).as("qcos"),
-          col("eval_id")).as("__m"))
-      .where(col("__m.qcos") >= tau)
-      .groupBy(col(idCol)).agg(max(col("__m")).as("__best"))
-      .select(col(idCol), col("__best.eval_id").as("eval_id"),
-        col("__best.qcos").as("qcos"))
+      .select(col(idCol), col("eval_id"),
+        VectorFns.cosineQ(col(vecCol), col("__ev")).as("qcos"))
+      .where(col("qcos") >= tau)
   }
 
   // ---------------- K-means corpus clustering ----------------

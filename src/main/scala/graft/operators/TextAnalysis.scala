@@ -1647,14 +1647,24 @@ object TextAnalysis {
     * paraphrase leakage the lexical check misses.
     *
     * Scale shape: the eval side is a bounded benchmark — its gram set
-    * and vectors broadcast; the corpus is scanned once per axis, pair
-    * volume ∝ contamination (gram-key equi-join / thresholded
-    * broadcast dots), and the report is |eval|-row.
+    * broadcasts and the lexical pair volume is ∝ contamination
+    * (gram-key equi-join). The SEMANTIC axis has two regimes: the
+    * default broadcast brute force (corpus scanned once, per-row
+    * |eval| dots — exact, right while the eval suite fits a
+    * broadcast), and the `kmeansIndexPath` form that routes through
+    * the stored clustering ([[Similarity
+    * .semanticDecontaminateBlockedPairs]] — corpus and eval meet on
+    * the cluster equi-key, work Σ|corpus_c|·|eval_c|, the
+    * continuous-decontamination shape when eval suites accumulate;
+    * the standard multi-probe recall trade applies to the semantic
+    * counts). The report is |eval|-row either way.
     * @return (eval_id, n_lexical, n_semantic, n_both) */
   def contaminationReport(train: DataFrame, evalDocs: DataFrame,
       trainEmb: DataFrame, evalEmb: DataFrame, idCol: String,
       textCol: String, vecIdCol: String, vecCol: String, n: Int = 5,
-      minShared: Long = 1L, tau: Double = 0.40): DataFrame = {
+      minShared: Long = 1L, tau: Double = 0.40,
+      kmeansIndexPath: Option[String] = None,
+      nProbe: Int = 2): DataFrame = {
     val trainGrams = Dedup.rawGrams(train, idCol, textCol, n)
     val evalGrams = Dedup.gramSets(evalDocs, idCol, textCol, n)
       .select(col("doc_id").as("eval_id"), col("g"))
@@ -1662,12 +1672,22 @@ object TextAnalysis {
       .groupBy(col("eval_id"), col("doc_id"))
       .agg(countDistinct(col("g")).as("__sh"))
       .where(col("__sh") >= minShared)
-    val sem = trainEmb.select(col(vecIdCol).as("doc_id"), col(vecCol))
-      .crossJoin(broadcast(evalEmb.select(col(vecIdCol).as("eval_id"),
-        col(vecCol).as("__ev"))))
-      .where(graft.functions.VectorFns.cosineQ(col(vecCol), col("__ev"))
-        >= tau)
-      .select(col("eval_id"), col("doc_id"))
+    val sem = kmeansIndexPath match {
+      case Some(p) =>
+        graft.operators.Similarity.semanticDecontaminateBlockedPairs(
+            trainEmb.sparkSession,
+            trainEmb.select(col(vecIdCol), col(vecCol)),
+            evalEmb.select(col(vecIdCol), col(vecCol)),
+            vecIdCol, vecCol, tau, p, nProbe)
+          .select(col("eval_id"), col(vecIdCol).as("doc_id"))
+      case None =>
+        trainEmb.select(col(vecIdCol).as("doc_id"), col(vecCol))
+          .crossJoin(broadcast(evalEmb.select(col(vecIdCol).as("eval_id"),
+            col(vecCol).as("__ev"))))
+          .where(graft.functions.VectorFns.cosineQ(col(vecCol), col("__ev"))
+            >= tau)
+          .select(col("eval_id"), col("doc_id"))
+    }
     val nLex = lex.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_lexical"))
     val nSem = sem.groupBy(col("eval_id"))

@@ -236,6 +236,25 @@ object VectorQueries {
         kmeansIndex(s, dir), nProbe = 2)
     },
 
+    // The contamination report's SCALE form: same per-eval audit as
+    // q_contamination_report, with the SEMANTIC axis routed through
+    // the stored kmeans clustering (blocked pairs — no corpus×eval
+    // cross) at the blocked family's tau. The lexical axis is
+    // unchanged (eval grams broadcast). Full SQL oracle including the
+    // clustering replay.
+    "q_contamination_blocked" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      graft.operators.TextAnalysis.contaminationReport(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        emb.where(col("vec_id") % 20 =!= 0),
+        emb.where(col("vec_id") % 20 === 0),
+        "doc_id", "text", "vec_id", "embedding",
+        n = 5, minShared = 1L, tau = 0.25,
+        kmeansIndexPath = Some(kmeansIndex(s, dir)), nProbe = 2)
+    },
+
     // Exact top-k nearest neighbors of vec 0 by (quantized) cosine.
     "q_embedding_topk" -> { (s, dir) =>
       Similarity.bruteForceTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1016,6 +1035,61 @@ object VectorQueries {
          |  SELECT vec_id, eval_id, qcos, row_number() OVER (
          |      PARTITION BY vec_id ORDER BY qcos DESC, eval_id DESC) AS rn
          |  FROM f) WHERE rn = 1""".stripMargin,
+
+    // lexical axis = q_contamination_report's gram CTEs verbatim;
+    // semantic axis = the blocked pair relation (sqlKmeans clustering
+    // replay, eval 2-probe, cluster equi-join, tau 0.25) WITHOUT the
+    // best-match rollup; then the same per-eval offender counts
+    "q_contamination_blocked" ->
+      s"""$sqlKmeans,
+         |evp AS (SELECT q.vec_id AS eval_id, e.embedding AS ev, q.v AS eq
+         |  FROM qv q JOIN embeddings e USING (vec_id)
+         |  WHERE q.vec_id % 20 = 0),
+         |ed AS (SELECT evp.eval_id, evp.ev, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (evp.eq[i] - c.c[i]) * (evp.eq[i] - c.c[i]))) AS dist
+         |  FROM evp CROSS JOIN c2 c),
+         |ea AS (SELECT eval_id, ev, CAST(cid AS BIGINT) AS cluster FROM ed
+         |  QUALIFY row_number() OVER (PARTITION BY eval_id
+         |    ORDER BY dist, cid) <= 2),
+         |trv AS (SELECT a.vec_id, e.embedding, a.cluster
+         |  FROM asg a JOIN embeddings e USING (vec_id)
+         |  WHERE a.vec_id % 20 <> 0),
+         |sem AS (SELECT ea.eval_id, trv.vec_id AS doc_id
+         |  FROM trv JOIN ea USING (cluster)
+         |  WHERE CAST(${sqlDotQ("trv.embedding", "ea.ev")} AS DOUBLE) /
+         |      SQRT(CAST(${sqlDotQ("trv.embedding", "trv.embedding")} *
+         |        ${sqlDotQ("ea.ev", "ea.ev")} AS DOUBLE)) >= 0.25),
+         |trd AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |evd AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |gt AS (SELECT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |  FROM trd, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |ge AS (SELECT DISTINCT doc_id AS eval_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |  FROM evd, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |lexk AS (SELECT ge.eval_id, gt.doc_id
+         |  FROM gt JOIN ge ON gt.g = ge.g
+         |  GROUP BY ge.eval_id, gt.doc_id
+         |  HAVING COUNT(DISTINCT gt.g) >= 1),
+         |nl AS (SELECT eval_id, COUNT(*) AS n_lexical FROM lexk GROUP BY 1),
+         |ns AS (SELECT eval_id, COUNT(*) AS n_semantic FROM sem GROUP BY 1),
+         |nb AS (SELECT l.eval_id, COUNT(*) AS n_both
+         |  FROM lexk l JOIN sem s ON s.eval_id = l.eval_id AND s.doc_id = l.doc_id
+         |  GROUP BY l.eval_id),
+         |ids AS (SELECT eval_id FROM nl UNION SELECT eval_id FROM ns
+         |  UNION SELECT eval_id FROM nb)
+         |SELECT ids.eval_id,
+         |  CAST(COALESCE(nl.n_lexical, 0) AS BIGINT) AS n_lexical,
+         |  CAST(COALESCE(ns.n_semantic, 0) AS BIGINT) AS n_semantic,
+         |  CAST(COALESCE(nb.n_both, 0) AS BIGINT) AS n_both
+         |FROM ids LEFT JOIN nl USING (eval_id)
+         |LEFT JOIN ns USING (eval_id)
+         |LEFT JOIN nb USING (eval_id)""".stripMargin,
 
     "q_embedding_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

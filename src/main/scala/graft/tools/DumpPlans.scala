@@ -37,7 +37,11 @@ object DumpPlans {
     "q_knn_join" -> "per-document kNN join: banded-LSH candidates with the hot-bucket guard, directed scoring rides the band co-location, per-doc top-k as the bounded heap — never an all-pairs join or a per-doc window over the corpus",
     "q_sql_hybrid" -> "the whole hybrid composition from pure SQL text: three registered heap aggregates (long BM25, double cosine, long RRF), zero windows",
     "q_distill_quality" -> "in-engine model training: per-iteration margin scan with the weight vector as a codegen literal (zero shuffle), mislabeled fold as one token-bucket aggregation — only the dim-long weights reach the driver",
-    "q_training_shards" -> "training-shard layout: tokenize-at-scan, ONE hash exchange on the epoch-stable shard key, per-shard spillable sort for the epoch permutation — the same physical work the shard writer does, no second shuffle for the rank")
+    "q_training_shards" -> "training-shard layout: tokenize-at-scan, ONE hash exchange on the epoch-stable shard key, per-shard spillable sort for the epoch permutation — the same physical work the shard writer does, no second shuffle for the rank",
+    "q_contrastive_pairs" -> "contrastive triplets through the STORED kNN graph: positives are a pruned rank-1 index read (the banded-LSH pipeline no longer appears in the plan), negatives a broadcast join against the 64-row bucket-representative table",
+    "q_incremental_knn" -> "incremental kNN join: band keys for the batch only, stored postings pruned by a broadcast semi-join on touched buckets, candidate corpus vectors fetched by id, per-batch-doc bounded heap — the corpus is never re-keyed",
+    "q_sql_hybrid_indexed" -> "the production hybrid from pure SQL text: parquet-path reads of the stored postings + int8 index (zero corpus scans), three registered heap aggregates, zero windows",
+    "q_dataset_card" -> "per-source dataset card: tokens/quality/content-hash in one map-side pass, duplicate detection as a 128-bit hash-keyed count, language rollup to a sources×langs relation — report-sized output, integer rates")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the

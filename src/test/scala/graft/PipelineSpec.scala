@@ -236,6 +236,41 @@ class PipelineSpec extends SparkSpec {
     assert(rep(101L)._3 === 0L)
   }
 
+  test("contaminationReport blocked axis: planted verbatim copy flagged on both axes, matching brute") {
+    import graft.operators.Similarity
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant a train-side verbatim copy of eval item 0 (text AND vector)
+    val evalText = docs.where(col("doc_id") === 0L).select("text")
+      .head().getString(0)
+    val evalVec = emb.where(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val trainDocs = docs.where(col("doc_id") % 20 =!= 0)
+      .unionByName(Seq((999000L, evalText)).toDF("doc_id", "text"))
+    val trainEmb = emb.where(col("vec_id") % 20 =!= 0)
+      .unionByName(Seq((999000L, evalVec)).toDF("vec_id", "embedding"))
+    val evalDocs = docs.where(col("doc_id") % 20 === 0)
+    val evalEmb = emb.where(col("vec_id") % 20 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("contam-blk")
+      .toString + "/km"
+    Similarity.kmeansWriteIndex(trainEmb, "vec_id", "embedding", idx,
+      k = Similarity.deriveK(trainEmb.count()), iters = 2)
+    def reportRow0(path: Option[String]) = TextAnalysis
+      .contaminationReport(trainDocs, evalDocs, trainEmb, evalEmb,
+        "doc_id", "text", "vec_id", "embedding", n = 5, minShared = 1L,
+        tau = 0.95, kmeansIndexPath = path)
+      .where(col("eval_id") === 0L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val brute = reportRow0(None)
+    val blocked = reportRow0(Some(idx))
+    assert(brute === blocked,
+      s"planted eval row must match across regimes: $brute vs $blocked")
+    assert(brute.head._2 >= 1L && brute.head._3 >= 1L,
+      s"the verbatim copy must flag semantic and both-axes: $brute")
+  }
+
   test("packEfficiency: exact bin/capacity/fill arithmetic, overflow tail included") {
     val docs = Seq(
       (0L, "a b c d"), (1L, "e f g h"), (2L, "i j k l")) // 4 tokens each
