@@ -22,19 +22,20 @@ import org.apache.spark.storage.StorageLevel
   * unpersisted frame silently recomputes if re-used. */
 object Caches {
 
-  // WEAK-reference tracking (both sets): the registry must never be
-  // the thing that keeps a block alive. A library caller that drops
-  // its frame without ever calling release() leaves the entry
-  // collectable, so Spark's ContextCleaner GC fallback can still
-  // reclaim the MEMORY_AND_DISK blocks — with strong refs here, an
-  // unreleased localCheckpoint RDD was pinned FOREVER (the registry
-  // disabled the very fallback that reclaimed bare localCheckpoints
-  // before it existed). WeakHashMap is not thread-safe, so access is
-  // synchronized on the set itself ([[release]] copies under the
-  // lock, unpersists outside it).
-  private val tracked = java.util.Collections.synchronizedSet(
-    java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[DataFrame, java.lang.Boolean]()))
+  // STRONG refs for persisted DataFrames — deliberately, and unlike
+  // [[trackedRdds]] below: `df.persist()` registers the plan in
+  // Spark's CacheManager, which holds it strongly until an explicit
+  // unpersist, so a weak entry here frees NOTHING — it only lets the
+  // registry forget a GC'd frame object, after which release() can
+  // never unpersist it and the orphaned CacheManager entry SHADOWS
+  // later scans of the same path with a stale file listing (a fresh
+  // `spark.read.parquet(p)` after an append is silently served the
+  // pre-append snapshot — a correctness hazard, observed as a stale
+  // containment index in the ingest-loop spec). The registry must
+  // therefore outlive the caller's reference: every persist is
+  // releasable exactly once, by release().
+  private val tracked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
   /** Persist `df` at MEMORY_AND_DISK and track it for [[release]]. */
   def persist(df: DataFrame): DataFrame = {
@@ -43,6 +44,18 @@ object Caches {
     df
   }
 
+  // WEAK refs for checkpoint-block RDDs (the r9 advisory): unlike a
+  // persisted DataFrame there is no CacheManager entry — the blocks
+  // belong to the RDD alone, and Spark's ContextCleaner reclaims them
+  // once the RDD object is unreachable. A strong registry entry was
+  // the only thing keeping an unreleased localCheckpoint RDD alive
+  // (pinning its MEMORY_AND_DISK blocks forever in a non-releasing
+  // library caller); a weak entry lets the GC fallback work again,
+  // while harness callers that do call release() still free tracked
+  // blocks eagerly. No staleness hazard either: lineage is gone by
+  // construction, so nothing can silently recompute from old files.
+  // WeakHashMap is not thread-safe — access synchronizes on the set
+  // ([[release]] copies under the lock, unpersists outside it).
   private val trackedRdds = java.util.Collections.synchronizedSet(
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_],
@@ -62,15 +75,12 @@ object Caches {
     out
   }
 
-  /** Unpersist (non-blocking) every tracked intermediate. Entries are
-    * drained under the set's lock (synchronized-set iteration is not
-    * safe without it), then unpersisted outside it. */
+  /** Unpersist (non-blocking) every tracked intermediate. The weak
+    * RDD set drains under its lock (synchronized-set iteration is not
+    * safe without it), then unpersists outside it. */
   def release(): Unit = {
-    val dfs = tracked.synchronized {
-      val c = new java.util.ArrayList[DataFrame](tracked)
-      tracked.clear(); c
-    }
-    dfs.forEach(_.unpersist(false))
+    val it = tracked.iterator()
+    while (it.hasNext) { it.next().unpersist(false); it.remove() }
     val rdds = trackedRdds.synchronized {
       val c = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]](trackedRdds)
       trackedRdds.clear(); c
