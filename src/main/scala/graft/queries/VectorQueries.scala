@@ -434,6 +434,33 @@ object VectorQueries {
         "embedding", k = 5)
     },
 
+    // The contrastive builder as pure SQL TEXT over the STORED graph —
+    // what a SQL-only user's training-data job issues per epoch:
+    // positives are a parquet-path read of the index's rank-1 slice
+    // (no kNN computation anywhere in the plan — no heap aggregate, no
+    // banded-LSH dots, plan-pinned), negatives the same md5 bucket
+    // arithmetic with builtins only. Bit-identical to
+    // q_contrastive_pairs (same oracle).
+    "q_sql_contrastive" -> { (s, dir) =>
+      val path = knnIndex(s, dir)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(
+        s"""WITH pos AS (SELECT id AS anchor, nn_id AS pos_id
+           |  FROM parquet.`$path` WHERE rk = 1),
+           |rep AS (SELECT CAST(conv(substring(md5(CAST(vec_id AS STRING)),
+           |      1, 4), 16, 10) AS BIGINT) % 64 AS bk,
+           |    MIN(vec_id) AS neg_id
+           |  FROM embeddings GROUP BY 1),
+           |sl AS (SELECT anchor, pos_id, CAST(j AS BIGINT) AS neg_slot,
+           |    CAST(conv(substring(md5(concat(CAST(anchor AS STRING), '_',
+           |      CAST(j AS STRING), '_0')), 1, 4), 16, 10) AS BIGINT) % 64
+           |      AS bk
+           |  FROM pos LATERAL VIEW explode(sequence(0, 2)) t AS j)
+           |SELECT anchor, pos_id, neg_slot, neg_id
+           |FROM sl JOIN rep USING (bk)
+           |WHERE neg_id <> anchor AND neg_id <> pos_id""".stripMargin)
+    },
+
     // Multi-probe LSH ANN: probe bucket + its 8 hamming-1 neighbor
     // buckets — the recall amplifier over q_ann_lsh at ~3.5% corpus
     // read. Same md5 planes + integer sign dots, so the oracle replays
@@ -929,6 +956,9 @@ object VectorQueries {
     // the epoch turn: same positives (epoch-invariant geometry), slot
     // hashes salted with epoch 1 — negatives redrawn
     "q_contrastive_epoch" -> sqlContrastiveOf(1L),
+
+    // the SQL-text twin must be bit-identical to the Scala builder
+    "q_sql_contrastive" -> sqlContrastiveOf(0L),
 
     // the stored graph must be bit-identical to the ad-hoc join
     "q_knn_graph_indexed" ->

@@ -369,6 +369,14 @@ class PlanPropertiesSpec extends SparkSpec {
       "the dense cosine side ranks through the double heap, map-side partial")
   }
 
+  test("q_sql_contrastive: positives are an index read — no kNN compute, no window in the SQL plan") {
+    val p = plan(SparkEntry.queries("q_sql_contrastive")(spark, sf))
+    assert(!p.contains("partial_topkbyscore"),
+      s"the SQL epoch turn must not recompute the kNN join (no heap aggregate):\n$p")
+    assert(!p.contains("Window"),
+      s"no rank windows in the SQL contrastive turn:\n$p")
+  }
+
   test("q_training_shards: one shard-key exchange feeds the per-shard sort; scan pruned to (doc_id, text)") {
     val p = plan(SparkEntry.queries("q_training_shards")(spark, sf))
     // exactly one hash exchange on the shard key (the Q.t round-robin

@@ -483,6 +483,17 @@ class SimilaritySpec extends SparkSpec {
       Similarity.knnBucketsPath(path)), "torn sibling must rebuild")
   }
 
+  test("q_sql_contrastive is bit-identical to the Scala contrastive builder") {
+    def rows(n: String) = graft.SparkEntry.queries(n)(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val sqlText = rows("q_sql_contrastive")
+    val scala = rows("q_contrastive_pairs")
+    assert(sqlText === scala && sqlText.nonEmpty,
+      "SQL-text triplets must equal the Scala builder's")
+  }
+
   test("incrementalKnnEdges == new-side of the full join when arrival order is id order") {
     // corpus = the lower 80% of ids, batch = the upper 20%: batch ids
     // all FOLLOW corpus ids, so arrival ranks (stored + continuation)
