@@ -37,12 +37,24 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       en.as("score_en"), es.as("score_es"), de.as("score_de"), fr.as("score_fr"),
       han.cast("long").as("han_chars"),
-      when(han * 5 > length(t), lit("zh"))
-        .when(en + es + de + fr === 0, lit("und"))
-        .when(en >= es && en >= de && en >= fr, lit("en"))
-        .when(es >= de && es >= fr, lit("es"))
-        .when(de >= fr, lit("de"))
-        .otherwise(lit("fr")).as("pred_lang"))
+      predLang(t).as("pred_lang"))
+  }
+
+  /** The [[langId]] decision as one scalar column — composable into a
+    * wider projection so consumers ([[datasetCard]]) predict the
+    * language inside THEIR scan instead of joining langId's output
+    * (the column is pure per-row regex/array expressions; the score
+    * subexpressions dedupe in codegen). */
+  private def predLang(t: Column): Column = {
+    val (en, es, de, fr) =
+      (langScore(t, "en"), langScore(t, "es"), langScore(t, "de"), langScore(t, "fr"))
+    val han = length(regexp_replace(t, "[^\\p{IsHan}]", ""))
+    when(han * 5 > length(t), lit("zh"))
+      .when(en + es + de + fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
   }
 
   /** Heuristic quality metrics: token count, char length, letter ratio,
@@ -1577,11 +1589,16 @@ object TextAnalysis {
         expr("(__keep * 1000000L) DIV n_docs").as("keep_ppm"),
         expr("(__dups * 1000000L) DIV n_docs").as("dup_ppm"))
     // dominant predicted language per source: ties break to the
-    // LEXICOGRAPHICALLY FIRST language (min over (-cnt, lang) structs)
-    val langs = docs.select(col(idCol).as("doc_id"),
-        col(sourceCol).as("source"))
-      .join(langId(docs, idCol, textCol).select(col("doc_id"),
-        col("pred_lang")), Seq("doc_id"))
+    // LEXICOGRAPHICALLY FIRST language (min over (-cnt, lang) structs).
+    // Its own scan-speed pass with predLang INLINE (per-row regex
+    // expressions folding straight into a map-side partial agg) — a
+    // doc_id join against langId's output shuffles the corpus, and a
+    // persisted shared base was MEASURED slower at both sf0.1 and the
+    // 100× corpus than letting two pipelined scans recompute (the
+    // cache write of per-doc hash/lang strings costs more than the
+    // second tokenize)
+    val langs = docs
+      .select(col(sourceCol).as("source"), predLang(t).as("pred_lang"))
       .groupBy(col("source"), col("pred_lang"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("source"))
