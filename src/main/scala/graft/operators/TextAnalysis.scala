@@ -1741,6 +1741,201 @@ object TextAnalysis {
           .as("fill_ppm"))
   }
 
+  /** DROP-ATTRIBUTION report — for EVERY input document, which
+    * curation stage removed it (or `kept`): the governance artifact
+    * that answers the first question anyone asks of a curated release
+    * ("where did my documents go?") and the denominator audit behind
+    * [[datasetCard]]'s keep rates. Stages are the doc-DROPPING stages
+    * of the v1/v3 pipeline compositions (`q_corpus_pipeline_v3`), in
+    * pipeline order, and attribution is FIRST-failure — a doc failing
+    * both the Gopher rules and the budget cut reports `gopher`,
+    * because downstream stages never saw it (the cap ranks only
+    * gopher survivors; the budget cut is computed from the capped
+    * set's scrubbed token counts, so attribution is only meaningful
+    * against the staged populations, not stage predicates evaluated
+    * independently):
+    *  - `gopher`  — failed [[gopherRules]] (minWords param; the other
+    *    rule thresholds are the battery's fixed ones);
+    *  - `cap`     — passed the rules but ranked past the per-source
+    *    [[domainCap]];
+    *  - `budget`  — survived the cap but lost the
+    *    [[temperatureMixDocs]] md5 cut over
+    *    [[dedupExactSubstrings]]-scrubbed counts;
+    *  - `kept`    — in the release.
+    *
+    * Scale shape: exactly the v3 pipeline's stage costs (rule pass is
+    * scan-speed; cap is a bounded heap; scrub never shuffles text;
+    * the mix is a broadcast of per-source cuts) plus three doc_id
+    * hash joins back to the input — no new window, no new sort; the
+    * report is |docs|-row. The gopher-survivor set is consumed by
+    * three downstream branches (cap ranking, scrub counts, the
+    * attribution join), so it is persisted through
+    * [[graft.operators.Caches]] — callers outside a releasing
+    * harness should `Caches.release()` when done.
+    * @return (doc_id, source, stage) */
+  def dropAttribution(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minWords: Int = 25, cap: Int = 10,
+      budgetTokens: Long = 2000L): DataFrame = {
+    require(cap >= 1 && budgetTokens > 0)
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"), col(textCol).as("text"))
+    val gok = gopherRules(base, "doc_id", "text", minWords = minWords)
+      .where(col("verdict")).select("doc_id")
+    val gDocs = graft.operators.Caches.persist(
+      base.join(gok, Seq("doc_id"), "left_semi"))
+    val capped = graft.operators.Caches.persist(gDocs.join(
+      domainCap(gDocs, "doc_id", "source", cap).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    val counts = capped.select(col("doc_id"), col("source"))
+      .join(dedupExactSubstrings(capped, "doc_id", "text")
+        .select(col("doc_id"), col("n_kept").as("n_tok")), Seq("doc_id"))
+    val kept = temperatureMixDocs(counts, budgetTokens)
+      .where(col("kept")).select("doc_id")
+    base.select(col("doc_id"), col("source"))
+      .join(gDocs.select(col("doc_id"), lit(1L).as("__g")),
+        Seq("doc_id"), "left")
+      .join(capped.select(col("doc_id"), lit(1L).as("__c")),
+        Seq("doc_id"), "left")
+      .join(kept.select(col("doc_id"), lit(1L).as("__k")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("__g").isNull, lit("gopher"))
+          .when(col("__c").isNull, lit("cap"))
+          .when(col("__k").isNull, lit("budget"))
+          .otherwise(lit("kept")).as("stage"))
+  }
+
+  // ── Incremental dataset card ──
+  //
+  // The stored/ingest form of [[datasetCard]] — the same arc every
+  // other release artifact in this engine has (band index, substring
+  // owners, kNN graph, drift counts): a long-running ingest maintains
+  // per-batch ADDITIVE partials and the card is assembled from the
+  // stored relations, never by re-scanning the corpus. Three sibling
+  // tables under `path`:
+  //   stats/batch=<id>  (source, n_docs, n_tokens, n_keep)
+  //   langs/batch=<id>  (source, pred_lang, n)
+  //   hashes/batch=<id> (source, h, cnt)   — per-source md5 counts
+  // Idempotency is the admitted-corpus pattern (per-batch-directory
+  // OVERWRITE): an at-least-once re-delivery rewrites its own dir and
+  // double-counts nothing. The corpus-wide dup definition survives
+  // incrementality because dup-ness is derived at READ time from the
+  // summed hash counts — a text seen once in batch 3 and again in
+  // batch 7 becomes a duplicate retroactively for both, exactly as
+  // the batch card over the concatenated corpus would say.
+
+  /** Fold one arriving batch's card partials into the stored card
+    * index at `path` (see the section comment for the layout).
+    * Cost ∝ batch: three map-side-combined aggregates over the batch
+    * only; the stored tables are never read or rewritten. The hashes
+    * partial is counts-only — (source, 32-hex md5, cnt) — so the
+    * stored index grows with distinct batch content, not text volume
+    * (the same magnitude as the dedup hash index). `coalesceTo`
+    * bounds per-batch file counts for small streaming batches
+    * (cf. [[Dedup.writeBandIndexFromBuckets]]). */
+  def appendToCardIndex(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, path: String, batchId: Long,
+      coalesceTo: Int = 1): Unit = {
+    val t = col(textCol)
+    val base = docs.select(col(sourceCol).as("source"),
+      size(TextFns.letterTokens(t)).cast("long").as("n_tok"),
+      (size(TextFns.wsTokens(t)) >= 5 &&
+        length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") /
+          length(t).cast("double") >= 0.5).as("keep"),
+      md5(t).as("h"))
+    def w(df: DataFrame, sub: String): Unit =
+      (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
+        .write.mode("overwrite").parquet(s"$path/$sub/batch=$batchId")
+    w(base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep")), "stats")
+    w(docs.select(col(sourceCol).as("source"), predLang(t).as("pred_lang"))
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n")), "langs")
+    w(base.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("cnt")), "hashes")
+  }
+
+  /** Assemble the dataset card from a stored card index — bit-identical
+    * to [[datasetCard]] over the concatenated batches (spec-pinned),
+    * without touching any document text: the stats/langs reads are
+    * (sources × batches)- and (sources × langs × batches)-row; the
+    * only corpus-proportional work is the hash-count sum (one
+    * 128-bit-key aggregate over the counts table, no skew) feeding
+    * the corpus-wide dup rule `sum(cnt) >= 2`. */
+  def cardFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats")
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_keep")).as("__keep"))
+    val hashes = spark.read.parquet(s"$path/hashes")
+      .groupBy(col("source"), col("h")).agg(sum(col("cnt")).as("__c"))
+    val dupHashes = hashes.groupBy(col("h"))
+      .agg(sum(col("__c")).as("__cg")).where(col("__cg") >= 2L)
+      .select(col("h"))
+    val dups = hashes.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("source")).agg(sum(col("__c")).as("__dups"))
+    val rates = stats.join(dups, Seq("source"), "left")
+      .withColumn("__dups", coalesce(col("__dups"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 100L) DIV n_docs").as("avg_tok_c"),
+        expr("(__keep * 1000000L) DIV n_docs").as("keep_ppm"),
+        expr("(__dups * 1000000L) DIV n_docs").as("dup_ppm"))
+    val langs = spark.read.parquet(s"$path/langs")
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(sum(col("n")).as("__n"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("__n")).as("nn"), col("pred_lang").as("l")))
+        .as("__top"), sum(col("__n")).as("__tot"))
+      .select(col("source"), col("__top.l").as("top_lang"),
+        expr("((-__top.nn) * 1000000L) DIV __tot").as("top_lang_ppm"))
+    rates.join(langs, Seq("source"))
+  }
+
+  /** Fold a card index's accreted batch directories into one additive
+    * partial per table (`batch=-1`), so a long-running ingest's file
+    * count tracks distinct CONTENT, not batch history — the governance
+    * sibling of [[Dedup.compactAdmitted]], with the same replay
+    * contract: the newest `keepLast` batch dirs stay out of the fold,
+    * because the one batch a restart can re-deliver must keep owning
+    * its own overwrite-idempotent directory (folding it would turn the
+    * replay's overwrite into a double count). Each fold re-AGGREGATES
+    * (groupBy-sum over the partials' keys), so the compacted tables
+    * shrink to distinct (source), (source, lang), (source, hash) rows.
+    * Crash-safe via [[graft.io.Compaction.swapIn]]. */
+  def compactCardIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit = {
+    require(targetFiles >= 1 && keepLast >= 0)
+    def fold(sub: String, keys: Seq[String], sums: Seq[String]): Unit = {
+      val root = s"$path/$sub"
+      val dest = s"$root/batch=-1"
+      graft.io.Compaction.recover(spark, dest)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rootPath)) return
+      val ids = fs.listStatus(rootPath).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLong }
+        .sorted
+      val foldIds = ids.dropRight(keepLast)
+      if (foldIds.isEmpty || foldIds == Seq(-1L)) return
+      val srcs = foldIds.map(id => s"$root/batch=$id")
+      graft.io.Compaction.swapIn(spark, dest, srcs) { tmp =>
+        spark.read.parquet(srcs: _*)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col(sums.head)).as(sums.head),
+            sums.tail.map(c => sum(col(c)).as(c)): _*)
+          .coalesce(targetFiles).write.parquet(tmp)
+      }
+    }
+    fold("stats", Seq("source"), Seq("n_docs", "n_tokens", "n_keep"))
+    fold("langs", Seq("source", "pred_lang"), Seq("n"))
+    fold("hashes", Seq("source", "h"), Seq("cnt"))
+  }
+
   /** Advance a WRITTEN [[writeTrainingShards]] layout to a new epoch
     * WITHOUT re-tokenizing the corpus: membership (`shard`) and
     * `n_tokens` are epoch-invariant and already in the layout, so the

@@ -1599,7 +1599,88 @@ object TextQueries {
         TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id",
           "text", budget = 2048, docsPerShard = 100),
         budget = 2048)
+    },
+
+    // DROP ATTRIBUTION — every input doc tagged with the FIRST v3
+    // pipeline stage that dropped it (gopher rules -> per-source cap
+    // -> scrubbed-count budget cut) or 'kept'. Same stage parameters
+    // as q_corpus_pipeline_v3, so its keeper set is exactly this
+    // query's stage='kept' slice and the per-source 'kept' counts
+    // reconcile with the dataset card's denominators. Every stage
+    // bites at sf0.01 (v3's documented populations). Full oracle:
+    // the v3 CTE chain truncated at `fin`, final select a 3-way
+    // left-join CASE over the whole documents table.
+    "q_drop_attribution" -> { (s, dir) =>
+      TextAnalysis.dropAttribution(t(s, dir, "documents"), "doc_id",
+        "text", "source", minWords = 25, cap = 10, budgetTokens = 2000L)
+    },
+
+    // INCREMENTAL dataset card: the corpus arrives in two batches
+    // (doc_id % 3, the q_incremental_* split convention), each folds
+    // additive partials into the stored card index, and the card is
+    // assembled from the STORED relations only — bit-identical to
+    // q_dataset_card over the full corpus (the shared oracle).
+    // Re-runs overwrite the same per-batch dirs (replay idempotency
+    // is the property under test — the path is content-addressed, so
+    // regenerated testdata never reads a stale index).
+    "q_card_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = graft.io.IndexPaths.indexPath("cardidx",
+        s"$dir/documents.parquet", "v1")
+      TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", "source", path, 0L)
+      TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 3 === 2),
+        "doc_id", "text", "source", path, 1L)
+      TextAnalysis.cardFromIndex(s, path)
     })
+
+  /** Shared oracle of q_dataset_card and q_card_incremental — the
+    * stored-index card is definitionally the same table. */
+  private lazy val sqlCard: String =
+      s"""WITH base AS (SELECT doc_id, source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tok,
+         |    (len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5
+         |      AND CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) >= 0.5) AS keep,
+         |    md5(text) AS h
+         |  FROM documents),
+         |dup AS (SELECT h FROM base GROUP BY h HAVING COUNT(*) >= 2),
+         |st AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS nk,
+         |    SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS nd
+         |  FROM base GROUP BY source),
+         |sc AS (SELECT doc_id, length(text) AS n,
+         |    ${sqlScore("en")} AS score_en,
+         |    ${sqlScore("es")} AS score_es,
+         |    ${sqlScore("de")} AS score_de,
+         |    ${sqlScore("fr")} AS score_fr,
+         |    CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT)
+         |      AS han_chars
+         |  FROM documents),
+         |lg AS (SELECT d.source,
+         |    CASE WHEN han_chars * 5 > n THEN 'zh'
+         |         WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
+         |         WHEN score_en >= score_es AND score_en >= score_de
+         |           AND score_en >= score_fr THEN 'en'
+         |         WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |         WHEN score_de >= score_fr THEN 'de'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |lc AS (SELECT source, pred_lang, COUNT(*) AS cnt
+         |  FROM lg GROUP BY source, pred_lang),
+         |top AS (SELECT source, pred_lang AS top_lang, cnt,
+         |    SUM(cnt) OVER (PARTITION BY source) AS tot
+         |  FROM lc
+         |  QUALIFY row_number() OVER (PARTITION BY source
+         |    ORDER BY cnt DESC, pred_lang ASC) = 1)
+         |SELECT st.source, CAST(st.n_docs AS BIGINT) AS n_docs, st.n_tokens,
+         |  CAST((st.n_tokens * 100) // st.n_docs AS BIGINT) AS avg_tok_c,
+         |  CAST((st.nk * 1000000) // st.n_docs AS BIGINT) AS keep_ppm,
+         |  CAST((st.nd * 1000000) // st.n_docs AS BIGINT) AS dup_ppm,
+         |  top.top_lang,
+         |  CAST((top.cnt * 1000000) // top.tot AS BIGINT) AS top_lang_ppm
+         |FROM st JOIN top USING (source)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_wordcount" ->
@@ -2671,6 +2752,78 @@ object TextQueries {
     // md5-rank cap over the survivors, first-occurrence substring
     // coverage within the capped set, sqrt-weighted cuts over the
     // SCRUBBED counts, and the cluster-rep split of the final keepers
+    // the v3 chain truncated at `fin` (no dedup/split tail needed —
+    // attribution is over the doc-DROPPING stages), final select a
+    // first-failure CASE over the full documents table
+    "q_drop_attribution" ->
+      s"""WITH gd AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS gws,
+         |    list_filter(string_split(text, chr(10)), x -> x <> '') AS gls
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(gws) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform(gws, x -> length(x))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(len(list_filter(gws, x -> regexp_matches(x, '\\p{L}')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(gls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '^\\s*[-*•]')))
+         |      AS BIGINT) AS n_bul,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '\\.\\.\\.$$')))
+         |      AS BIGINT) AS n_ell
+         |  FROM gd),
+         |gok AS (SELECT doc_id FROM (SELECT *, CASE WHEN n_words > 0
+         |      THEN (chars * 100) // n_words ELSE 0 END AS mwl FROM gm)
+         |  WHERE n_words >= 25 AND n_words <= 100000
+         |    AND mwl >= 300 AND mwl <= 1000
+         |    AND n_alpha * 5 >= n_words * 4
+         |    AND n_bul * 10 <= n_lines AND n_ell * 10 <= n_lines * 3),
+         |cap AS (SELECT doc_id FROM (
+         |    SELECT d.doc_id, row_number() OVER (PARTITION BY d.source
+         |        ORDER BY CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+         |                 1, 12) AS BIGINT), d.doc_id) AS rk
+         |    FROM documents d JOIN gok USING (doc_id))
+         |  WHERE rk <= 10),
+         |toks AS (SELECT d.doc_id, d.source, $SQL_TOKS AS ws
+         |  FROM documents d JOIN cap USING (doc_id)),
+         |sgrams AS (SELECT doc_id, i - 1 AS p,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |      || ' ' || ws[i+4] AS g
+         |  FROM toks, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |own AS (SELECT g, MIN(doc_id) AS fid FROM sgrams GROUP BY g),
+         |cov AS (SELECT DISTINCT sgrams.doc_id, sgrams.p + dd AS cp
+         |  FROM sgrams JOIN own USING (g), UNNEST(range(0, 5)) AS u(dd)
+         |  WHERE sgrams.doc_id > own.fid),
+         |nc AS (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id),
+         |sc AS (SELECT t.doc_id, t.source,
+         |    CAST(len(ws) - COALESCE(nc.n_cov, 0) AS BIGINT) AS n_tok
+         |  FROM toks t LEFT JOIN nc USING (doc_id)),
+         |st AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM sc GROUP BY source),
+         |w AS (SELECT source, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |cu AS (SELECT source, n_tokens, w_q,
+         |    CAST((2000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |cu2 AS (SELECT source, CASE WHEN n_tokens = 0 THEN 65536
+         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens) END AS cut_q
+         |  FROM cu),
+         |fin AS (SELECT sc.doc_id
+         |  FROM sc JOIN cu2 USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 4))
+         |          AS BIGINT) < cut_q)
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN g.doc_id IS NULL THEN 'gopher'
+         |       WHEN c.doc_id IS NULL THEN 'cap'
+         |       WHEN f.doc_id IS NULL THEN 'budget'
+         |       ELSE 'kept' END AS stage
+         |FROM documents d
+         |LEFT JOIN gok g ON d.doc_id = g.doc_id
+         |LEFT JOIN cap c ON d.doc_id = c.doc_id
+         |LEFT JOIN fin f ON d.doc_id = f.doc_id""".stripMargin,
+
     "q_corpus_pipeline_v3" ->
       s"""WITH RECURSIVE gd AS (SELECT doc_id,
          |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS gws,
@@ -2803,52 +2956,14 @@ object TextQueries {
     // dup hashes, per-source integer rates, and the language rollup
     // through the exact q_lang_id CASE (ties to the lexicographically
     // first language = min over (-cnt, lang))
-    "q_dataset_card" -> {
-      s"""WITH base AS (SELECT doc_id, source,
-         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tok,
-         |    (len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5
-         |      AND CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
-         |        / CAST(length(text) AS DOUBLE) >= 0.5) AS keep,
-         |    md5(text) AS h
-         |  FROM documents),
-         |dup AS (SELECT h FROM base GROUP BY h HAVING COUNT(*) >= 2),
-         |st AS (SELECT source, COUNT(*) AS n_docs,
-         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-         |    SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS nk,
-         |    SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS nd
-         |  FROM base GROUP BY source),
-         |sc AS (SELECT doc_id, length(text) AS n,
-         |    ${sqlScore("en")} AS score_en,
-         |    ${sqlScore("es")} AS score_es,
-         |    ${sqlScore("de")} AS score_de,
-         |    ${sqlScore("fr")} AS score_fr,
-         |    CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT)
-         |      AS han_chars
-         |  FROM documents),
-         |lg AS (SELECT d.source,
-         |    CASE WHEN han_chars * 5 > n THEN 'zh'
-         |         WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
-         |         WHEN score_en >= score_es AND score_en >= score_de
-         |           AND score_en >= score_fr THEN 'en'
-         |         WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
-         |         WHEN score_de >= score_fr THEN 'de'
-         |         ELSE 'fr' END AS pred_lang
-         |  FROM sc JOIN documents d USING (doc_id)),
-         |lc AS (SELECT source, pred_lang, COUNT(*) AS cnt
-         |  FROM lg GROUP BY source, pred_lang),
-         |top AS (SELECT source, pred_lang AS top_lang, cnt,
-         |    SUM(cnt) OVER (PARTITION BY source) AS tot
-         |  FROM lc
-         |  QUALIFY row_number() OVER (PARTITION BY source
-         |    ORDER BY cnt DESC, pred_lang ASC) = 1)
-         |SELECT st.source, CAST(st.n_docs AS BIGINT) AS n_docs, st.n_tokens,
-         |  CAST((st.n_tokens * 100) // st.n_docs AS BIGINT) AS avg_tok_c,
-         |  CAST((st.nk * 1000000) // st.n_docs AS BIGINT) AS keep_ppm,
-         |  CAST((st.nd * 1000000) // st.n_docs AS BIGINT) AS dup_ppm,
-         |  top.top_lang,
-         |  CAST((top.cnt * 1000000) // top.tot AS BIGINT) AS top_lang_ppm
-         |FROM st JOIN top USING (source)""".stripMargin
-    },
+    "q_dataset_card" -> sqlCard,
+
+    // the STORED-index card must equal the batch card over the full
+    // corpus — the oracle IS q_dataset_card's replay (incrementality
+    // is the engine-side property; the answer is definitionally the
+    // same table)
+    "q_card_incremental" -> sqlCard,
+
 
     // epochs = 3, budget = 20000: w_e = n_tokens*(2-e) + floor(sqrt)*e,
     // per-epoch integer shares and md5 cuts — temperatureMix's exact

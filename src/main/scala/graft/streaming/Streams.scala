@@ -750,6 +750,46 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** The streaming DATASET-CARD maintenance loop — the governance
+    * artifact kept current BY the ingest instead of recomputed from
+    * the corpus per release: each arriving batch folds its additive
+    * card partials into the stored card index
+    * ([[graft.operators.TextAnalysis.appendToCardIndex]] — per-batch
+    * dir overwrite, so an at-least-once replay double-counts nothing)
+    * and the current card is one
+    * [[graft.operators.TextAnalysis.cardFromIndex]] read away at any
+    * moment, bit-identical to the batch [[graft.operators.TextAnalysis
+    * .datasetCard]] over everything ingested (spec-pinned). Work per
+    * batch ∝ batch; the corpus text is never re-read. `compactEvery`
+    * (0 = off) folds the accreted batch dirs every N batches
+    * ([[graft.operators.TextAnalysis.compactCardIndex]] — newest dir
+    * kept out, preserving the replay contract), so a long-running
+    * ingest's index file count tracks distinct content, not batch
+    * history. */
+  def ingestCardStream(docs: DataFrame, cardPath: String,
+      checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        // heal a torn compaction swap before this batch's fold (and
+        // before any concurrent cardFromIndex read would miss rows) —
+        // unconditional, cf. ingestDedupStream
+        for (sub <- Seq("stats", "langs", "hashes"))
+          graft.io.Compaction.recover(spark, s"$cardPath/$sub/batch=-1")
+        if (!batch.isEmpty)
+          graft.operators.TextAnalysis.appendToCardIndex(batch, idCol,
+            textCol, sourceCol, cardPath, id)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.TextAnalysis.compactCardIndex(spark, cardPath)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming kmeans-index maintenance — [[ingestPqStream]]'s shape
     * for the clustering index: batches land exactly-once in
     * `corpusRoot/batch=<id>`, classify against the stored centroids

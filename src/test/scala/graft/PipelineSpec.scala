@@ -357,4 +357,89 @@ class PipelineSpec extends SparkSpec {
     assert(maxShard <= 2L * ((nKept / 4L) + 1L),
       s"shard skew: max $maxShard of $nKept over 4 shards")
   }
+
+  test("dropAttribution: first-failure staging, exhaustive, keepers reconcile with the composed pipeline") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val attr = TextAnalysis.dropAttribution(docs, "doc_id", "text",
+      "source", minWords = 25, cap = 10, budgetTokens = 2000L)
+    val rows = attr.select("doc_id", "stage")
+      .as[(Long, String)].collect().toMap
+    try {
+      // exhaustive and one row per input doc
+      assert(rows.size.toLong === docs.count())
+      assert(rows.values.toSet.subsetOf(
+        Set("gopher", "cap", "budget", "kept")))
+      // every stage actually bites at this SF (else the test pins nothing)
+      for (s <- Seq("gopher", "cap", "budget", "kept"))
+        assert(rows.values.count(_ == s) > 0, s"stage $s never fired")
+      // 'gopher' is exactly the rule-failure set — attribution must not
+      // leak a rules-passing doc into 'gopher' or vice versa
+      val gFail = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 25).where(!col("verdict"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(rows.filter(_._2 == "gopher").keySet === gFail)
+      // first-failure: compose the stages manually and check each label
+      val gDocs = docs.join(
+        TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 25)
+          .where(col("verdict")).select("doc_id"), Seq("doc_id"), "left_semi")
+      val capIds = TextAnalysis.domainCap(gDocs, "doc_id", "source", 10)
+        .select("doc_id").as[Long].collect().toSet
+      val capped = gDocs.where(col("doc_id").isin(capIds.toSeq: _*))
+      val counts = capped.select(col("doc_id"), col("source")).join(
+        TextAnalysis.dedupExactSubstrings(capped, "doc_id", "text")
+          .select(col("doc_id"), col("n_kept").as("n_tok")), Seq("doc_id"))
+      val keptIds = TextAnalysis.temperatureMixDocs(counts, 2000L)
+        .where(col("kept")).select("doc_id").as[Long].collect().toSet
+      for ((id, st) <- rows) st match {
+        case "gopher" => assert(gFail.contains(id))
+        case "cap"    => assert(!gFail.contains(id) && !capIds.contains(id))
+        case "budget" => assert(capIds.contains(id) && !keptIds.contains(id))
+        case "kept"   => assert(keptIds.contains(id))
+      }
+      // and the kept slice IS q_corpus_pipeline_v3's keeper set (same
+      // params) — the card/pipeline/attribution artifacts reconcile
+      assert(rows.filter(_._2 == "kept").keySet === keptIds)
+    } finally graft.operators.Caches.release()
+  }
+
+  test("card index: incremental fold == batch card; replay and compaction change nothing") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Long, Long, String, Long)] =
+      df.select("source", "n_docs", "n_tokens", "avg_tok_c", "keep_ppm",
+        "dup_ppm", "top_lang", "top_lang_ppm").as[(String, Long, Long, Long, Long, Long, String, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val want = rows(TextAnalysis.datasetCard(docs, "doc_id", "text", "source"))
+    val path = java.nio.file.Files.createTempDirectory("graft_cardidx")
+      .toString + "/card"
+    // two-batch fold — the stored card equals the batch card over the
+    // concatenation, including the corpus-wide dup rule ACROSS batches
+    TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", "source", path, 0L)
+    TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", "source", path, 1L)
+    assert(rows(TextAnalysis.cardFromIndex(spark, path)) === want)
+    // at-least-once replay of the newest batch: overwrite, not double count
+    TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", "source", path, 1L)
+    assert(rows(TextAnalysis.cardFromIndex(spark, path)) === want)
+    // compaction folds batch 0 into batch=-1 (newest kept out), shrinks
+    // to aggregated rows, and the assembled card is unchanged
+    TextAnalysis.compactCardIndex(spark, path)
+    val statDirs = new java.io.File(s"$path/stats").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(statDirs === Seq("batch=-1", "batch=1"))
+    assert(rows(TextAnalysis.cardFromIndex(spark, path)) === want)
+    // a batch arriving after compaction still folds in correctly: move
+    // one source's docs in "again" as a new batch and check against the
+    // batch card over the doubled corpus
+    val extra = docs.where(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    TextAnalysis.appendToCardIndex(extra, "doc_id", "text", "source",
+      path, 2L)
+    val want2 = rows(TextAnalysis.datasetCard(
+      docs.unionByName(extra), "doc_id", "text", "source"))
+    assert(rows(TextAnalysis.cardFromIndex(spark, path)) === want2)
+  }
 }

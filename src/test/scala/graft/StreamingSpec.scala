@@ -477,6 +477,48 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == got, s"replay changed the admitted table: $replayed")
   }
 
+  test("ingestCardStream: stored card tracks every batch, in-loop compaction, equals the batch card") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-card-spec-")
+      .toString
+    // cross-BATCH duplicate (1 vs 20) and cross-SOURCE duplicate
+    // (3 vs 21): the corpus-wide dup rule must see both retroactively
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (3L, "shared exact text across sources here", "web"),
+      (10L, "el perro grande de la casa es muy bonito y los gatos", "books"),
+      (11L, "one two three four five six seven eight nine ten", "books"),
+      (20L, "alpha beta gamma delta epsilon zeta", "web"),
+      (21L, "shared exact text across sources here", "books"))
+    val ms = MemoryStream[(Long, String, String)](spark)
+    val sq = Streams.ingestCardStream(
+      ms.toDF().toDF("doc_id", "text", "source"),
+      s"$tmp/card", s"$tmp/ckpt", compactEvery = 2)
+    ms.addData(rows.take(3): _*); sq.processAllAvailable()
+    ms.addData(rows.slice(3, 5): _*); sq.processAllAvailable()
+    ms.addData(rows.drop(5): _*); sq.processAllAvailable()
+    sq.stop()
+    def card(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Long, Long, String, Long)] =
+      df.select("source", "n_docs", "n_tokens", "avg_tok_c", "keep_ppm",
+        "dup_ppm", "top_lang", "top_lang_ppm").as[(String, Long, Long, Long, Long, Long, String, Long)].collect().toSet
+    val want = card(TextAnalysis.datasetCard(
+      rows.toDF("doc_id", "text", "source"), "doc_id", "text", "source"))
+    assert(card(TextAnalysis.cardFromIndex(spark, s"$tmp/card")) === want)
+    // the dup rule fired across batches AND sources: web docs 1, 20
+    // (cross-batch pair) and 3 (cross-source copy of 21) = 3 of 4;
+    // books doc 21 = 1 of 3
+    val dup = want.map(r => r._1 -> r._6).toMap
+    assert(dup("web") === 750000L && dup("books") === 333333L, s"$dup")
+    // compactEvery=2 fired after batch 1: stats holds the compacted
+    // dir plus at most the batches after the fold point
+    val statDirs = new java.io.File(s"$tmp/card/stats").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(statDirs.contains("batch=-1") && statDirs.length <= 3,
+      s"stats dirs: $statDirs")
+  }
+
   test("ingestContainmentStream: quotation dups caught across batches; replay folds nothing twice") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-cont-spec-")
