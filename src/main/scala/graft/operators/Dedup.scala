@@ -1360,6 +1360,46 @@ object Dedup {
     Relational.splitAssign(reps, col("rep"), splits)
   }
 
+  /** DUPLICATION-AWARE soft sampling (SoftDeDup): instead of the hard
+    * one-keeper-per-cluster rule, every member of a near-dup cluster
+    * keeps with probability `keepPerClusterQ / (65536 · |cluster|)` —
+    * so each cluster contributes `keepPerClusterQ`/65536 docs in
+    * expectation regardless of how many copies exist, and the kept
+    * set retains natural variation ACROSS copies instead of always
+    * the min-id representative (the "duplication deflates the
+    * effective epoch count" fix without hard-deleting: cf. SoftDeDup,
+    * Abbas et al. 2023 — reweight duplicated content rather than drop
+    * it). Singletons have weight 65536/65536 = always kept at the
+    * default. Decisions are the engine's md5 rule — deterministic,
+    * partitioning-invariant, replayable.
+    *
+    * Scale shape: the cluster labels come from [[dedupClusters]]
+    * (O(log diameter) rounds over the PAIR graph — ∝ duplication, not
+    * corpus); sizes are a cluster-keyed count; the weight and the
+    * keep decision are map-side after two id-keyed hash joins. No
+    * window, no text shuffle.
+    * @return (doc_id, cluster, cl_size, weight_q, kept) */
+  def softDedupKeep(docs: DataFrame, pairs: DataFrame, idCol: String,
+      keepPerClusterQ: Long = 65536L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(keepPerClusterQ >= 0L)
+    val labels = dedupClusters(pairs, checkpointDir = checkpointDir)
+    val withCl = docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val sizes = withCl.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cl_size"))
+    withCl.join(sizes, Seq("cluster"))
+      .withColumn("weight_q",
+        least(lit(65536L), expr(s"${keepPerClusterQ}L DIV cl_size")))
+      .withColumn("kept",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") < col("weight_q"))
+      .select(col("doc_id"), col("cluster"), col("cl_size"),
+        col("weight_q"), col("kept"))
+  }
+
   /** 64-bit SimHash per document: for each bit j, sum +1/-1 over token
     * hashes (weighted by occurrence), take the sign. Single shuffle
     * (group by doc) through the native buffer aggregate

@@ -1456,6 +1456,112 @@ object TextAnalysis {
   private def hash48(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
 
+  /** PER-SOURCE quality calibration — keep (approximately) the top
+    * `keepQ`/65536 of EACH source by quality score, instead of one
+    * global threshold: a global cut keeps whatever the highest-scoring
+    * SOURCE writes (a clean encyclopedia crowds out all of a noisy but
+    * valuable forum), while the within-source quantile keeps every
+    * source's best — the selection rule FineWeb-style pipelines apply
+    * after per-source score drift made global thresholds meaningless.
+    *
+    * Score: the hashed-linear token score ([[scoreHashedLinear]]'s
+    * md5-weight family) shifted non-negative and averaged —
+    * `avg_q = (Σ_tok h16(tok)) DIV n_tokens` ∈ [0, 65535], exact
+    * integer arithmetic, portable across engines. Empty-token docs are
+    * excluded (no score, same contract as [[scoreHashedLinear]]).
+    *
+    * Exactness: every score bucket strictly above the per-source
+    * boundary is kept in full, strictly below dropped in full — both
+    * exact. Within the single BOUNDARY bucket per source the keep
+    * decision is the md5(doc_id) cut (deterministic set, rate exact in
+    * expectation) — the [[temperatureMix]] stance, because an exact
+    * within-bucket count would need a rank over the bucket population.
+    *
+    * Scale shape: one corpus scan (score is row-local), then the
+    * quantile runs on the (source, avg_q) HISTOGRAM — ≤ 65536 rows per
+    * source by construction, so the cumulative window is over a
+    * bounded relation, never the corpus (the q_percentile global-sort
+    * alternative dies at 100 TB); decisions join back on
+    * (source, avg_q) with the histogram broadcast.
+    * @return (doc_id, source, avg_q, kept) */
+  def calibratedQualityKeep(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, keepQ: Long): DataFrame = {
+    require(keepQ >= 0L && keepQ <= 65536L)
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFns.letterTokens(col(textCol))
+    val h16 = (w: Column) =>
+      conv(substring(md5(w), 1, 4), 16, 10).cast("long")
+    // the per-token md5 scoring pass is the dominant cost and has two
+    // consumers (the histogram and the decision join) — persist the
+    // scored relation (3 small columns, no text) so the corpus is
+    // hashed once; harness/callers release via Caches
+    val scored = graft.operators.Caches.persist(
+      docs.select(col(idCol).as("doc_id"),
+          col(sourceCol).as("source"),
+          size(toks).cast("long").as("__n"),
+          aggregate(toks, lit(0L), (acc, w) => acc + h16(w)).as("__s"))
+        .where(col("__n") > 0L)
+        .select(col("doc_id"), col("source"),
+          expr("__s DIV __n").as("avg_q")))
+    val hist = scored.groupBy(col("source"), col("avg_q"))
+      .agg(count(lit(1)).as("__c"))
+    val wAbove = Window.partitionBy(col("source"))
+      .orderBy(col("avg_q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("__above", coalesce(sum(col("__c")).over(wAbove), lit(0L)))
+      .withColumn("__tot",
+        sum(col("__c")).over(Window.partitionBy(col("source"))))
+      .withColumn("__target", expr(s"(__tot * ${keepQ}L) DIV 65536"))
+    scored.join(broadcast(cum), Seq("source", "avg_q"))
+      .withColumn("kept",
+        when(col("__above") + col("__c") <= col("__target"), lit(true))
+          .when(col("__above") < col("__target"),
+            conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+              .cast("long") <
+              expr("((__target - __above) * 65536L) DIV __c"))
+          .otherwise(lit(false)))
+      .select(col("doc_id"), col("source"), col("avg_q"), col("kept"))
+  }
+
+  /** CURRICULUM shard ordering — [[trainingShards]]' layout with the
+    * read order ANNEALED from easy-first to random across epochs (the
+    * curriculum-learning schedule: early epochs present short/easy
+    * documents first, late epochs restore the i.i.d. shuffle). Shard
+    * MEMBERSHIP is [[trainingShards]]' exact hash (epoch-invariant,
+    * spec-pinned); only the within-shard order key changes:
+    * `key_e = difficulty · (E−1−e) + h16(epoch:id) · e` — pure
+    * difficulty order at e = 0, pure epoch-salted hash order at
+    * e = E−1, integer-interpolated between (the [[mixSchedule]]
+    * interpolation move applied to ordering). Difficulty here is the
+    * capped token count (longer = harder — the standard length
+    * curriculum); the integer key is replayable anywhere.
+    *
+    * Same physical shape as [[trainingShards]]: the rank rides the
+    * shard partitioning (a window per shard is the honest cost — a
+    * shard is the unit one writer must fully order; nShards scales
+    * with the corpus).
+    * @return (doc_id, shard, pos, n_tokens, order_q) */
+  def curriculumShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, epoch: Int, epochs: Int): DataFrame = {
+    require(nShards >= 1 && epochs >= 1 && epoch >= 0 && epoch < epochs)
+    import org.apache.spark.sql.expressions.Window
+    val t = TextFns.letterTokens(col(textCol))
+    val diff = least(lit(65535L), size(t).cast("long"))
+    val oh16 = conv(substring(md5(concat_ws(":", lit(epoch),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__k").asc, col("doc_id").asc)
+    docs.select(col(idCol).as("doc_id"),
+        (hash48(col(idCol)) % nShards).as("shard"),
+        (diff * lit((epochs - 1 - epoch).toLong) +
+          oh16 * lit(epoch.toLong)).as("__k"),
+        size(t).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"),
+        col("n_tokens"), col("__k").as("order_q"))
+  }
+
   /** Deterministic training-shard layout: the step AFTER curation and
     * mixing, where the corpus is dealt into `nShards` shards and given
     * a reproducible random READ ORDER for the training job — no
@@ -1837,23 +1943,34 @@ object TextAnalysis {
       sourceCol: String, path: String, batchId: Long,
       coalesceTo: Int = 1): Unit = {
     val t = col(textCol)
+    // ONE pass over the batch text derives every per-doc fact the three
+    // partials need (the text itself never persists — the cached base
+    // is (source, long, bool, 32-hex, 3-char) per doc). Unlike the
+    // batch [[datasetCard]] — where a shared persisted base was
+    // measured slower than two pipelined scans — the append path has
+    // THREE consumers and each would otherwise re-pay the tokenize,
+    // the quality regexes, and (for a `Q.t`-shaped source) the
+    // round-robin text exchange per write job.
     val base = docs.select(col(sourceCol).as("source"),
       size(TextFns.letterTokens(t)).cast("long").as("n_tok"),
       (size(TextFns.wsTokens(t)) >= 5 &&
         length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") /
           length(t).cast("double") >= 0.5).as("keep"),
-      md5(t).as("h"))
-    def w(df: DataFrame, sub: String): Unit =
-      (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
-        .write.mode("overwrite").parquet(s"$path/$sub/batch=$batchId")
-    w(base.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep")), "stats")
-    w(docs.select(col(sourceCol).as("source"), predLang(t).as("pred_lang"))
-      .groupBy(col("source"), col("pred_lang"))
-      .agg(count(lit(1)).as("n")), "langs")
-    w(base.groupBy(col("source"), col("h"))
-      .agg(count(lit(1)).as("cnt")), "hashes")
+      md5(t).as("h"),
+      predLang(t).as("pred_lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def w(df: DataFrame, sub: String): Unit =
+        (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
+          .write.mode("overwrite").parquet(s"$path/$sub/batch=$batchId")
+      w(base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep")), "stats")
+      w(base.groupBy(col("source"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")), "langs")
+      w(base.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("cnt")), "hashes")
+    } finally base.unpersist()
   }
 
   /** Assemble the dataset card from a stored card index — bit-identical
@@ -1893,6 +2010,27 @@ object TextAnalysis {
         expr("((-__top.nn) * 1000000L) DIV __tot").as("top_lang_ppm"))
     rates.join(langs, Seq("source"))
   }
+
+  private val cardIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around a card-index build (same lifecycle as
+    * [[Dedup.ensureBandIndex]]: ingest builds, queries only read). The
+    * index is COMPLETE when every expected batch directory of all
+    * three partial tables carries its parquet `_SUCCESS`; a torn build
+    * (killed mid-append) fails that check and re-runs `build`, whose
+    * per-batch overwrites make the re-run idempotent. Content-address
+    * the path ([[graft.io.IndexPaths]]) so regenerated sources never
+    * reuse a stale index. */
+  def ensureCardIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+    cardIndexes.computeIfAbsent(path, { _ =>
+      val done = Seq("stats", "langs", "hashes").forall(sub =>
+        batchIds.forall(id =>
+          graft.io.IndexPaths.complete(spark, s"$path/$sub/batch=$id")))
+      if (!done) build
+      java.lang.Boolean.TRUE
+    })
 
   /** Fold a card index's accreted batch directories into one additive
     * partial per table (`batch=-1`), so a long-running ingest's file

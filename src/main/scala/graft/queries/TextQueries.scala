@@ -431,6 +431,19 @@ object TextQueries {
       Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
     },
 
+    // SOFT dedup: every member of a near-dup cluster kept with
+    // probability 65536/(65536·|cluster|) — one expected keeper per
+    // cluster, but the kept copy varies (reweight-don't-delete, the
+    // SoftDeDup stance); singletons always keep. Oracle: recursive-CTE
+    // clusters + all-doc sizes + the integer weight/md5 cut.
+    "q_softdedup_keep" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      Dedup.softDedupKeep(docs, pairs.select(col("doc_a"), col("doc_b")),
+        "doc_id")
+    },
+
     // LEAKAGE-SAFE train/val/test split: near-dup clusters assigned
     // whole (split decided by the cluster representative's md5, not the
     // doc's own) — the guard against a doc landing in train while its
@@ -885,6 +898,25 @@ object TextQueries {
       TextAnalysis.shardManifest(TextAnalysis.trainingShards(
         t(s, dir, "documents"), "doc_id", "text", nShards = 8,
         epoch = 1L))
+    },
+
+    // CURRICULUM shard ordering at the mid-schedule epoch (1 of 3):
+    // same shard membership as q_training_shards, read order
+    // interpolated between easy-first (capped token count) and the
+    // epoch-salted hash — integer key, full oracle.
+    "q_curriculum_shards" -> { (s, dir) =>
+      TextAnalysis.curriculumShards(t(s, dir, "documents"), "doc_id",
+        "text", nShards = 8, epoch = 1, epochs = 3)
+    },
+
+    // PER-SOURCE quality calibration: keep ~the top 26214/65536 (~40%)
+    // of each source by the hashed-linear average score — exact full
+    // buckets above/below the per-source boundary, md5 tie-break
+    // inside the single boundary bucket. The histogram quantile (no
+    // corpus-wide sort) is the point; full integer oracle.
+    "q_quality_calibrated" -> { (s, dir) =>
+      TextAnalysis.calibratedQualityKeep(t(s, dir, "documents"),
+        "doc_id", "text", "source", keepQ = 26214L)
     },
 
     // Exact-integer BM25 retrieval: top-10 documents per query for a
@@ -1619,18 +1651,21 @@ object TextQueries {
     // (doc_id % 3, the q_incremental_* split convention), each folds
     // additive partials into the stored card index, and the card is
     // assembled from the STORED relations only — bit-identical to
-    // q_dataset_card over the full corpus (the shared oracle).
-    // Re-runs overwrite the same per-batch dirs (replay idempotency
-    // is the property under test — the path is content-addressed, so
-    // regenerated testdata never reads a stale index).
+    // q_dataset_card over the full corpus (the shared oracle). The
+    // two folds are the offline ingest step (build-once memo + the
+    // per-batch-overwrite idempotency the specs pin); the QUERY is
+    // the read — no document text is touched. Content-addressed path,
+    // so regenerated testdata never reads a stale index.
     "q_card_incremental" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val path = graft.io.IndexPaths.indexPath("cardidx",
         s"$dir/documents.parquet", "v1")
-      TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 3 =!= 2),
-        "doc_id", "text", "source", path, 0L)
-      TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 3 === 2),
-        "doc_id", "text", "source", path, 1L)
+      TextAnalysis.ensureCardIndex(s, path, Seq(0L, 1L)) {
+        TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 3 =!= 2),
+          "doc_id", "text", "source", path, 0L)
+        TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 3 === 2),
+          "doc_id", "text", "source", path, 1L)
+      }
       TextAnalysis.cardFromIndex(s, path)
     })
 
@@ -1996,6 +2031,29 @@ object TextQueries {
          |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
          |FROM reach GROUP BY s""".stripMargin,
 
+    // clusters (recursive CTE) extended to ALL docs (singletons =
+    // their own cluster), integer weight 65536 // size, md5-16 cut
+    "q_softdedup_keep" ->
+      s"""WITH RECURSIVE ${sqlGrams("")},
+         |pr AS (SELECT da, db FROM inter
+         |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s, db AS d FROM pr
+         |          UNION SELECT db, da FROM pr),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |       FROM reach GROUP BY s),
+         |ac AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+         |       FROM documents d LEFT JOIN cl USING (doc_id)),
+         |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cl_size
+         |       FROM ac GROUP BY cluster)
+         |SELECT ac.doc_id, ac.cluster, sz.cl_size,
+         |  LEAST(65536, 65536 // cl_size) AS weight_q,
+         |  CAST('0x' || substr(md5(CAST(ac.doc_id AS VARCHAR)), 1, 4)
+         |    AS BIGINT) < LEAST(65536, 65536 // cl_size) AS kept
+         |FROM ac JOIN sz USING (cluster)""".stripMargin,
+
     "q_cluster_split" ->
       s"""WITH RECURSIVE ${sqlGrams("")},
          |pr AS (SELECT da, db FROM inter
@@ -2208,6 +2266,54 @@ object TextQueries {
         |        doc_id) AS BIGINT) AS pick_rank
         |  FROM documents)
         |WHERE pick_rank <= 10""".stripMargin,
+
+    // epoch 1 of 3: key = difficulty·(3−1−1) + h16(1:id)·1 with the
+    // same hash48 membership as q_training_shards
+    "q_curriculum_shards" ->
+      s"""WITH a AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) % 8 AS shard,
+         |    LEAST(65535, CAST(len($SQL_TOKS) AS BIGINT)) * 1
+         |      + CAST('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)),
+         |          1, 4) AS BIGINT) * 1 AS k,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+         |    AS BIGINT) AS pos,
+         |  n_tokens, CAST(k AS BIGINT) AS order_q
+         |FROM a""".stripMargin,
+
+    // full integer replay: per-token md5-16 sums, the per-source
+    // (source, avg_q) histogram, cumulative-above window, target and
+    // boundary-bucket md5 cut — all non-negative, so DuckDB // ==
+    // Spark DIV
+    "q_quality_calibrated" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n,
+         |    CAST(COALESCE(list_sum(list_transform($SQL_TOKS,
+         |      x -> CAST('0x' || substr(md5(x), 1, 4) AS BIGINT))), 0)
+         |      AS BIGINT) AS s
+         |  FROM documents),
+         |sq AS (SELECT doc_id, source, s // n AS avg_q FROM sc WHERE n > 0),
+         |hist AS (SELECT source, avg_q, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sq GROUP BY 1, 2),
+         |cum AS (SELECT source, avg_q, c,
+         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source
+         |      ORDER BY avg_q DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS above,
+         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |  FROM hist),
+         |t2 AS (SELECT source, avg_q, c, above,
+         |    (tot * 26214) // 65536 AS target FROM cum)
+         |SELECT sq.doc_id, sq.source, sq.avg_q,
+         |  CASE WHEN above + c <= target THEN TRUE
+         |       WHEN above < target THEN
+         |         CAST('0x' || substr(md5(CAST(sq.doc_id AS VARCHAR)), 1, 4)
+         |           AS BIGINT) < ((target - above) * 65536) // c
+         |       ELSE FALSE END AS kept
+         |FROM sq JOIN t2 USING (source, avg_q)""".stripMargin,
 
     "q_training_shards" ->
       s"""WITH a AS (SELECT doc_id,

@@ -41,7 +41,9 @@ object DumpPlans {
     "q_contrastive_pairs" -> "contrastive triplets through the STORED kNN graph: positives are a pruned rank-1 index read (the banded-LSH pipeline no longer appears in the plan), negatives a broadcast join against the 64-row bucket-representative table",
     "q_incremental_knn" -> "incremental kNN join: band keys for the batch only, stored postings pruned by a broadcast semi-join on touched buckets, candidate corpus vectors fetched by id, per-batch-doc bounded heap — the corpus is never re-keyed",
     "q_sql_hybrid_indexed" -> "the production hybrid from pure SQL text: parquet-path reads of the stored postings + int8 index (zero corpus scans), three registered heap aggregates, zero windows",
-    "q_dataset_card" -> "per-source dataset card: tokens/quality/content-hash in one map-side pass, duplicate detection as a 128-bit hash-keyed count, language rollup to a sources×langs relation — report-sized output, integer rates")
+    "q_dataset_card" -> "per-source dataset card: tokens/quality/content-hash in one map-side pass, duplicate detection as a 128-bit hash-keyed count, language rollup to a sources×langs relation — report-sized output, integer rates",
+    "q_drop_attribution" -> "per-doc first-failure stage attribution over the v3 doc-dropping stages: scan-speed rule pass, bounded-heap cap (no window anywhere), cap-bounded scrub+mix tail, three doc_id hash joins back to the input",
+    "q_card_incremental" -> "the dataset card assembled from the STORED additive partials: no documents scan in the plan — sources×batches stats/lang reads plus one hash-count aggregate for the corpus-wide dup rule")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the

@@ -640,4 +640,46 @@ class DedupSpec extends SparkSpec {
     // pin is parity of answers through the rebuilt index
     assert(pairs() == pairsBefore)
   }
+
+  test("softDedupKeep: singletons always keep; cluster members keep by the exact md5/size cut") {
+    import org.apache.spark.sql.functions.col
+    def h16(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    // a 64-copy cluster (ids 1000-1063), a 2-copy cluster, 3 singletons
+    val docs = ((1000L to 1063L).map(i => (i, "big planted cluster text")) ++
+      Seq((1L, "pair text here"), (2L, "pair text here"),
+        (10L, "alpha solo"), (11L, "beta solo"), (12L, "gamma solo")))
+      .toDF("doc_id", "text")
+    val pairs = ((1000L to 1062L).map(i => (i, i + 1)) ++ Seq((1L, 2L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.softDedupKeep(docs, pairs, "doc_id")
+      .select("doc_id", "cluster", "cl_size", "weight_q", "kept")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 69)
+    // singletons: own cluster, size 1, weight 65536, always kept
+    for (id <- Seq(10L, 11L, 12L))
+      assert(got(id) === ((id, id, 1L, 65536L, true)))
+    // the pair: weight 32768, keep decided by each member's own hash
+    for (id <- Seq(1L, 2L)) {
+      val r = got(id)
+      assert(r._2 === 1L && r._3 === 2L && r._4 === 32768L)
+      assert(r._5 === (h16(id) < 32768L), s"doc $id")
+    }
+    // the big cluster: weight 1024 = 65536/64; exact per-member cut
+    for (id <- 1000L to 1063L) {
+      val r = got(id)
+      assert(r._2 === 1000L && r._3 === 64L && r._4 === 1024L)
+      assert(r._5 === (h16(id) < 1024L), s"doc $id")
+    }
+    // keepPerClusterQ=131072 doubles the expected keepers per cluster
+    val twice = Dedup.softDedupKeep(docs, pairs, "doc_id",
+        keepPerClusterQ = 131072L)
+      .where(col("doc_id") >= 1000L)
+      .select("weight_q").distinct().as[Long].collect().toSeq
+    assert(twice === Seq(2048L))
+  }
 }

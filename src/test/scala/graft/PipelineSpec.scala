@@ -442,4 +442,82 @@ class PipelineSpec extends SparkSpec {
       docs.unionByName(extra), "doc_id", "text", "source"))
     assert(rows(TextAnalysis.cardFromIndex(spark, path)) === want2)
   }
+
+  test("calibratedQualityKeep: full buckets exact, one boundary bucket, endpoints keep all/none") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val res = TextAnalysis.calibratedQualityKeep(docs, "doc_id", "text",
+        "source", keepQ = 26214L)
+      .select("doc_id", "source", "avg_q", "kept")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(res.nonEmpty && res.exists(_._4) && res.exists(!_._4))
+    for ((src, rows) <- res.groupBy(_._2)) {
+      val tot = rows.length.toLong
+      val target = tot * 26214L / 65536L
+      val kept = rows.count(_._4).toLong
+      // buckets sorted by score desc must read: fully-kept*, at most
+      // one mixed (the boundary), fully-dropped* — the monotone
+      // selection the quantile rule promises
+      val buckets = rows.groupBy(_._3).toSeq.sortBy(-_._1)
+        .map { case (_, rs) => (rs.count(_._4), rs.length) }
+      val states = buckets.map { case (k, n) =>
+        if (k == n) 2 else if (k == 0) 0 else 1 }
+      assert(states.count(_ == 1) <= 1, s"$src: >1 mixed bucket")
+      assert(states == states.sorted(Ordering[Int].reverse),
+        s"$src: kept buckets must be a prefix by score: $states")
+      // kept count misses target only by the boundary bucket's md5 cut
+      val boundary = buckets.collect {
+        case (k, n) if k > 0 && k < n => n.toLong }.sum
+      assert(math.abs(kept - target) <= boundary,
+        s"$src kept=$kept target=$target boundary=$boundary")
+    }
+    // endpoints: keepQ=65536 keeps every scored doc, keepQ=0 keeps none
+    assert(TextAnalysis.calibratedQualityKeep(docs, "doc_id", "text",
+      "source", 65536L).where(!col("kept")).count() === 0L)
+    assert(TextAnalysis.calibratedQualityKeep(docs, "doc_id", "text",
+      "source", 0L).where(col("kept")).count() === 0L)
+    // empty-token docs carry no score and are excluded, not kept
+    val withEmpty = docs.unionByName(Seq((999999L, "!!! 123", "web"))
+      .toDF("doc_id", "text", "source"))
+    assert(TextAnalysis.calibratedQualityKeep(withEmpty, "doc_id",
+      "text", "source", 65536L)
+      .where(col("doc_id") === 999999L).count() === 0L)
+  }
+
+  test("curriculumShards: membership == trainingShards; easy-first at epoch 0, hash order at the last") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    def shards(e: Int) = TextAnalysis.curriculumShards(docs, "doc_id",
+        "text", nShards = 8, epoch = e, epochs = 3)
+      .select("doc_id", "shard", "pos", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val e0 = shards(0)
+    // membership is the trainingShards hash, epoch-invariant
+    val want = TextAnalysis.trainingShards(docs, "doc_id", "text",
+        nShards = 8, epoch = 1L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    assert(e0.map(r => (r._1, r._2)).toSet === want)
+    assert(shards(2).map(r => (r._1, r._2)).toSet === want)
+    // epoch 0: within every shard the capped token count never
+    // decreases along the read order (pure difficulty order)
+    for ((_, rs) <- e0.groupBy(_._2)) {
+      val order = rs.sortBy(_._3).map(r => math.min(r._4, 65535L))
+      assert(order.zip(order.tail).forall { case (a, b) => a <= b })
+    }
+    // last epoch: order is exactly the salted-hash order (easy-first
+    // term zeroed) — recompute one shard's expected order directly
+    val e2 = shards(2)
+    val (shardK, rs) = e2.groupBy(_._2).head
+    def h16(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"2:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = rs.map(_._1).sortBy(id => (h16(id), id)).toSeq
+    assert(rs.sortBy(_._3).map(_._1).toSeq === expect,
+      s"shard $shardK hash order")
+    // deterministic: a re-run reproduces epoch 1 bit-for-bit
+    assert(shards(1).sortBy(r => (r._2, r._3)).toSeq ===
+      shards(1).sortBy(r => (r._2, r._3)).toSeq)
+  }
 }

@@ -394,6 +394,25 @@ class PlanPropertiesSpec extends SparkSpec {
       "unused columns must be pruned from the documents scan")
   }
 
+  test("q_drop_attribution: cap is a bounded heap, no rank window anywhere") {
+    val p = plan(SparkEntry.queries("q_drop_attribution")(spark, sf))
+    // the per-source cap must be the k-bounded aggregate, not a
+    // row_number window (which would sort whole sources on single
+    // reducers at corpus scale)
+    assert(p.contains("partial_topkbyscore"),
+      s"domainCap must plan the bounded heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no rank windows in the attribution plan:\n$p")
+  }
+
+  test("q_card_incremental: the card read touches no document text") {
+    val p = plan(SparkEntry.queries("q_card_incremental")(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      s"the stored-index card must not scan the corpus:\n$p")
+    assert(!p.contains("Window"),
+      s"the assembly is pure aggregation — no windows:\n$p")
+  }
+
   test("q_sample_exact_n: sliver top-n, never a global sort of the corpus") {
     val p = plan(SparkEntry.queries("q_sample_exact_n")(spark, sf))
     // the exact trim is a distributed top-n over the hash-filtered
