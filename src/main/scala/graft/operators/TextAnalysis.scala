@@ -1524,6 +1524,109 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("avg_q"), col("kept"))
   }
 
+  /** Fold one arriving batch's (source, avg_q) score-histogram partial
+    * into the stored calibration index at `path` — the ingest half of
+    * [[calibratedQualityKeep]], same per-batch-directory-overwrite
+    * idempotency as [[appendToCardIndex]]. Histograms are additive, so
+    * the stored index sums to the full-corpus histogram no matter how
+    * ingestion was batched. Cost ∝ batch (the per-token md5 scoring
+    * scan); the partial is ≤ 65536 rows per source per batch. */
+  def appendToCalibrationIndex(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, path: String, batchId: Long,
+      coalesceTo: Int = 1): Unit = {
+    val toks = TextFns.letterTokens(col(textCol))
+    val h16 = (w: Column) =>
+      conv(substring(md5(w), 1, 4), 16, 10).cast("long")
+    val hist = docs.select(col(sourceCol).as("source"),
+        size(toks).cast("long").as("__n"),
+        aggregate(toks, lit(0L), (acc, w) => acc + h16(w)).as("__s"))
+      .where(col("__n") > 0L)
+      .select(col("source"), expr("__s DIV __n").as("avg_q"))
+      .groupBy(col("source"), col("avg_q"))
+      .agg(count(lit(1)).as("c"))
+    (if (coalesceTo > 0) hist.coalesce(coalesceTo) else hist)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** Build-once memo for a calibration index (cf. [[ensureCardIndex]];
+    * shares the memo map — paths are content-addressed and disjoint).
+    * Complete when every expected batch dir carries `_SUCCESS`. */
+  def ensureCalibrationIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+    cardIndexes.computeIfAbsent(path, { _ =>
+      if (!batchIds.forall(id =>
+        graft.io.IndexPaths.complete(spark, s"$path/batch=$id"))) build
+      java.lang.Boolean.TRUE
+    })
+
+  /** Per-source decision TABLE from a stored calibration index — the
+    * broadcastable artifact a training loader applies map-side: keep a
+    * doc iff `avg_q > thr_q OR (avg_q = thr_q AND md5₁₆(id) < cut_q)`.
+    * `thr_q` is the score bucket containing the per-source target
+    * position (counting from the top); `cut_q` is the md5 share of
+    * that boundary bucket (0 when the target lands exactly on a bucket
+    * edge); `thr_q = -1, cut_q = 0` when the whole source is kept
+    * (target ≥ total). Applying this rule reproduces
+    * [[calibratedQualityKeep]] bit-for-bit when the index holds the
+    * same corpus (spec-pinned via [[calibratedKeepFromIndex]]).
+    * Work: the summed histogram (≤ 65536 rows/source) + its bounded
+    * cumulative window — no corpus access at all.
+    * @return (source, tot, target, thr_q, cut_q) */
+  def calibrationThresholds(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepQ: Long): DataFrame = {
+    require(keepQ >= 0L && keepQ <= 65536L)
+    import org.apache.spark.sql.expressions.Window
+    val hist = spark.read.parquet(path)
+      .groupBy(col("source"), col("avg_q")).agg(sum(col("c")).as("__c"))
+    val wAbove = Window.partitionBy(col("source"))
+      .orderBy(col("avg_q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("__above", coalesce(sum(col("__c")).over(wAbove), lit(0L)))
+      .withColumn("tot",
+        sum(col("__c")).over(Window.partitionBy(col("source"))))
+      .withColumn("target", expr(s"(tot * ${keepQ}L) DIV 65536"))
+    val boundary = cum
+      .where(col("__above") <= col("target") &&
+        col("target") < col("__above") + col("__c"))
+      .select(col("source"), col("avg_q").as("thr_q"),
+        expr("((target - __above) * 65536L) DIV __c").as("cut_q"))
+    cum.select(col("source"), col("tot"), col("target")).distinct()
+      .join(boundary, Seq("source"), "left")
+      .select(col("source"), col("tot"), col("target"),
+        coalesce(col("thr_q"), lit(-1L)).as("thr_q"),
+        coalesce(col("cut_q"), lit(0L)).as("cut_q"))
+  }
+
+  /** Apply a stored calibration index's thresholds to a document set:
+    * one scoring scan + a broadcast join against the (sources)-row
+    * threshold table. Bit-identical to [[calibratedQualityKeep]] when
+    * the index holds the same corpus; in the ingest lifecycle the
+    * index accretes per batch and the thresholds this reads are the
+    * RELEASE-time cut over everything ingested.
+    * @return (doc_id, source, avg_q, kept) */
+  def calibratedKeepFromIndex(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, path: String,
+      keepQ: Long): DataFrame = {
+    val toks = TextFns.letterTokens(col(textCol))
+    val h16 = (w: Column) =>
+      conv(substring(md5(w), 1, 4), 16, 10).cast("long")
+    val thr = calibrationThresholds(docs.sparkSession, path, keepQ)
+      .select(col("source"), col("thr_q"), col("cut_q"))
+    docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        size(toks).cast("long").as("__n"),
+        aggregate(toks, lit(0L), (acc, w) => acc + h16(w)).as("__s"))
+      .where(col("__n") > 0L)
+      .select(col("doc_id"), col("source"), expr("__s DIV __n").as("avg_q"))
+      .join(broadcast(thr), Seq("source"))
+      .withColumn("kept", col("avg_q") > col("thr_q") ||
+        (col("avg_q") === col("thr_q") &&
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") < col("cut_q")))
+      .select(col("doc_id"), col("source"), col("avg_q"), col("kept"))
+  }
+
   /** CURRICULUM shard ordering — [[trainingShards]]' layout with the
     * read order ANNEALED from easy-first to random across epochs (the
     * curriculum-learning schedule: early epochs present short/easy

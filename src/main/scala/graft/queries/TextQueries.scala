@@ -919,6 +919,27 @@ object TextQueries {
         "doc_id", "text", "source", keepQ = 26214L)
     },
 
+    // STORED calibration thresholds: the score histogram arrives in
+    // two batches (the ingest fold — additive partials, offline via
+    // the build-once memo) and the per-source release cut table is
+    // derived from the STORED histogram alone — sources-row output, no
+    // corpus access. keepQ = 13107 (~top 20%) so the boundary bucket
+    // and cut_q both bite. Full integer oracle.
+    "q_calibration_thresholds" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = graft.io.IndexPaths.indexPath("calhist",
+        s"$dir/documents.parquet", "v1")
+      TextAnalysis.ensureCalibrationIndex(s, path, Seq(0L, 1L)) {
+        TextAnalysis.appendToCalibrationIndex(
+          docs.where(col("doc_id") % 3 =!= 2), "doc_id", "text", "source",
+          path, 0L)
+        TextAnalysis.appendToCalibrationIndex(
+          docs.where(col("doc_id") % 3 === 2), "doc_id", "text", "source",
+          path, 1L)
+      }
+      TextAnalysis.calibrationThresholds(s, path, keepQ = 13107L)
+    },
+
     // Exact-integer BM25 retrieval: top-10 documents per query for a
     // fixed 3-query set — rational odds idf + cross-multiplied tf
     // normalization (k1=6/5, b=3/4), so the ENTIRE scorer (postings,
@@ -1530,6 +1551,50 @@ object TextQueries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
         Seq("doc_id"))
         .select("doc_id", "source", "n_tok_scrubbed", "rep", "split")
+    },
+
+    // End-to-end corpus assembly v4 — the ROUND-10 selection stack
+    // COMPOSED, stage order load-bearing throughout: Gopher hard rules
+    // -> per-source quality CALIBRATION over the survivors (the hist
+    // is population-dependent: calibrating before the rules would cut
+    // against a different distribution) -> SOFT dedup within the
+    // calibrated set (the pair graph is set-relative: calibration
+    // first changes the clusters) -> token budget on the soft
+    // survivors' counts -> curriculum shard layout (epoch 0 of 2 =
+    // pure easy-first order). Every stage bites at sf0.01. The oracle
+    // replays all five stages in one SQL chain.
+    "q_corpus_pipeline_v4" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val gDocs = graft.operators.Caches.persist(docs.join(
+        TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 25)
+          .where(col("verdict")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val cal = graft.operators.Caches.persist(gDocs.join(
+        TextAnalysis.calibratedQualityKeep(gDocs, "doc_id", "text",
+            "source", keepQ = 39321L)
+          .where(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val pairs = Dedup.minhashDedupPairs(cal, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      // lineage truncation at the cluster boundary, like v3's keeper
+      // snapshot — the budget/layout tail plans against a leaf
+      val softDocs = graft.operators.Caches.checkpoint(cal.join(
+        Dedup.softDedupKeep(cal, pairs.select(col("doc_a"), col("doc_b")),
+            "doc_id")
+          .where(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val counts = softDocs.select(col("doc_id"), col("source"),
+        size(TextFns.letterTokens(col("text"))).cast("long").as("n_tok"))
+      val fin = TextAnalysis.temperatureMixDocs(counts, budgetTokens = 3000L)
+        .where(col("kept")).select(col("doc_id"), col("source"),
+          col("n_tok"))
+      fin.join(
+        TextAnalysis.curriculumShards(
+          softDocs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "doc_id", "text", nShards = 8, epoch = 0, epochs = 2)
+          .select(col("doc_id"), col("shard"), col("pos")),
+        Seq("doc_id"))
+        .select("doc_id", "source", "n_tok", "shard", "pos")
     },
 
     // RAG chunking: 64-token windows every 48 tokens (16 overlap);
@@ -2315,6 +2380,37 @@ object TextQueries {
          |       ELSE FALSE END AS kept
          |FROM sq JOIN t2 USING (source, avg_q)""".stripMargin,
 
+    // the histogram/threshold arithmetic of q_quality_calibrated
+    // rolled up to the per-source decision table (keepQ = 13107); the
+    // boundary bucket is the one containing the target position, -1/0
+    // when the whole source keeps
+    "q_calibration_thresholds" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n,
+         |    CAST(COALESCE(list_sum(list_transform($SQL_TOKS,
+         |      x -> CAST('0x' || substr(md5(x), 1, 4) AS BIGINT))), 0)
+         |      AS BIGINT) AS s
+         |  FROM documents),
+         |sq AS (SELECT doc_id, source, s // n AS avg_q FROM sc WHERE n > 0),
+         |hist AS (SELECT source, avg_q, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sq GROUP BY 1, 2),
+         |cum AS (SELECT source, avg_q, c,
+         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source
+         |      ORDER BY avg_q DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS above,
+         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |  FROM hist),
+         |t2 AS (SELECT source, avg_q, c, above, tot,
+         |    (tot * 13107) // 65536 AS target FROM cum),
+         |b AS (SELECT source, avg_q AS thr_q,
+         |    ((target - above) * 65536) // c AS cut_q
+         |  FROM t2 WHERE above <= target AND target < above + c),
+         |s2 AS (SELECT DISTINCT source, tot, target FROM t2)
+         |SELECT s2.source, s2.tot, s2.target,
+         |  COALESCE(b.thr_q, -1) AS thr_q, COALESCE(b.cut_q, 0) AS cut_q
+         |FROM s2 LEFT JOIN b USING (source)""".stripMargin,
+
     "q_training_shards" ->
       s"""WITH a AS (SELECT doc_id,
          |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
@@ -2929,6 +3025,113 @@ object TextQueries {
          |LEFT JOIN gok g ON d.doc_id = g.doc_id
          |LEFT JOIN cap c ON d.doc_id = c.doc_id
          |LEFT JOIN fin f ON d.doc_id = f.doc_id""".stripMargin,
+
+    // the round-10 stack replayed in one chain: gopher -> per-source
+    // calibration (hist over the survivors) -> soft dedup (clusters
+    // over the calibrated set, weight cut) -> sqrt-temperature budget
+    // -> shard + easy-first curriculum order (epoch 0 of 2)
+    "q_corpus_pipeline_v4" ->
+      s"""WITH RECURSIVE gd AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS gws,
+         |    list_filter(string_split(text, chr(10)), x -> x <> '') AS gls
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(gws) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform(gws, x -> length(x))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(len(list_filter(gws, x -> regexp_matches(x, '\\p{L}')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(gls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '^\\s*[-*•]')))
+         |      AS BIGINT) AS n_bul,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '\\.\\.\\.$$')))
+         |      AS BIGINT) AS n_ell
+         |  FROM gd),
+         |gok AS (SELECT doc_id FROM (SELECT *, CASE WHEN n_words > 0
+         |      THEN (chars * 100) // n_words ELSE 0 END AS mwl FROM gm)
+         |  WHERE n_words >= 25 AND n_words <= 100000
+         |    AND mwl >= 300 AND mwl <= 1000
+         |    AND n_alpha * 5 >= n_words * 4
+         |    AND n_bul * 10 <= n_lines AND n_ell * 10 <= n_lines * 3),
+         |csc AS (SELECT d.doc_id, d.source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n,
+         |    CAST(COALESCE(list_sum(list_transform($SQL_TOKS,
+         |      x -> CAST('0x' || substr(md5(x), 1, 4) AS BIGINT))), 0)
+         |      AS BIGINT) AS s
+         |  FROM documents d JOIN gok USING (doc_id)),
+         |csq AS (SELECT doc_id, source, s // n AS avg_q FROM csc WHERE n > 0),
+         |chist AS (SELECT source, avg_q, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM csq GROUP BY 1, 2),
+         |ccum AS (SELECT source, avg_q, c,
+         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source
+         |      ORDER BY avg_q DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS above,
+         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |  FROM chist),
+         |ct2 AS (SELECT source, avg_q, c, above,
+         |    (tot * 39321) // 65536 AS target FROM ccum),
+         |cal AS (SELECT csq.doc_id, csq.source
+         |  FROM csq JOIN ct2 USING (source, avg_q)
+         |  WHERE above + c <= target
+         |     OR (above < target AND
+         |         CAST('0x' || substr(md5(CAST(csq.doc_id AS VARCHAR)), 1, 4)
+         |           AS BIGINT) < ((target - above) * 65536) // c)),
+         |ctoks AS (SELECT d.doc_id, $SQL_TOKS AS ws
+         |  FROM documents d JOIN cal USING (doc_id)),
+         |jgr AS (SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM ctoks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |jsz AS (SELECT doc_id, COUNT(*) AS sz FROM jgr GROUP BY doc_id),
+         |jin AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+         |  FROM jgr a JOIN jgr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT da, db FROM jin
+         |  JOIN jsz sa ON sa.doc_id = da JOIN jsz sb ON sb.doc_id = db
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s2, db AS d2 FROM pr
+         |  UNION SELECT db, da FROM pr),
+         |reach(s2, d2) AS (SELECT s2, d2 FROM edges
+         |  UNION SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2),
+         |cl AS (SELECT s2 AS doc_id, LEAST(s2, MIN(d2)) AS cluster
+         |  FROM reach GROUP BY s2),
+         |ac AS (SELECT cal.doc_id, cal.source,
+         |    COALESCE(cl.cluster, cal.doc_id) AS cluster
+         |  FROM cal LEFT JOIN cl USING (doc_id)),
+         |sz2 AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cl_size
+         |  FROM ac GROUP BY cluster),
+         |soft AS (SELECT ac.doc_id, ac.source
+         |  FROM ac JOIN sz2 USING (cluster)
+         |  WHERE CAST('0x' || substr(md5(CAST(ac.doc_id AS VARCHAR)), 1, 4)
+         |      AS BIGINT) < LEAST(65536, 65536 // cl_size)),
+         |stoks AS (SELECT d.doc_id, sf.source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tok
+         |  FROM documents d JOIN soft sf ON d.doc_id = sf.doc_id),
+         |st AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM stoks GROUP BY source),
+         |w AS (SELECT source, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |cu AS (SELECT source, n_tokens, w_q,
+         |    CAST((3000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |cu2 AS (SELECT source, CASE WHEN n_tokens = 0 THEN 65536
+         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens) END AS cut_q
+         |  FROM cu),
+         |fin AS (SELECT stoks.doc_id, stoks.source, stoks.n_tok
+         |  FROM stoks JOIN cu2 USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(stoks.doc_id AS VARCHAR)), 1, 4))
+         |          AS BIGINT) < cut_q),
+         |lay AS (SELECT doc_id, source, n_tok,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) % 8 AS shard,
+         |    LEAST(65535, n_tok) AS k
+         |  FROM fin)
+         |SELECT doc_id, source, n_tok, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM lay""".stripMargin,
 
     "q_corpus_pipeline_v3" ->
       s"""WITH RECURSIVE gd AS (SELECT doc_id,

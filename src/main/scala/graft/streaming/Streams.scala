@@ -769,7 +769,7 @@ object Streams {
   def ingestCardStream(docs: DataFrame, cardPath: String,
       checkpoint: String, idCol: String = "doc_id",
       textCol: String = "text", sourceCol: String = "source",
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, calibrationPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -780,9 +780,16 @@ object Streams {
         // unconditional, cf. ingestDedupStream
         for (sub <- Seq("stats", "langs", "hashes"))
           graft.io.Compaction.recover(spark, s"$cardPath/$sub/batch=-1")
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.TextAnalysis.appendToCardIndex(batch, idCol,
             textCol, sourceCol, cardPath, id)
+          // one loop can maintain BOTH governance artifacts: the score
+          // histogram folds alongside the card partials, so release
+          // thresholds (calibrationThresholds) are always current
+          calibrationPath.foreach(p =>
+            graft.operators.TextAnalysis.appendToCalibrationIndex(batch,
+              idCol, textCol, sourceCol, p, id))
+        }
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)
           graft.operators.TextAnalysis.compactCardIndex(spark, cardPath)
         ()

@@ -484,6 +484,66 @@ class PipelineSpec extends SparkSpec {
       .where(col("doc_id") === 999999L).count() === 0L)
   }
 
+  test("calibration index: fold-order-invariant thresholds; apply == direct; replay changes nothing") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val one = java.nio.file.Files.createTempDirectory("graft_cal1")
+      .toString + "/hist"
+    val two = java.nio.file.Files.createTempDirectory("graft_cal2")
+      .toString + "/hist"
+    TextAnalysis.appendToCalibrationIndex(docs, "doc_id", "text",
+      "source", one, 0L)
+    TextAnalysis.appendToCalibrationIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", "source", two, 0L)
+    TextAnalysis.appendToCalibrationIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", "source", two, 1L)
+    def thr(p: String, q: Long) =
+      TextAnalysis.calibrationThresholds(spark, p, q)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    // additive partials: batching cannot change the release thresholds
+    assert(thr(one, 13107L) === thr(two, 13107L))
+    // replaying the newest batch overwrites its own dir — no drift
+    TextAnalysis.appendToCalibrationIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", "source", two, 1L)
+    assert(thr(one, 13107L) === thr(two, 13107L))
+    // applying the stored thresholds == the direct operator, bit-for-bit
+    val viaIndex = TextAnalysis.calibratedKeepFromIndex(docs, "doc_id",
+        "text", "source", two, keepQ = 26214L)
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    val direct = TextAnalysis.calibratedQualityKeep(docs, "doc_id",
+        "text", "source", keepQ = 26214L)
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(viaIndex === direct)
+    // keep-everything endpoint: no boundary bucket, sentinel row
+    assert(thr(one, 65536L).forall(r => r._4 === -1L && r._5 === 0L))
+  }
+
+  test("pipeline v4: stages bite in order, layout positions contiguous, easy-first order") {
+    val got = SparkEntry.queries("q_corpus_pipeline_v4")(spark, sf)
+      .select("doc_id", "source", "n_tok", "shard", "pos")
+      .as[(Long, String, Long, Long, Long)].collect()
+    try {
+      assert(got.nonEmpty)
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val total = docs.count()
+      // upstream stages bit: the final set is a strict subset
+      assert(got.length < total)
+      // and specifically smaller than the gopher+calibration survivor
+      // count alone (so the later stages did something too)
+      val gok = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 25).where(col("verdict")).count()
+      assert(got.length < gok, s"${got.length} vs gopher $gok")
+      // pos is a contiguous 1..n sequence per shard
+      for ((_, rs) <- got.groupBy(_._4))
+        assert(rs.map(_._5).sorted.toSeq === (1L to rs.length).toSeq)
+      // epoch-0 curriculum: capped n_tok never decreases along pos
+      for ((_, rs) <- got.groupBy(_._4)) {
+        val order = rs.sortBy(_._5).map(r => math.min(r._3, 65535L))
+        assert(order.zip(order.tail).forall { case (a, b) => a <= b })
+      }
+    } finally graft.operators.Caches.release()
+  }
+
   test("curriculumShards: membership == trainingShards; easy-first at epoch 0, hash order at the last") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")

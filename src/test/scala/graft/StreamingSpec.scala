@@ -495,7 +495,8 @@ class StreamingSpec extends SparkSpec {
     val ms = MemoryStream[(Long, String, String)](spark)
     val sq = Streams.ingestCardStream(
       ms.toDF().toDF("doc_id", "text", "source"),
-      s"$tmp/card", s"$tmp/ckpt", compactEvery = 2)
+      s"$tmp/card", s"$tmp/ckpt", compactEvery = 2,
+      calibrationPath = Some(s"$tmp/calhist"))
     ms.addData(rows.take(3): _*); sq.processAllAvailable()
     ms.addData(rows.slice(3, 5): _*); sq.processAllAvailable()
     ms.addData(rows.drop(5): _*); sq.processAllAvailable()
@@ -517,6 +518,15 @@ class StreamingSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     assert(statDirs.contains("batch=-1") && statDirs.length <= 3,
       s"stats dirs: $statDirs")
+    // the SAME loop maintained the calibration histogram: release
+    // thresholds from the stream-built index == a one-shot batch build
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-cal-os-")
+      .toString + "/hist"
+    TextAnalysis.appendToCalibrationIndex(rows.toDF("doc_id", "text",
+      "source"), "doc_id", "text", "source", oneShot, 0L)
+    def thr(p: String) = TextAnalysis.calibrationThresholds(spark, p, 32768L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(thr(s"$tmp/calhist") === thr(oneShot))
   }
 
   test("ingestContainmentStream: quotation dups caught across batches; replay folds nothing twice") {
