@@ -252,4 +252,34 @@ object Bpe {
       }
       .toDF("doc_id", "bpe_tokens", "ws_tokens", "char_tokens")
   }
+
+  /** [[tokenCountsBpe]] with a caller-computed STRING TAG carried
+    * through the typed encode pass — so per-group rollups (e.g. the
+    * per-language fertility audit, whose tag is a language predicted
+    * by SQL expressions in the same scan) never pay a corpus-keyed
+    * join between the BPE relation and the tag relation. `tagCol` may
+    * be any expression; it is evaluated once, row-local, before the
+    * partition-memoized encode. */
+  def tokenCountsBpeTagged(docs: DataFrame, idCol: String,
+      textCol: String, tag: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rank = ranks(merges)
+    docs.select(col(idCol).cast("long"), col(textCol), tag.cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (docId, text, tg) =>
+          val words = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+          var total = 0L
+          var chars = 0L
+          words.foreach { w =>
+            total += memo.getOrElseUpdate(w, encodeCount(w, rank))
+            chars += w.length
+          }
+          (docId, total, words.length.toLong, chars, tg)
+        }
+      }
+      .toDF("doc_id", "bpe_tokens", "ws_tokens", "char_tokens", "tag")
+  }
 }

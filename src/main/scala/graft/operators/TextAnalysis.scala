@@ -2135,6 +2135,43 @@ object TextAnalysis {
       java.lang.Boolean.TRUE
     })
 
+  /** TOKENIZER-FERTILITY audit per predicted language — the dataset
+    * card's tokenizer-fairness companion: BPE tokens per 100
+    * whitespace words (`fert_cpw`, centitokens-per-word) for each
+    * language the corpus contains. High fertility for a language means
+    * the tokenizer fragments it — its documents cost more context
+    * budget per word and train worse, the standard multilingual-
+    * tokenizer audit (e.g. why byte-fallback BPE inflates non-Latin
+    * scripts). `fert_ok` pins the algebraic bounds (words ≤ bpe ≤
+    * chars) the encode must satisfy.
+    *
+    * Scale shape: ONE scan — the language is predicted by row-local
+    * expressions in the same pass that feeds the partition-memoized
+    * BPE encode ([[graft.functions.Bpe.tokenCountsBpeTagged]]), so
+    * there is no corpus-keyed join between the lang and count
+    * relations; output is |langs|-row. The BPE value itself is not
+    * SQL-replayable (the oracle pins the language rollup exactly and
+    * the bounds as booleans; TokenizerSpec pins exact fertility values
+    * against a direct encode).
+    * @return (pred_lang, n_docs, n_ws_tokens, fert_cpw, fert_ok) */
+  def tokenizerFertility(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = graft.functions.Bpe.defaultMerges)
+      : DataFrame = {
+    val counts = graft.functions.Bpe.tokenCountsBpeTagged(docs, idCol,
+      textCol, predLang(col(textCol)), merges)
+    counts.groupBy(col("tag").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_ws_tokens"),
+        sum(col("bpe_tokens")).as("__bpe"),
+        sum(col("char_tokens")).as("__chars"))
+      .select(col("pred_lang"), col("n_docs"), col("n_ws_tokens"),
+        when(col("n_ws_tokens") > 0L,
+          expr("(__bpe * 100L) DIV n_ws_tokens")).otherwise(lit(0L))
+          .as("fert_cpw"),
+        (col("__bpe") >= col("n_ws_tokens") &&
+          col("__bpe") <= col("__chars")).as("fert_ok"))
+  }
+
   /** Fold a card index's accreted batch directories into one additive
     * partial per table (`batch=-1`), so a long-running ingest's file
     * count tracks distinct CONTENT, not batch history — the governance

@@ -794,6 +794,17 @@ object TextQueries {
         (sum(col("bpe_tokens")) < sum(col("char_tokens"))).as("merges_applied"))
     },
 
+    // TOKENIZER-FERTILITY audit: BPE tokens per 100 whitespace words
+    // per predicted language, under the learned 3000-rank table — the
+    // card's tokenizer-fairness companion. The language rollup and
+    // word sums replay exactly in SQL; the BPE-derived bound rides as
+    // a pinned boolean (TokenizerSpec pins exact fertility values).
+    "q_tokenizer_fertility" -> { (s, dir) =>
+      TextAnalysis.tokenizerFertility(t(s, dir, "documents"), "doc_id",
+          "text", merges = graft.functions.Bpe.vendoredMerges)
+        .select("pred_lang", "n_docs", "n_ws_tokens", "fert_ok")
+    },
+
     // Per-doc top-3 terms by frequency (keyword extraction): integer-
     // deterministic ranking (tf desc, term asc).
     "q_top_terms" -> { (s, dir) =>
@@ -2214,6 +2225,35 @@ object TextQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS bounds_ok,
         |  TRUE AS merges_applied
         |FROM documents""".stripMargin,
+
+    // exact language rollup + word sums; the BPE bound rides as TRUE
+    // (cf. q_bpe_tokens — the encode is not SQL-replayable)
+    "q_tokenizer_fertility" ->
+      s"""WITH sc AS (SELECT doc_id, length(text) AS n,
+         |    ${sqlScore("en")} AS score_en,
+         |    ${sqlScore("es")} AS score_es,
+         |    ${sqlScore("de")} AS score_de,
+         |    ${sqlScore("fr")} AS score_fr,
+         |    CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT)
+         |      AS han_chars
+         |  FROM documents),
+         |lg AS (SELECT sc.doc_id,
+         |    CASE WHEN han_chars * 5 > n THEN 'zh'
+         |         WHEN score_en + score_es + score_de + score_fr = 0 THEN 'und'
+         |         WHEN score_en >= score_es AND score_en >= score_de
+         |           AND score_en >= score_fr THEN 'en'
+         |         WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |         WHEN score_de >= score_fr THEN 'de'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM sc),
+         |w AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS ws
+         |  FROM documents)
+         |SELECT lg.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(w.ws) AS BIGINT) AS n_ws_tokens, TRUE AS fert_ok
+         |FROM lg JOIN w USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -184,4 +184,35 @@ class TokenizerSpec extends SparkSpec {
     assert(got(1L) == ((5L, 4L, 19L))) // 1+1+1+2 tokens, 4 words, 19 chars
     assert(got(2L) == ((6L, 1L, 6L)))
   }
+
+  test("tokenizerFertility: exact per-language values against a direct encode; one scan, no join") {
+    import graft.functions.Bpe
+    import graft.operators.TextAnalysis
+    val en = Seq("the cat and the dog sat on the mat",
+      "she said that it was not for him")
+    val es = Seq("el perro y el gato de la casa son bonitos")
+    val docs = (en ++ es).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.tokenizerFertility(docs, "doc_id", "text",
+        merges = Bpe.vendoredMerges)
+      .select("pred_lang", "n_docs", "n_ws_tokens", "fert_cpw", "fert_ok")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val rank = Bpe.ranks(Bpe.vendoredMerges)
+    def expect(texts: Seq[String]): (Long, Long) = {
+      val words = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      val bpe = words.map(w => Bpe.encodeCount(w, rank).toLong).sum
+      (words.length.toLong, bpe * 100L / words.length)
+    }
+    val (enWs, enFert) = expect(en)
+    val (esWs, esFert) = expect(es)
+    assert(got.keySet === Set("en", "es"))
+    assert(got("en") === (("en", 2L, enWs, enFert, true)))
+    assert(got("es") === (("es", 1L, esWs, esFert, true)))
+    // scale stance: the lang tag rides the encode scan — no corpus-
+    // keyed join (and no exchange at all before the rollup's own)
+    val plan = TextAnalysis.tokenizerFertility(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fertility must not join:\n$plan")
+  }
 }
