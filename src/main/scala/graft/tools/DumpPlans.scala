@@ -43,7 +43,9 @@ object DumpPlans {
     "q_sql_hybrid_indexed" -> "the production hybrid from pure SQL text: parquet-path reads of the stored postings + int8 index (zero corpus scans), three registered heap aggregates, zero windows",
     "q_dataset_card" -> "per-source dataset card: tokens/quality/content-hash in one map-side pass, duplicate detection as a 128-bit hash-keyed count, language rollup to a sources×langs relation — report-sized output, integer rates",
     "q_drop_attribution" -> "per-doc first-failure stage attribution over the v3 doc-dropping stages: scan-speed rule pass, bounded-heap cap (no window anywhere), cap-bounded scrub+mix tail, three doc_id hash joins back to the input",
-    "q_card_incremental" -> "the dataset card assembled from the STORED additive partials: no documents scan in the plan — sources×batches stats/lang reads plus one hash-count aggregate for the corpus-wide dup rule")
+    "q_card_incremental" -> "the dataset card assembled from the STORED additive partials: no documents scan in the plan — sources×batches stats/lang reads plus one hash-count aggregate for the corpus-wide dup rule",
+    "q_quality_calibrated" -> "per-source quantile calibration: one scoring scan (persisted, two consumers), cumulative window over the BOUNDED (source, avg_q) histogram — never the corpus — and a broadcast decision join back",
+    "q_corpus_pipeline_v4" -> "the round-10 selection stack composed: gopher scan, histogram calibration, soft dedup over the calibrated set (bounded-heap LSH guard), sqrt-temperature budget, curriculum shard layout — budget/layout tail plans against the checkpoint leaf")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
