@@ -411,5 +411,56 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TextAnalysis.shardManifest(empty).count() === 0L)
   }
 
+  test("card/calibration indexes: empty and letterless batches fold cleanly; reads stay well-defined") {
+    val path = java.nio.file.Files.createTempDirectory("graft_edge_card")
+      .toString + "/card"
+    val calPath = java.nio.file.Files.createTempDirectory("graft_edge_cal")
+      .toString + "/hist"
+    // a batch whose docs have NO letter tokens: the card counts them
+    // (n_tok 0, dup rule still applies); the calibration histogram
+    // excludes them (no score — the calibratedQualityKeep contract)
+    val weird = Seq((1L, "123 456", "web"), (2L, "!!!", "web"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.appendToCardIndex(weird, "doc_id", "text", "source",
+      path, 0L)
+    TextAnalysis.appendToCalibrationIndex(weird, "doc_id", "text",
+      "source", calPath, 0L)
+    val card = TextAnalysis.cardFromIndex(spark, path)
+      .select("source", "n_docs", "n_tokens", "dup_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(card.toSeq === Seq(("web", 2L, 0L, 0L)))
+    // scoreless batch -> empty histogram -> empty threshold table (no
+    // crash, no phantom source row)
+    assert(TextAnalysis.calibrationThresholds(spark, calPath, 32768L)
+      .count() === 0L)
+    // an EMPTY batch folds as empty partials and changes nothing
+    TextAnalysis.appendToCardIndex(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", path, 1L)
+    val again = TextAnalysis.cardFromIndex(spark, path)
+      .select("source", "n_docs", "n_tokens", "dup_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(again.toSeq === Seq(("web", 2L, 0L, 0L)))
+  }
+
+  test("dropAttribution: a corpus where every doc fails the rules is all-'gopher', never empty") {
+    val docs = Seq((1L, "too short", "a"), (2L, "also short", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dropAttribution(docs, "doc_id", "text",
+        "source", minWords = 25)
+      .select("doc_id", "stage").as[(Long, String)].collect().toMap
+    try assert(got === Map(1L -> "gopher", 2L -> "gopher"))
+    finally graft.operators.Caches.release()
+  }
+
+  test("softDedupKeep: empty pair list degenerates to keep-everything at the default weight") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.softDedupKeep(docs, pairs, "doc_id")
+      .select("doc_id", "cl_size", "weight_q", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 1L, 65536L, true), (2L, 1L, 65536L, true)))
+  }
+
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 }
