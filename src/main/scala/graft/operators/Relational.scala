@@ -252,6 +252,46 @@ object Relational {
     cand.orderBy(h.asc, key.asc).limit(n)
   }
 
+  /** Per-stratum EXACT-count uniform sample: for every distinct value
+    * of `stratum`, the min(n, |stratum|) rows with the smallest 48-bit
+    * md5-of-key prefixes (key tie-break) — "exactly 10k eval docs PER
+    * LANGUAGE", the n-way generalization of [[sampleExactN]]. The
+    * selection within each stratum is the identical (hash ASC, key
+    * ASC) order, so a stratum's sample never changes when other strata
+    * grow, and a stratified sample of one stratum equals
+    * [[sampleExactN]] over that stratum alone.
+    *
+    * Scale shape — better than [[sampleExactN]] run per stratum (which
+    * would scan once per stratum) and radically better than the rank-
+    * window idiom (full shuffle + sort of every row): ONE pass through
+    * a k-bounded heap aggregate
+    * ([[graft.functions.expr.TopKByLongScore]] with the negated hash
+    * as the score), so each map task ships ≤ n rows PER STRATUM it
+    * saw, and the reducer merges heaps. No retry loop is needed — the
+    * heap is exact by construction, where [[sampleExactN]]'s threshold
+    * scan must widen on under-collection. The trade: the heap carries
+    * only a LONG key, so callers re-attach payload columns by joining
+    * the (strata·n)-row result back on the key (broadcast-sized for
+    * any real n).
+    *
+    * Returns one row per pick: (stratum, rk, <key name>) with rk the
+    * 1-based rank in sample order. `key` must cast losslessly to long.
+    */
+  def sampleStratifiedN(df: DataFrame, stratum: Column, key: Column,
+      n: Int, keyName: String = "key"): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    require(n > 0, "n must be positive")
+    val h = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val agg = shim.column(graft.functions.expr.TopKByLongScore(
+        shim.expression(negate(h)), shim.expression(key.cast("long")), n)
+      .toAggregateExpression())
+    df.groupBy(stratum.as("stratum")).agg(agg.as("__picks"))
+      .select(col("stratum"), posexplode(col("__picks")).as(Seq("i", "e")))
+      .select(col("stratum"), (col("i") + 1).cast("long").as("rk"),
+        col("e.id").as(keyName))
+  }
+
   /** Per-group winsorization: clip `valueCol` to its group's exact
     * interpolated [pLo, pHi] percentiles — outlier damping before
     * statistics or training. Two passes: the per-group bounds table is

@@ -465,6 +465,21 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     },
 
+    // STRATIFIED exact-count sample: exactly 100 orders per priority
+    // class, via ONE pass through the k-bounded heap aggregate
+    // (map-side partial heaps, <= n rows per stratum per map task on
+    // the wire — never a rank window's full shuffle+sort). Payload
+    // re-attached by joining the tiny pick set back on the key.
+    "q_sample_stratified" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      Relational.sampleStratifiedN(o, col("o_orderpriority"),
+          col("o_orderkey"), 100, keyName = "o_orderkey")
+        .join(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_orderkey")
+        .select(col("stratum").as("o_orderpriority"), col("rk"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
     // Unpivot (wide -> long): melt the pivoted status counts back into
     // rows — Dataset.unpivot, the inverse of q_pivot's conditional aggs.
     "q_unpivot" -> { (s, dir) =>
@@ -1236,6 +1251,18 @@ object RelationalQueries {
         |           AS BIGINT),
         |         o_orderkey
         |LIMIT 500""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
+        |  o_custkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+        |                 1, 12) AS BIGINT),
+        |        o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 100""".stripMargin,
 
     "q_unpivot" ->
       """WITH w AS (SELECT o_orderpriority,

@@ -677,6 +677,26 @@ object TextQueries {
     // stage: tokens hashed ONCE and window-combined (no gram strings
     // ever built), banding via xxhash64 over signature slices, the
     // hot-bucket cap as the BOUNDED bottom_k_longs aggregate — per-
+    // Stratified exact sampling in PURE SQL text — the SQL-only user's
+    // surface over the registered k-bounded heap aggregate (cf.
+    // q_sample_stratified, the Scala composition on orders): exactly
+    // 30 docs per language, picked in md5-of-id order, map-side
+    // partial heaps instead of a rank window's corpus shuffle+sort.
+    "q_sql_stratified" -> { (s, dir) =>
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT stratum AS lang, CAST(i + 1 AS BIGINT) AS rk,
+          |  e.id AS doc_id
+          |FROM (SELECT lang AS stratum,
+          |        top_k_by_long_score(
+          |          -CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12),
+          |                16, 10) AS BIGINT),
+          |          doc_id, 30) AS picks
+          |      FROM documents GROUP BY lang)
+          |LATERAL VIEW posexplode(picks) t AS i, e""".stripMargin)
+    },
+
     // bucket work is capped by the aggregate's k-slot buffer, so a
     // million-copy bucket costs k longs, never m² join-task
     // comparisons (the round-4 form wrote the cap as a join residual
@@ -1957,6 +1977,16 @@ object TextQueries {
     "q_sql_dedup" ->
       s"""WITH ${sqlGrams("")}
          |${sqlJaccard(0.8)}""".stripMargin,
+
+    "q_sql_stratified" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                 1, 12) AS BIGINT),
+        |        doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30""".stripMargin,
 
     // same ground truth again: the streaming code path in batch mode
     // must find exactly the brute-force Jaccard pairs

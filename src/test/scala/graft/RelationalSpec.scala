@@ -408,4 +408,48 @@ class RelationalSpec extends SparkSpec {
       "precondition: the sized first cut must under-collect")
     thin.unpersist()
   }
+
+  test("sampleStratifiedN: per-stratum picks equal sampleExactN over " +
+      "that stratum alone; short strata return everything; " +
+      "partitioning-invariant") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("grp",
+        when(col("id") % 10 === 0, lit("a"))          // 300 rows
+          .when(col("id") % 10 < 4, lit("b"))          // 900 rows
+          .when(col("id") < 50, lit("tiny"))           // < n rows
+          .otherwise(lit("c")))
+    val got = Relational.sampleStratifiedN(df, col("grp"), col("id"),
+        40, keyName = "id")
+      .select("stratum", "rk", "id")
+      .as[(String, Long, Long)].collect()
+    val byStratum = got.groupBy(_._1)
+    // exact n where the stratum is big enough, everything where not
+    val tinyTotal = df.where(col("grp") === "tiny").count()
+    assert(tinyTotal < 40)
+    assert(byStratum("a").length === 40)
+    assert(byStratum("b").length === 40)
+    assert(byStratum("c").length === 40)
+    assert(byStratum("tiny").length === tinyTotal.toInt)
+    // stratum slice == sampleExactN over the filtered stratum, in the
+    // identical (hash ASC, key ASC) order
+    for (g <- Seq("a", "b")) {
+      val want = Relational.sampleExactN(
+          df.where(col("grp") === g), col("id"), 40)
+        .select("id").as[Long].collect()
+      val slice = byStratum(g).sortBy(_._2).map(_._3)
+      assert(slice.toSeq === want.toSeq, s"stratum $g")
+    }
+    // short stratum: sampleExactN's whole-corpus shortcut returns the
+    // rows unsorted, the heap returns them rank-ordered — same SET
+    assert(byStratum("tiny").map(_._3).toSet ===
+      Relational.sampleExactN(df.where(col("grp") === "tiny"),
+        col("id"), 40).select("id").as[Long].collect().toSet)
+    // same picks from any physical layout (heap merge is order-free)
+    val again = Relational.sampleStratifiedN(df.repartition(13),
+        col("grp"), col("id"), 40, keyName = "id")
+      .select("stratum", "rk", "id")
+      .as[(String, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ===
+      got.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
