@@ -346,6 +346,48 @@ object TextAnalysis {
       .withColumn("bin", expr(s"start_tok DIV $budget"))
   }
 
+  /** BALANCED sequence packing: round-robin-DECREASING assignment
+    * instead of [[packSequences]]' arrival-order greedy split. Within
+    * each shard, docs are ranked by token count (desc, id tie-break)
+    * and dealt rank-mod-nbins into nbins = ⌈shard tokens / budget⌉
+    * bins, so every bin gets one doc from each size "layer" — the
+    * parallel-friendly cousin of first-fit-decreasing: per-bin load
+    * imbalance is bounded by the largest single document, where greedy
+    * arrival order can leave a bin holding only the tail of a giant
+    * doc. Whole docs move (no splitting), so bins can exceed `budget`
+    * by at most their largest member — the padding-vs-truncation
+    * trade-off a training loader makes when documents must stay
+    * intact.
+    *
+    * Scale shape: the sort is WITHIN a shard (same unit as
+    * [[trainingShards]] — the honest physical shape: one packer must
+    * see a shard's sizes together; shards scale out with the corpus),
+    * per-shard bin counts are a tiny broadcast aggregate, and the
+    * rollup is map-side-combinable. All-integer → full oracle.
+    *
+    * Returns one row per (shard, bin):
+    * (shard, bin, n_docs, bin_tokens, fill_ppm vs budget). */
+  def packBalanced(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, docsPerShard: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1 && docsPerShard >= 1)
+    val counts = docs.select(col(idCol).as("doc_id"),
+        size(TextFns.letterTokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id DIV $docsPerShard"))
+    val nbins = counts.groupBy("shard")
+      .agg(greatest(lit(1L),
+        expr(s"(sum(n_tokens) + ${budget - 1}L) DIV ${budget}L"))
+        .as("nbins"))
+    counts
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)))
+      .join(broadcast(nbins), "shard")
+      .withColumn("bin", expr("CAST((__rk - 1) % nbins AS BIGINT)"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .withColumn("fill_ppm", expr(s"(bin_tokens * 1000000L) DIV ${budget}L"))
+  }
+
   /** Source-balanced corpus mixing — the "data mixture" step of a
     * pretraining pipeline: downsample every source to (approximately)
     * the TOKEN budget of the smallest source, deterministically.
@@ -462,6 +504,50 @@ object TextAnalysis {
       .withColumn("kept",
         conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
           .cast("long") < col("cut_q"))
+  }
+
+  /** FERTILITY-ADJUSTED language mix: [[temperatureMixDocs]] along the
+    * predicted-language axis with each doc's budget cost denominated
+    * in TOKENIZER tokens instead of words — closing the loop that
+    * [[tokenizerFertility]] opens. A language whose BPE fertility is
+    * 180 tokens per 100 words consumes a fixed training-token budget
+    * 1.8× faster per word than one at 100, so a mix computed over
+    * word counts systematically over-allocates high-fertility
+    * languages; here cost = (words · fert_cpw) DIV 100 and the
+    * √-temperature cuts run over COST masses.
+    *
+    * `fertCpw` (tokens per 100 words per language — the
+    * [[tokenizerFertility]] measurement keyed by `langCol`) is an
+    * explicit input: measured once per tokenizer release, applied as
+    * config — the stored-thresholds stance of
+    * [[calibratedKeepFromIndex]], which is also what keeps the whole
+    * decision SQL-replayable (the BPE encode itself is not).
+    * `langCol` is whatever language tag the pipeline trusts (a stored
+    * provenance column, or [[langId]]'s prediction). Languages absent
+    * from the map cost the neutral 100 (one token per word).
+    * All-integer; one token-count scan, tiny per-language aggregate,
+    * broadcast cuts, map-side keep — the corpus never shuffles.
+    *
+    * Returns per-doc rows:
+    * (doc_id, lang, n_ws, n_tok = cost, cut_q, kept). */
+  def fertilityAdjustedMix(docs: DataFrame, idCol: String,
+      textCol: String, langCol: Column, budgetBpeTokens: Long,
+      fertCpw: Map[String, Long]): DataFrame = {
+    require(budgetBpeTokens > 0)
+    require(fertCpw.values.forall(_ > 0), "fertility must be positive")
+    val fert = fertCpw.toSeq.sortBy(_._1).foldLeft(lit(100L)) {
+      case (acc, (l, f)) =>
+        when(col("source") === l, lit(f)).otherwise(acc)
+    }
+    val counts = docs.select(col(idCol).as("doc_id"),
+        langCol.as("source"),
+        size(TextFns.letterTokens(col(textCol))).cast("long").as("n_ws"))
+      .withColumn("__fert", fert)
+      .withColumn("n_tok", expr("(n_ws * __fert) DIV 100"))
+    temperatureMixDocs(counts.select("doc_id", "source", "n_ws", "n_tok"),
+        budgetBpeTokens)
+      .select(col("doc_id"), col("source").as("lang"), col("n_ws"),
+        col("n_tok"), col("cut_q"), col("kept"))
   }
 
   /** Gopher-style document quality RULES (Rae et al. 2021, the rule
@@ -786,6 +872,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_distinct_grams"), col("n_novel"),
         (col("n_novel").cast("double") /
           col("n_distinct_grams").cast("double")).as("novelty"))
+  }
+
+  /** Per-document MEMORIZATION-RISK audit: for every doc, how much of
+    * it exists EXACTLY ONCE in the whole corpus — the content a model
+    * can only emit verbatim by memorizing that single document
+    * (Carlini et al., *Quantifying Memorization Across Neural Language
+    * Models*: duplicated sequences are extractable from many sources;
+    * singleton sequences pinpoint one). The criterion is
+    * occurrence-level: a word `n`-gram with corpus-wide occurrence
+    * count 1 (not even repeated inside its own doc) is "unique", and
+    * risk_ppm = unique-gram occurrences per million gram positions.
+    * High-risk docs are the PII/verbatim-leak review queue; they are
+    * also exactly what [[dedupExactSubstrings]] can never reach (it
+    * fires at >= 2 copies).
+    *
+    * Complements [[gramNovelty]] (which asks "is this doc the FIRST to
+    * say each distinct gram" — batch-vs-corpus novelty, distinct
+    * grams) — here the question is "is this doc the ONLY one to say
+    * it", per occurrence.
+    *
+    * Returns the full per-doc annotation table
+    * (doc_id, n_grams, n_unique, risk_ppm) — a downstream selection
+    * input like the quality scores, not a top-k report. All-integer →
+    * bit-exact on any engine.
+    *
+    * Scale shape — two aggregations, corpus text never shuffles twice:
+    *  1. gram occurrence counts: map-side-combined count + MIN(doc_id)
+    *     in ONE pass (for cnt = 1 the MIN is definitionally the owner,
+    *     so no second join back to positions);
+    *  2. owner rollup: shuffle ∝ singleton grams (one long each);
+    *  3. per-doc totals are row-local; the final join is
+    *     doc-table-sized.
+    * Gram STRINGS shuffle, not hashes: a collision would merge two
+    * singletons into a phantom duplicate and silently clear both
+    * docs' risk — same stance as [[gramNovelty]]. */
+  def memorizationRisk(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.letterTokens(col(textCol)).as("__toks"))
+    val grams = toks.select(col("doc_id"),
+      explode(TextFns.wordNGrams(col("__toks"), n)).as("g"))
+    val uniq = grams.groupBy("g")
+      .agg(count(lit(1)).as("__cnt"), min(col("doc_id")).as("__only"))
+      .where(col("__cnt") === 1L)
+      .groupBy(col("__only").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    toks.select(col("doc_id"),
+        greatest(size(col("__toks")) - lit(n - 1), lit(0)).cast("long")
+          .as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
+      .withColumn("risk_ppm",
+        when(col("n_grams") === 0L, lit(0L))
+          .otherwise(expr("(n_unique * 1000000) DIV n_grams")))
   }
 
   /** Hard per-source document cap (the RefinedWeb-style domain cap:

@@ -35,6 +35,36 @@ object TextQueries {
        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
 
+  /** Build-once two-snapshot corpus release history under a
+    * content-addressed [[graft.io.Versioned]] root, for q_corpus_diff:
+    * v0 = documents as-is; v1 = the deterministic "next release" —
+    * docs whose md5-of-id starts '0' are DELETED, docs starting '1'
+    * get " rev2" appended to their text (updates), docs starting 'f'
+    * are additionally re-keyed +1,000,000 as NEW docs (inserts). All
+    * three mutations are pure md5 arithmetic, so the diff replays in
+    * the oracle from the base table. The filesystem `versions()`
+    * check makes the build idempotent across JVMs; `Versioned.write`
+    * commits each manifest atomically. */
+  private def versionedReleaseRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.io.IndexPaths.indexPath("verdiff",
+      s"$dir/documents.parquet", "rev2")
+    val have = graft.io.Versioned.versions(s, root)
+    if (have.size < 2) {
+      val docs = t(s, dir, "documents")
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      if (!have.contains(0L))
+        graft.io.Versioned.write(docs, root, Map("release" -> "v0"))
+      val v1 = docs.where(h1 =!= "0")
+        .withColumn("text", when(h1 === "1",
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionByName(docs.where(h1 === "f")
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      graft.io.Versioned.write(v1, root, Map("release" -> "v1"))
+    }
+    root
+  }
+
   /** The fixed BM25 query set shared by q_bm25 / q_bm25_indexed and
     * replayed as VALUES in their oracle. `private[graft]` so
     * RetrievalSpec can assert the q_bm25_log rank-oracle's score
@@ -904,6 +934,16 @@ object TextQueries {
       TextAnalysis.gramNovelty(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Memorization-risk audit: ppm of each doc's 4-gram positions
+    // whose gram occurs exactly ONCE corpus-wide — the verbatim-leak
+    // review queue (content only extractable by memorizing that one
+    // doc). Occurrence-level counts; all-integer; two map-side-combined
+    // aggregations, corpus text shuffles once as gram strings.
+    "q_memorization_risk" -> { (s, dir) =>
+      TextAnalysis.memorizationRisk(t(s, dir, "documents"), "doc_id",
+        "text")
+    },
+
     // RefinedWeb-style hard domain cap: at most 10 docs per source,
     // picked in md5-of-id order (deterministic uniform sample) via the
     // bounded-heap TopKByScore aggregate — never a rank window.
@@ -1364,6 +1404,23 @@ object TextQueries {
           col("n_tok"), col("cut_q"))
     },
 
+    // FERTILITY-adjusted language mix: the budget is denominated in
+    // TOKENIZER tokens (cost = words·fert_cpw DIV 100) so
+    // high-fertility languages stop over-drawing a fixed training
+    // budget computed over words. fert_cpw values are the vendored-BPE
+    // measurement on this corpus (graft.tools.ProfileFertility),
+    // applied as config — the stored-thresholds stance that keeps the
+    // decision SQL-replayable.
+    "q_fertility_mix" -> { (s, dir) =>
+      TextAnalysis.fertilityAdjustedMix(t(s, dir, "documents"), "doc_id",
+          "text", col("lang"), budgetBpeTokens = 10000L,
+          fertCpw = Map("de" -> 201L, "en" -> 200L, "es" -> 200L,
+            "fr" -> 201L, "zh" -> 200L))
+        .where(col("kept"))
+        .select(col("doc_id"), col("lang"), col("n_ws"), col("n_tok"),
+          col("cut_q"))
+    },
+
     // Gopher-style quality rule battery (word count, mean word length,
     // alpha-word ratio, bullet/ellipsis line ratios) — hard pass/fail
     // verdict in pure integer arithmetic, zero shuffle.
@@ -1647,6 +1704,15 @@ object TextQueries {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
     },
 
+    // BALANCED packing: round-robin-decreasing deal into
+    // ceil(tokens/budget) bins per shard — per-bin imbalance bounded
+    // by the largest doc, vs greedy arrival order's tail bins. Whole
+    // docs, shard-local sort, tiny broadcast bin counts.
+    "q_pack_balanced" -> { (s, dir) =>
+      TextAnalysis.packBalanced(t(s, dir, "documents"), "doc_id", "text",
+        budget = 2048, docsPerShard = 100)
+    },
+
     // Cross-modal near-dup verification: the text MinHash-LSH pairs
     // annotated with their embedding cosine — a multimodal corpus
     // checks whether textual duplicates are also embedding-space
@@ -1687,6 +1753,19 @@ object TextQueries {
     "q_dataset_card" -> { (s, dir) =>
       TextAnalysis.datasetCard(t(s, dir, "documents"), "doc_id", "text",
         "source")
+    },
+
+    // CORPUS RELEASE DIFF: what changed between two versioned corpus
+    // snapshots — the release-forensics question ("which docs did
+    // this re-crawl add/drop/rewrite") answered from the Versioned
+    // sink's snapshots by doc_id, one full-outer join on the key,
+    // never a text re-derivation. v1 is a deterministic synthetic
+    // next release (md5-of-id selects deletes/rewrites/re-keyed
+    // inserts), so the whole diff replays in the oracle from the
+    // base table alone.
+    "q_corpus_diff" -> { (s, dir) =>
+      graft.io.Versioned.diff(s, versionedReleaseRoot(s, dir), 0L, 1L,
+        "doc_id")
     },
 
     // EPOCH-ANNEALED mixture schedule: epoch 0 samples sources
@@ -2236,6 +2315,33 @@ object TextQueries {
          |        AS BIGINT) < cu2.cut_q""".stripMargin
     },
 
+    "q_fertility_mix" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_ws,
+         |    (CAST(len($SQL_TOKS) AS BIGINT) *
+         |      CASE lang WHEN 'de' THEN 201 WHEN 'en' THEN 200
+         |        WHEN 'es' THEN 200 WHEN 'fr' THEN 201 WHEN 'zh' THEN 200
+         |        ELSE 100 END) // 100 AS n_tok
+         |  FROM documents),
+         |st AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY lang),
+         |w AS (SELECT lang, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |cu AS (SELECT lang, n_tokens,
+         |    CAST((10000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |cu2 AS (SELECT lang, CASE WHEN n_tokens = 0 THEN 65536
+         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens)
+         |    END AS cut_q
+         |  FROM cu)
+         |SELECT d.doc_id, d.lang, d.n_ws, CAST(d.n_tok AS BIGINT) AS n_tok,
+         |  CAST(cu2.cut_q AS BIGINT) AS cut_q
+         |FROM d JOIN cu2 USING (lang)
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+         |        AS BIGINT) < cu2.cut_q""".stripMargin,
+
     "q_quality_score" -> {
       val enWords = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
       s"""WITH m AS (SELECT doc_id,
@@ -2391,6 +2497,24 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
          |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
          |FROM g JOIN f USING (g) GROUP BY g.doc_id""".stripMargin,
+
+    "q_memorization_risk" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+         |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
+         |f AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS c FROM g GROUP BY g),
+         |u AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique
+         |      FROM f WHERE c = 1 GROUP BY 1),
+         |tot AS (SELECT doc_id,
+         |      CAST(GREATEST(len(ws) - 3, 0) AS BIGINT) AS n_grams
+         |      FROM toks)
+         |SELECT t.doc_id, t.n_grams,
+         |  CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+         |  CAST(CASE WHEN t.n_grams = 0 THEN 0
+         |       ELSE (COALESCE(u.n_unique, 0) * 1000000) // t.n_grams
+         |       END AS BIGINT) AS risk_ppm
+         |FROM tot t LEFT JOIN u USING (doc_id)""".stripMargin,
 
     "q_domain_cap" ->
       """SELECT doc_id, source, pick_rank FROM (
@@ -3316,6 +3440,22 @@ object TextQueries {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2""".stripMargin,
 
+    "q_pack_balanced" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($SQL_TOKS) AS BIGINT) AS n_tokens,
+         |    doc_id // 100 AS shard FROM documents),
+         |nb AS (SELECT shard,
+         |    GREATEST(1, (SUM(n_tokens) + 2047) // 2048) AS nbins
+         |  FROM d GROUP BY shard),
+         |r AS (SELECT shard, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY n_tokens DESC, doc_id ASC) AS rk
+         |  FROM d)
+         |SELECT r.shard, CAST((r.rk - 1) % nb.nbins AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(r.n_tokens) AS BIGINT) AS bin_tokens,
+         |  CAST((SUM(r.n_tokens) * 1000000) // 2048 AS BIGINT) AS fill_ppm
+         |FROM r JOIN nb USING (shard)
+         |GROUP BY 1, 2""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH tr AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents
          |            WHERE doc_id % 20 <> 0),
@@ -3336,6 +3476,24 @@ object TextQueries {
     // through the exact q_lang_id CASE (ties to the lexicographically
     // first language = min over (-cnt, lang))
     "q_dataset_card" -> sqlCard,
+
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '1'
+        |         THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f')
+        |SELECT COALESCE(d.doc_id, v1.doc_id) AS doc_id,
+        |  CASE WHEN d.doc_id IS NULL THEN 'insert'
+        |       WHEN v1.doc_id IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op
+        |FROM documents d FULL OUTER JOIN v1 ON d.doc_id = v1.doc_id
+        |WHERE d.doc_id IS NULL OR v1.doc_id IS NULL
+        |   OR d.text <> v1.text""".stripMargin,
 
     // the STORED-index card must equal the batch card over the full
     // corpus — the oracle IS q_dataset_card's replay (incrementality

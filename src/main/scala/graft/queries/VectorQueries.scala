@@ -639,6 +639,28 @@ object VectorQueries {
         "vec_id", quota = 25)
     },
 
+    // TOPIC-balanced mix: temperatureMixDocs along the SEMANTIC axis —
+    // the stored kmeans clusters stand in for topics the way sources
+    // stand in for provenance, so an over-crawled topic is
+    // √-downweighted even when its documents come from many sources.
+    // Cluster assignments are READ from the stored index (built once
+    // per corpus version), token masses roll up per cluster, cuts
+    // broadcast back — the corpus never shuffles; the oracle replays
+    // the whole chain including the clustering (sqlKmeans).
+    "q_topic_mix" -> { (s, dir) =>
+      val asg = s.read.parquet(kmeansIndex(s, dir))
+        .select(col("vec_id").as("doc_id"), col("cluster").as("source"))
+      val counts = t(s, dir, "documents").select(col("doc_id"),
+          size(graft.functions.TextFns.letterTokens(col("text")))
+            .cast("long").as("n_tok"))
+        .join(asg, "doc_id")
+      graft.operators.TextAnalysis
+        .temperatureMixDocs(counts, budgetTokens = 8000L)
+        .where(col("kept"))
+        .select(col("doc_id"), col("source").as("cluster"), col("n_tok"),
+          col("cut_q"))
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic dedup as within-cluster
     // cosine pairs over the STORED kmeans partitioning — clustering as
     // the blocking function (candidates Σ|cluster|², cluster id is the
@@ -1230,6 +1252,33 @@ object VectorQueries {
          |        vec_id) AS BIGINT) AS rn
          |  FROM asg)
          |WHERE rn <= 25""".stripMargin,
+
+    "q_topic_mix" ->
+      s"""$sqlKmeans,
+         |tok AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+         |      x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |d AS (SELECT t.doc_id, a.cluster, t.n_tok
+         |  FROM tok t JOIN asg a ON a.vec_id = t.doc_id),
+         |st AS (SELECT cluster, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY cluster),
+         |w AS (SELECT cluster, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |cu AS (SELECT cluster, n_tokens,
+         |    CAST((8000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |cu2 AS (SELECT cluster, CASE WHEN n_tokens = 0 THEN 65536
+         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens)
+         |    END AS cut_q
+         |  FROM cu)
+         |SELECT d.doc_id, d.cluster, d.n_tok,
+         |  CAST(cu2.cut_q AS BIGINT) AS cut_q
+         |FROM d JOIN cu2 USING (cluster)
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+         |        AS BIGINT) < cu2.cut_q""".stripMargin,
 
     // the full SemDeDup replay: kmeans CTE chain, then exact quantized
     // cosine restricted to same-cluster pairs. The rkc CTE + the

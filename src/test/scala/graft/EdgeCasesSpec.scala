@@ -283,6 +283,80 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("memorizationRisk: occurrence-level singleton grams credit " +
+      "their only doc; within-doc repeats are NOT unique; short docs " +
+      "score zero") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // grams: "a b c", "b c d", "c d e"
+      (2L, "a b c x y"),     // "a b c" shared with 1 -> not unique
+      (3L, "p q r p q r p q r"), // "p q r" x3 + others repeat WITHIN doc
+      (4L, "a b"))           // too short: 0 grams, ppm 0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.memorizationRisk(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // doc 1: "a b c" appears in docs 1+2 (cnt 2); "b c d", "c d e" unique
+    assert(got(1L) == ((3L, 2L, 666666L)))
+    // doc 2: "a b c" shared; "b c x", "c x y" unique
+    assert(got(2L) == ((3L, 2L, 666666L)))
+    // doc 3: 7 grams; "p q r" occurs 3x within the doc (not unique),
+    // "q r p" and "r p q" occur 2x each -> ALL its grams repeat
+    assert(got(3L) == ((7L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("packBalanced: round-robin-decreasing deal; bins per shard = " +
+      "ceil(tokens/budget); every doc lands exactly once") {
+    // one shard (ids 0..99): sizes 10,8,6,4,2 tokens -> 30 tokens,
+    // budget 10 -> 3 bins; rank-dealt: bin0={10,4}, bin1={8,2}, bin2={6}
+    val docs = Seq(
+      (0L, Seq.fill(10)("w").mkString(" ")),
+      (1L, Seq.fill(8)("w").mkString(" ")),
+      (2L, Seq.fill(6)("w").mkString(" ")),
+      (3L, Seq.fill(4)("w").mkString(" ")),
+      (4L, Seq.fill(2)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packBalanced(docs, "doc_id", "text",
+        budget = 10, docsPerShard = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (0L, 2L)))
+    assert(got((0L, 0L)) == ((2L, 14L, 1400000L)))
+    assert(got((0L, 1L)) == ((2L, 10L, 1000000L)))
+    assert(got((0L, 2L)) == ((1L, 6L, 600000L)))
+    // imbalance bound: max bin <= min bin + largest doc
+    val fills = got.values.map(_._2)
+    assert(fills.max <= fills.min + 10L)
+  }
+
+  test("fertilityAdjustedMix: cost = words*fert DIV 100 per language; " +
+      "sqrt cuts run over cost masses; unknown lang costs neutral 100") {
+    val en = (1L to 8L).map(i => (i, "w " * 50 + s"x$i", "en"))
+    val de = (100L to 103L).map(i => (i, "w " * 50 + s"x$i", "de"))
+    val docs = (en ++ de).toDF("doc_id", "text", "lang")
+    val fert = Map("en" -> 100L, "de" -> 200L)
+    val got = TextAnalysis.fertilityAdjustedMix(docs, "doc_id", "text",
+      col("lang"), budgetBpeTokens = 2000L, fertCpw = fert)
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // every doc has 51 words; en cost 51, de cost (51*200) DIV 100 = 102
+    assert(rows(1L)._1 == "en" && rows(1L)._2 == 51L && rows(1L)._3 == 51L)
+    assert(rows(100L)._1 == "de" && rows(100L)._3 == 102L)
+    // replay the cuts: masses en 8*51=408, de 4*102=408 -> w_q 20 each,
+    // target 2000*20 DIV 40 = 1000 per lang;
+    // cut en = min(65536, 1000*65536 DIV 408), de same mass
+    val cutEn = math.min(65536L, 1000L * 65536L / 408L)
+    assert(rows(1L)._4 == cutEn && rows(100L)._4 == cutEn)
+    // neutral fertility for an unmapped language
+    val und = Seq((999L, "zzz qqq www", "xx")).toDF("doc_id", "text", "lang")
+    val u = TextAnalysis.fertilityAdjustedMix(und, "doc_id", "text",
+      col("lang"), budgetBpeTokens = 10L, fertCpw = fert).collect().head
+    assert(u.getString(1) == "xx" && u.getLong(3) == u.getLong(2))
+  }
+
   test("domainCap: at most cap docs per source, picked in md5-of-id order") {
     val docs = ((1L to 5L).map(i => (i, s"t$i", "big")) ++
       (100L to 101L).map(i => (i, s"t$i", "small")))
