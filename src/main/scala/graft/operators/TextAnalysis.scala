@@ -929,6 +929,81 @@ object TextAnalysis {
           .otherwise(expr("(n_unique * 1000000) DIV n_grams")))
   }
 
+  /** Append one ingest batch to the stored MEMORIZATION index — the
+    * incremental form of [[memorizationRisk]], same two-partial layout
+    * discipline as [[appendToCardIndex]]: per-batch
+    * `grams/batch=<id>` (gram, occurrence count, min doc) and
+    * `stats/batch=<id>` (doc, gram positions) parquet dirs, each an
+    * idempotent overwrite so a crashed append replays cleanly.
+    * Batches must partition the corpus by document (the append
+    * contract of every stored index here); gram counts then sum
+    * across batches to exactly the union corpus's counts.
+    *
+    * Gram STRINGS are stored, not hashes — a collision would merge two
+    * singletons into a phantom duplicate and silently clear both docs'
+    * risk ([[memorizationRisk]]'s stance). Index size ∝ distinct
+    * grams, the same price [[writeSubstringOwnerIndex]] pays. */
+  def appendToMemorizationIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long, n: Int = 4,
+      coalesceTo: Int = 1): Unit = {
+    require(n >= 2, "n must be at least 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFns.letterTokens(col(textCol)).as("__toks"))
+    def w(df: DataFrame, sub: String): Unit =
+      (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
+        .write.mode("overwrite").parquet(s"$path/$sub/batch=$batchId")
+    w(toks.select(col("doc_id"),
+        explode(TextFns.wordNGrams(col("__toks"), n)).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("own")), "grams")
+    w(toks.select(col("doc_id"),
+      greatest(size(col("__toks")) - lit(n - 1), lit(0)).cast("long")
+        .as("n_grams")), "stats")
+  }
+
+  /** Per-doc memorization risk from the stored index — bit-identical
+    * to [[memorizationRisk]] over the concatenated batches
+    * (spec-pinned) with NO document text read: gram counts sum across
+    * batch partials at read time, so the audit is RETROACTIVE — a doc
+    * whose singleton gram is repeated by a LATER batch stops being a
+    * memorization risk the moment that batch lands, exactly like
+    * [[cardFromIndex]]'s corpus-wide dup rule. The summed-counts
+    * aggregate is the only corpus-proportional work; singletons have
+    * global cnt = 1, so their batch-local MIN(doc) is the owner. */
+  def memorizationFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val uniq = spark.read.parquet(s"$path/grams")
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("__c"), min(col("own")).as("__only"))
+      .where(col("__c") === 1L)
+      .groupBy(col("__only").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    spark.read.parquet(s"$path/stats")
+      .groupBy(col("doc_id")).agg(sum(col("n_grams")).as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
+      .withColumn("risk_ppm",
+        when(col("n_grams") === 0L, lit(0L))
+          .otherwise(expr("(n_unique * 1000000) DIV n_grams")))
+  }
+
+  private val memIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around a memorization-index build — the
+    * [[ensureCardIndex]] lifecycle: complete iff every expected batch
+    * dir of both partials carries `_SUCCESS`; torn builds re-run
+    * `build`, whose per-batch overwrites are idempotent. */
+  def ensureMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+    memIndexes.computeIfAbsent(path, { _ =>
+      val done = Seq("grams", "stats").forall(sub =>
+        batchIds.forall(id =>
+          graft.io.IndexPaths.complete(spark, s"$path/$sub/batch=$id")))
+      if (!done) build
+      java.lang.Boolean.TRUE
+    })
+
   /** Hard per-source document cap (the RefinedWeb-style domain cap:
     * no single domain may contribute more than `cap` docs, however
     * large it is) — the OTHER half of source curation next to

@@ -35,6 +35,29 @@ object TextQueries {
        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB replay of [[TextAnalysis.memorizationRisk]] (n=4,
+    * occurrence-level singleton grams) — shared by q_memorization_risk
+    * and q_memorization_incremental, whose read-time equivalence to
+    * the batch operator over the union corpus IS the incremental
+    * contract. */
+  private val sqlMemorization: String =
+    s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+       |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
+       |f AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS c FROM g GROUP BY g),
+       |u AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique
+       |      FROM f WHERE c = 1 GROUP BY 1),
+       |tot AS (SELECT doc_id,
+       |      CAST(GREATEST(len(ws) - 3, 0) AS BIGINT) AS n_grams
+       |      FROM toks)
+       |SELECT t.doc_id, t.n_grams,
+       |  CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+       |  CAST(CASE WHEN t.n_grams = 0 THEN 0
+       |       ELSE (COALESCE(u.n_unique, 0) * 1000000) // t.n_grams
+       |       END AS BIGINT) AS risk_ppm
+       |FROM tot t LEFT JOIN u USING (doc_id)""".stripMargin
+
   /** Build-once two-snapshot corpus release history under a
     * content-addressed [[graft.io.Versioned]] root, for q_corpus_diff:
     * v0 = documents as-is; v1 = the deterministic "next release" —
@@ -942,6 +965,22 @@ object TextQueries {
     "q_memorization_risk" -> { (s, dir) =>
       TextAnalysis.memorizationRisk(t(s, dir, "documents"), "doc_id",
         "text")
+    },
+
+    // The stored/incremental form: per-batch gram-count partials
+    // summed at read time, so the audit is RETROACTIVE (a later batch
+    // repeating a singleton clears the earlier doc's risk) and the
+    // timed query never reads document text (plan-pinned). Same
+    // output, same oracle, as the batch operator over the union.
+    "q_memorization_incremental" -> { (s, dir) =>
+      val path = graft.io.IndexPaths.indexPath("memidx",
+        s"$dir/documents.parquet", "n4b3")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ensureMemorizationIndex(s, path, Seq(0L, 1L, 2L)) {
+        (0L to 2L).foreach(b => TextAnalysis.appendToMemorizationIndex(
+          docs.where(col("doc_id") % 3 === b), "doc_id", "text", path, b))
+      }
+      TextAnalysis.memorizationFromIndex(s, path)
     },
 
     // RefinedWeb-style hard domain cap: at most 10 docs per source,
@@ -2498,23 +2537,12 @@ object TextQueries {
          |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
          |FROM g JOIN f USING (g) GROUP BY g.doc_id""".stripMargin,
 
-    "q_memorization_risk" ->
-      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
-         |g AS (SELECT doc_id,
-         |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
-         |      FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)),
-         |f AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS c FROM g GROUP BY g),
-         |u AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique
-         |      FROM f WHERE c = 1 GROUP BY 1),
-         |tot AS (SELECT doc_id,
-         |      CAST(GREATEST(len(ws) - 3, 0) AS BIGINT) AS n_grams
-         |      FROM toks)
-         |SELECT t.doc_id, t.n_grams,
-         |  CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
-         |  CAST(CASE WHEN t.n_grams = 0 THEN 0
-         |       ELSE (COALESCE(u.n_unique, 0) * 1000000) // t.n_grams
-         |       END AS BIGINT) AS risk_ppm
-         |FROM tot t LEFT JOIN u USING (doc_id)""".stripMargin,
+    "q_memorization_risk" -> sqlMemorization,
+
+    // read-time equivalence IS the incremental contract (cf.
+    // q_card_incremental/sqlCard): the stored-partials read must land
+    // on exactly the batch operator's answer over the union corpus
+    "q_memorization_incremental" -> sqlMemorization,
 
     "q_domain_cap" ->
       """SELECT doc_id, source, pick_rank FROM (

@@ -307,6 +307,40 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, 0L)))
   }
 
+  test("memorization index: fromIndex == batch operator over the " +
+      "union; a later batch repeating a singleton RETROACTIVELY " +
+      "clears the earlier doc's risk; re-append is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("memidx").toString
+    val b0 = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
+    // batch 1 repeats doc 1's "a b c" — doc 1's risk must DROP at read
+    val b1 = Seq((10L, "a b c z z")).toDF("doc_id", "text")
+    TextAnalysis.appendToMemorizationIndex(b0, "doc_id", "text", dir, 0L, n = 3)
+    val after0 = TextAnalysis.memorizationFromIndex(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(after0(1L) == 1000000L && after0(2L) == 1000000L)
+    TextAnalysis.appendToMemorizationIndex(b1, "doc_id", "text", dir, 1L, n = 3)
+    val after1 = TextAnalysis.memorizationFromIndex(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // retroactive: "a b c" now occurs twice corpus-wide
+    assert(after1(1L) == ((3L, 2L, 666666L)))
+    assert(after1(2L) == ((3L, 3L, 1000000L)))
+    // doc 10: "a b c" dup; "b c z" unique; "c z z" unique
+    assert(after1(10L) == ((3L, 2L, 666666L)))
+    // equivalence with the batch operator over the union
+    val batch = TextAnalysis.memorizationRisk(b0.unionByName(b1),
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(batch === after1)
+    // crashed-append replay: overwriting batch 1 changes nothing
+    TextAnalysis.appendToMemorizationIndex(b1, "doc_id", "text", dir, 1L, n = 3)
+    val again = TextAnalysis.memorizationFromIndex(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === after1)
+  }
+
   test("packBalanced: round-robin-decreasing deal; bins per shard = " +
       "ceil(tokens/budget); every doc lands exactly once") {
     // one shard (ids 0..99): sizes 10,8,6,4,2 tokens -> 30 tokens,

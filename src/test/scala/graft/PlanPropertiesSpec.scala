@@ -427,6 +427,49 @@ class PlanPropertiesSpec extends SparkSpec {
       "the hash-threshold filter must appear in the plan")
   }
 
+  test("q_sample_stratified: per-stratum picks are a bounded heap, " +
+      "map-side partial — never a rank window") {
+    val p = plan(SparkEntry.queries("q_sample_stratified")(spark, sf))
+    assert(p.contains("partial_topkbylongscore"),
+      s"stratified sampling must rank through the long heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"a window partitioned by stratum would sort whole strata on " +
+        s"single reducers:\n$p")
+  }
+
+  test("q_sql_stratified: the SQL text plans the same bounded heap, no window") {
+    val p = plan(SparkEntry.queries("q_sql_stratified")(spark, sf))
+    assert(p.contains("partial_topkbylongscore"),
+      s"the registered aggregate must appear map-side partial:\n$p")
+    assert(!p.contains("Window"), s"no rank window in the SQL text:\n$p")
+  }
+
+  test("q_memorization_risk: gram counts aggregate map-side; no window, no text re-shuffle") {
+    val p = plan(SparkEntry.queries("q_memorization_risk")(spark, sf))
+    assert(!p.contains("Window"), s"no rank window:\n$p")
+    // the count+MIN ownership pass must partially aggregate before the
+    // gram exchange (a million-copy boilerplate gram is one reducer's
+    // merged count, not a million shuffled rows)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"gram ownership must combine map-side:\n$p")
+  }
+
+  test("q_memorization_incremental: the read never touches document text") {
+    val p = plan(SparkEntry.queries("q_memorization_incremental")(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      s"the stored-partials read must not rescan the corpus:\n$p")
+    assert(!p.contains("Window"), s"no rank window:\n$p")
+  }
+
+  test("q_topic_mix: assignments are an index read; cuts broadcast back onto the counts") {
+    val p = plan(SparkEntry.queries("q_topic_mix")(spark, sf))
+    assert(!p.contains("embeddings.parquet"),
+      s"topic mix must read the stored kmeans assignments, never re-cluster:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the per-cluster cut table is tiny and must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no rank window:\n$p")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
