@@ -1724,6 +1724,58 @@ object TextQueries {
         .select("doc_id", "source", "n_tok", "shard", "pos")
     },
 
+    // End-to-end corpus assembly v5 — v4's selection stack with the
+    // round-11 governance stages spliced in, order load-bearing:
+    // Gopher hard rules -> LEXICAL DECONTAMINATION of the train slice
+    // against the held-out eval slice (the eval set is external, so it
+    // is NOT gopher-filtered; any train doc sharing a 5-gram with eval
+    // is dropped BEFORE calibration so leaked boilerplate can't skew
+    // the quality histograms) -> per-source calibration over the clean
+    // survivors -> soft dedup within the calibrated set ->
+    // FERTILITY-ADJUSTED language budget (cost in tokenizer tokens,
+    // not words — the q_fertility_mix config literals) -> easy-first
+    // curriculum layout (epoch 0 of 2). The whole six-stage chain
+    // replays as ONE SQL oracle.
+    "q_corpus_pipeline_v5" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val gDocs = graft.operators.Caches.persist(docs.join(
+        TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 25)
+          .where(col("verdict")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val train = gDocs.where(col("doc_id") % 20 =!= 0)
+      val evalD = docs.where(col("doc_id") % 20 === 0)
+      val clean = graft.operators.Caches.persist(train.join(
+        TextAnalysis.decontaminate(train, evalD, "doc_id", "text", n = 5)
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti"))
+      val cal = graft.operators.Caches.persist(clean.join(
+        TextAnalysis.calibratedQualityKeep(clean, "doc_id", "text",
+            "source", keepQ = 39321L)
+          .where(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val pairs = Dedup.minhashDedupPairs(cal, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      // lineage truncation at the cluster boundary (v3/v4 precedent)
+      val softDocs = graft.operators.Caches.checkpoint(cal.join(
+        Dedup.softDedupKeep(cal, pairs.select(col("doc_a"), col("doc_b")),
+            "doc_id")
+          .where(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val fin = TextAnalysis.fertilityAdjustedMix(softDocs, "doc_id",
+          "text", col("lang"), budgetBpeTokens = 3000L,
+          fertCpw = Map("de" -> 201L, "en" -> 200L, "es" -> 200L,
+            "fr" -> 201L, "zh" -> 200L))
+        .where(col("kept"))
+        .select(col("doc_id"), col("lang"), col("n_ws"), col("n_tok"))
+      fin.join(
+        TextAnalysis.curriculumShards(
+          softDocs.join(fin.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "doc_id", "text", nShards = 8, epoch = 0, epochs = 2)
+          .select(col("doc_id"), col("shard"), col("pos")),
+        Seq("doc_id"))
+        .select("doc_id", "lang", "n_ws", "n_tok", "shard", "pos")
+    },
+
     // RAG chunking: 64-token windows every 48 tokens (16 overlap);
     // chunk content committed via md5 so the compare is exact without
     // shipping chunk text.
@@ -3351,6 +3403,128 @@ object TextQueries {
          |    LEAST(65535, n_tok) AS k
          |  FROM fin)
          |SELECT doc_id, source, n_tok, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM lay""".stripMargin,
+
+    "q_corpus_pipeline_v5" ->
+      s"""WITH RECURSIVE gd AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS gws,
+         |    list_filter(string_split(text, chr(10)), x -> x <> '') AS gls
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(gws) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform(gws, x -> length(x))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(len(list_filter(gws, x -> regexp_matches(x, '\\p{L}')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(gls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '^\\s*[-*•]')))
+         |      AS BIGINT) AS n_bul,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '\\.\\.\\.$$')))
+         |      AS BIGINT) AS n_ell
+         |  FROM gd),
+         |gok AS (SELECT doc_id FROM (SELECT *, CASE WHEN n_words > 0
+         |      THEN (chars * 100) // n_words ELSE 0 END AS mwl FROM gm)
+         |  WHERE n_words >= 25 AND n_words <= 100000
+         |    AND mwl >= 300 AND mwl <= 1000
+         |    AND n_alpha * 5 >= n_words * 4
+         |    AND n_bul * 10 <= n_lines AND n_ell * 10 <= n_lines * 3),
+         |tr0 AS (SELECT doc_id FROM gok WHERE doc_id % 20 <> 0),
+         |evt AS (SELECT $SQL_TOKS AS ws FROM documents WHERE doc_id % 20 = 0),
+         |evg AS (SELECT DISTINCT
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |  FROM evt, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |trt AS (SELECT d.doc_id, $SQL_TOKS AS ws
+         |  FROM documents d JOIN tr0 USING (doc_id)),
+         |trg AS (SELECT DISTINCT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+         |  FROM trt, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |flag AS (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)),
+         |clean AS (SELECT tr0.doc_id FROM tr0
+         |  LEFT JOIN flag ON tr0.doc_id = flag.doc_id
+         |  WHERE flag.doc_id IS NULL),
+         |csc AS (SELECT d.doc_id, d.source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n,
+         |    CAST(COALESCE(list_sum(list_transform($SQL_TOKS,
+         |      x -> CAST('0x' || substr(md5(x), 1, 4) AS BIGINT))), 0)
+         |      AS BIGINT) AS s
+         |  FROM documents d JOIN clean USING (doc_id)),
+         |csq AS (SELECT doc_id, source, s // n AS avg_q FROM csc WHERE n > 0),
+         |chist AS (SELECT source, avg_q, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM csq GROUP BY 1, 2),
+         |ccum AS (SELECT source, avg_q, c,
+         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source
+         |      ORDER BY avg_q DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS above,
+         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |  FROM chist),
+         |ct2 AS (SELECT source, avg_q, c, above,
+         |    (tot * 39321) // 65536 AS target FROM ccum),
+         |cal AS (SELECT csq.doc_id, csq.source
+         |  FROM csq JOIN ct2 USING (source, avg_q)
+         |  WHERE above + c <= target
+         |     OR (above < target AND
+         |         CAST('0x' || substr(md5(CAST(csq.doc_id AS VARCHAR)), 1, 4)
+         |           AS BIGINT) < ((target - above) * 65536) // c)),
+         |ctoks AS (SELECT d.doc_id, $SQL_TOKS AS ws
+         |  FROM documents d JOIN cal USING (doc_id)),
+         |jgr AS (SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM ctoks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |jsz AS (SELECT doc_id, COUNT(*) AS sz FROM jgr GROUP BY doc_id),
+         |jin AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+         |  FROM jgr a JOIN jgr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT da, db FROM jin
+         |  JOIN jsz sa ON sa.doc_id = da JOIN jsz sb ON sb.doc_id = db
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s2, db AS d2 FROM pr
+         |  UNION SELECT db, da FROM pr),
+         |reach(s2, d2) AS (SELECT s2, d2 FROM edges
+         |  UNION SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2),
+         |cl AS (SELECT s2 AS doc_id, LEAST(s2, MIN(d2)) AS cluster
+         |  FROM reach GROUP BY s2),
+         |ac AS (SELECT cal.doc_id,
+         |    COALESCE(cl.cluster, cal.doc_id) AS cluster
+         |  FROM cal LEFT JOIN cl USING (doc_id)),
+         |sz2 AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cl_size
+         |  FROM ac GROUP BY cluster),
+         |soft AS (SELECT ac.doc_id
+         |  FROM ac JOIN sz2 USING (cluster)
+         |  WHERE CAST('0x' || substr(md5(CAST(ac.doc_id AS VARCHAR)), 1, 4)
+         |      AS BIGINT) < LEAST(65536, 65536 // cl_size)),
+         |stoks AS (SELECT d.doc_id, d.lang,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_ws,
+         |    (CAST(len($SQL_TOKS) AS BIGINT) *
+         |      CASE d.lang WHEN 'de' THEN 201 WHEN 'en' THEN 200
+         |        WHEN 'es' THEN 200 WHEN 'fr' THEN 201 WHEN 'zh' THEN 200
+         |        ELSE 100 END) // 100 AS n_tok
+         |  FROM documents d JOIN soft sf ON d.doc_id = sf.doc_id),
+         |st AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM stoks GROUP BY lang),
+         |w AS (SELECT lang, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |cu AS (SELECT lang, n_tokens, w_q,
+         |    CAST((3000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |cu2 AS (SELECT lang, CASE WHEN n_tokens = 0 THEN 65536
+         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens) END AS cut_q
+         |  FROM cu),
+         |fin AS (SELECT stoks.doc_id, stoks.lang, stoks.n_ws,
+         |    CAST(stoks.n_tok AS BIGINT) AS n_tok
+         |  FROM stoks JOIN cu2 USING (lang)
+         |  WHERE CAST(('0x' || substr(md5(CAST(stoks.doc_id AS VARCHAR)), 1, 4))
+         |          AS BIGINT) < cut_q),
+         |lay AS (SELECT doc_id, lang, n_ws, n_tok,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) % 8 AS shard,
+         |    LEAST(65535, n_ws) AS k
+         |  FROM fin)
+         |SELECT doc_id, lang, n_ws, n_tok, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
          |    AS BIGINT) AS pos
          |FROM lay""".stripMargin,
