@@ -987,6 +987,42 @@ object TextAnalysis {
           .otherwise(expr("(n_unique * 1000000) DIV n_grams")))
   }
 
+  /** Crash-safe compaction for the memorization index
+    * ([[compactCardIndex]]'s shape): fold all but the newest
+    * `keepLast` batch dirs of each partial into `batch=-1` with the
+    * SAME aggregate the read applies (sum counts + min owner — both
+    * associative, so compaction commutes with
+    * [[memorizationFromIndex]]; spec-pinned). The newest batch stays
+    * out so a replayed ingest batch still overwrites its own dir. */
+  def compactMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit = {
+    require(targetFiles >= 1 && keepLast >= 0)
+    def fold(sub: String)(agg: DataFrame => DataFrame): Unit = {
+      val root = s"$path/$sub"
+      val dest = s"$root/batch=-1"
+      graft.io.Compaction.recover(spark, dest)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rootPath)) return
+      val ids = fs.listStatus(rootPath).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLong }
+        .sorted
+      val foldIds = ids.dropRight(keepLast)
+      if (foldIds.isEmpty || foldIds == Seq(-1L)) return
+      val srcs = foldIds.map(id => s"$root/batch=$id")
+      graft.io.Compaction.swapIn(spark, dest, srcs) { tmp =>
+        agg(spark.read.parquet(srcs: _*))
+          .coalesce(targetFiles).write.parquet(tmp)
+      }
+    }
+    fold("grams")(_.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("own")).as("own")))
+    fold("stats")(_.groupBy(col("doc_id"))
+      .agg(sum(col("n_grams")).as("n_grams")))
+  }
+
   private val memIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 

@@ -797,6 +797,36 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming MEMORIZATION-index maintenance — [[ingestCardStream]]'s
+    * shape for the singleton-gram audit: each batch folds its gram
+    * partials in ([[graft.operators.TextAnalysis
+    * .appendToMemorizationIndex]]; per-batch-overwrite replay
+    * idempotency), torn compaction swaps heal before the fold, and on
+    * the `compactEvery` cadence the batch dirs collapse through the
+    * same associative aggregate the read applies. No drift alarm by
+    * design: like the int8 ANN append, the fold is EXACT — the index
+    * IS the corpus's gram counts, there is no model to go stale. */
+  def ingestMemorizationStream(docs: DataFrame, memPath: String,
+      checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 4, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        for (sub <- Seq("grams", "stats"))
+          graft.io.Compaction.recover(spark, s"$memPath/$sub/batch=-1")
+        if (!batch.isEmpty)
+          graft.operators.TextAnalysis.appendToMemorizationIndex(batch,
+            idCol, textCol, memPath, id, n)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.TextAnalysis.compactMemorizationIndex(spark,
+            memPath)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming kmeans-index maintenance — [[ingestPqStream]]'s shape
     * for the clustering index: batches land exactly-once in
     * `corpusRoot/batch=<id>`, classify against the stored centroids

@@ -529,6 +529,46 @@ class StreamingSpec extends SparkSpec {
     assert(thr(s"$tmp/calhist") === thr(oneShot))
   }
 
+  test("ingestMemorizationStream: risk is retroactive across batches; " +
+      "in-loop compaction commutes with the read; equals the batch audit") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mem-spec-")
+      .toString
+    val b0 = Seq((1L, "a b c d e"), (2L, "p q r s t"))
+    val b1 = Seq((10L, "a b c z z"))       // repeats doc 1's "a b c"
+    val b2 = Seq((20L, "fresh words only here now"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.ingestMemorizationStream(
+      ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/mem", s"$tmp/ckpt", n = 3, compactEvery = 2)
+    ms.addData(b0: _*); sq.processAllAvailable()
+    ms.addData(b1: _*); sq.processAllAvailable()
+    ms.addData(b2: _*); sq.processAllAvailable()
+    sq.stop()
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_grams", "n_unique", "risk_ppm")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val want = audit(TextAnalysis.memorizationRisk(
+      (b0 ++ b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", n = 3))
+    val got = audit(TextAnalysis.memorizationFromIndex(spark, s"$tmp/mem"))
+    assert(got === want)
+    // retroactivity visible: doc 1's "a b c" stopped being unique when
+    // batch 1 landed
+    assert(got.find(_._1 == 1L).get._4 === 666666L)
+    // compactEvery=2 fired after batch 1: grams holds the compacted
+    // dir plus at most the batches after the fold point
+    val gramDirs = new java.io.File(s"$tmp/mem/grams").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(gramDirs.contains("batch=-1") && gramDirs.length <= 3,
+      s"grams dirs: $gramDirs")
+    // a second explicit compaction (all batches) still reads the same
+    TextAnalysis.compactMemorizationIndex(spark, s"$tmp/mem",
+      keepLast = 0)
+    assert(audit(TextAnalysis.memorizationFromIndex(spark, s"$tmp/mem"))
+      === want)
+  }
+
   test("ingestContainmentStream: quotation dups caught across batches; replay folds nothing twice") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-cont-spec-")
