@@ -45,7 +45,12 @@ object DumpPlans {
     "q_drop_attribution" -> "per-doc first-failure stage attribution over the v3 doc-dropping stages: scan-speed rule pass, bounded-heap cap (no window anywhere), cap-bounded scrub+mix tail, three doc_id hash joins back to the input",
     "q_card_incremental" -> "the dataset card assembled from the STORED additive partials: no documents scan in the plan — sources×batches stats/lang reads plus one hash-count aggregate for the corpus-wide dup rule",
     "q_quality_calibrated" -> "per-source quantile calibration: one scoring scan (persisted, two consumers), cumulative window over the BOUNDED (source, avg_q) histogram — never the corpus — and a broadcast decision join back",
-    "q_corpus_pipeline_v4" -> "the round-10 selection stack composed: gopher scan, histogram calibration, soft dedup over the calibrated set (bounded-heap LSH guard), sqrt-temperature budget, curriculum shard layout — budget/layout tail plans against the checkpoint leaf")
+    "q_corpus_pipeline_v4" -> "the round-10 selection stack composed: gopher scan, histogram calibration, soft dedup over the calibrated set (bounded-heap LSH guard), sqrt-temperature budget, curriculum shard layout — budget/layout tail plans against the checkpoint leaf",
+    "q_sample_stratified" -> "per-stratum exact-n sampling as ONE bounded heap aggregate (negated 48-bit md5 prefix as the long score): map-side partial heaps ship <= n rows per stratum per map task — no rank window, no per-stratum scan, no retry loop",
+    "q_memorization_risk" -> "singleton-gram memorization audit: gram occurrence count + MIN(doc) ownership in one map-side-combined pass (for cnt=1 the MIN is the owner — no join back to positions), owner rollup shuffles one long per singleton, doc-table-sized final join",
+    "q_memorization_incremental" -> "the same audit off the STORED per-batch gram partials: no documents scan in the plan — counts sum across batches at read (retroactive risk), stats rollup is doc-table-sized",
+    "q_topic_mix" -> "semantic-axis temperature mix: cluster assignments are a stored-index read (no embeddings scan, no re-cluster), per-cluster sqrt cuts broadcast back onto the token counts — the corpus never shuffles",
+    "q_corpus_pipeline_v5" -> "the v5 release chain: gopher scan, eval-gram broadcast decontamination BEFORE calibration, histogram calibration, soft dedup, fertility-denominated language budget (integer cost, broadcast cuts), curriculum layout against the checkpoint leaf")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the

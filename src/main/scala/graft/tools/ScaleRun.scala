@@ -29,9 +29,21 @@ object ScaleRun {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
 
+    // action "count" (default; matches Bench) vs "consume": count()
+    // lets Catalyst prune subtrees that don't change row counts (e.g.
+    // a left join onto an aggregate — exactly memorizationRisk's
+    // shape), so annotation-style operators need the consuming action
+    // (hash-sum over every output column) for an honest cost.
+    val consume = args.length > 3 && args(3) == "consume"
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (consume)
+        df.select(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.xxhash64(
+            df.columns.map(org.apache.spark.sql.functions.col)
+              .toIndexedSeq: _*))).collect()
+      else df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       graft.operators.Caches.release()
