@@ -1506,4 +1506,65 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .where(col("hamming") <= maxDist)
   }
+
+  // ── Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, MOSS) ──
+
+  /** Winnowing document fingerprints: hash every word `k`-gram
+    * (md5-derived hash48 — portable, SQL-replayable), slide a window
+    * of `w` consecutive gram hashes over each document, keep each
+    * window's MINIMUM hash, dedupe per doc. The paper's guarantee:
+    * any contiguous run of `w + k - 1` shared words between two docs
+    * contributes at least one SHARED fingerprint, while expected
+    * fingerprint density is only 2/(w+1) of the grams — positional
+    * copy detection (quotation/plagiarism/mirrored passages) at a
+    * fraction of the full gram set, the property neither MinHash
+    * (whole-doc set resemblance) nor [[containmentPairs]] (set
+    * containment) provides.
+    *
+    * Scale shape: the window min is PER-DOCUMENT (partition key
+    * doc_id, frame `w` rows) — the document is the unit, like the
+    * per-shard sorts of the shard writer; nothing corpus-wide sorts.
+    * Docs with fewer than `w + k - 1` words have no full window and
+    * yield no fingerprints (they are below the detectable-overlap
+    * floor by definition).
+    *
+    * Returns distinct (doc_id, fp) rows. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1)
+    val h = conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFns.wordNGrams(TextFns.letterTokens(col(textCol)), k))
+          .as(Seq("i", "g")))
+      .select(col("doc_id"), col("i"), h.as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.select(col("doc_id"), min(col("h")).over(frame).as("fp"),
+        count(lit(1)).over(frame).as("__full"))
+      .where(col("__full") === w)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Copy-suspect pairs from winnowing fingerprints: equi-join docs on
+    * shared fingerprints, keep pairs sharing at least `minShared`.
+    * The `maxDf` guard drops fingerprints present in more than that
+    * many docs before the join — corpus-frequent fingerprints are
+    * boilerplate by definition and would otherwise quadratically blow
+    * the hot buckets (the standing LSH-bucket stance). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2, maxDf: Int = 50)
+      : DataFrame = {
+    require(minShared >= 1 && maxDf >= 2)
+    val fps = Caches.persist(winnowFingerprints(docs, idCol, textCol, k, w))
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(col("fp"))
+    val kept = fps.join(hot, Seq("fp"), "left_anti")
+    kept.toDF("fp", "doc_a")
+      .join(kept.toDF("fp", "doc_b"), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

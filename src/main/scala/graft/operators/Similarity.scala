@@ -2193,4 +2193,54 @@ object Similarity {
       spark.read.parquet(indexPath).where(col("__cid").isin(allCids: _*)),
       probes, Seq("__cid"), cbs, k, shortlistFactor)
   }
+
+  // ── Binary (sign-bit) embedding quantization + Hamming ANN ──
+
+  /** Sign-bit packing of a float embedding: bit `i` of 32-bit half
+    * `h` is set iff `vec[32h + i] > 0` — 64 dims pack into TWO
+    * longs holding 32 bits each (a sum of powers below 2^32 stays
+    * positive and exact in both engines; one 64-bit word would
+    * overflow into the sign bit at dim 63). The coarsest of the
+    * quantization ladder (float → int8 → PQ → sign): 32× smaller
+    * than float32, distance = XOR + popcount — two or three codegen'd
+    * ALU ops per candidate, no multiply — which is why binary
+    * prefilters front large-scale vector search. Sign comparison is
+    * exact in IEEE floats, so the packing (and everything downstream)
+    * replays bit-for-bit in SQL. Dims beyond 64 would generalize to
+    * an array of halves; the engine's embedding width is 64. */
+  def signPack(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def half(off: Int): Column =
+      (0 until 32).map(i =>
+        when(element_at(col(vecCol), off + i + 1) > lit(0f), lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+    emb.select(col(idCol).as("vec_id"),
+      half(0).as("b0"), half(32).as("b1"))
+  }
+
+  /** Batched exact top-k under Hamming distance over the sign-packed
+    * corpus: the probe rows broadcast (bits only — a handful of
+    * longs), distances are XOR+popcount in whole-stage codegen, and
+    * the per-probe top-k is the bounded TopKByLongScore heap on
+    * NEGATED distance (score DESC ≡ hamming ASC, id tie-break) —
+    * one corpus scan for the whole probe set, never a rank window.
+    * Returns (query_id, rk, vec_id, hamming). */
+  def hammingTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    require(probeIds.nonEmpty && k >= 1)
+    val packed = signPack(emb, idCol, vecCol)
+    val probes = packed.where(col("vec_id").isin(probeIds: _*))
+      .toDF("query_id", "q0", "q1")
+    val ham = (bit_count(col("b0").bitwiseXOR(col("q0"))) +
+      bit_count(col("b1").bitwiseXOR(col("q1")))).cast("long")
+    val agg = shim.column(graft.functions.expr.TopKByLongScore(
+        shim.expression(-col("hamming")), shim.expression(col("vec_id")), k)
+      .toAggregateExpression())
+    packed.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), ham.as("hamming"))
+      .groupBy(col("query_id")).agg(agg.as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rk"),
+        col("__e.id").as("vec_id"), (-col("__e.score")).as("hamming"))
+  }
 }

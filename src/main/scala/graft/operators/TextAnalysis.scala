@@ -1076,6 +1076,62 @@ object TextAnalysis {
         (col("__p") + 1).cast("long").as("pick_rank"))
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score every document by how much its
+    * hashed-bigram profile over-indexes in a TARGET slice of the
+    * corpus relative to the corpus as a whole, keep the top `n` — the
+    * "find me more data that looks like my reference set" selector.
+    *
+    * Deliberate deviation from the paper (the integer-BM25 stance):
+    * DSIR sums LOG bucket ratios (a log-likelihood ratio under hashed
+    * unigram bag models), but logs differ across engines in the last
+    * ulp, so this uses fixed-point LINEAR ratio pooling — bucket
+    * weight `wt_ppm(b) = ((tgt_cnt+1) * 1e6) DIV (raw_cnt+1)`
+    * (Laplace-smoothed) and a doc's score is the sum of its gram
+    * occurrences' bucket weights. Monotone in every bucket ratio,
+    * all-integer → exact cross-engine replay. The paper's normalizing
+    * totals form ONE global constant ((R+B)/(T+B)) multiplying every
+    * bucket ratio, so under linear pooling they scale every doc's
+    * score equally — dropping them leaves the top-n selection
+    * identical (only the fixed-point rounding is ours).
+    *
+    * Scale shape: the weight table is ≤ `buckets` rows (map-side
+    * combined, broadcast back); doc scores fold row-local after the
+    * broadcast join; the top-n is the bounded TopKByLongScore heap —
+    * never a rank window, nothing corpus-sized sorts. The gram scan
+    * runs twice (profile + scoring) — deliberate: caching exploded
+    * per-doc gram strings costs more than a second tokenize (the
+    * dataset-card measurement). Overflow bound: raw bucket counts must
+    * stay below ~9.2e12 (Long.MaxValue / 1e6); beyond that shard the
+    * profile or lower the fixed-point scale. Docs with fewer than 2
+    * tokens have no features and are never selected.
+    *
+    * Returns (rk, doc_id, score) — rk 1..n by (score DESC, id ASC). */
+  def importanceSelect(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096, n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    require(buckets >= 2 && n >= 1)
+    def grams = docs.select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        explode(graft.functions.TextFns.wordNGrams(
+          graft.functions.TextFns.letterTokens(col(textCol)), 2)).as("g"))
+      .withColumn("b", hash48(col("g")) % buckets)
+    val wt = grams.groupBy("b").agg(
+        count(lit(1)).as("raw_cnt"),
+        sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("tgt_cnt"))
+      .withColumn("wt_ppm",
+        expr("((tgt_cnt + 1L) * 1000000L) DIV (raw_cnt + 1L)"))
+    val scores = grams
+      .join(broadcast(wt.select(col("b"), col("wt_ppm"))), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("wt_ppm")).as("score"))
+    val agg = shim.column(graft.functions.expr.TopKByLongScore(
+        shim.expression(col("score")), shim.expression(col("doc_id")), n)
+      .toAggregateExpression())
+    scores.agg(agg.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select((col("__p") + 1).cast("long").as("rk"),
+        col("__e.id").as("doc_id"), col("__e.score").as("score"))
+  }
+
   /** Hashed-bucket feature id of a token — deterministic, portable,
     * the hashing-trick feature map shared by [[trainHashedPerceptron]]
     * and [[scoreHashedWeights]]: md5 first 3 hex digits (uniform in

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Sketches, TextAnalysis}
 import Q._
 
 /** Text-analysis + deduplication coverage over the `documents` table:
@@ -87,6 +87,15 @@ object TextQueries {
     }
     root
   }
+
+  /** The fixed CMS probe-term set shared by q_cms_counts' Spark side
+    * and its oracle (derived, never duplicated — the q_sql_hybrid
+    * probe-list lesson): a mix of corpus-heavy terms and one absent
+    * term (whose estimate is the sketch's noise floor: the MIN of the
+    * four counters it collides into — 0 whenever any of its buckets
+    * is untouched). */
+  private[graft] val cmsProbeSet: Seq[String] =
+    Seq("hash", "join", "scan", "window", "the", "zzznever")
 
   /** The fixed BM25 query set shared by q_bm25 / q_bm25_indexed and
     * replayed as VALUES in their oracle. `private[graft]` so
@@ -981,6 +990,72 @@ object TextQueries {
           docs.where(col("doc_id") % 3 === b), "doc_id", "text", path, b))
       }
       TextAnalysis.memorizationFromIndex(s, path)
+    },
+
+    // COUNT-MIN frequency sketch: probe-term estimates (always ≥ the
+    // exact count — counters only over-count on collisions) next to
+    // the exact counts and the over-estimate ppm. The cell table is
+    // ≤ depth×width longs regardless of corpus size — the
+    // bounded-memory alternative to shuffling the whole vocabulary —
+    // and the md5-salted hashing replays exactly in SQL.
+    "q_cms_counts" -> { (s, dir) =>
+      val occ = t(s, dir, "documents")
+        .select(explode(TextFns.letterTokens(col("text"))).as("term"))
+      val cells = Sketches.countMinCells(occ, col("term"),
+        depth = 4, width = 512)
+      val probes = s.createDataFrame(cmsProbeSet.map(Tuple1(_)))
+        .toDF("term")
+      val tru = occ.where(col("term").isin(cmsProbeSet: _*))
+        .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      Sketches.countMinEstimate(cells, probes, "term", depth = 4,
+          width = 512)
+        .join(tru, Seq("term"), "left")
+        .withColumn("true_cnt", coalesce(col("true_cnt"), lit(0L)))
+        .withColumn("over_ppm", expr(
+          "((est_cnt - true_cnt) * 1000000) DIV greatest(true_cnt, 1L)"))
+    },
+
+    // Heavy hitters from the STORED CMS index (vs q_cms_heavy's
+    // ad-hoc built-in-sketch path, whose sketch bytes are
+    // engine-internal): per-batch cell partials (cell-wise sum = the
+    // union sketch, exactly) + per-batch local top-24 candidates; the
+    // read unions the candidates, prices them against the summed
+    // sketch, and keeps the global top-10 — no corpus access,
+    // ≤ batches×(depth×width + 24) rows touched, and the md5 sketch
+    // replays IN the oracle (the built-in one cannot).
+    "q_cms_heavy_indexed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = graft.io.IndexPaths.indexPath("cmsidx",
+        s"$dir/documents.parquet", "d4w256m24")
+      Sketches.ensureCmsIndex(s, path, Seq(0L, 1L, 2L)) {
+        (0L to 2L).foreach { b =>
+          Sketches.appendToCmsIndex(
+            docs.where(col("doc_id") % 3 === b)
+              .select(explode(TextFns.letterTokens(col("text"))).as("term")),
+            col("term"), path, b, depth = 4, width = 256, candidates = 24)
+        }
+      }
+      Sketches.cmsHeavyFromIndex(s, path, depth = 4, width = 256, k = 10)
+    },
+
+    // DSIR-style importance selection (integer fixed-point variant):
+    // keep the 60 docs whose hashed-bigram profile most over-indexes
+    // in the English slice relative to the whole corpus — weight
+    // table ≤ 4096 rows broadcast back, scores fold row-local, top-n
+    // through the bounded heap (never a rank window).
+    "q_dsir_select" -> { (s, dir) =>
+      TextAnalysis.importanceSelect(t(s, dir, "documents"), "doc_id",
+        "text", targetPred = col("lang") === "en", buckets = 4096, n = 60)
+    },
+
+    // Winnowing (MOSS) copy-suspect pairs: per-doc window-min
+    // fingerprints over word 5-gram hashes (any shared 8-word run
+    // yields a shared fingerprint, density ~2/(w+1)), maxDf guard on
+    // boilerplate fingerprints, pairs sharing ≥ 2. Positional copy
+    // detection — the axis MinHash resemblance and containment miss.
+    "q_winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 50)
     },
 
     // RefinedWeb-style hard domain cap: at most 10 docs per source,
@@ -2595,6 +2670,104 @@ object TextQueries {
     // q_card_incremental/sqlCard): the stored-partials read must land
     // on exactly the batch operator's answer over the union corpus
     "q_memorization_incremental" -> sqlMemorization,
+
+    // Full CMS replay: salted hash48 buckets, cell counts, MIN-of-rows
+    // estimates for the shared probe set, exact counts alongside.
+    "q_cms_counts" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |occ AS (SELECT ws[i] AS term
+         |        FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+         |cells AS (SELECT r,
+         |    CAST('0x' || substr(md5(r || ':' || term), 1, 12) AS BIGINT)
+         |      % 512 AS b,
+         |    COUNT(*) AS cnt
+         |  FROM occ CROSS JOIN UNNEST(range(0, 4)) AS d(r) GROUP BY 1, 2),
+         |probes(term) AS (VALUES ${cmsProbeSet.map(w => s"('$w')").mkString(", ")}),
+         |est AS (SELECT p.term, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+         |  FROM probes p CROSS JOIN UNNEST(range(0, 4)) AS d(r)
+         |  LEFT JOIN cells c ON c.r = d.r
+         |    AND c.b = CAST('0x' || substr(md5(d.r || ':' || p.term), 1, 12)
+         |          AS BIGINT) % 512
+         |  GROUP BY 1),
+         |tru AS (SELECT term, COUNT(*) AS c FROM occ
+         |  WHERE term IN (${cmsProbeSet.map(w => s"'$w'").mkString(", ")})
+         |  GROUP BY 1)
+         |SELECT e.term, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+         |  CAST(COALESCE(t2.c, 0) AS BIGINT) AS true_cnt,
+         |  CAST(((e.est_cnt - COALESCE(t2.c, 0)) * 1000000)
+         |    // GREATEST(COALESCE(t2.c, 0), 1) AS BIGINT) AS over_ppm
+         |FROM est e LEFT JOIN tru t2 USING (term)""".stripMargin,
+
+    // Stored-index heavy hitters: summed batch cell partials equal the
+    // union sketch exactly (counts are additive and a term's buckets
+    // are fixed), so the oracle prices the per-batch top-24 candidate
+    // union against the GLOBAL cell table.
+    "q_cms_heavy_indexed" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |occ AS (SELECT doc_id % 3 AS b3, ws[i] AS term
+         |        FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+         |cells AS (SELECT r,
+         |    CAST('0x' || substr(md5(r || ':' || term), 1, 12) AS BIGINT)
+         |      % 256 AS b,
+         |    COUNT(*) AS cnt
+         |  FROM occ CROSS JOIN UNNEST(range(0, 4)) AS d(r) GROUP BY 1, 2),
+         |bc AS (SELECT b3, term, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT term FROM (
+         |    SELECT term, ROW_NUMBER() OVER (PARTITION BY b3
+         |      ORDER BY cnt DESC, term) AS rn FROM bc) WHERE rn <= 24),
+         |est AS (SELECT p.term, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+         |  FROM cand p CROSS JOIN UNNEST(range(0, 4)) AS d(r)
+         |  LEFT JOIN cells c ON c.r = d.r
+         |    AND c.b = CAST('0x' || substr(md5(d.r || ':' || p.term), 1, 12)
+         |          AS BIGINT) % 256
+         |  GROUP BY 1)
+         |SELECT term, CAST(est_cnt AS BIGINT) AS est_cnt
+         |FROM est ORDER BY est_cnt DESC, term LIMIT 10""".stripMargin,
+
+    // Full replay of the integer DSIR selector: hashed-bigram buckets,
+    // Laplace-smoothed fixed-point target/raw ratios, summed per doc,
+    // top-60 by (score DESC, id ASC).
+    "q_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $SQL_TOKS AS ws FROM documents),
+         |g AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+         |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+         |gb AS (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % 4096 AS b
+         |  FROM g),
+         |wt AS (SELECT b,
+         |    ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000)
+         |      // (COUNT(*) + 1) AS wt_ppm
+         |  FROM gb GROUP BY b),
+         |sc AS (SELECT doc_id, SUM(wt_ppm) AS score
+         |  FROM gb JOIN wt USING (b) GROUP BY 1)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rk,
+         |  doc_id, CAST(score AS BIGINT) AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 60""".stripMargin,
+
+    // Full winnowing replay: word 5-gram hash48, per-doc 4-row window
+    // minima (full windows only), distinct fingerprints, maxDf=50
+    // boilerplate guard, pair join with n_shared >= 2.
+    "q_winnow_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |g AS (SELECT doc_id, i,
+         |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+         |      ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 12)
+         |      AS BIGINT) AS h
+         |  FROM toks, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |wm AS (SELECT doc_id,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+         |  FROM g),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE c = 4),
+         |kept AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (
+         |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 50))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     "q_domain_cap" ->
       """SELECT doc_id, source, pick_rank FROM (

@@ -483,6 +483,19 @@ object VectorQueries {
         "embedding", probeIds = Seq(0L, 7L, 19L, 42L), k = K)
     },
 
+    // Binary (sign-bit) Hamming ANN — the coarsest rung of the
+    // quantization ladder (float → int8 → PQ → sign): 64 dims pack
+    // into two 32-bit halves (32× smaller than float32), distance is
+    // XOR+popcount in whole-stage codegen, per-probe top-10 through
+    // the bounded heap on negated distance. Sign comparison is exact
+    // in IEEE floats, so the whole query replays as a full SQL
+    // oracle — unlike every other ANN rung, which needs float
+    // internals pinned by property specs.
+    "q_ann_hamming" -> { (s, dir) =>
+      Similarity.hammingTopKBatch(t(s, dir, "embeddings"), "vec_id",
+        "embedding", probeIds = Seq(0L, 7L, 19L, 42L), k = 10)
+    },
+
     // The SAME recall eval over the PRODUCTION ANN path: batched IVF
     // probes through the materialized index (one partition-pruned scan
     // for the whole probe set) vs batched exact. Float k-means
@@ -820,6 +833,29 @@ object VectorQueries {
         |  (CAST(19 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
         |  (CAST(42 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE))
         |  t(probe_id, n_exact, n_ivfpq, recall_ok)""".stripMargin,
+
+    // Full replay of the binary rung: sign packing is exact IEEE
+    // comparison, distances are integer XOR+popcount, ranks integer.
+    "q_ann_hamming" ->
+      s"""WITH pk AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i
+         |           ELSE 0::BIGINT END)) AS BIGINT) AS b0,
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i
+         |           ELSE 0::BIGINT END)) AS BIGINT) AS b1
+         |  FROM embeddings),
+         |qp AS (SELECT vec_id AS query_id, b0 AS q0, b1 AS q1
+         |  FROM pk WHERE vec_id IN (0, 7, 19, 42)),
+         |d AS (SELECT qp.query_id, pk.vec_id,
+         |    bit_count(xor(pk.b0, qp.q0)) + bit_count(xor(pk.b1, qp.q1))
+         |      AS hamming
+         |  FROM pk CROSS JOIN qp WHERE pk.vec_id <> qp.query_id)
+         |SELECT query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, vec_id) AS BIGINT) AS rk,
+         |  vec_id, CAST(hamming AS BIGINT) AS hamming
+         |FROM d QUALIFY rk <= 10""".stripMargin,
 
     "q_ann_recall" ->
       s"""WITH ${sqlPlanes(8)},

@@ -682,4 +682,43 @@ class DedupSpec extends SparkSpec {
       .select("weight_q").distinct().as[Long].collect().toSeq
     assert(twice === Seq(2048L))
   }
+
+  test("winnowing: a shared (w+k-1)-word run guarantees a shared fingerprint; short docs yield none; hot fingerprints are guarded off") {
+    // k=3, w=3: guarantee window = 5 words; full windows need >= 5 words
+    val run = "p q r s t"
+    val base = Seq(
+      (1L, s"xa xb xc $run ya yb"),
+      (2L, s"za zb $run zc zd ze"),
+      (3L, "only four words here"))
+    val docs1 = base.toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs1, "doc_id", "text", k = 3, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the paper guarantee: docs 1 and 2 share the 5-word run -> >= 1
+    // shared fingerprint
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "shared run must yield a shared fingerprint")
+    // a doc below w+k-1 words has no full window
+    assert(!fps.exists(_._1 == 3L))
+    // density: far fewer fingerprints than grams (expected ~2/(w+1))
+    val nGrams1 = 8 + 8 // each 10-word doc has 8 trigrams
+    assert(f1.size + f2.size < nGrams1)
+    val pairs = Dedup.winnowPairs(docs1, "doc_id", "text", k = 3, w = 3,
+        minShared = 1, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // hot-fingerprint guard: 60 docs all carrying the same run, with
+    // otherwise-unique filler, exceed maxDf=50 -> the shared
+    // fingerprint is boilerplate and must NOT produce 60*59/2 pairs
+    val herd = (10L until 70L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c $run v${i}a v${i}b"))
+    val docs2 = herd.toDF("doc_id", "text")
+    val herdPairs = Dedup.winnowPairs(docs2, "doc_id", "text", k = 3,
+      w = 3, minShared = 1, maxDf = 50).count()
+    assert(herdPairs === 0L, "guarded boilerplate fingerprint leaked pairs")
+    // and with the guard above the herd size, the clique comes back
+    val unguarded = Dedup.winnowPairs(docs2, "doc_id", "text", k = 3,
+      w = 3, minShared = 1, maxDf = 100).count()
+    assert(unguarded === 60L * 59L / 2L)
+  }
 }

@@ -580,4 +580,41 @@ class PipelineSpec extends SparkSpec {
     assert(shards(1).sortBy(r => (r._2, r._3)).toSeq ===
       shards(1).sortBy(r => (r._2, r._3)).toSeq)
   }
+
+  test("importanceSelect: target-profile docs outrank, exact hand-replayed scores, partition-invariant") {
+    // two disjoint gram families (verified collision-free in 4096
+    // buckets): target docs carry alpha/beta bigrams, raw docs
+    // gamma/delta; two unlabeled probes imitate one family each
+    val target = (0L until 10L).map(i =>
+      (i, "alpha beta alpha beta alpha", true))
+    val raw = (10L until 30L).map(i =>
+      (i, "gamma delta gamma delta gamma", false))
+    val probes = Seq(
+      (100L, "alpha beta alpha beta alpha beta", false),
+      (101L, "gamma delta gamma delta gamma delta", false))
+    val docs = (target ++ raw ++ probes).toDF("doc_id", "text", "tgt")
+    val sel = TextAnalysis.importanceSelect(docs, "doc_id", "text",
+        col("tgt"), buckets = 4096, n = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rankOf = sel.map(r => (r._2, r._1)).toMap
+    val scoreOf = sel.map(r => (r._2, r._3)).toMap
+    // hand replay: wt(alpha beta) = 21e6 DIV 24 = 875000 (20 target
+    // occurrences of 23 total +1 smoothing each); wt(beta alpha) =
+    // 21e6 DIV 23 = 913043; gamma delta = 1e6 DIV 44 = 22727;
+    // delta gamma = 1e6 DIV 43 = 23255
+    assert(scoreOf(100L) === 3L * 875000 + 2L * 913043)
+    assert(scoreOf(0L) === 2L * 875000 + 2L * 913043)
+    assert(scoreOf(101L) === 3L * 22727 + 2L * 23255)
+    assert(scoreOf(10L) === 2L * 22727 + 2L * 23255)
+    // the target-imitating probe outranks everything; the raw-
+    // imitating probe outranks only the raw docs
+    assert(rankOf(100L) === 1L)
+    assert((0L until 10L).map(rankOf).max < rankOf(101L))
+    assert(rankOf(101L) < (10L until 30L).map(rankOf).min)
+    // partition invariance: integer arithmetic + deterministic heap
+    val again = TextAnalysis.importanceSelect(docs.repartition(7),
+        "doc_id", "text", col("tgt"), buckets = 4096, n = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq === sel.sortBy(_._1).toSeq)
+  }
 }

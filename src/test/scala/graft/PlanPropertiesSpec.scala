@@ -482,4 +482,32 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"queries planning CartesianProduct: ${failures.mkString(", ")}")
   }
+
+  test("q_dsir_select: top-n through the long heap (no rank window); the weight table broadcasts") {
+    val p = plan(SparkEntry.queries("q_dsir_select")(spark, sf))
+    assert(!p.contains("Window"),
+      s"DSIR's top-n must be the bounded heap, not a rank window:\n$p")
+    assert(p.contains("partial_topkbylongscore"),
+      "integer scores rank through the LONG heap, map-side partial")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <= buckets-row weight table must broadcast back onto the gram stream")
+  }
+
+  test("q_cms_heavy_indexed: the stored read touches only the index, never the corpus") {
+    val p = plan(SparkEntry.queries("q_cms_heavy_indexed")(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      s"heavy hitters off the stored CMS must not rescan documents:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k over the bounded candidate set is a distributed TakeOrdered, not a global sort")
+  }
+
+  test("q_ann_hamming: per-probe top-k through the long heap, no window, no corpus sort") {
+    val p = plan(SparkEntry.queries("q_ann_hamming")(spark, sf))
+    assert(!p.contains("Window"),
+      s"Hamming top-k must be the bounded heap:\n$p")
+    assert(p.contains("partial_topkbylongscore"),
+      "negated integer distances rank through the LONG heap, map-side partial")
+    assert(!p.contains("SortMergeJoin"),
+      "the probe side broadcasts; nothing corpus-sized sorts")
+  }
 }

@@ -1270,4 +1270,47 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.io.IndexPaths.complete(spark, statsPath),
       "a missing baseline sibling must be healed in place")
   }
+
+  test("hammingTopKBatch: exact Hamming ranking vs a JVM reimplementation; halves fit 32 bits; binary recalls cosine neighbors") {
+    val probeIds = Seq(0L, 7L, 19L, 42L)
+    val got = Similarity.hammingTopKBatch(emb, "vec_id", "embedding",
+        probeIds, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent JVM reference: pack signs, rank by (hamming, id)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def pack(v: Array[Float]): (Long, Long) = {
+      var b0 = 0L; var b1 = 0L
+      for (i <- 0 until 32) {
+        if (v(i) > 0f) b0 |= (1L << i)
+        if (v(32 + i) > 0f) b1 |= (1L << i)
+      }
+      (b0, b1)
+    }
+    val packed = vecs.map { case (id, v) => (id, pack(v)) }
+    packed.foreach { case (_, (b0, b1)) =>
+      assert(b0 >= 0L && b0 < (1L << 32) && b1 >= 0L && b1 < (1L << 32),
+        "each 32-dim half must stay positive and below 2^32")
+    }
+    for (q <- probeIds) {
+      val (q0, q1) = packed.find(_._1 == q).get._2
+      val want = packed.filter(_._1 != q).map { case (id, (b0, b1)) =>
+        (id, (java.lang.Long.bitCount(b0 ^ q0) +
+          java.lang.Long.bitCount(b1 ^ q1)).toLong) }
+        .sortBy { case (id, h) => (h, id) }.take(10).toSeq
+      val g = got.filter(_._1 == q).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      assert(g === want, s"probe $q")
+    }
+    // the 1-bit code is a real prefilter, not noise: across the probe
+    // set it must recall a nontrivial share of the true cosine top-10
+    // (measured 8/40 on this fixture; random 10-sets would share ~0.2)
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        probeIds, k = 10)
+      .select(col("probe_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.count(r => exact.contains((r._1, r._3)))
+    assert(hits >= 5, s"binary recall collapsed: $hits/40 cosine hits")
+  }
 }

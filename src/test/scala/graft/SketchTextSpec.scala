@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Sketches, TextAnalysis}
 
 /** CMS heavy hitters + benchmark decontamination. */
 class SketchTextSpec extends SparkSpec {
@@ -128,5 +128,60 @@ class SketchTextSpec extends SparkSpec {
     // and it sits within the lgK=12 sketch's error bounds of true 450
     assert(math.abs(estimates.head - 450L) <= 450L * 5 / 100,
       s"estimate ${estimates.head} too far from 450")
+  }
+
+  test("countMin: never underestimates under forced collisions; batch partials sum to the union sketch") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"w${i % 7} w${i % 3} common w${i % 11}"))
+      .toDF("doc_id", "text")
+    val occ = docs.select(explode(split(col("text"), " ")).as("term"))
+    // width 8 << 19 distinct terms -> collisions guaranteed
+    val cells = Sketches.countMinCells(occ, col("term"), depth = 3, width = 8)
+    val vocab = occ.distinct()
+    val est = Sketches.countMinEstimate(cells, vocab, "term",
+        depth = 3, width = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val tru = occ.groupBy("term").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    tru.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS underestimated '$t': ${est(t)} < $c") }
+    assert(tru.values.sum < est.values.sum,
+      "width 8 over 19 terms must actually collide somewhere")
+    // additivity: cell-wise sum of two batch sketches == union sketch
+    val a = Sketches.countMinCells(occ.where(expr("hash(term) % 2 = 0")),
+      col("term"), depth = 3, width = 8)
+    val b = Sketches.countMinCells(occ.where(expr("hash(term) % 2 != 0")),
+      col("term"), depth = 3, width = 8)
+    val summed = a.unionByName(b).groupBy("r", "b")
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = cells.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(summed === whole)
+  }
+
+  test("CMS index: stored heavy-hitter read == direct computation; append replay and compaction change nothing") {
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"hot hot warm w${i % 9} w${i % 13} u$i"))
+      .toDF("doc_id", "text")
+    def occOf(b: Long) = docs.where(col("doc_id") % 2 === b)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    (0L to 1L).foreach(b => Sketches.appendToCmsIndex(occOf(b),
+      col("term"), dir, b, depth = 4, width = 64, candidates = 8))
+    def read() = Sketches.cmsHeavyFromIndex(spark, dir, depth = 4,
+        width = 64, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val first = read()
+    assert(first.head._1 === "hot" && first(1)._1 === "warm")
+    assert(first.head._2 >= 120L && first(1)._2 >= 60L,
+      "estimates are upper bounds of the true counts")
+    // replayed append (crash recovery) is an idempotent overwrite
+    Sketches.appendToCmsIndex(occOf(1L), col("term"), dir, 1L,
+      depth = 4, width = 64, candidates = 8)
+    assert(read() === first)
+    // compaction folds with the same associative aggregates
+    Sketches.compactCmsIndex(spark, dir, keepLast = 1)
+    assert(read() === first)
   }
 }
