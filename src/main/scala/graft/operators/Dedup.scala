@@ -1567,4 +1567,122 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Materialize the corpus winnowing fingerprint table — the OFFLINE
+    * half of incremental copy detection: the corpus is fingerprinted
+    * once at ingest, and every new batch pays only its own per-doc
+    * window minima (cf. [[incrementalWinnowPairs]]). */
+  def writeWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 5, w: Int = 4, coalesceTo: Int = 0): Unit = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    (if (coalesceTo > 0) fps.coalesce(coalesceTo) else fps)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private val winnowIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around [[writeWinnowIndex]] — the
+    * [[ensureBandIndex]] lifecycle (`_SUCCESS`-gated, torn builds
+    * re-run, content-addressed paths make invalidation unnecessary
+    * for source changes). */
+  def ensureWinnowIndex(docs: => DataFrame, idCol: String,
+      textCol: String, path: String, k: Int = 5, w: Int = 4): Unit =
+    winnowIndexes.computeIfAbsent(path, { _ =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!graft.io.IndexPaths.complete(spark, path))
+        writeWinnowIndex(docs, idCol, textCol, path, k, w)
+      java.lang.Boolean.TRUE
+    })
+
+  /** Copy-suspect pairs of an ingest batch against the stored winnow
+    * index (plus the batch's internal pairs): fingerprint ONLY the
+    * batch, prune the stored index to the fingerprints the batch
+    * actually touches (an equi-semi-join — at scale a bucket-pruned
+    * read), apply the `maxDf` boilerplate guard over the UNION
+    * df — stored + batch — so a fingerprint that only becomes
+    * boilerplate WITH this batch still guards off, and emit pairs
+    * with at least one batch side. Equals [[winnowPairs]] over the
+    * union corpus restricted to batch-touching pairs (spec-pinned;
+    * the oracle replays exactly that).
+    * Work per batch ∝ batch fingerprints + touched index rows —
+    * the corpus is never re-fingerprinted. */
+  def incrementalWinnowPairs(newDocs: DataFrame,
+      spark: SparkSession, path: String, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2, maxDf: Int = 50)
+      : DataFrame = {
+    require(minShared >= 1 && maxDf >= 2)
+    val newFps = Caches.persist(
+      winnowFingerprints(newDocs, idCol, textCol, k, w))
+    val touched = newFps.select(col("fp")).distinct()
+    val storedTouched = spark.read.parquet(path)
+      .join(touched, Seq("fp"), "left_semi")
+    val all = storedTouched.unionByName(newFps)
+    val hot = all.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(col("fp"))
+    val keptAll = all.join(hot, Seq("fp"), "left_anti")
+    val keptNew = newFps.join(hot, Seq("fp"), "left_anti")
+    // batch-internal pairs arrive in both orders -> countDistinct on
+    // the fingerprint keeps the per-pair share single-counted
+    keptAll.toDF("fp", "doc_a")
+      .join(keptNew.toDF("fp", "doc_b"), Seq("fp"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Fold an admitted batch's fingerprints into the stored winnow
+    * index — replay-idempotent on (doc_id, fp) membership (an
+    * at-least-once re-delivery appends nothing), append-only write:
+    * the stored corpus rows are never rewritten. */
+  def appendToWinnowIndex(newDocs: DataFrame, spark: SparkSession,
+      path: String, idCol: String, textCol: String, k: Int = 5,
+      w: Int = 4, coalesceTo: Int = 1): Unit = {
+    val newFps = winnowFingerprints(newDocs, idCol, textCol, k, w)
+    val touched = newFps.select(col("fp")).distinct()
+    val fresh = newFps.join(
+      spark.read.parquet(path).join(touched, Seq("fp"), "left_semi"),
+      Seq("fp", "doc_id"), "left_anti")
+    (if (coalesceTo > 0) fresh.coalesce(coalesceTo) else fresh)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Share (ppm) of a batch's distinct fingerprints absent from the
+    * stored winnow index — the drift alarm every stored index here
+    * carries: a shifted corpus (new boilerplate family, new template)
+    * shows up as fingerprint novelty before it shows up as missed
+    * copy pairs. */
+  def winnowIndexNoveltyPpm(newDocs: DataFrame, spark: SparkSession,
+      path: String, idCol: String, textCol: String, k: Int = 5,
+      w: Int = 4): Long = {
+    val fps = Caches.persist(
+      winnowFingerprints(newDocs, idCol, textCol, k, w)
+        .select(col("fp")).distinct())
+    val total = fps.count()
+    if (total == 0L) return 0L
+    val novel = fps.join(spark.read.parquet(path).select(col("fp")),
+      Seq("fp"), "left_anti").count()
+    novel * 1000000L / total
+  }
+
+  /** Alarm→rebuild arc for the winnow index: rebuild from the full
+    * corpus when a batch's fingerprint novelty crosses the threshold,
+    * else fold the batch in incrementally. Returns true iff rebuilt. */
+  def rebuildWinnowIndexIfDrifted(corpusDocs: => DataFrame,
+      newDocs: DataFrame, spark: SparkSession, path: String,
+      idCol: String, textCol: String, maxNoveltyPpm: Long,
+      k: Int = 5, w: Int = 4): Boolean = {
+    val novelty = winnowIndexNoveltyPpm(newDocs, spark, path, idCol,
+      textCol, k, w)
+    if (novelty > maxNoveltyPpm) {
+      writeWinnowIndex(corpusDocs, idCol, textCol, path, k, w)
+      true
+    } else {
+      appendToWinnowIndex(newDocs, spark, path, idCol, textCol, k, w)
+      false
+    }
+  }
 }

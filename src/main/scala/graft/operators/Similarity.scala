@@ -2243,4 +2243,30 @@ object Similarity {
       .select(col("query_id"), (col("__p") + 1).cast("long").as("rk"),
         col("__e.id").as("vec_id"), (-col("__e.score")).as("hamming"))
   }
+
+  /** Binary prefilter + quantized-cosine rerank — the PRODUCTION use
+    * of the sign codes: shortlist `k · shortlistFactor` candidates per
+    * probe by Hamming distance over the 16-byte codes, then rerank
+    * ONLY the shortlist with the full float vectors under the exact
+    * quantized cosine. At 100 TB the float column never full-scans per
+    * probe set: the corpus streams past as codes (32× smaller), and
+    * floats are touched via a shortlist-sized (probes × k·factor) id
+    * join. Deterministic end to end (integer Hamming, id tie-breaks,
+    * quantized cosine) → full SQL oracle; the recall the prefilter
+    * gives up vs brute cosine is measured in SimilaritySpec, the same
+    * trade [[annRecallReport]] prices for the LSH rungs.
+    * Returns (probe_id, vec_id, cos_sim, rk). */
+  def hammingRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, shortlistFactor: Int = 8): DataFrame = {
+    require(shortlistFactor >= 1)
+    val short = hammingTopKBatch(emb, idCol, vecCol, probeIds,
+        k * shortlistFactor)
+      .select(col("query_id").as("probe_id"), col("vec_id"))
+    val vecs = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    val probes = broadcast(emb.where(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv")))
+    topKPerProbe(short.join(vecs, Seq("vec_id")).join(probes, Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFns.cosineQ(col("__v"), col("__pv")).as("cos_sim")), k)
+  }
 }

@@ -1058,6 +1058,23 @@ object TextQueries {
         k = 5, w = 4, minShared = 2, maxDf = 50)
     },
 
+    // Incremental winnowing — the ingest shape of copy detection:
+    // the batch (every 5th doc) is fingerprinted fresh; the corpus is
+    // touched only through the stored fingerprint index, pruned to
+    // the fingerprints the batch touches; the boilerplate guard runs
+    // over the UNION df. Exact, so the oracle is full-corpus
+    // winnowing restricted to pairs with a batch side.
+    "q_winnow_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val path = graft.io.IndexPaths.indexPath("winnowidx",
+        s"$dir/documents.parquet", "k5w4")
+      Dedup.ensureWinnowIndex(corpus, "doc_id", "text", path)
+      Dedup.incrementalWinnowPairs(batch, s, path, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 50)
+    },
+
     // RefinedWeb-style hard domain cap: at most 10 docs per source,
     // picked in md5-of-id order (deterministic uniform sample) via the
     // bounded-heap TopKByScore aggregate — never a rank window.
@@ -2767,6 +2784,30 @@ object TextQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // The incremental contract: full-corpus winnowing (identical CTEs)
+    // restricted to pairs with a batch (doc_id % 5 = 0) side.
+    "q_winnow_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
+         |g AS (SELECT doc_id, i,
+         |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+         |      ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 12)
+         |      AS BIGINT) AS h
+         |  FROM toks, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+         |wm AS (SELECT doc_id,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+         |  FROM g),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE c = 4),
+         |kept AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (
+         |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 50))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
 
     "q_domain_cap" ->

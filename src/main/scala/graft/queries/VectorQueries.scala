@@ -496,6 +496,17 @@ object VectorQueries {
         "embedding", probeIds = Seq(0L, 7L, 19L, 42L), k = 10)
     },
 
+    // The production shape of the binary rung: Hamming shortlist over
+    // the 16-byte codes (8× overscan), quantized-cosine rerank of the
+    // shortlist ONLY — the float column is touched via a
+    // (probes × 80)-row id join, never a per-probe float scan. Still
+    // fully SQL-replayable (integer Hamming + quantized cosine).
+    "q_ann_hamming_rerank" -> { (s, dir) =>
+      Similarity.hammingRerankTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", probeIds = Seq(0L, 7L, 19L, 42L), k = 10,
+        shortlistFactor = 8)
+    },
+
     // The SAME recall eval over the PRODUCTION ANN path: batched IVF
     // probes through the materialized index (one partition-pruned scan
     // for the whole probe set) vs batched exact. Float k-means
@@ -856,6 +867,44 @@ object VectorQueries {
          |    ORDER BY hamming, vec_id) AS BIGINT) AS rk,
          |  vec_id, CAST(hamming AS BIGINT) AS hamming
          |FROM d QUALIFY rk <= 10""".stripMargin,
+
+    // Shortlist = Hamming top-80 (exact replay), rerank = the same
+    // quantized-cosine convention as q_ann_recall's sc CTE.
+    "q_ann_hamming_rerank" ->
+      s"""WITH pk AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i
+         |           ELSE 0::BIGINT END)) AS BIGINT) AS b0,
+         |    CAST(list_sum(list_transform(range(0, 32), i ->
+         |      CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i
+         |           ELSE 0::BIGINT END)) AS BIGINT) AS b1
+         |  FROM embeddings),
+         |qp AS (SELECT vec_id AS probe_id, b0 AS q0, b1 AS q1
+         |  FROM pk WHERE vec_id IN (0, 7, 19, 42)),
+         |hm AS (SELECT qp.probe_id, pk.vec_id,
+         |    bit_count(xor(pk.b0, qp.q0)) + bit_count(xor(pk.b1, qp.q1))
+         |      AS hamming
+         |  FROM pk CROSS JOIN qp WHERE pk.vec_id <> qp.probe_id),
+         |sl AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY probe_id ORDER BY hamming, vec_id) AS hrk
+         |    FROM hm) WHERE hrk <= 80),
+         |nn AS (SELECT vec_id,
+         |    ${sqlDotQ("embedding", "embedding")} AS nsq
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
+         |sc AS (SELECT sl.probe_id, sl.vec_id,
+         |    CAST(${sqlDotQ("e.embedding", "pr.pe")} AS DOUBLE) /
+         |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos_sim
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+         |  JOIN pr ON pr.probe_id = sl.probe_id
+         |  JOIN nn na ON na.vec_id = sl.vec_id
+         |  JOIN nn np ON np.vec_id = sl.probe_id)
+         |SELECT probe_id, vec_id, cos_sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+         |FROM sc QUALIFY rk <= 10""".stripMargin,
 
     "q_ann_recall" ->
       s"""WITH ${sqlPlanes(8)},

@@ -721,4 +721,50 @@ class DedupSpec extends SparkSpec {
       w = 3, minShared = 1, maxDf = 100).count()
     assert(unguarded === 60L * 59L / 2L)
   }
+
+  test("incremental winnowing == full-corpus winnowing restricted to batch pairs; append replays idempotently; novelty alarm arc") {
+    val spark0 = spark
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    val idx = s"$dir/fps"
+    Dedup.writeWinnowIndex(corpus, "doc_id", "text", idx)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val inc = pairsOf(Dedup.incrementalWinnowPairs(batch, spark0, idx,
+      "doc_id", "text", minShared = 2, maxDf = 50))
+    graft.operators.Caches.release()
+    val full = pairsOf(Dedup.winnowPairs(docs, "doc_id", "text",
+        minShared = 2, maxDf = 50)
+      .where(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0))
+    graft.operators.Caches.release()
+    assert(inc === full)
+    // replay-idempotent append: folding the same batch twice leaves
+    // the index at exactly one row per (doc_id, fp)
+    Dedup.appendToWinnowIndex(batch, spark0, idx, "doc_id", "text")
+    val once = spark0.read.parquet(idx).count()
+    Dedup.appendToWinnowIndex(batch, spark0, idx, "doc_id", "text")
+    assert(spark0.read.parquet(idx).count() === once)
+    assert(once === Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .count())
+    // alarm arc: a re-sent slice of the corpus reads quiet; a planted
+    // template family (text unseen anywhere) trips the rebuild
+    val quiet = Dedup.winnowIndexNoveltyPpm(batch, spark0, idx,
+      "doc_id", "text")
+    graft.operators.Caches.release()
+    assert(quiet === 0L, s"re-ingested docs must read 0 novelty, got $quiet")
+    val shifted = (0L until 20L).map(i =>
+      (5000L + i, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg"))
+      .toDF("doc_id", "text")
+    val rebuilt = Dedup.rebuildWinnowIndexIfDrifted(
+      docs.select(col("doc_id"), col("text")).unionByName(shifted),
+      shifted, spark0, idx, "doc_id", "text", maxNoveltyPpm = 100000L)
+    graft.operators.Caches.release()
+    assert(rebuilt, "a planted template family must trip the rebuild")
+    // rebuilt index now covers the shifted family: quiet again
+    val after = Dedup.winnowIndexNoveltyPpm(shifted, spark0, idx,
+      "doc_id", "text")
+    graft.operators.Caches.release()
+    assert(after === 0L)
+  }
 }

@@ -510,4 +510,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the probe side broadcasts; nothing corpus-sized sorts")
   }
+
+  test("q_ann_hamming_rerank: both rank passes are bounded heaps; floats join by id, never full-scan per probe") {
+    val p = plan(SparkEntry.queries("q_ann_hamming_rerank")(spark, sf))
+    assert(!p.contains("Window"),
+      s"shortlist and rerank top-k must both be heap aggregates:\n$p")
+    assert(p.contains("partial_topkbylongscore"),
+      "the Hamming shortlist ranks through the LONG heap")
+    assert(p.contains("partial_topkbyscore"),
+      "the cosine rerank ranks through the double heap")
+  }
 }

