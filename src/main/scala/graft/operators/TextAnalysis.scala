@@ -1111,10 +1111,7 @@ object TextAnalysis {
       targetPred: Column, buckets: Int = 4096, n: Int = 100): DataFrame = {
     import org.apache.spark.sql.graft.shim
     require(buckets >= 2 && n >= 1)
-    def grams = docs.select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
-        explode(graft.functions.TextFns.wordNGrams(
-          graft.functions.TextFns.letterTokens(col(textCol)), 2)).as("g"))
-      .withColumn("b", hash48(col("g")) % buckets)
+    def grams = importanceGrams(docs, idCol, textCol, targetPred, buckets)
     val wt = grams.groupBy("b").agg(
         count(lit(1)).as("raw_cnt"),
         sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("tgt_cnt"))
@@ -1131,6 +1128,89 @@ object TextAnalysis {
       .select((col("__p") + 1).cast("long").as("rk"),
         col("__e.id").as("doc_id"), col("__e.score").as("score"))
   }
+
+  /** Shared gram→bucket stream of [[importanceSelect]] and its stored
+    * form: hashed-bigram bucket per gram occurrence, plus the target
+    * flag. */
+  private def importanceGrams(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: Column, buckets: Int): DataFrame =
+    // tokens materialize as a column BEFORE the n-gram lambda —
+    // inlining letterTokens into wordNGrams re-runs the tokenize per
+    // element_at inside the transform (measured ~5x on the gram scan)
+    docs.select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        graft.functions.TextFns.letterTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__tgt"),
+        explode(graft.functions.TextFns.wordNGrams(col("__toks"), 2)).as("g"))
+      .withColumn("b", hash48(col("g")) % buckets)
+
+  /** Append one ingest batch's importance-profile partial to the
+    * stored index — (bucket, raw occurrences, target occurrences),
+    * ≤ `buckets` rows per batch, ADDITIVE across any document
+    * partition of the corpus (the card/calibration-index algebra), so
+    * the expensive half of [[importanceSelect]] — the corpus profile
+    * pass — moves offline and stays current batch by batch.
+    * Idempotent per-batch overwrite (crash replays fold nothing
+    * twice). Batches must partition the corpus by document. */
+  def appendToImportanceIndex(docs: DataFrame, idCol: String,
+      textCol: String, targetPred: Column, path: String, batchId: Long,
+      buckets: Int = 4096, coalesceTo: Int = 1): Unit = {
+    require(buckets >= 2)
+    val prof = importanceGrams(docs, idCol, textCol, targetPred, buckets)
+      .groupBy("b").agg(count(lit(1)).as("raw_cnt"),
+        sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("tgt_cnt"))
+    (if (coalesceTo > 0) prof.coalesce(coalesceTo) else prof)
+      .write.mode("overwrite").parquet(s"$path/prof/batch=$batchId")
+  }
+
+  /** The DSIR bucket-weight table from the stored profile partials:
+    * sum the batch counts (= the union corpus's counts, exactly),
+    * apply the same Laplace-smoothed fixed-point ratio as
+    * [[importanceSelect]]. ≤ buckets rows, no corpus access. */
+  def importanceWeightsFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/prof")
+      .groupBy("b").agg(sum(col("raw_cnt")).as("raw_cnt"),
+        sum(col("tgt_cnt")).as("tgt_cnt"))
+      .withColumn("wt_ppm",
+        expr("((tgt_cnt + 1L) * 1000000L) DIV (raw_cnt + 1L)"))
+      .select(col("b"), col("wt_ppm"))
+
+  /** [[importanceSelect]] through the stored profile — bit-identical
+    * output (spec-pinned, shared oracle) at HALF the gram scans: the
+    * profile is a stored-partial read, the select pays one gram scan
+    * + the broadcast weight join + the bounded heap. */
+  def importanceSelectFromIndex(docs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, textCol: String, buckets: Int = 4096,
+      n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    require(buckets >= 2 && n >= 1)
+    val wt = importanceWeightsFromIndex(spark, path)
+    val scores = importanceGrams(docs, idCol, textCol, lit(false), buckets)
+      .join(broadcast(wt), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("wt_ppm")).as("score"))
+    val agg = shim.column(graft.functions.expr.TopKByLongScore(
+        shim.expression(col("score")), shim.expression(col("doc_id")), n)
+      .toAggregateExpression())
+    scores.agg(agg.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select((col("__p") + 1).cast("long").as("rk"),
+        col("__e.id").as("doc_id"), col("__e.score").as("score"))
+  }
+
+  private val impIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo for the importance-profile index (the
+    * ensureCardIndex lifecycle). */
+  def ensureImportanceIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+    impIndexes.computeIfAbsent(path, { _ =>
+      val done = batchIds.forall(id =>
+        graft.io.IndexPaths.complete(spark, s"$path/prof/batch=$id"))
+      if (!done) build
+      java.lang.Boolean.TRUE
+    })
 
   /** Hashed-bucket feature id of a token — deterministic, portable,
     * the hashing-trick feature map shared by [[trainHashedPerceptron]]

@@ -40,6 +40,29 @@ object TextQueries {
     * and q_memorization_incremental, whose read-time equivalence to
     * the batch operator over the union corpus IS the incremental
     * contract. */
+  /** DuckDB replay of [[TextAnalysis.importanceSelect]] (integer DSIR,
+    * buckets=4096, target = lang 'en', n=60) — shared by
+    * q_dsir_select, q_dsir_indexed (stored additive profile) and
+    * q_sql_dsir (SQL-text twin): all three are bit-identical by
+    * contract. */
+  private val sqlDsir: String =
+    s"""WITH toks AS (SELECT doc_id, lang, $SQL_TOKS AS ws FROM documents),
+       |g AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+       |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+       |gb AS (SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % 4096 AS b
+       |  FROM g),
+       |wt AS (SELECT b,
+       |    ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000)
+       |      // (COUNT(*) + 1) AS wt_ppm
+       |  FROM gb GROUP BY b),
+       |sc AS (SELECT doc_id, SUM(wt_ppm) AS score
+       |  FROM gb JOIN wt USING (b) GROUP BY 1)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+       |    AS BIGINT) AS rk,
+       |  doc_id, CAST(score AS BIGINT) AS score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 60""".stripMargin
+
   private val sqlMemorization: String =
     s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
        |g AS (SELECT doc_id,
@@ -1046,6 +1069,60 @@ object TextQueries {
     "q_dsir_select" -> { (s, dir) =>
       TextAnalysis.importanceSelect(t(s, dir, "documents"), "doc_id",
         "text", targetPred = col("lang") === "en", buckets = 4096, n = 60)
+    },
+
+    // The stored-profile form: the corpus profile pass (half the
+    // selector's gram scans) moves offline into additive per-batch
+    // (bucket, raw, tgt) partials — ≤ 4096 rows a batch, summed at
+    // read time — and the select pays ONE gram scan + a broadcast
+    // join. Bit-identical to q_dsir_select (shared oracle).
+    "q_dsir_indexed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = graft.io.IndexPaths.indexPath("impidx",
+        s"$dir/documents.parquet", "b4096en")
+      TextAnalysis.ensureImportanceIndex(s, path, Seq(0L, 1L, 2L)) {
+        (0L to 2L).foreach(b => TextAnalysis.appendToImportanceIndex(
+          docs.where(col("doc_id") % 3 === b), "doc_id", "text",
+          col("lang") === "en", path, b, buckets = 4096))
+      }
+      TextAnalysis.importanceSelectFromIndex(docs, s, path, "doc_id",
+        "text", buckets = 4096, n = 60)
+    },
+
+    // The whole DSIR selector as pure SQL TEXT (the SQL-only user's
+    // surface, cf. q_sql_bm25): same md5 bucket arithmetic, integer
+    // ratio weights, and the registered top_k_by_long_score heap.
+    // Bit-identical to q_dsir_select (shared oracle).
+    "q_sql_dsir" -> { (s, dir) =>
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """WITH toks AS (
+          |  SELECT doc_id, lang,
+          |    filter(split(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, lang, concat_ws(' ', ws[i], ws[i + 1]) AS g
+          |  FROM (SELECT * FROM toks WHERE size(ws) >= 2)
+          |  LATERAL VIEW explode(sequence(0, size(ws) - 2)) t AS i),
+          |gb AS (
+          |  SELECT doc_id, lang,
+          |    CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT)
+          |      % 4096 AS b
+          |  FROM g),
+          |wt AS (
+          |  SELECT b,
+          |    ((SUM(CASE WHEN lang = 'en' THEN 1L ELSE 0L END) + 1L)
+          |      * 1000000L) DIV (COUNT(*) + 1L) AS wt_ppm
+          |  FROM gb GROUP BY b),
+          |sc AS (
+          |  SELECT doc_id, SUM(wt_ppm) AS score
+          |  FROM gb JOIN wt USING (b) GROUP BY doc_id),
+          |tk AS (SELECT top_k_by_long_score(score, doc_id, 60) AS top
+          |  FROM sc)
+          |SELECT CAST(p + 1 AS BIGINT) AS rk, e.id AS doc_id,
+          |  e.score AS score
+          |FROM tk LATERAL VIEW posexplode(top) t AS p, e""".stripMargin)
     },
 
     // Winnowing (MOSS) copy-suspect pairs: per-doc window-min
@@ -2743,24 +2820,12 @@ object TextQueries {
 
     // Full replay of the integer DSIR selector: hashed-bigram buckets,
     // Laplace-smoothed fixed-point target/raw ratios, summed per doc,
-    // top-60 by (score DESC, id ASC).
-    "q_dsir_select" ->
-      s"""WITH toks AS (SELECT doc_id, lang, $SQL_TOKS AS ws FROM documents),
-         |g AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
-         |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
-         |gb AS (SELECT doc_id, lang,
-         |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % 4096 AS b
-         |  FROM g),
-         |wt AS (SELECT b,
-         |    ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000)
-         |      // (COUNT(*) + 1) AS wt_ppm
-         |  FROM gb GROUP BY b),
-         |sc AS (SELECT doc_id, SUM(wt_ppm) AS score
-         |  FROM gb JOIN wt USING (b) GROUP BY 1)
-         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
-         |    AS BIGINT) AS rk,
-         |  doc_id, CAST(score AS BIGINT) AS score
-         |FROM sc ORDER BY score DESC, doc_id LIMIT 60""".stripMargin,
+    // top-60 by (score DESC, id ASC). Shared verbatim by the stored-
+    // profile form and the SQL-text twin — their bit-identity to the
+    // ad-hoc selector IS the contract.
+    "q_dsir_select" -> sqlDsir,
+    "q_dsir_indexed" -> sqlDsir,
+    "q_sql_dsir" -> sqlDsir,
 
     // Full winnowing replay: word 5-gram hash48, per-doc 4-row window
     // minima (full windows only), distinct fingerprints, maxDf=50

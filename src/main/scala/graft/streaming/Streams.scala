@@ -1270,4 +1270,55 @@ object Streams {
     Dedup.jaccardRescore(pairs, corpus, "doc_id", "text", ngram)
       .where(col("jaccard") >= threshold)
   }
+
+  /** The streaming COPY-DETECTION maintenance loop — winnowing's
+    * ingest shape: each arriving batch (1) lands in the accumulated
+    * corpus root (exactly-once per-batch dir), (2) is screened against
+    * the stored fingerprint index ([[graft.operators.Dedup
+    * .incrementalWinnowPairs]] — suspects to `suspectsRoot/batch=id`),
+    * and (3) folds its own fingerprints in via the replay-idempotent
+    * [[graft.operators.Dedup.appendToWinnowIndex]], so batch N+1
+    * screens against batch N with the corpus never re-fingerprinted.
+    * Every `checkDriftEvery` batches the fingerprint-novelty alarm
+    * runs FIRST ([[graft.operators.Dedup.rebuildWinnowIndexIfDrifted]])
+    * — a template-family shift rebuilds the index from the accumulated
+    * corpus instead of folding blind. */
+  def ingestWinnowStream(docs: DataFrame, indexPath: String,
+      corpusRoot: String, suspectsRoot: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 5,
+      w: Int = 4, minShared: Int = 2, maxDf: Int = 50,
+      checkDriftEvery: Int = 0, driftThresholdPpm: Long = 500000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) try {
+          val b = batch.select(col(idCol), col(textCol))
+          b.coalesce(4).write.mode("overwrite")
+            .parquet(s"$corpusRoot/batch=$id")
+          def corpus = spark.read.parquet(corpusRoot)
+          if (!graft.io.IndexPaths.complete(spark, indexPath))
+            graft.operators.Dedup.writeWinnowIndex(corpus, idCol,
+              textCol, indexPath, k, w, coalesceTo = 4)
+          else {
+            graft.operators.Dedup.incrementalWinnowPairs(b, spark,
+                indexPath, idCol, textCol, k, w, minShared, maxDf)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$suspectsRoot/batch=$id")
+            // the alarm wrapper folds the batch itself on the quiet
+            // path, so exactly one of the two calls runs per batch
+            if (checkDriftEvery > 0 && (id + 1) % checkDriftEvery == 0)
+              graft.operators.Dedup.rebuildWinnowIndexIfDrifted(
+                corpus, b, spark, indexPath, idCol, textCol,
+                driftThresholdPpm, k, w)
+            else
+              graft.operators.Dedup.appendToWinnowIndex(b, spark,
+                indexPath, idCol, textCol, k, w)
+          }
+        } finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
 }

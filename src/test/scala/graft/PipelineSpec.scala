@@ -617,4 +617,25 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.sortBy(_._1).toSeq === sel.sortBy(_._1).toSeq)
   }
+
+  test("importanceSelectFromIndex == importanceSelect; profile partials replay idempotently") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_imp").toString
+    (0L to 1L).foreach(b => TextAnalysis.appendToImportanceIndex(
+      docs.where(col("doc_id") % 2 === b), "doc_id", "text",
+      col("lang") === "en", dir, b, buckets = 512))
+    def sel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val adhoc = sel(TextAnalysis.importanceSelect(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 512, n = 25))
+    val stored = sel(TextAnalysis.importanceSelectFromIndex(docs, spark,
+      dir, "doc_id", "text", buckets = 512, n = 25))
+    assert(stored === adhoc)
+    // crash-replay of a batch append is an idempotent overwrite
+    TextAnalysis.appendToImportanceIndex(
+      docs.where(col("doc_id") % 2 === 1L), "doc_id", "text",
+      col("lang") === "en", dir, 1L, buckets = 512)
+    assert(sel(TextAnalysis.importanceSelectFromIndex(docs, spark, dir,
+      "doc_id", "text", buckets = 512, n = 25)) === adhoc)
+  }
 }

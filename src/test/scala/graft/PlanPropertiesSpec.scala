@@ -520,4 +520,26 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("partial_topkbyscore"),
       "the cosine rerank ranks through the double heap")
   }
+
+  test("q_dsir_indexed: ONE corpus gram scan (the profile rides the stored partials); ad-hoc pays two") {
+    // an earlier suite's persisted documents relation would turn the
+    // parquet scans into InMemoryTableScans and break the count
+    spark.catalog.clearCache()
+    graft.operators.Caches.release()
+    val pIdx = plan(SparkEntry.queries("q_dsir_indexed")(spark, sf))
+    val pAdhoc = plan(SparkEntry.queries("q_dsir_select")(spark, sf))
+    def docScans(p: String) = "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans(pIdx) === 1,
+      s"stored-profile select must scan documents exactly once:\n$pIdx")
+    assert(docScans(pAdhoc) >= 2,
+      "the ad-hoc form's two-scan shape is the cost the index removes")
+    assert(!pIdx.contains("Window") && pIdx.contains("partial_topkbylongscore"))
+  }
+
+  test("q_sql_dsir: the SQL text plans the registered heap, no rank window") {
+    val p = plan(SparkEntry.queries("q_sql_dsir")(spark, sf))
+    assert(!p.contains("Window"),
+      s"the SQL twin's top-n must be top_k_by_long_score:\n$p")
+    assert(p.contains("partial_topkbylongscore"))
+  }
 }

@@ -1135,4 +1135,45 @@ class StreamingSpec extends SparkSpec {
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     }
   }
+
+  test("ingestWinnowStream: cross-batch copy suspects; template shift trips the scheduled rebuild") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-winnow-stream-").toString
+    val run = "p q r s t u v"
+    val b0 = Seq((1L, s"a1 a2 a3 $run a4"), (2L, s"b1 b2 $run b3 b4"))
+    val b1 = Seq((10L, s"c1 c2 c3 $run c4 c5")) // copies batch-0's run
+    val b2 = (20L until 40L).map(i =>            // new template family
+      (i, s"zz1 zz2 zz3 zz4 zz5 zz6 zz7 e$i"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val sq = Streams.ingestWinnowStream(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/idx", s"$tmp/corpus", s"$tmp/suspects", s"$tmp/ckpt",
+      k = 3, w = 3, minShared = 1, maxDf = 50,
+      checkDriftEvery = 3, driftThresholdPpm = 500000L)
+    ms.addData(b0: _*); sq.processAllAvailable()
+    ms.addData(b1: _*); sq.processAllAvailable()
+    ms.addData(b2: _*); sq.processAllAvailable()
+    sq.stop()
+    // batch 0 bootstrapped the index; batch 1's screen caught the
+    // copied run against BOTH stored docs
+    val sus = spark.read.parquet(s"$tmp/suspects/batch=1")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sus === Set((1L, 10L), (2L, 10L)))
+    // batch 2 ((id+1) % 3 == 0) ran the novelty alarm: an all-new
+    // template family reads 1e6 ppm novel -> the index was REBUILT
+    // from the accumulated corpus and now covers the family
+    val after = graft.operators.Dedup.winnowIndexNoveltyPpm(
+      b2.toDF("doc_id", "text"), spark, s"$tmp/idx", "doc_id", "text",
+      k = 3, w = 3)
+    graft.operators.Caches.release()
+    assert(after === 0L, s"rebuild must cover the shifted family: $after")
+    // and the rebuilt index equals a from-scratch fingerprint table of
+    // everything ingested
+    val all = (b0 ++ b1 ++ b2).toDF("doc_id", "text")
+    val want = graft.operators.Dedup.winnowFingerprints(all, "doc_id",
+      "text", k = 3, w = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.read.parquet(s"$tmp/idx")
+      .select("doc_id", "fp").as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
 }
