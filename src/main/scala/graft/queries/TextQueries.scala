@@ -1125,6 +1125,30 @@ object TextQueries {
           |FROM tk LATERAL VIEW posexplode(top) t AS p, e""".stripMargin)
     },
 
+    // TARGETED-RELEASE pipeline — the fourth arc COMPOSED: DSIR-select
+    // the 100 most target-like docs (integer importance vs the English
+    // slice), drop the larger side of every winnowing copy-suspect
+    // pair WITHIN the selection (fingerprints and the maxDf guard run
+    // over the selected subset — the screen prices what the release
+    // actually ships), lay the survivors out as training shards.
+    // Three stages, one SQL oracle end to end.
+    "q_corpus_targeted" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sel = TextAnalysis.importanceSelect(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 4096, n = 100)
+      val cand = graft.operators.Caches.persist(
+        docs.join(sel.select(col("doc_id"), col("score")), Seq("doc_id")))
+      val drop = Dedup.winnowPairs(cand, "doc_id", "text",
+          k = 5, w = 4, minShared = 2, maxDf = 50)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val kept = cand.join(drop, Seq("doc_id"), "left_anti")
+      TextAnalysis.trainingShards(kept, "doc_id", "text", nShards = 4,
+          epoch = 1L)
+        .join(kept.select(col("doc_id"), col("score")), Seq("doc_id"))
+        .select(col("doc_id"), col("score"), col("shard"), col("pos"),
+          col("n_tokens"))
+    },
+
     // Winnowing (MOSS) copy-suspect pairs: per-doc window-min
     // fingerprints over word 5-gram hashes (any shared 8-word run
     // yields a shared fingerprint, density ~2/(w+1)), maxDf guard on
@@ -2826,6 +2850,55 @@ object TextQueries {
     "q_dsir_select" -> sqlDsir,
     "q_dsir_indexed" -> sqlDsir,
     "q_sql_dsir" -> sqlDsir,
+
+    // The composed targeted release: DSIR top-100 CTEs, winnowing
+    // restricted to the selection (guard over the selected subset),
+    // larger pair side dropped, md5 shard layout of the survivors.
+    "q_corpus_targeted" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $SQL_TOKS AS ws FROM documents),
+         |g2 AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+         |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+         |gb AS (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % 4096 AS b
+         |  FROM g2),
+         |wt AS (SELECT b,
+         |    ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000)
+         |      // (COUNT(*) + 1) AS wt_ppm FROM gb GROUP BY b),
+         |sc AS (SELECT doc_id, SUM(wt_ppm) AS score
+         |  FROM gb JOIN wt USING (b) GROUP BY 1),
+         |sel AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
+         |  ORDER BY score DESC, doc_id LIMIT 100),
+         |g5 AS (SELECT t.doc_id, i,
+         |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' ||
+         |      ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 12)
+         |      AS BIGINT) AS h
+         |  FROM toks t JOIN sel USING (doc_id),
+         |    UNNEST(range(1, len(ws) - 3)) AS u(i)),
+         |wm AS (SELECT doc_id,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+         |  FROM g5),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE c = 4),
+         |kfp AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (
+         |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 50)),
+         |pr AS (SELECT a.doc_id AS da, b.doc_id AS db FROM kfp a
+         |  JOIN kfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |dropd AS (SELECT DISTINCT db AS doc_id FROM pr),
+         |fin AS (SELECT s.doc_id, s.score FROM sel s
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM dropd)),
+         |lay AS (SELECT f.doc_id, f.score,
+         |    CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) % 4 AS shard,
+         |    md5('1:' || CAST(f.doc_id AS VARCHAR)) AS oh,
+         |    CAST(len(t.ws) AS BIGINT) AS n_tokens
+         |  FROM fin f JOIN toks t USING (doc_id))
+         |SELECT doc_id, score, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id)
+         |    AS BIGINT) AS pos, n_tokens
+         |FROM lay""".stripMargin,
 
     // Full winnowing replay: word 5-gram hash48, per-doc 4-row window
     // minima (full windows only), distinct fingerprints, maxDf=50

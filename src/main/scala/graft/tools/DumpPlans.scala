@@ -50,7 +50,15 @@ object DumpPlans {
     "q_memorization_risk" -> "singleton-gram memorization audit: gram occurrence count + MIN(doc) ownership in one map-side-combined pass (for cnt=1 the MIN is the owner — no join back to positions), owner rollup shuffles one long per singleton, doc-table-sized final join",
     "q_memorization_incremental" -> "the same audit off the STORED per-batch gram partials: no documents scan in the plan — counts sum across batches at read (retroactive risk), stats rollup is doc-table-sized",
     "q_topic_mix" -> "semantic-axis temperature mix: cluster assignments are a stored-index read (no embeddings scan, no re-cluster), per-cluster sqrt cuts broadcast back onto the token counts — the corpus never shuffles",
-    "q_corpus_pipeline_v5" -> "the v5 release chain: gopher scan, eval-gram broadcast decontamination BEFORE calibration, histogram calibration, soft dedup, fertility-denominated language budget (integer cost, broadcast cuts), curriculum layout against the checkpoint leaf")
+    "q_corpus_pipeline_v5" -> "the v5 release chain: gopher scan, eval-gram broadcast decontamination BEFORE calibration, histogram calibration, soft dedup, fertility-denominated language budget (integer cost, broadcast cuts), curriculum layout against the checkpoint leaf",
+    "q_cms_heavy_indexed" -> "heavy hitters off the STORED Count-Min index: summed cell partials + candidate union only — no documents scan anywhere; the top-k over the bounded candidate set is a TakeOrderedAndProject, never a global sort",
+    "q_dsir_indexed" -> "DSIR selection through the stored profile: ONE tokenize/gram scan (the ad-hoc form plans two — the profile subtree is replaced by a kilobyte partial read), ≤buckets-row weight table broadcast, top-n as the long bounded heap",
+    "q_sql_dsir" -> "the DSIR selector from pure SQL text: same md5 bucket arithmetic, registered top_k_by_long_score — no window, bit-identical to the Column-API form",
+    "q_winnow_pairs" -> "winnowing copy detection: tokens materialized BEFORE the n-gram lambda (inlining re-runs the tokenizer per element_at — the measured 4x lesson), per-DOC window minima (the document is the sort unit), maxDf anti-join guard, fingerprint equi-join",
+    "q_winnow_incremental" -> "incremental winnowing: batch fingerprints only; the stored index enters through an fp-semi-join prune — the corpus is never re-fingerprinted; union-df guard, countDistinct pair scoring",
+    "q_ann_hamming" -> "binary sign-code ANN: 64 dims packed to two 32-bit halves at scan, XOR+popcount distance in whole-stage codegen, per-probe top-k as the long bounded heap on negated distance — no window, nothing corpus-sized sorts",
+    "q_ann_hamming_rerank" -> "Hamming shortlist + quantized-cosine rerank: the float column is reached ONLY through the shortlist id join (probes x 80 rows); both rank passes are bounded heaps",
+    "q_corpus_targeted" -> "the targeted release composed: DSIR two-scan selection, winnowing restricted to the 100-doc selection (persisted — fingerprint+guard run once), md5 shard layout of the survivors; per-doc windows only, every join on the selection side broadcast-sized")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
