@@ -1198,6 +1198,36 @@ object TextAnalysis {
         col("__e.id").as("doc_id"), col("__e.score").as("score"))
   }
 
+  /** Crash-safe compaction for the importance-profile index (the
+    * memorization-index shape, one partial): fold all but the newest
+    * `keepLast` batch dirs into `batch=-1` with the same cell-wise sum
+    * the read applies — associative, so compaction commutes with
+    * [[importanceWeightsFromIndex]]. */
+  def compactImportanceIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit = {
+    require(targetFiles >= 1 && keepLast >= 0)
+    val root = s"$path/prof"
+    val dest = s"$root/batch=-1"
+    graft.io.Compaction.recover(spark, dest)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    val ids = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLong }
+      .sorted
+    val foldIds = ids.dropRight(keepLast)
+    if (foldIds.isEmpty || foldIds == Seq(-1L)) return
+    val srcs = foldIds.map(id => s"$root/batch=$id")
+    graft.io.Compaction.swapIn(spark, dest, srcs) { tmp =>
+      spark.read.parquet(srcs: _*)
+        .groupBy(col("b")).agg(sum(col("raw_cnt")).as("raw_cnt"),
+          sum(col("tgt_cnt")).as("tgt_cnt"))
+        .coalesce(targetFiles).write.parquet(tmp)
+    }
+  }
+
   private val impIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -1317,6 +1317,66 @@ object Streams {
                 indexPath, idCol, textCol, k, w)
           }
         } finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
+  /** Streaming COUNT-MIN maintenance — [[ingestCardStream]]'s shape
+    * for the frequency sketch: each batch folds its additive cell
+    * partial + local candidate list in ([[graft.operators.Sketches
+    * .appendToCmsIndex]]; per-batch-overwrite replay idempotency),
+    * torn compaction swaps heal before the fold, and on the
+    * `compactEvery` cadence the batch dirs collapse through the same
+    * sum/union the read applies. No drift alarm by design: the fold
+    * is EXACT — the summed sketch IS the union corpus's sketch, there
+    * is no model to go stale (the memorization-loop stance). */
+  def ingestCmsStream(docs: DataFrame, cmsPath: String,
+      checkpoint: String, textCol: String = "text", depth: Int = 4,
+      width: Int = 256, candidates: Int = 24, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        for (sub <- Seq("cells", "cand"))
+          graft.io.Compaction.recover(spark, s"$cmsPath/$sub/batch=-1")
+        if (!batch.isEmpty)
+          graft.operators.Sketches.appendToCmsIndex(
+            batch.select(explode(graft.functions.TextFns
+              .letterTokens(col(textCol))).as("term")),
+            col("term"), cmsPath, id, depth, width, candidates)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.Sketches.compactCmsIndex(spark, cmsPath)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
+  /** Streaming DSIR-PROFILE maintenance — the importance weight table
+    * kept current BY the ingest: each batch folds its additive
+    * (bucket, raw, tgt) partial in, so
+    * [[graft.operators.TextAnalysis.importanceSelectFromIndex]] always
+    * prices new selections against the full ingested corpus with no
+    * profile recompute. Exact additive fold — no drift alarm by
+    * design (the card/memorization stance); a CHANGED target
+    * definition is a new index path, not drift. */
+  def ingestImportanceStream(docs: DataFrame, impPath: String,
+      checkpoint: String, targetPred: Column, idCol: String = "doc_id",
+      textCol: String = "text", buckets: Int = 4096,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        graft.io.Compaction.recover(spark, s"$impPath/prof/batch=-1")
+        if (!batch.isEmpty)
+          graft.operators.TextAnalysis.appendToImportanceIndex(batch,
+            idCol, textCol, targetPred, impPath, id, buckets)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.TextAnalysis.compactImportanceIndex(spark,
+            impPath)
         ()
       }
       .outputMode("append")

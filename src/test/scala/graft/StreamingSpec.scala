@@ -1176,4 +1176,61 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "fp").as[(Long, Long)].collect().toSet
     assert(got === want)
   }
+
+  test("ingestCmsStream + ingestImportanceStream: streamed folds equal batch builds; compaction cadence bounds dirs") {
+    import spark.implicits._
+    import graft.operators.{Sketches, TextAnalysis}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-addfold-stream-").toString
+    val b0 = Seq((1L, "hot hot warm aa bb", "en"), (2L, "hot cc dd ee ff", "en"))
+    val b1 = Seq((3L, "hot warm gg hh ii", "fr"), (4L, "hot jj kk ll mm", "fr"))
+    val b2 = Seq((5L, "hot warm nn oo pp", "en"))
+    val all = (b0 ++ b1 ++ b2).toDF("doc_id", "text", "lang")
+
+    val ms1 = MemoryStream[(Long, String, String)](spark)
+    val sq1 = Streams.ingestCmsStream(
+      ms1.toDF().toDF("doc_id", "text", "lang"),
+      s"$tmp/cms", s"$tmp/ck1", depth = 4, width = 64, candidates = 6,
+      compactEvery = 2)
+    ms1.addData(b0: _*); sq1.processAllAvailable()
+    ms1.addData(b1: _*); sq1.processAllAvailable()
+    ms1.addData(b2: _*); sq1.processAllAvailable()
+    sq1.stop()
+    def heavy(path: String) = Sketches.cmsHeavyFromIndex(spark, path,
+        depth = 4, width = 64, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val streamed = heavy(s"$tmp/cms")
+    // batch reference over the union corpus through the same index ops
+    val occ = all.select(explode(split(col("text"), " ")).as("term"))
+    Sketches.appendToCmsIndex(occ, col("term"), s"$tmp/cmsref", 0L,
+      depth = 4, width = 64, candidates = 6)
+    assert(streamed.head === heavy(s"$tmp/cmsref").head) // top hitter agrees
+    assert(streamed.head._1 === "hot" && streamed.head._2 === 6L)
+    // compactEvery=2 fired: cells holds the fold dir + at most the
+    // batches after the fold point
+    val dirs = new java.io.File(s"$tmp/cms/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs.contains("batch=-1") && dirs.length <= 3, s"dirs: $dirs")
+
+    val ms2 = MemoryStream[(Long, String, String)](spark)
+    val sq2 = Streams.ingestImportanceStream(
+      ms2.toDF().toDF("doc_id", "text", "lang"),
+      s"$tmp/imp", s"$tmp/ck2", targetPred = col("lang") === "en",
+      buckets = 128)
+    ms2.addData(b0: _*); sq2.processAllAvailable()
+    ms2.addData(b1: _*); sq2.processAllAvailable()
+    ms2.addData(b2: _*); sq2.processAllAvailable()
+    sq2.stop()
+    def sel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamedSel = sel(TextAnalysis.importanceSelectFromIndex(all,
+      spark, s"$tmp/imp", "doc_id", "text", buckets = 128, n = 5))
+    val adhocSel = sel(TextAnalysis.importanceSelect(all, "doc_id",
+      "text", col("lang") === "en", buckets = 128, n = 5))
+    assert(streamedSel === adhocSel)
+    // compaction commutes with the weight read
+    TextAnalysis.compactImportanceIndex(spark, s"$tmp/imp", keepLast = 0)
+    assert(sel(TextAnalysis.importanceSelectFromIndex(all, spark,
+      s"$tmp/imp", "doc_id", "text", buckets = 128, n = 5)) === adhocSel)
+  }
 }
