@@ -355,4 +355,78 @@ object Multimodal {
       }
     }
   }
+
+  // ── Content-defined chunking (rolling-window CDC, LBFS/rsync family) ──
+
+  /** Content-defined chunk table of a binary media column: a chunk
+    * boundary falls wherever the 48-bit md5 of the `w`-byte window
+    * ENDING at a position ≡ 0 (mod `modulus`) — so boundaries are a
+    * property of local CONTENT, not of offsets, and an insertion in
+    * one region moves only that region's boundaries (the rsync/LBFS
+    * property fixed-size framing lacks; cf. [[frameSample]], the
+    * fixed-size contrast). Expected chunk length = `modulus` bytes.
+    *
+    * Deliberately PURE CDC — no min/max length clamps: the clamps
+    * reintroduce a sequential dependence between boundaries (each cut
+    * depends on the previous), which would serialize the per-blob
+    * computation and break the per-position-predicate parallelism;
+    * degenerate chunk lengths are geometrically rare (P ~ (1/modulus)
+    * per position) and harmless to the dedup arithmetic.
+    *
+    * Scale shape: the cut set is a per-position PREDICATE
+    * (embarrassingly parallel, whole-stage codegen'd md5s), the
+    * boundary array is a per-BLOB aggregate (the blob is the unit,
+    * like the per-doc winnow window), chunk hashing is row-local.
+    * Everything is md5 arithmetic over bytes → full SQL oracle on the
+    * ASCII media fixture.
+    *
+    * Returns (doc_id, media_type, h — the chunk's md5, n_bytes). */
+  def cdcChunks(media: DataFrame, w: Int = 4, modulus: Int = 64)
+      : DataFrame = {
+    require(w >= 1 && modulus >= 2)
+    val m = media.select(col("doc_id"), col("media_type"),
+      col("content"), length(col("content")).cast("long").as("__L"))
+    val cuts = m
+      .select(col("doc_id"), col("content"),
+        explode(when(col("__L") >= w,
+            sequence(lit(w.toLong), col("__L")))
+          .otherwise(array().cast("array<long>"))).as("i"))
+      .where(conv(substring(md5(
+          expr(s"substring(content, CAST(i - ${w - 1} AS INT), $w)")),
+          1, 12), 16, 10).cast("long") % modulus === 0)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("i"))).as("__cuts"))
+    m.join(cuts, Seq("doc_id"), "left")
+      .withColumn("__ends",
+        when(col("__cuts").isNull, array(col("__L")))
+          .otherwise(when(element_at(col("__cuts"), -1) === col("__L"),
+              col("__cuts"))
+            .otherwise(concat(col("__cuts"), array(col("__L"))))))
+      .select(col("doc_id"), col("media_type"), col("content"),
+        col("__ends"), posexplode(col("__ends")).as(Seq("__j", "e")))
+      .withColumn("st", when(col("__j") === 0, lit(1L))
+        .otherwise(element_at(col("__ends"), col("__j")) + 1L))
+      .where(col("e") >= col("st"))
+      .select(col("doc_id"), col("media_type"),
+        md5(expr("substring(content, CAST(st AS INT), CAST(e - st + 1 AS INT))"))
+          .as("h"),
+        (col("e") - col("st") + 1L).as("n_bytes"))
+  }
+
+  /** Storage-dedup audit over a CDC chunk table: per media type, total
+    * vs distinct chunks/bytes and the integer dedup ratio — what a
+    * chunk-addressed blob store would save on this corpus. The
+    * distinct side groups on the chunk hash (equal content ⇒ equal
+    * length, so MAX(n_bytes) is exact). */
+  def cdcDedupStats(chunks: DataFrame): DataFrame = {
+    val tot = chunks.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_bytes")).as("n_bytes"))
+    val dis = chunks.groupBy(col("media_type"), col("h"))
+      .agg(max(col("n_bytes")).as("nb"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("nb")).as("distinct_bytes"))
+    tot.join(dis, Seq("media_type"))
+      .withColumn("dedup_ppm",
+        expr("((n_bytes - distinct_bytes) * 1000000) DIV n_bytes"))
+  }
 }

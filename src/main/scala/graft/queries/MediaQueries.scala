@@ -39,6 +39,18 @@ object MediaQueries {
           md5(col("frame")).as("frame_md5"))
     },
 
+    // Content-defined chunking dedup (LBFS/rsync family): rolling
+    // 4-byte-window md5 boundaries (expected chunk 64 B — boundaries
+    // follow CONTENT, so shared passages between near-dup payloads
+    // yield identical chunks at different offsets), then the
+    // chunk-addressed-store audit: distinct vs total chunks/bytes and
+    // the integer dedup ratio per media type.
+    "q_cdc_dedup" -> { (s, dir) =>
+      Multimodal.cdcDedupStats(Multimodal.cdcChunks(
+        Multimodal.mediaTable(t(s, dir, "documents")), w = 4,
+        modulus = 64))
+    },
+
     // REAL image decode: synthesize real grayscale PNGs (deterministic
     // dims/pixels from doc_id), decode them with javax.imageio, report
     // actual header dimensions + exact pixel sum. Lossless PNG round-
@@ -144,6 +156,39 @@ object MediaQueries {
          |  md5(substring(text, f.i * 32 + 1, 32)) AS frame_md5
          |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i) f
          |WHERE length(substring(text, f.i * 32 + 1, 32)) > 0""".stripMargin,
+
+    // Full CDC replay on the ASCII payloads: per-position window md5
+    // cuts, sorted boundary list (+L terminal), span arithmetic, chunk
+    // md5s, distinct-vs-total rollup.
+    "q_cdc_dedup" ->
+      s"""WITH m AS (SELECT doc_id, $sqlMediaType AS media_type,
+         |    text AS s, len(text) AS L FROM documents),
+         |pos AS (SELECT doc_id, i FROM m, UNNEST(range(4, L + 1)) AS t(i)
+         |  WHERE CAST('0x' || substr(md5(substr(s, CAST(i - 3 AS INT), 4)),
+         |      1, 12) AS BIGINT) % 64 = 0),
+         |cuts AS (SELECT m.doc_id,
+         |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), m.L))
+         |      AS ends
+         |  FROM m LEFT JOIN pos p USING (doc_id) GROUP BY m.doc_id, m.L),
+         |spans AS (SELECT doc_id, ends[j] AS e,
+         |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
+         |  FROM cuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
+         |  WHERE j = 1 OR ends[j] > ends[j - 1]),
+         |ch AS (SELECT c.doc_id, m.media_type,
+         |    md5(substr(m.s, CAST(c.st AS INT), CAST(c.e - c.st + 1 AS INT)))
+         |      AS h,
+         |    c.e - c.st + 1 AS nb
+         |  FROM spans c JOIN m USING (doc_id) WHERE c.e >= c.st),
+         |d AS (SELECT media_type, h, MAX(nb) AS nb FROM ch GROUP BY 1, 2),
+         |dt AS (SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    CAST(SUM(nb) AS BIGINT) AS distinct_bytes FROM d GROUP BY 1),
+         |tt AS (SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(nb) AS BIGINT) AS n_bytes FROM ch GROUP BY 1)
+         |SELECT tt.media_type, tt.n_chunks, tt.n_bytes, dt.n_distinct,
+         |  dt.distinct_bytes,
+         |  CAST(((tt.n_bytes - dt.distinct_bytes) * 1000000) // tt.n_bytes
+         |    AS BIGINT) AS dedup_ppm
+         |FROM tt JOIN dt USING (media_type)""".stripMargin,
 
     "q_media_resize" ->
       s"""SELECT doc_id, $sqlMediaType AS media_type,

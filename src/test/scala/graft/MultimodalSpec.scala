@@ -194,4 +194,39 @@ class MultimodalSpec extends SparkSpec {
     val gotEntropy = rows.find(_.doc_id == 0).get.entropy
     assert(math.abs(gotEntropy - expectEntropy) < 1e-9)
   }
+
+  test("CDC chunking: insertion moves only the edited region's chunks (the rsync property); dedup audit finds the planted dups") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.mediaTable(docs)
+    def chunkSet(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.cdcChunks(m, w = 4, modulus = 64)
+        .groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toMap
+    val base = chunkSet(media)
+    // splice a prefix into every payload: content-defined boundaries
+    // re-synchronize after the edit, so AT MOST the first chunk of
+    // each doc changes; fixed-size frames would ALL shift
+    val prefixed = Multimodal.mediaTable(
+      docs.withColumn("text", concat(lit("ZQJ XWV KYH "), col("text"))))
+    val shifted = chunkSet(prefixed)
+    base.foreach { case (id, hs) =>
+      val kept = (hs & shifted(id)).size
+      assert(kept >= hs.size - 1,
+        s"doc $id: only the edit-region chunk may change ($kept of ${hs.size} kept)")
+    }
+    // the fixed-size contrast on the same edit: frames all shift
+    val f0 = Multimodal.frameSample(media, 32, 4)
+      .select(col("doc_id"), md5(col("frame")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val f1 = Multimodal.frameSample(prefixed, 32, 4)
+      .select(col("doc_id"), md5(col("frame")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert((f0 & f1).size < f0.size / 4,
+      "fixed framing must lose alignment under the same edit")
+    // audit sanity: the fixture's planted near-dups share chunks
+    val stats = Multimodal.cdcDedupStats(Multimodal.cdcChunks(media))
+      .collect().map(r => (r.getString(0), r.getLong(5))).toMap
+    assert(stats.values.exists(_ > 0L), s"no dedup found: $stats")
+  }
 }
