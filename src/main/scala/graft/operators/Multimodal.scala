@@ -429,4 +429,79 @@ object Multimodal {
       .withColumn("dedup_ppm",
         expr("((n_bytes - distinct_bytes) * 1000000) DIV n_bytes"))
   }
+
+  /** Materialize the corpus CDC chunk-hash store — one row per
+    * DISTINCT (media_type, h) with the chunk length: the membership
+    * table a chunk-addressed blob store keeps. Offline half of
+    * [[incrementalCdcStats]]. */
+  def writeCdcIndex(media: DataFrame, path: String, w: Int = 4,
+      modulus: Int = 64, coalesceTo: Int = 1): Unit = {
+    val d = cdcChunks(media, w, modulus)
+      .groupBy(col("media_type"), col("h"))
+      .agg(max(col("n_bytes")).as("n_bytes"))
+    (if (coalesceTo > 0) d.coalesce(coalesceTo) else d)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private val cdcIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around [[writeCdcIndex]] (the ensureBandIndex
+    * lifecycle). */
+  def ensureCdcIndex(media: => DataFrame, path: String, w: Int = 4,
+      modulus: Int = 64): Unit =
+    cdcIndexes.computeIfAbsent(path, { _ =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (!graft.io.IndexPaths.complete(spark, path))
+        writeCdcIndex(media, path, w, modulus)
+      java.lang.Boolean.TRUE
+    })
+
+  /** Dedup-on-arrival audit of an ingest batch against the stored
+    * chunk store: chunk ONLY the batch, probe the store by hash
+    * (pruned to the batch's hashes — at scale a bucket-pruned read),
+    * and report per media type what a chunk-addressed store would
+    * actually write: the batch's total chunks/bytes, its NOVEL
+    * distinct chunks/bytes (hashes absent from the store), and the
+    * saved ppm. Order-free by construction (novelty is a set
+    * property, not an arrival-order one), so the whole audit replays
+    * in SQL. Work ∝ batch chunks + probed store rows. */
+  def incrementalCdcStats(newMedia: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      w: Int = 4, modulus: Int = 64): DataFrame = {
+    val ch = graft.operators.Caches.persist(cdcChunks(newMedia, w, modulus))
+    val stored = spark.read.parquet(path)
+      .join(ch.select(col("media_type"), col("h")).distinct(),
+        Seq("media_type", "h"), "left_semi")
+    val novel = ch.groupBy(col("media_type"), col("h"))
+      .agg(max(col("n_bytes")).as("nb"))
+      .join(stored, Seq("media_type", "h"), "left_anti")
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("novel_chunks"), sum(col("nb")).as("novel_bytes"))
+    ch.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_bytes")).as("n_bytes"))
+      .join(novel, Seq("media_type"), "left")
+      .withColumn("novel_chunks", coalesce(col("novel_chunks"), lit(0L)))
+      .withColumn("novel_bytes", coalesce(col("novel_bytes"), lit(0L)))
+      .withColumn("saved_ppm",
+        expr("((n_bytes - novel_bytes) * 1000000) DIV n_bytes"))
+  }
+
+  /** Fold an admitted batch's NOVEL chunk hashes into the store —
+    * membership-idempotent (a replayed batch appends nothing),
+    * append-only. */
+  def appendToCdcIndex(newMedia: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      w: Int = 4, modulus: Int = 64, coalesceTo: Int = 1): Unit = {
+    val d = cdcChunks(newMedia, w, modulus)
+      .groupBy(col("media_type"), col("h"))
+      .agg(max(col("n_bytes")).as("n_bytes"))
+    val fresh = d.join(
+      spark.read.parquet(path).join(
+        d.select(col("media_type"), col("h")),
+        Seq("media_type", "h"), "left_semi"),
+      Seq("media_type", "h"), "left_anti")
+    (if (coalesceTo > 0) fresh.coalesce(coalesceTo) else fresh)
+      .write.mode("append").parquet(path)
+  }
 }

@@ -51,6 +51,20 @@ object MediaQueries {
         modulus = 64))
     },
 
+    // Dedup-on-arrival against the STORED chunk store: the batch
+    // (every 5th doc) is chunked fresh; the corpus store is probed by
+    // hash only — what a chunk-addressed blob store would actually
+    // write for this batch. Order-free novelty, full SQL oracle.
+    "q_cdc_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.mediaTable(docs.where(col("doc_id") % 5 =!= 0))
+      val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
+      val path = graft.io.IndexPaths.indexPath("cdcidx",
+        s"$dir/documents.parquet", "w4m64")
+      Multimodal.ensureCdcIndex(corpus, path)
+      Multimodal.incrementalCdcStats(batch, s, path)
+    },
+
     // REAL image decode: synthesize real grayscale PNGs (deterministic
     // dims/pixels from doc_id), decode them with javax.imageio, report
     // actual header dimensions + exact pixel sum. Lossless PNG round-
@@ -189,6 +203,48 @@ object MediaQueries {
          |  CAST(((tt.n_bytes - dt.distinct_bytes) * 1000000) // tt.n_bytes
          |    AS BIGINT) AS dedup_ppm
          |FROM tt JOIN dt USING (media_type)""".stripMargin,
+
+    // The incremental contract: the same CDC CTEs over the WHOLE
+    // corpus, stored = distinct hashes of the non-batch slice, batch
+    // novelty = distinct batch hashes absent from the store.
+    "q_cdc_incremental" ->
+      s"""WITH m AS (SELECT doc_id, $sqlMediaType AS media_type,
+         |    text AS s, len(text) AS L FROM documents),
+         |pos AS (SELECT doc_id, i FROM m, UNNEST(range(4, L + 1)) AS t(i)
+         |  WHERE CAST('0x' || substr(md5(substr(s, CAST(i - 3 AS INT), 4)),
+         |      1, 12) AS BIGINT) % 64 = 0),
+         |cuts AS (SELECT m.doc_id,
+         |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), m.L))
+         |      AS ends
+         |  FROM m LEFT JOIN pos p USING (doc_id) GROUP BY m.doc_id, m.L),
+         |spans AS (SELECT doc_id, ends[j] AS e,
+         |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
+         |  FROM cuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
+         |  WHERE j = 1 OR ends[j] > ends[j - 1]),
+         |ch AS (SELECT c.doc_id, m.media_type,
+         |    md5(substr(m.s, CAST(c.st AS INT), CAST(c.e - c.st + 1 AS INT)))
+         |      AS h,
+         |    c.e - c.st + 1 AS nb
+         |  FROM spans c JOIN m USING (doc_id) WHERE c.e >= c.st),
+         |stored AS (SELECT DISTINCT media_type, h FROM ch
+         |  WHERE doc_id % 5 <> 0),
+         |bch AS (SELECT * FROM ch WHERE doc_id % 5 = 0),
+         |novel AS (SELECT b.media_type,
+         |    CAST(COUNT(*) AS BIGINT) AS novel_chunks,
+         |    CAST(SUM(b.nb) AS BIGINT) AS novel_bytes
+         |  FROM (SELECT media_type, h, MAX(nb) AS nb FROM bch
+         |        GROUP BY 1, 2) b
+         |  LEFT JOIN stored st ON st.media_type = b.media_type
+         |    AND st.h = b.h
+         |  WHERE st.h IS NULL GROUP BY 1),
+         |tot AS (SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(nb) AS BIGINT) AS n_bytes FROM bch GROUP BY 1)
+         |SELECT t2.media_type, t2.n_chunks, t2.n_bytes,
+         |  CAST(COALESCE(n.novel_chunks, 0) AS BIGINT) AS novel_chunks,
+         |  CAST(COALESCE(n.novel_bytes, 0) AS BIGINT) AS novel_bytes,
+         |  CAST(((t2.n_bytes - COALESCE(n.novel_bytes, 0)) * 1000000)
+         |    // t2.n_bytes AS BIGINT) AS saved_ppm
+         |FROM tot t2 LEFT JOIN novel n USING (media_type)""".stripMargin,
 
     "q_media_resize" ->
       s"""SELECT doc_id, $sqlMediaType AS media_type,

@@ -229,4 +229,45 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(5))).toMap
     assert(stats.values.exists(_ > 0L), s"no dedup found: $stats")
   }
+
+  test("CDC store: arrival audit matches set arithmetic; append is membership-idempotent; absorbed batch reads fully saved") {
+    import graft.operators.Multimodal
+    val docs = Q.t(spark, sf, "documents")
+    val corpus = Multimodal.mediaTable(docs.where(col("doc_id") % 5 =!= 0))
+    val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val idx = s"$dir/store"
+    Multimodal.writeCdcIndex(corpus, idx)
+    val audit = Multimodal.incrementalCdcStats(batch, spark, idx)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    graft.operators.Caches.release()
+    // independent set arithmetic: novel = distinct batch hashes
+    // absent from the corpus chunk-hash set
+    val corpusH = Multimodal.cdcChunks(corpus)
+      .select("media_type", "h").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batchCh = Multimodal.cdcChunks(batch)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    graft.operators.Caches.release()
+    for ((mt, (nc, nb, nvc, nvb, saved)) <- audit) {
+      val bc = batchCh.filter(_._1 == mt)
+      assert(nc === bc.length && nb === bc.map(_._3).sum)
+      val novel = bc.groupBy(_._2).map(_._2.head)
+        .filterNot(c => corpusH.contains((mt, c._2))).toSeq
+      assert(nvc === novel.length && nvb === novel.map(_._3).sum)
+      assert(saved === (nb - nvb) * 1000000L / nb)
+    }
+    // fold the batch in; a replayed audit reads ZERO novelty (the
+    // store absorbed it) and the append is membership-idempotent
+    Multimodal.appendToCdcIndex(batch, spark, idx)
+    val n1 = spark.read.parquet(idx).count()
+    Multimodal.appendToCdcIndex(batch, spark, idx)
+    assert(spark.read.parquet(idx).count() === n1)
+    val after = Multimodal.incrementalCdcStats(batch, spark, idx)
+      .collect().map(r => (r.getLong(3), r.getLong(5)))
+    graft.operators.Caches.release()
+    assert(after.forall { case (nvc, saved) => nvc == 0L && saved == 1000000L })
+  }
 }
