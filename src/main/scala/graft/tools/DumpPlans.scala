@@ -58,7 +58,9 @@ object DumpPlans {
     "q_winnow_incremental" -> "incremental winnowing: batch fingerprints only; the stored index enters through an fp-semi-join prune — the corpus is never re-fingerprinted; union-df guard, countDistinct pair scoring",
     "q_ann_hamming" -> "binary sign-code ANN: 64 dims packed to two 32-bit halves at scan, XOR+popcount distance in whole-stage codegen, per-probe top-k as the long bounded heap on negated distance — no window, nothing corpus-sized sorts",
     "q_ann_hamming_rerank" -> "Hamming shortlist + quantized-cosine rerank: the float column is reached ONLY through the shortlist id join (probes x 80 rows); both rank passes are bounded heaps",
-    "q_corpus_targeted" -> "the targeted release composed: DSIR two-scan selection, winnowing restricted to the 100-doc selection (persisted — fingerprint+guard run once), md5 shard layout of the survivors; per-doc windows only, every join on the selection side broadcast-sized")
+    "q_corpus_targeted" -> "the targeted release composed: DSIR two-scan selection, winnowing restricted to the 100-doc selection (persisted — fingerprint+guard run once), md5 shard layout of the survivors; per-doc windows only, every join on the selection side broadcast-sized",
+    "q_cdc_dedup" -> "content-defined chunking: per-position window-md5 cut predicate in codegen (embarrassingly parallel), per-BLOB boundary aggregate, row-local chunk hashing — the distinct-chunk rollup is the only shuffle, one hash per chunk",
+    "q_cdc_incremental" -> "dedup-on-arrival: the batch chunks fresh; the stored chunk store enters ONLY through a batch-hash-pruned semi-join — the corpus is never re-chunked; novelty is a set anti-join, order-free")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the
