@@ -40,8 +40,16 @@ object TextQueries {
     * and q_memorization_incremental, whose read-time equivalence to
     * the batch operator over the union corpus IS the incremental
     * contract. */
+  /** The DSIR configuration shared by all three selector forms AND
+    * their one oracle — derived, never duplicated (the q_sql_hybrid
+    * probe-list lesson): editing one constant moves every surface. */
+  private[graft] val dsirTargetLang = "en"
+  private[graft] val dsirBuckets = 4096
+  private[graft] val dsirN = 60
+
   /** DuckDB replay of [[TextAnalysis.importanceSelect]] (integer DSIR,
-    * buckets=4096, target = lang 'en', n=60) — shared by
+    * buckets=$dsirBuckets, target = lang '$dsirTargetLang', n=$dsirN)
+    * — shared by
     * q_dsir_select, q_dsir_indexed (stored additive profile) and
     * q_sql_dsir (SQL-text twin): all three are bit-identical by
     * contract. */
@@ -50,10 +58,10 @@ object TextQueries {
        |g AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
        |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
        |gb AS (SELECT doc_id, lang,
-       |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % 4096 AS b
+       |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % $dsirBuckets AS b
        |  FROM g),
        |wt AS (SELECT b,
-       |    ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000)
+       |    ((SUM(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END) + 1) * 1000000)
        |      // (COUNT(*) + 1) AS wt_ppm
        |  FROM gb GROUP BY b),
        |sc AS (SELECT doc_id, SUM(wt_ppm) AS score
@@ -61,7 +69,7 @@ object TextQueries {
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
        |    AS BIGINT) AS rk,
        |  doc_id, CAST(score AS BIGINT) AS score
-       |FROM sc ORDER BY score DESC, doc_id LIMIT 60""".stripMargin
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $dsirN""".stripMargin
 
   private val sqlMemorization: String =
     s"""WITH toks AS (SELECT doc_id, $SQL_TOKS AS ws FROM documents),
@@ -1068,7 +1076,8 @@ object TextQueries {
     // through the bounded heap (never a rank window).
     "q_dsir_select" -> { (s, dir) =>
       TextAnalysis.importanceSelect(t(s, dir, "documents"), "doc_id",
-        "text", targetPred = col("lang") === "en", buckets = 4096, n = 60)
+        "text", targetPred = col("lang") === dsirTargetLang,
+        buckets = dsirBuckets, n = dsirN)
     },
 
     // The stored-profile form: the corpus profile pass (half the
@@ -1079,14 +1088,14 @@ object TextQueries {
     "q_dsir_indexed" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val path = graft.io.IndexPaths.indexPath("impidx",
-        s"$dir/documents.parquet", "b4096en")
+        s"$dir/documents.parquet", s"b${dsirBuckets}$dsirTargetLang")
       TextAnalysis.ensureImportanceIndex(s, path, Seq(0L, 1L, 2L)) {
         (0L to 2L).foreach(b => TextAnalysis.appendToImportanceIndex(
           docs.where(col("doc_id") % 3 === b), "doc_id", "text",
-          col("lang") === "en", path, b, buckets = 4096))
+          col("lang") === dsirTargetLang, path, b, buckets = dsirBuckets))
       }
       TextAnalysis.importanceSelectFromIndex(docs, s, path, "doc_id",
-        "text", buckets = 4096, n = 60)
+        "text", buckets = dsirBuckets, n = dsirN)
     },
 
     // The whole DSIR selector as pure SQL TEXT (the SQL-only user's
@@ -1097,9 +1106,9 @@ object TextQueries {
       graft.plans.GraftExtensions.ensureRegistered(s)
       t(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql(
-        """WITH toks AS (
+        s"""WITH toks AS (
           |  SELECT doc_id, lang,
-          |    filter(split(text, '[^\\p{L}]+'), x -> x <> '') AS ws
+          |    filter(split(text, '[^\\\\p{L}]+'), x -> x <> '') AS ws
           |  FROM documents),
           |g AS (
           |  SELECT doc_id, lang, concat_ws(' ', ws[i], ws[i + 1]) AS g
@@ -1108,17 +1117,17 @@ object TextQueries {
           |gb AS (
           |  SELECT doc_id, lang,
           |    CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT)
-          |      % 4096 AS b
+          |      % $dsirBuckets AS b
           |  FROM g),
           |wt AS (
           |  SELECT b,
-          |    ((SUM(CASE WHEN lang = 'en' THEN 1L ELSE 0L END) + 1L)
+          |    ((SUM(CASE WHEN lang = '$dsirTargetLang' THEN 1L ELSE 0L END) + 1L)
           |      * 1000000L) DIV (COUNT(*) + 1L) AS wt_ppm
           |  FROM gb GROUP BY b),
           |sc AS (
           |  SELECT doc_id, SUM(wt_ppm) AS score
           |  FROM gb JOIN wt USING (b) GROUP BY doc_id),
-          |tk AS (SELECT top_k_by_long_score(score, doc_id, 60) AS top
+          |tk AS (SELECT top_k_by_long_score(score, doc_id, $dsirN) AS top
           |  FROM sc)
           |SELECT CAST(p + 1 AS BIGINT) AS rk, e.id AS doc_id,
           |  e.score AS score
@@ -1135,7 +1144,7 @@ object TextQueries {
     "q_corpus_targeted" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val sel = TextAnalysis.importanceSelect(docs, "doc_id", "text",
-        col("lang") === "en", buckets = 4096, n = 100)
+        col("lang") === dsirTargetLang, buckets = dsirBuckets, n = 100)
       val cand = graft.operators.Caches.persist(
         docs.join(sel.select(col("doc_id"), col("score")), Seq("doc_id")))
       val drop = Dedup.winnowPairs(cand, "doc_id", "text",
@@ -2859,10 +2868,10 @@ object TextQueries {
          |g2 AS (SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
          |      FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
          |gb AS (SELECT doc_id, lang,
-         |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % 4096 AS b
+         |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % $dsirBuckets AS b
          |  FROM g2),
          |wt AS (SELECT b,
-         |    ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000)
+         |    ((SUM(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END) + 1) * 1000000)
          |      // (COUNT(*) + 1) AS wt_ppm FROM gb GROUP BY b),
          |sc AS (SELECT doc_id, SUM(wt_ppm) AS score
          |  FROM gb JOIN wt USING (b) GROUP BY 1),

@@ -542,4 +542,18 @@ class PlanPropertiesSpec extends SparkSpec {
       s"the SQL twin's top-n must be top_k_by_long_score:\n$p")
     assert(p.contains("partial_topkbylongscore"))
   }
+
+  test("q_cdc_incremental: the batch chunk table is computed once (persisted, three consumers); the store enters as a parquet read") {
+    spark.catalog.clearCache()
+    graft.operators.Caches.release()
+    val p = plan(SparkEntry.queries("q_cdc_incremental")(spark, sf))
+    // the batch's chunk pipeline feeds the store probe, the novelty
+    // anti-join, and the totals — all three must read the SAME cached
+    // relation, not re-run the window-md5 scan
+    assert(p.contains("InMemoryTableScan"),
+      s"batch chunks must be persisted and shared:\n$p")
+    assert(p.contains("graft_cdcidx"),
+      s"the stored chunk store must appear as a parquet read:\n$p")
+    graft.operators.Caches.release()
+  }
 }
