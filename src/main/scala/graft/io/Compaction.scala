@@ -104,6 +104,73 @@ object Compaction {
     commit(f, sources, tmp, new Path(dest))
   }
 
+  private val FoldedManifest = "_graft_folded_ids"
+
+  /** Batch ids recorded as already folded into `root/batch=-1` —
+    * empty unless the compacted dir is a COMPLETE committed write
+    * (torn compactions must not vouch for anything). The manifest is
+    * an underscore-prefixed sidecar INSIDE batch=-1, written in the
+    * same staging dir the swap commits, so data and manifest land (or
+    * roll back) atomically — a manifest written after the swap would
+    * reopen the very window it exists to close. */
+  def foldedIds(spark: SparkSession, root: String): Set[Long] = {
+    val dest = s"$root/batch=-1"
+    if (!IndexPaths.complete(spark, dest)) return Set.empty
+    val f = fs(spark, dest)
+    val p = new Path(dest, FoldedManifest)
+    if (!f.exists(p)) return Set.empty
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(_.toLong).toSet
+    finally in.close()
+  }
+
+  /** Whether batch `id` of the partial table rooted at `root` is
+    * accounted for: its own dir is a complete committed write, OR a
+    * complete `batch=-1` records it as folded. The second arm is what
+    * keeps ensure-style completeness checks correct AFTER compaction
+    * deletes the original dirs — without it a later session re-runs
+    * the build and double-counts the already-folded partials. */
+  def batchComplete(spark: SparkSession, root: String, id: Long): Boolean =
+    IndexPaths.complete(spark, s"$root/batch=$id") ||
+      foldedIds(spark, root).contains(id)
+
+  /** The shared fold-into-`batch=-1` compaction of a batch-partitioned
+    * partial table (card/memorization/importance/CMS indexes): fold
+    * all but the newest `keepLast` batch dirs into `batch=-1` with
+    * `agg` — which must be the SAME associative aggregate the read
+    * applies, so compaction commutes with the read — via the
+    * [[swapIn]] crash-safe protocol, and record the folded ids in the
+    * [[foldedIds]] manifest (accumulated across successive
+    * compactions; `batch=-1` itself is never listed). */
+  def foldBatches(spark: SparkSession, root: String, targetFiles: Int,
+      keepLast: Int)(agg: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+    require(targetFiles >= 1 && keepLast >= 0)
+    val dest = s"$root/batch=-1"
+    recover(spark, dest)
+    val rootPath = new Path(root)
+    val f = fs(spark, root)
+    if (!f.exists(rootPath)) return
+    val ids = f.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLong }
+      .sorted
+    val foldIds = ids.dropRight(keepLast)
+    if (foldIds.isEmpty || foldIds == Seq(-1L)) return
+    val srcs = foldIds.map(id => s"$root/batch=$id")
+    // read the PREVIOUS manifest before swapIn deletes dest
+    val folded = foldedIds(spark, root) ++ foldIds.filter(_ != -1L)
+    swapIn(spark, dest, srcs) { tmp =>
+      agg(spark.read.parquet(srcs: _*))
+        .coalesce(targetFiles).write.parquet(tmp)
+      val out = f.create(new Path(tmp, FoldedManifest), true)
+      try out.write(folded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** File-count compaction of one parquet directory IN PLACE: same
     * rows, same schema, `targetFiles` files. Row-level content is
     * preserved exactly (a plain read → coalesce → write; coalesce

@@ -1620,8 +1620,15 @@ object Dedup {
     val newFps = Caches.persist(
       winnowFingerprints(newDocs, idCol, textCol, k, w))
     val touched = newFps.select(col("fp")).distinct()
+    // the batch's own (doc_id, fp) rows are excluded from the stored
+    // side: under at-least-once redelivery the batch may ALREADY have
+    // been folded in by appendToWinnowIndex before the checkpoint
+    // commit failed, and counting those rows twice in the union
+    // inflates __df toward maxDf — the screen must be idempotent
+    // under replay (replayed run ≡ original run, spec-pinned)
     val storedTouched = spark.read.parquet(path)
       .join(touched, Seq("fp"), "left_semi")
+      .join(newFps, Seq("fp", "doc_id"), "left_anti")
     val all = storedTouched.unionByName(newFps)
     val hot = all.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf).select(col("fp"))

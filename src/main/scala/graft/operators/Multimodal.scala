@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
@@ -366,35 +366,84 @@ object Multimodal {
     * property fixed-size framing lacks; cf. [[frameSample]], the
     * fixed-size contrast). Expected chunk length = `modulus` bytes.
     *
-    * Deliberately PURE CDC — no min/max length clamps: the clamps
-    * reintroduce a sequential dependence between boundaries (each cut
-    * depends on the previous), which would serialize the per-blob
-    * computation and break the per-position-predicate parallelism;
-    * degenerate chunk lengths are geometrically rare (P ~ (1/modulus)
-    * per position) and harmless to the dedup arithmetic.
+    * Degenerate-run guard (`minLen`): a blob carrying a long run of
+    * one repeated `w`-byte pattern has ONE window hash across the
+    * run — if that hash ≡ 0 (mod `modulus`), pure CDC cuts at EVERY
+    * position in the run: per-byte chunk rows and per-byte chunk
+    * hashes, a quadratic-feeling blowup on exactly the low-entropy
+    * padding real containers are full of. Raw cuts closer than
+    * `minLen` are therefore collapsed: maximal chains of cuts with
+    * consecutive gaps < `minLen` keep only their LAST cut. The
+    * collapse is gap-based (not the greedy keep-if-far-enough walk),
+    * so it stays a per-DOC window computation — the doc is the sort
+    * unit, like the winnow minima — instead of a sequential fold, and
+    * it replays in SQL (lag + running sum + max-per-cluster).
+    * `minLen = 1` disables the merge (pure CDC).
     *
     * Scale shape: the cut set is a per-position PREDICATE
-    * (embarrassingly parallel, whole-stage codegen'd md5s), the
-    * boundary array is a per-BLOB aggregate (the blob is the unit,
-    * like the per-doc winnow window), chunk hashing is row-local.
-    * Everything is md5 arithmetic over bytes → full SQL oracle on the
-    * ASCII media fixture.
+    * (embarrassingly parallel, whole-stage codegen'd hashes), the
+    * run-collapse and boundary array are per-BLOB (partition key
+    * doc_id — bounded rows per blob even in the degenerate case:
+    * the blowup the guard prevents is in downstream chunk rows and
+    * chunk-content hashes, not in the cut rows), chunk hashing is
+    * row-local. Everything is md5 arithmetic over bytes → full SQL
+    * oracle on the ASCII media fixture.
     *
     * Returns (doc_id, media_type, h — the chunk's md5, n_bytes). */
-  def cdcChunks(media: DataFrame, w: Int = 4, modulus: Int = 64)
-      : DataFrame = {
-    require(w >= 1 && modulus >= 2)
+  def cdcChunks(media: DataFrame, w: Int = 4, modulus: Int = 64,
+      minLen: Int = 16): DataFrame =
+    cdcChunksBy(media, w, modulus, minLen,
+      win => conv(substring(md5(win), 1, 12), 16, 10).cast("long"),
+      chunk => md5(chunk))
+
+  /** [[cdcChunks]] with the engine-internal xxhash64 in place of md5
+    * for BOTH the window predicate and the chunk id — the SimHash
+    * precedent: the md5 form is the SQL-oracle-replayable twin, this
+    * is the production path (xxhash64 is one codegen'd 64-bit mix vs
+    * md5's full digest + hex decode per position — the dominant cost
+    * of chunking is `|blob|` window hashes). Same boundary CONTRACT
+    * (content-local cuts, expected length, minLen collapse) but a
+    * DIFFERENT cut set — spec-pinned to the contract (rsync
+    * property, dedup stats within tolerance of the md5 form), not to
+    * the cuts. Chunk id is the hex of the chunk's xxhash64 (64-bit —
+    * fine for store membership; the md5 twin carries 128). */
+  def cdcChunksFast(media: DataFrame, w: Int = 4, modulus: Int = 64,
+      minLen: Int = 16): DataFrame =
+    cdcChunksBy(media, w, modulus, minLen,
+      win => xxhash64(win),
+      chunk => lower(hex(xxhash64(chunk))))
+
+  /** Shared chunking skeleton of [[cdcChunks]] (md5, oracle twin) and
+    * [[cdcChunksFast]] (xxhash64, production): per-position window
+    * hash → pmod cut predicate → per-doc minLen run collapse →
+    * per-blob boundary array → row-local chunk hashing. */
+  private def cdcChunksBy(media: DataFrame, w: Int, modulus: Int,
+      minLen: Int, winHash: Column => Column,
+      chunkHash: Column => Column): DataFrame = {
+    require(w >= 1 && modulus >= 2 && minLen >= 1)
+    import org.apache.spark.sql.expressions.Window
     val m = media.select(col("doc_id"), col("media_type"),
       col("content"), length(col("content")).cast("long").as("__L"))
-    val cuts = m
+    val raw = m
       .select(col("doc_id"), col("content"),
         explode(when(col("__L") >= w,
             sequence(lit(w.toLong), col("__L")))
           .otherwise(array().cast("array<long>"))).as("i"))
-      .where(conv(substring(md5(
+      .where(pmod(winHash(
           expr(s"substring(content, CAST(i - ${w - 1} AS INT), $w)")),
-          1, 12), 16, 10).cast("long") % modulus === 0)
-      .groupBy(col("doc_id"))
+        lit(modulus.toLong)) === 0L)
+      .select(col("doc_id"), col("i"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val merged =
+      if (minLen <= 1) raw
+      else raw
+        .withColumn("__new",
+          when(col("i") - lag(col("i"), 1).over(byDoc) < minLen, lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("__cl", sum(col("__new")).over(byDoc.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("__cl")).agg(max(col("i")).as("i"))
+    val cuts = merged.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("i"))).as("__cuts"))
     m.join(cuts, Seq("doc_id"), "left")
       .withColumn("__ends",
@@ -408,7 +457,8 @@ object Multimodal {
         .otherwise(element_at(col("__ends"), col("__j")) + 1L))
       .where(col("e") >= col("st"))
       .select(col("doc_id"), col("media_type"),
-        md5(expr("substring(content, CAST(st AS INT), CAST(e - st + 1 AS INT))"))
+        chunkHash(
+          expr("substring(content, CAST(st AS INT), CAST(e - st + 1 AS INT))"))
           .as("h"),
         (col("e") - col("st") + 1L).as("n_bytes"))
   }
@@ -430,13 +480,39 @@ object Multimodal {
         expr("((n_bytes - distinct_bytes) * 1000000) DIV n_bytes"))
   }
 
+  /** Per-DOCUMENT media redundancy from a CDC chunk table: the ppm of
+    * a doc's payload bytes that live in chunks whose hash occurs MORE
+    * THAN ONCE corpus-wide (other docs or internal repeats — a
+    * content-addressed blob store is corpus-global, so the count is
+    * deliberately blind to media_type and doc boundaries). The
+    * release-pipeline input: a doc whose media is mostly
+    * already-stored bytes adds storage cost without adding training
+    * signal — pipeline v6 prices this into the keep decision.
+    *
+    * Scale shape (the TF-IDF shape): one hash-keyed count aggregate,
+    * one hash-keyed join back, one doc-keyed rollup — shuffle ∝ chunk
+    * rows, never pairs; payload bytes never shuffle (only hashes and
+    * lengths move). All-integer → exact SQL replay.
+    * Returns (doc_id, media_dup_ppm); docs with no chunks are absent
+    * (callers treat missing as 0). */
+  def mediaRedundancy(chunks: DataFrame): DataFrame = {
+    val cnt = chunks.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+    chunks.join(cnt.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_bytes")).as("__tot"),
+        sum(when(col("__c") > 1L, col("n_bytes")).otherwise(lit(0L)))
+          .as("__dup"))
+      .select(col("doc_id"),
+        expr("(__dup * 1000000) DIV __tot").as("media_dup_ppm"))
+  }
+
   /** Materialize the corpus CDC chunk-hash store — one row per
     * DISTINCT (media_type, h) with the chunk length: the membership
     * table a chunk-addressed blob store keeps. Offline half of
     * [[incrementalCdcStats]]. */
   def writeCdcIndex(media: DataFrame, path: String, w: Int = 4,
-      modulus: Int = 64, coalesceTo: Int = 1): Unit = {
-    val d = cdcChunks(media, w, modulus)
+      modulus: Int = 64, minLen: Int = 16, coalesceTo: Int = 1): Unit = {
+    val d = cdcChunks(media, w, modulus, minLen)
       .groupBy(col("media_type"), col("h"))
       .agg(max(col("n_bytes")).as("n_bytes"))
     (if (coalesceTo > 0) d.coalesce(coalesceTo) else d)
@@ -449,11 +525,11 @@ object Multimodal {
   /** Build-once memo around [[writeCdcIndex]] (the ensureBandIndex
     * lifecycle). */
   def ensureCdcIndex(media: => DataFrame, path: String, w: Int = 4,
-      modulus: Int = 64): Unit =
+      modulus: Int = 64, minLen: Int = 16): Unit =
     cdcIndexes.computeIfAbsent(path, { _ =>
       val spark = org.apache.spark.sql.SparkSession.active
       if (!graft.io.IndexPaths.complete(spark, path))
-        writeCdcIndex(media, path, w, modulus)
+        writeCdcIndex(media, path, w, modulus, minLen)
       java.lang.Boolean.TRUE
     })
 
@@ -468,8 +544,9 @@ object Multimodal {
     * in SQL. Work ∝ batch chunks + probed store rows. */
   def incrementalCdcStats(newMedia: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
-      w: Int = 4, modulus: Int = 64): DataFrame = {
-    val ch = graft.operators.Caches.persist(cdcChunks(newMedia, w, modulus))
+      w: Int = 4, modulus: Int = 64, minLen: Int = 16): DataFrame = {
+    val ch = graft.operators.Caches.persist(
+      cdcChunks(newMedia, w, modulus, minLen))
     val stored = spark.read.parquet(path)
       .join(ch.select(col("media_type"), col("h")).distinct(),
         Seq("media_type", "h"), "left_semi")
@@ -492,8 +569,9 @@ object Multimodal {
     * append-only. */
   def appendToCdcIndex(newMedia: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
-      w: Int = 4, modulus: Int = 64, coalesceTo: Int = 1): Unit = {
-    val d = cdcChunks(newMedia, w, modulus)
+      w: Int = 4, modulus: Int = 64, minLen: Int = 16,
+      coalesceTo: Int = 1): Unit = {
+    val d = cdcChunks(newMedia, w, modulus, minLen)
       .groupBy(col("media_type"), col("h"))
       .agg(max(col("n_bytes")).as("n_bytes"))
     val fresh = d.join(

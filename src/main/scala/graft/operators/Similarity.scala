@@ -2197,76 +2197,179 @@ object Similarity {
   // ── Binary (sign-bit) embedding quantization + Hamming ANN ──
 
   /** Sign-bit packing of a float embedding: bit `i` of 32-bit half
-    * `h` is set iff `vec[32h + i] > 0` — 64 dims pack into TWO
-    * longs holding 32 bits each (a sum of powers below 2^32 stays
-    * positive and exact in both engines; one 64-bit word would
-    * overflow into the sign bit at dim 63). The coarsest of the
-    * quantization ladder (float → int8 → PQ → sign): 32× smaller
-    * than float32, distance = XOR + popcount — two or three codegen'd
-    * ALU ops per candidate, no multiply — which is why binary
-    * prefilters front large-scale vector search. Sign comparison is
-    * exact in IEEE floats, so the packing (and everything downstream)
-    * replays bit-for-bit in SQL. Dims beyond 64 would generalize to
-    * an array of halves; the engine's embedding width is 64. */
-  def signPack(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    * `h` is set iff `vec[32h + i] > 0` — `dim` dims pack into
+    * `dim/32` longs each holding 32 bits (a sum of powers below 2^32
+    * stays positive and exact in both engines; packing 64 bits into
+    * one word would overflow into the sign bit at bit 63). The
+    * coarsest of the quantization ladder (float → int8 → PQ → sign):
+    * 32× smaller than float32, distance = XOR + popcount — a few
+    * codegen'd ALU ops per candidate, no multiply — which is why
+    * binary prefilters front large-scale vector search. Sign
+    * comparison is exact in IEEE floats, so the packing (and
+    * everything downstream) replays bit-for-bit in SQL.
+    * Returns (vec_id, bits: array<long> of dim/32 halves). */
+  def signPack(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 32 && dim % 32 == 0,
+      s"sign packing needs a positive multiple of 32 dims, got $dim")
     def half(off: Int): Column =
       (0 until 32).map(i =>
         when(element_at(col(vecCol), off + i + 1) > lit(0f), lit(1L << i))
           .otherwise(lit(0L))).reduce(_ + _)
     emb.select(col(idCol).as("vec_id"),
-      half(0).as("b0"), half(32).as("b1"))
+      array((0 until dim by 32).map(half): _*).as("bits"))
   }
 
-  /** Batched exact top-k under Hamming distance over the sign-packed
-    * corpus: the probe rows broadcast (bits only — a handful of
-    * longs), distances are XOR+popcount in whole-stage codegen, and
-    * the per-probe top-k is the bounded TopKByLongScore heap on
-    * NEGATED distance (score DESC ≡ hamming ASC, id tie-break) —
-    * one corpus scan for the whole probe set, never a rank window.
-    * Returns (query_id, rk, vec_id, hamming). */
-  def hammingTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
-      probeIds: Seq[Long], k: Int): DataFrame = {
+  /** Hamming distance between two packed code arrays: per-half
+    * XOR+popcount, summed — whole-stage-codegen'd builtins end to
+    * end (`zip_with` + `bit_count` + `aggregate`). */
+  private def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The shared shortlist tail of the ad-hoc and stored Hamming
+    * paths: probes broadcast (code arrays only — a handful of longs
+    * each), one scan of the packed corpus, per-probe top-k through
+    * the bounded TopKByLongScore heap on NEGATED distance (score
+    * DESC ≡ hamming ASC, id tie-break) — never a rank window.
+    * Bit-identical between paths by construction: longs round-trip
+    * parquet exactly (the [[quantizedTail]] argument). */
+  private def hammingTail(packed: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.graft.shim
-    require(probeIds.nonEmpty && k >= 1)
-    val packed = signPack(emb, idCol, vecCol)
-    val probes = packed.where(col("vec_id").isin(probeIds: _*))
-      .toDF("query_id", "q0", "q1")
-    val ham = (bit_count(col("b0").bitwiseXOR(col("q0"))) +
-      bit_count(col("b1").bitwiseXOR(col("q1")))).cast("long")
     val agg = shim.column(graft.functions.expr.TopKByLongScore(
         shim.expression(-col("hamming")), shim.expression(col("vec_id")), k)
       .toAggregateExpression())
     packed.join(broadcast(probes), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), ham.as("hamming"))
+      .select(col("query_id"), col("vec_id"),
+        hammingDist(col("bits"), col("qbits")).as("hamming"))
       .groupBy(col("query_id")).agg(agg.as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__e")))
       .select(col("query_id"), (col("__p") + 1).cast("long").as("rk"),
         col("__e.id").as("vec_id"), (-col("__e.score")).as("hamming"))
   }
 
-  /** Binary prefilter + quantized-cosine rerank — the PRODUCTION use
-    * of the sign codes: shortlist `k · shortlistFactor` candidates per
-    * probe by Hamming distance over the 16-byte codes, then rerank
-    * ONLY the shortlist with the full float vectors under the exact
-    * quantized cosine. At 100 TB the float column never full-scans per
-    * probe set: the corpus streams past as codes (32× smaller), and
-    * floats are touched via a shortlist-sized (probes × k·factor) id
-    * join. Deterministic end to end (integer Hamming, id tie-breaks,
-    * quantized cosine) → full SQL oracle; the recall the prefilter
-    * gives up vs brute cosine is measured in SimilaritySpec, the same
-    * trade [[annRecallReport]] prices for the LSH rungs.
-    * Returns (probe_id, vec_id, cos_sim, rk). */
-  def hammingRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
-      probeIds: Seq[Long], k: Int, shortlistFactor: Int = 8): DataFrame = {
-    require(shortlistFactor >= 1)
-    val short = hammingTopKBatch(emb, idCol, vecCol, probeIds,
-        k * shortlistFactor)
-      .select(col("query_id").as("probe_id"), col("vec_id"))
+  /** Batched exact top-k under Hamming distance over the sign-packed
+    * corpus — the ad-hoc form: packs the float column on the fly
+    * (one pass), then the shared [[hammingTail]].
+    * Returns (query_id, rk, vec_id, hamming). */
+  def hammingTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, dim: Int = 64): DataFrame = {
+    require(probeIds.nonEmpty && k >= 1)
+    val packed = signPack(emb, idCol, vecCol, dim)
+    val probes = packed.where(col("vec_id").isin(probeIds: _*))
+      .toDF("query_id", "qbits")
+    hammingTail(packed, probes, k)
+  }
+
+  // ── Stored sign-code index (the int8 lifecycle: exact append) ──
+
+  /** Materialize the sign-code index: the (vec_id, bits) table at
+    * `path` — packing paid ONCE, and every subsequent probe set
+    * streams past the 32×-smaller code column instead of re-deriving
+    * codes from the float corpus per call (the [[writeQuantizedIndex]]
+    * lifecycle: per-vector arithmetic, no corpus-global statistic, so
+    * no codebooks and no staleness alarm). */
+  def writeSignIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int = 64, coalesceTo: Int = 8): Unit = {
+    val packed = signPack(emb, idCol, vecCol, dim)
+    (if (coalesceTo > 0) packed.coalesce(coalesceTo) else packed)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold new embeddings INTO the stored sign index — EXACT like
+    * [[appendToQuantizedIndex]]: each vector packs independently
+    * (sign of its own coordinates), so appended rows are bit-identical
+    * to what a full rebuild would store. */
+  def appendToSignIndex(newEmb: DataFrame, path: String, idCol: String,
+      vecCol: String, dim: Int = 64): Unit =
+    signPack(newEmb, idCol, vecCol, dim)
+      .write.mode("append").parquet(path)
+
+  private val signIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Drop the build-once memo for `path`. */
+  def invalidateSignIndex(path: String): Unit =
+    signIndexes.remove(path)
+
+  /** Build-once memo around [[writeSignIndex]] — the
+    * [[ensureQuantizedIndex]] contract (`_SUCCESS`-gated, torn builds
+    * re-run, content-addressed paths). */
+  def ensureSignIndex(spark: SparkSession, emb: => DataFrame,
+      idCol: String, vecCol: String, path: String, dim: Int = 64): Unit =
+    signIndexes.computeIfAbsent(path, { _ =>
+      if (!graft.io.IndexPaths.complete(spark, path))
+        writeSignIndex(emb, idCol, vecCol, path, dim)
+      java.lang.Boolean.TRUE
+    })
+
+  /** [[hammingTopKBatch]] through the stored code table: the corpus
+    * streams past as codes — the float `embeddings` column is NEVER
+    * scanned (plan-pinned), closing the gap between the rung's
+    * scaladoc and its execution. Bit-identical to the ad-hoc path
+    * (shared [[hammingTail]], exact long round-trip — spec-pinned,
+    * shared oracle). */
+  def hammingTopKIndexedBatch(spark: SparkSession, emb: => DataFrame,
+      idCol: String, vecCol: String, path: String, probeIds: Seq[Long],
+      k: Int, dim: Int = 64): DataFrame = {
+    require(probeIds.nonEmpty && k >= 1)
+    ensureSignIndex(spark, emb, idCol, vecCol, path, dim)
+    val packed = spark.read.parquet(path)
+    val probes = packed.where(col("vec_id").isin(probeIds: _*))
+      .toDF("query_id", "qbits")
+    hammingTail(packed, probes, k)
+  }
+
+  /** The shared rerank tail of [[hammingRerankTopK]] and its stored
+    * form: join the float vectors to the SHORTLIST ids only
+    * (probes × k·factor rows — at 100 TB a pruned point-lookup join,
+    * never a float-column scan) and rank the exact quantized cosine
+    * per probe through the bounded heap. */
+  private def hammingRerankTail(short: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String, probeIds: Seq[Long], k: Int)
+      : DataFrame = {
     val vecs = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
     val probes = broadcast(emb.where(col(idCol).isin(probeIds: _*))
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pv")))
     topKPerProbe(short.join(vecs, Seq("vec_id")).join(probes, Seq("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         VectorFns.cosineQ(col("__v"), col("__pv")).as("cos_sim")), k)
+  }
+
+  /** Binary prefilter + quantized-cosine rerank — the PRODUCTION use
+    * of the sign codes: shortlist `k · shortlistFactor` candidates per
+    * probe by Hamming distance over the packed codes, then rerank
+    * ONLY the shortlist with the full float vectors under the exact
+    * quantized cosine. Deterministic end to end (integer Hamming, id
+    * tie-breaks, quantized cosine) → full SQL oracle; the recall the
+    * prefilter gives up vs brute cosine is measured in SimilaritySpec,
+    * the same trade [[annRecallReport]] prices for the LSH rungs.
+    * Returns (probe_id, vec_id, cos_sim, rk). */
+  def hammingRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      probeIds: Seq[Long], k: Int, shortlistFactor: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(shortlistFactor >= 1)
+    val short = hammingTopKBatch(emb, idCol, vecCol, probeIds,
+        k * shortlistFactor, dim)
+      .select(col("query_id").as("probe_id"), col("vec_id"))
+    hammingRerankTail(short, emb, idCol, vecCol, probeIds, k)
+  }
+
+  /** [[hammingRerankTopK]] with the shortlist phase through the
+    * stored code table: the corpus passes as 32×-smaller codes, and
+    * the float column is touched only by the shortlist-sized id join
+    * of the rerank — exactly the cost model the rung advertises.
+    * Bit-identical to the ad-hoc form (shared tails, shared oracle).
+    */
+  def hammingRerankTopKIndexed(spark: SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, path: String, probeIds: Seq[Long],
+      k: Int, shortlistFactor: Int = 8, dim: Int = 64): DataFrame = {
+    require(shortlistFactor >= 1)
+    val short = hammingTopKIndexedBatch(spark, emb, idCol, vecCol, path,
+        probeIds, k * shortlistFactor, dim)
+      .select(col("query_id").as("probe_id"), col("vec_id"))
+    hammingRerankTail(short, emb, idCol, vecCol, probeIds, k)
   }
 }

@@ -143,30 +143,11 @@ object Sketches {
     * [[cmsHeavyFromIndex]] (spec-pinned). */
   def compactCmsIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit = {
-    require(targetFiles >= 1 && keepLast >= 0)
-    def fold(sub: String)(agg: DataFrame => DataFrame): Unit = {
-      val root = s"$path/$sub"
-      val dest = s"$root/batch=-1"
-      graft.io.Compaction.recover(spark, dest)
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(rootPath)) return
-      val ids = fs.listStatus(rootPath).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") =>
-          n.stripPrefix("batch=").toLong }
-        .sorted
-      val foldIds = ids.dropRight(keepLast)
-      if (foldIds.isEmpty || foldIds == Seq(-1L)) return
-      val srcs = foldIds.map(id => s"$root/batch=$id")
-      graft.io.Compaction.swapIn(spark, dest, srcs) { tmp =>
-        agg(spark.read.parquet(srcs: _*))
-          .coalesce(targetFiles).write.parquet(tmp)
-      }
-    }
-    fold("cells")(_.groupBy(col("r"), col("b"))
-      .agg(sum(col("cnt")).as("cnt")))
-    fold("cand")(_.select(col("term")).distinct())
+    graft.io.Compaction.foldBatches(spark, s"$path/cells", targetFiles,
+      keepLast)(_.groupBy(col("r"), col("b"))
+        .agg(sum(col("cnt")).as("cnt")))
+    graft.io.Compaction.foldBatches(spark, s"$path/cand", targetFiles,
+      keepLast)(_.select(col("term")).distinct())
   }
 
   private val cmsIndexes =
@@ -174,14 +155,18 @@ object Sketches {
 
   /** Build-once memo around a CMS-index build — the ensureCardIndex
     * lifecycle: complete iff every expected batch dir of both partials
-    * carries `_SUCCESS`; torn builds re-run `build`, whose per-batch
-    * overwrites are idempotent. */
+    * carries `_SUCCESS` OR is recorded as folded by a committed
+    * compaction ([[graft.io.Compaction.batchComplete]] — without the
+    * second arm, a post-compaction session would see the deleted
+    * batch dirs as "incomplete", re-run the build, and double-count
+    * the already-folded partials). Torn builds re-run `build`, whose
+    * per-batch overwrites are idempotent. */
   def ensureCmsIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batchIds: Seq[Long])(build: => Unit): Unit =
     cmsIndexes.computeIfAbsent(path, { _ =>
       val done = Seq("cells", "cand").forall(sub =>
         batchIds.forall(id =>
-          graft.io.IndexPaths.complete(spark, s"$path/$sub/batch=$id")))
+          graft.io.Compaction.batchComplete(spark, s"$path/$sub", id)))
       if (!done) build
       java.lang.Boolean.TRUE
     })

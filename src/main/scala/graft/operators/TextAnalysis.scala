@@ -996,31 +996,12 @@ object TextAnalysis {
     * out so a replayed ingest batch still overwrites its own dir. */
   def compactMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit = {
-    require(targetFiles >= 1 && keepLast >= 0)
-    def fold(sub: String)(agg: DataFrame => DataFrame): Unit = {
-      val root = s"$path/$sub"
-      val dest = s"$root/batch=-1"
-      graft.io.Compaction.recover(spark, dest)
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(rootPath)) return
-      val ids = fs.listStatus(rootPath).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") =>
-          n.stripPrefix("batch=").toLong }
-        .sorted
-      val foldIds = ids.dropRight(keepLast)
-      if (foldIds.isEmpty || foldIds == Seq(-1L)) return
-      val srcs = foldIds.map(id => s"$root/batch=$id")
-      graft.io.Compaction.swapIn(spark, dest, srcs) { tmp =>
-        agg(spark.read.parquet(srcs: _*))
-          .coalesce(targetFiles).write.parquet(tmp)
-      }
-    }
-    fold("grams")(_.groupBy(col("g"))
-      .agg(sum(col("cnt")).as("cnt"), min(col("own")).as("own")))
-    fold("stats")(_.groupBy(col("doc_id"))
-      .agg(sum(col("n_grams")).as("n_grams")))
+    graft.io.Compaction.foldBatches(spark, s"$path/grams", targetFiles,
+      keepLast)(_.groupBy(col("g"))
+        .agg(sum(col("cnt")).as("cnt"), min(col("own")).as("own")))
+    graft.io.Compaction.foldBatches(spark, s"$path/stats", targetFiles,
+      keepLast)(_.groupBy(col("doc_id"))
+        .agg(sum(col("n_grams")).as("n_grams")))
   }
 
   private val memIndexes =
@@ -1035,7 +1016,7 @@ object TextAnalysis {
     memIndexes.computeIfAbsent(path, { _ =>
       val done = Seq("grams", "stats").forall(sub =>
         batchIds.forall(id =>
-          graft.io.IndexPaths.complete(spark, s"$path/$sub/batch=$id")))
+          graft.io.Compaction.batchComplete(spark, s"$path/$sub", id)))
       if (!done) build
       java.lang.Boolean.TRUE
     })
@@ -1129,6 +1110,48 @@ object TextAnalysis {
         col("__e.id").as("doc_id"), col("__e.score").as("score"))
   }
 
+  /** [[importanceSelect]] with a SEPARATE target relation — the
+    * common "select more data like my eval set" call, where the
+    * reference set is NOT a slice of the corpus being selected from
+    * (DSIR's actual setting: target = downstream task data, raw = the
+    * crawl). Same bucket arithmetic, same Laplace-smoothed fixed-point
+    * ratio: `wt_ppm(b) = ((tgt_cnt+1) * 1e6) DIV (raw_cnt+1)` with
+    * `tgt_cnt` counted over the target relation and `raw_cnt` over the
+    * corpus; buckets present on only one side take the smoothed
+    * default via the full outer join. When the target IS a corpus
+    * slice, this reduces exactly to [[importanceSelect]] with that
+    * slice's predicate (spec-pinned): the single-relation form counts
+    * the same occurrences, just in one pass.
+    *
+    * Scale shape unchanged: two bounded (≤ `buckets` rows) profiles —
+    * the target side is typically KBs (an eval set) — one broadcast
+    * weight join, row-local score folds, the bounded heap. */
+  def importanceSelectExternal(docs: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 4096,
+      n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    require(buckets >= 2 && n >= 1)
+    val raw = importanceGrams(docs, idCol, textCol, lit(false), buckets)
+      .groupBy("b").agg(count(lit(1)).as("raw_cnt"))
+    val tgt = importanceGrams(target, idCol, textCol, lit(false), buckets)
+      .groupBy("b").agg(count(lit(1)).as("tgt_cnt"))
+    val wt = raw.join(tgt, Seq("b"), "full")
+      .select(col("b"), expr(
+        "((coalesce(tgt_cnt, 0L) + 1L) * 1000000L) DIV " +
+          "(coalesce(raw_cnt, 0L) + 1L)").as("wt_ppm"))
+    val scores = importanceGrams(docs, idCol, textCol, lit(false), buckets)
+      .join(broadcast(wt), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("wt_ppm"), lit(1000000L))).as("score"))
+    val agg = shim.column(graft.functions.expr.TopKByLongScore(
+        shim.expression(col("score")), shim.expression(col("doc_id")), n)
+      .toAggregateExpression())
+    scores.agg(agg.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select((col("__p") + 1).cast("long").as("rk"),
+        col("__e.id").as("doc_id"), col("__e.score").as("score"))
+  }
+
   /** Shared gram→bucket stream of [[importanceSelect]] and its stored
     * form: hashed-bigram bucket per gram occurrence, plus the target
     * flag. */
@@ -1178,7 +1201,16 @@ object TextAnalysis {
   /** [[importanceSelect]] through the stored profile — bit-identical
     * output (spec-pinned, shared oracle) at HALF the gram scans: the
     * profile is a stored-partial read, the select pays one gram scan
-    * + the broadcast weight join + the bounded heap. */
+    * + the broadcast weight join + the bounded heap.
+    *
+    * The weight join is LEFT with the Laplace default for absent
+    * buckets: a gram hashing to a bucket the stored profile never saw
+    * scores `((0+1)*1e6) DIV (0+1) = 1e6` — exactly what
+    * [[importanceSelect]]'s smoothing would assign — instead of being
+    * silently dropped by an inner join. Moot when the scored docs are
+    * a subset of the indexed corpus (every bucket is then present),
+    * but the advertised streaming use scores NOT-yet-folded docs,
+    * where out-of-profile buckets are routine. */
   def importanceSelectFromIndex(docs: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, textCol: String, buckets: Int = 4096,
@@ -1187,8 +1219,9 @@ object TextAnalysis {
     require(buckets >= 2 && n >= 1)
     val wt = importanceWeightsFromIndex(spark, path)
     val scores = importanceGrams(docs, idCol, textCol, lit(false), buckets)
-      .join(broadcast(wt), Seq("b"))
-      .groupBy("doc_id").agg(sum(col("wt_ppm")).as("score"))
+      .join(broadcast(wt), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("wt_ppm"), lit(1000000L))).as("score"))
     val agg = shim.column(graft.functions.expr.TopKByLongScore(
         shim.expression(col("score")), shim.expression(col("doc_id")), n)
       .toAggregateExpression())
@@ -1204,40 +1237,23 @@ object TextAnalysis {
     * the read applies — associative, so compaction commutes with
     * [[importanceWeightsFromIndex]]. */
   def compactImportanceIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit = {
-    require(targetFiles >= 1 && keepLast >= 0)
-    val root = s"$path/prof"
-    val dest = s"$root/batch=-1"
-    graft.io.Compaction.recover(spark, dest)
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return
-    val ids = fs.listStatus(rootPath).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case n if n.startsWith("batch=") =>
-        n.stripPrefix("batch=").toLong }
-      .sorted
-    val foldIds = ids.dropRight(keepLast)
-    if (foldIds.isEmpty || foldIds == Seq(-1L)) return
-    val srcs = foldIds.map(id => s"$root/batch=$id")
-    graft.io.Compaction.swapIn(spark, dest, srcs) { tmp =>
-      spark.read.parquet(srcs: _*)
-        .groupBy(col("b")).agg(sum(col("raw_cnt")).as("raw_cnt"),
-          sum(col("tgt_cnt")).as("tgt_cnt"))
-        .coalesce(targetFiles).write.parquet(tmp)
-    }
-  }
+      path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit =
+    graft.io.Compaction.foldBatches(spark, s"$path/prof", targetFiles,
+      keepLast)(_.groupBy(col("b"))
+        .agg(sum(col("raw_cnt")).as("raw_cnt"),
+          sum(col("tgt_cnt")).as("tgt_cnt")))
 
   private val impIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Build-once memo for the importance-profile index (the
-    * ensureCardIndex lifecycle). */
+    * ensureCardIndex lifecycle; folded-manifest-aware like
+    * [[graft.operators.Sketches.ensureCmsIndex]]). */
   def ensureImportanceIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batchIds: Seq[Long])(build: => Unit): Unit =
     impIndexes.computeIfAbsent(path, { _ =>
       val done = batchIds.forall(id =>
-        graft.io.IndexPaths.complete(spark, s"$path/prof/batch=$id"))
+        graft.io.Compaction.batchComplete(spark, s"$path/prof", id))
       if (!done) build
       java.lang.Boolean.TRUE
     })
@@ -2548,7 +2564,7 @@ object TextAnalysis {
     cardIndexes.computeIfAbsent(path, { _ =>
       val done = Seq("stats", "langs", "hashes").forall(sub =>
         batchIds.forall(id =>
-          graft.io.IndexPaths.complete(spark, s"$path/$sub/batch=$id")))
+          graft.io.Compaction.batchComplete(spark, s"$path/$sub", id)))
       if (!done) build
       java.lang.Boolean.TRUE
     })
@@ -2603,30 +2619,11 @@ object TextAnalysis {
     * Crash-safe via [[graft.io.Compaction.swapIn]]. */
   def compactCardIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit = {
-    require(targetFiles >= 1 && keepLast >= 0)
-    def fold(sub: String, keys: Seq[String], sums: Seq[String]): Unit = {
-      val root = s"$path/$sub"
-      val dest = s"$root/batch=-1"
-      graft.io.Compaction.recover(spark, dest)
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(rootPath)) return
-      val ids = fs.listStatus(rootPath).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") =>
-          n.stripPrefix("batch=").toLong }
-        .sorted
-      val foldIds = ids.dropRight(keepLast)
-      if (foldIds.isEmpty || foldIds == Seq(-1L)) return
-      val srcs = foldIds.map(id => s"$root/batch=$id")
-      graft.io.Compaction.swapIn(spark, dest, srcs) { tmp =>
-        spark.read.parquet(srcs: _*)
-          .groupBy(keys.map(col): _*)
+    def fold(sub: String, keys: Seq[String], sums: Seq[String]): Unit =
+      graft.io.Compaction.foldBatches(spark, s"$path/$sub", targetFiles,
+        keepLast)(_.groupBy(keys.map(col): _*)
           .agg(sum(col(sums.head)).as(sums.head),
-            sums.tail.map(c => sum(col(c)).as(c)): _*)
-          .coalesce(targetFiles).write.parquet(tmp)
-      }
-    }
+            sums.tail.map(c => sum(col(c)).as(c)): _*))
     fold("stats", Seq("source"), Seq("n_docs", "n_tokens", "n_keep"))
     fold("langs", Seq("source", "pred_lang"), Seq("n"))
     fold("hashes", Seq("source", "h"), Seq("cnt"))

@@ -42,13 +42,31 @@ object MediaQueries {
     // Content-defined chunking dedup (LBFS/rsync family): rolling
     // 4-byte-window md5 boundaries (expected chunk 64 B — boundaries
     // follow CONTENT, so shared passages between near-dup payloads
-    // yield identical chunks at different offsets), then the
+    // yield identical chunks at different offsets) with the 16-byte
+    // minLen run collapse (cuts chained closer than 16 keep only the
+    // last — the degenerate-repeated-pattern guard), then the
     // chunk-addressed-store audit: distinct vs total chunks/bytes and
     // the integer dedup ratio per media type.
     "q_cdc_dedup" -> { (s, dir) =>
       Multimodal.cdcDedupStats(Multimodal.cdcChunks(
         Multimodal.mediaTable(t(s, dir, "documents")), w = 4,
         modulus = 64))
+    },
+
+    // The PRODUCTION CDC path: xxhash64 window predicate + chunk ids
+    // (one codegen'd 64-bit mix per position vs md5's full digest +
+    // hex decode — the dominant chunking cost is |blob| window
+    // hashes). Engine-internal hash -> no value replay; the oracle
+    // checks the self-validating property rows (chunks exist, dedup
+    // found per media type) and MultimodalSpec pins the boundary
+    // CONTRACT (rsync locality, minLen floor, ppm band vs the md5
+    // twin). Benched next to q_cdc_dedup for the constant-factor row.
+    "q_cdc_dedup_fast" -> { (s, dir) =>
+      Multimodal.cdcDedupStats(Multimodal.cdcChunksFast(
+          Multimodal.mediaTable(t(s, dir, "documents")), w = 4,
+          modulus = 64))
+        .select(col("media_type"), (col("n_chunks") > 0L).as("has_chunks"),
+          (col("dedup_ppm") > 0L).as("dedup_found"))
     },
 
     // Dedup-on-arrival against the STORED chunk store: the batch
@@ -59,8 +77,11 @@ object MediaQueries {
       val docs = t(s, dir, "documents")
       val corpus = Multimodal.mediaTable(docs.where(col("doc_id") % 5 =!= 0))
       val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
+      // params carry the FULL builder config incl. minLen: a config
+      // change must re-address the store, or a stale pre-merge index
+      // would be read as current
       val path = graft.io.IndexPaths.indexPath("cdcidx",
-        s"$dir/documents.parquet", "w4m64")
+        s"$dir/documents.parquet", "w4m64l16")
       Multimodal.ensureCdcIndex(corpus, path)
       Multimodal.incrementalCdcStats(batch, s, path)
     },
@@ -180,10 +201,19 @@ object MediaQueries {
          |pos AS (SELECT doc_id, i FROM m, UNNEST(range(4, L + 1)) AS t(i)
          |  WHERE CAST('0x' || substr(md5(substr(s, CAST(i - 3 AS INT), 4)),
          |      1, 12) AS BIGINT) % 64 = 0),
+         |mw AS (SELECT doc_id, i,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 16
+         |         THEN 0 ELSE 1 END AS strt
+         |  FROM pos),
+         |mc AS (SELECT doc_id, i,
+         |    SUM(strt) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+         |  FROM mw),
+         |mcut AS (SELECT doc_id, MAX(i) AS i FROM mc GROUP BY doc_id, cl),
          |cuts AS (SELECT m.doc_id,
          |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), m.L))
          |      AS ends
-         |  FROM m LEFT JOIN pos p USING (doc_id) GROUP BY m.doc_id, m.L),
+         |  FROM m LEFT JOIN mcut p USING (doc_id) GROUP BY m.doc_id, m.L),
          |spans AS (SELECT doc_id, ends[j] AS e,
          |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
          |  FROM cuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
@@ -204,6 +234,14 @@ object MediaQueries {
          |    AS BIGINT) AS dedup_ppm
          |FROM tt JOIN dt USING (media_type)""".stripMargin,
 
+    // engine-internal xxhash64 -> property oracle: every media type
+    // chunks and finds the planted dups (values pinned by the md5-twin
+    // band check in MultimodalSpec)
+    "q_cdc_dedup_fast" ->
+      """SELECT * FROM (VALUES
+        |  ('audio', TRUE, TRUE), ('image', TRUE, TRUE),
+        |  ('video', TRUE, TRUE)) t(media_type, has_chunks, dedup_found)""".stripMargin,
+
     // The incremental contract: the same CDC CTEs over the WHOLE
     // corpus, stored = distinct hashes of the non-batch slice, batch
     // novelty = distinct batch hashes absent from the store.
@@ -213,10 +251,19 @@ object MediaQueries {
          |pos AS (SELECT doc_id, i FROM m, UNNEST(range(4, L + 1)) AS t(i)
          |  WHERE CAST('0x' || substr(md5(substr(s, CAST(i - 3 AS INT), 4)),
          |      1, 12) AS BIGINT) % 64 = 0),
+         |mw AS (SELECT doc_id, i,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 16
+         |         THEN 0 ELSE 1 END AS strt
+         |  FROM pos),
+         |mc AS (SELECT doc_id, i,
+         |    SUM(strt) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+         |  FROM mw),
+         |mcut AS (SELECT doc_id, MAX(i) AS i FROM mc GROUP BY doc_id, cl),
          |cuts AS (SELECT m.doc_id,
          |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), m.L))
          |      AS ends
-         |  FROM m LEFT JOIN pos p USING (doc_id) GROUP BY m.doc_id, m.L),
+         |  FROM m LEFT JOIN mcut p USING (doc_id) GROUP BY m.doc_id, m.L),
          |spans AS (SELECT doc_id, ends[j] AS e,
          |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
          |  FROM cuts, UNNEST(range(1, len(ends) + 1)) AS t(j)

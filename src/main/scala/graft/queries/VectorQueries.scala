@@ -507,6 +507,32 @@ object VectorQueries {
         shortlistFactor = 8)
     },
 
+    // The binary rung through its STORED code table — the lifecycle
+    // every other ANN rung already had: signPack paid once at build,
+    // every probe set streams past the 32x-smaller (vec_id, bits)
+    // parquet and the float embeddings column is NEVER scanned
+    // (plan-pinned). Bit-identical to q_ann_hamming (shared
+    // hammingTail, longs round-trip parquet exactly) -> shared oracle.
+    "q_ann_hamming_indexed" -> { (s, dir) =>
+      val indexPath = graft.io.IndexPaths.indexPath("sign",
+        s"$dir/embeddings.parquet", "d64")
+      Similarity.hammingTopKIndexedBatch(s, t(s, dir, "embeddings"),
+        "vec_id", "embedding", indexPath,
+        probeIds = Seq(0L, 7L, 19L, 42L), k = 10)
+    },
+
+    // Stored-shortlist + float rerank: the production read path of
+    // the binary rung end to end — codes from the index, floats only
+    // via the (probes x 80)-row shortlist join. Bit-identical to
+    // q_ann_hamming_rerank -> shared oracle.
+    "q_ann_hamming_rerank_indexed" -> { (s, dir) =>
+      val indexPath = graft.io.IndexPaths.indexPath("sign",
+        s"$dir/embeddings.parquet", "d64")
+      Similarity.hammingRerankTopKIndexed(s, t(s, dir, "embeddings"),
+        "vec_id", "embedding", indexPath,
+        probeIds = Seq(0L, 7L, 19L, 42L), k = 10, shortlistFactor = 8)
+    },
+
     // The SAME recall eval over the PRODUCTION ANN path: batched IVF
     // probes through the materialized index (one partition-pruned scan
     // for the whole probe set) vs batched exact. Float k-means
@@ -768,6 +794,71 @@ object VectorQueries {
       |  FROM embeddings e CROSS JOIN planes pl
       |  GROUP BY e.vec_id, pl.p)""".stripMargin
 
+  /** DuckDB replay of the sign-packed Hamming rung (shared by the
+    * ad-hoc and stored-index forms — the engine paths are
+    * bit-identical by construction, so ONE oracle serves both): the
+    * two 32-bit halves are sums of powers below 2^32, exact BIGINTs
+    * in both engines. */
+  private val sqlHamming: String =
+    """WITH pk AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS b0,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS b1
+      |  FROM embeddings),
+      |qp AS (SELECT vec_id AS query_id, b0 AS q0, b1 AS q1
+      |  FROM pk WHERE vec_id IN (0, 7, 19, 42)),
+      |d AS (SELECT qp.query_id, pk.vec_id,
+      |    bit_count(xor(pk.b0, qp.q0)) + bit_count(xor(pk.b1, qp.q1))
+      |      AS hamming
+      |  FROM pk CROSS JOIN qp WHERE pk.vec_id <> qp.query_id)
+      |SELECT query_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY hamming, vec_id) AS BIGINT) AS rk,
+      |  vec_id, CAST(hamming AS BIGINT) AS hamming
+      |FROM d QUALIFY rk <= 10""".stripMargin
+
+  /** Shortlist = Hamming top-80 (exact replay), rerank = the
+    * quantized-cosine convention of q_ann_recall's sc CTE; shared by
+    * the ad-hoc and stored-shortlist forms. */
+  private def sqlHammingRerank: String =
+    s"""WITH pk AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i
+       |           ELSE 0::BIGINT END)) AS BIGINT) AS b0,
+       |    CAST(list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i
+       |           ELSE 0::BIGINT END)) AS BIGINT) AS b1
+       |  FROM embeddings),
+       |qp AS (SELECT vec_id AS probe_id, b0 AS q0, b1 AS q1
+       |  FROM pk WHERE vec_id IN (0, 7, 19, 42)),
+       |hm AS (SELECT qp.probe_id, pk.vec_id,
+       |    bit_count(xor(pk.b0, qp.q0)) + bit_count(xor(pk.b1, qp.q1))
+       |      AS hamming
+       |  FROM pk CROSS JOIN qp WHERE pk.vec_id <> qp.probe_id),
+       |sl AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY probe_id ORDER BY hamming, vec_id) AS hrk
+       |    FROM hm) WHERE hrk <= 80),
+       |nn AS (SELECT vec_id,
+       |    ${sqlDotQ("embedding", "embedding")} AS nsq
+       |  FROM embeddings),
+       |pr AS (SELECT vec_id AS probe_id, embedding AS pe
+       |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
+       |sc AS (SELECT sl.probe_id, sl.vec_id,
+       |    CAST(${sqlDotQ("e.embedding", "pr.pe")} AS DOUBLE) /
+       |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos_sim
+       |  FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+       |  JOIN pr ON pr.probe_id = sl.probe_id
+       |  JOIN nn na ON na.vec_id = sl.vec_id
+       |  JOIN nn np ON np.vec_id = sl.probe_id)
+       |SELECT probe_id, vec_id, cos_sim,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |FROM sc QUALIFY rk <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ann_recall_ivf" ->
       """SELECT * FROM (VALUES
@@ -847,64 +938,15 @@ object VectorQueries {
 
     // Full replay of the binary rung: sign packing is exact IEEE
     // comparison, distances are integer XOR+popcount, ranks integer.
-    "q_ann_hamming" ->
-      s"""WITH pk AS (SELECT vec_id,
-         |    CAST(list_sum(list_transform(range(0, 32), i ->
-         |      CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i
-         |           ELSE 0::BIGINT END)) AS BIGINT) AS b0,
-         |    CAST(list_sum(list_transform(range(0, 32), i ->
-         |      CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i
-         |           ELSE 0::BIGINT END)) AS BIGINT) AS b1
-         |  FROM embeddings),
-         |qp AS (SELECT vec_id AS query_id, b0 AS q0, b1 AS q1
-         |  FROM pk WHERE vec_id IN (0, 7, 19, 42)),
-         |d AS (SELECT qp.query_id, pk.vec_id,
-         |    bit_count(xor(pk.b0, qp.q0)) + bit_count(xor(pk.b1, qp.q1))
-         |      AS hamming
-         |  FROM pk CROSS JOIN qp WHERE pk.vec_id <> qp.query_id)
-         |SELECT query_id,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY hamming, vec_id) AS BIGINT) AS rk,
-         |  vec_id, CAST(hamming AS BIGINT) AS hamming
-         |FROM d QUALIFY rk <= 10""".stripMargin,
+    "q_ann_hamming" -> sqlHamming,
+    // stored-code form is bit-identical (shared hammingTail; parity
+    // spec-pinned) -> the SAME oracle
+    "q_ann_hamming_indexed" -> sqlHamming,
 
     // Shortlist = Hamming top-80 (exact replay), rerank = the same
     // quantized-cosine convention as q_ann_recall's sc CTE.
-    "q_ann_hamming_rerank" ->
-      s"""WITH pk AS (SELECT vec_id,
-         |    CAST(list_sum(list_transform(range(0, 32), i ->
-         |      CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i
-         |           ELSE 0::BIGINT END)) AS BIGINT) AS b0,
-         |    CAST(list_sum(list_transform(range(0, 32), i ->
-         |      CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i
-         |           ELSE 0::BIGINT END)) AS BIGINT) AS b1
-         |  FROM embeddings),
-         |qp AS (SELECT vec_id AS probe_id, b0 AS q0, b1 AS q1
-         |  FROM pk WHERE vec_id IN (0, 7, 19, 42)),
-         |hm AS (SELECT qp.probe_id, pk.vec_id,
-         |    bit_count(xor(pk.b0, qp.q0)) + bit_count(xor(pk.b1, qp.q1))
-         |      AS hamming
-         |  FROM pk CROSS JOIN qp WHERE pk.vec_id <> qp.probe_id),
-         |sl AS (SELECT probe_id, vec_id FROM (
-         |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (
-         |      PARTITION BY probe_id ORDER BY hamming, vec_id) AS hrk
-         |    FROM hm) WHERE hrk <= 80),
-         |nn AS (SELECT vec_id,
-         |    ${sqlDotQ("embedding", "embedding")} AS nsq
-         |  FROM embeddings),
-         |pr AS (SELECT vec_id AS probe_id, embedding AS pe
-         |  FROM embeddings WHERE vec_id IN (0, 7, 19, 42)),
-         |sc AS (SELECT sl.probe_id, sl.vec_id,
-         |    CAST(${sqlDotQ("e.embedding", "pr.pe")} AS DOUBLE) /
-         |      SQRT(CAST(na.nsq * np.nsq AS DOUBLE)) AS cos_sim
-         |  FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
-         |  JOIN pr ON pr.probe_id = sl.probe_id
-         |  JOIN nn na ON na.vec_id = sl.vec_id
-         |  JOIN nn np ON np.vec_id = sl.probe_id)
-         |SELECT probe_id, vec_id, cos_sim,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
-         |FROM sc QUALIFY rk <= 10""".stripMargin,
+    "q_ann_hamming_rerank" -> sqlHammingRerank,
+    "q_ann_hamming_rerank_indexed" -> sqlHammingRerank,
 
     "q_ann_recall" ->
       s"""WITH ${sqlPlanes(8)},

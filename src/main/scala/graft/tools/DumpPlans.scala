@@ -59,8 +59,13 @@ object DumpPlans {
     "q_ann_hamming" -> "binary sign-code ANN: 64 dims packed to two 32-bit halves at scan, XOR+popcount distance in whole-stage codegen, per-probe top-k as the long bounded heap on negated distance — no window, nothing corpus-sized sorts",
     "q_ann_hamming_rerank" -> "Hamming shortlist + quantized-cosine rerank: the float column is reached ONLY through the shortlist id join (probes x 80 rows); both rank passes are bounded heaps",
     "q_corpus_targeted" -> "the targeted release composed: DSIR two-scan selection, winnowing restricted to the 100-doc selection (persisted — fingerprint+guard run once), md5 shard layout of the survivors; per-doc windows only, every join on the selection side broadcast-sized",
-    "q_cdc_dedup" -> "content-defined chunking: per-position window-md5 cut predicate in codegen (embarrassingly parallel), per-BLOB boundary aggregate, row-local chunk hashing — the distinct-chunk rollup is the only shuffle, one hash per chunk",
-    "q_cdc_incremental" -> "dedup-on-arrival: the batch chunks fresh; the stored chunk store enters ONLY through a batch-hash-pruned semi-join — the corpus is never re-chunked; novelty is a set anti-join, order-free")
+    "q_cdc_dedup" -> "content-defined chunking: per-position window-md5 cut predicate in codegen (embarrassingly parallel), per-DOC minLen run collapse (lag + running sum — the degenerate-repeated-pattern guard, partitioned by the blob), per-BLOB boundary aggregate, row-local chunk hashing — the distinct-chunk rollup is the only corpus-shaped shuffle",
+    "q_cdc_incremental" -> "dedup-on-arrival: the batch chunks fresh; the stored chunk store enters ONLY through a batch-hash-pruned semi-join — the corpus is never re-chunked; novelty is a set anti-join, order-free",
+    "q_cdc_dedup_fast" -> "the production CDC path: xxhash64 window predicate + chunk ids (one codegen'd 64-bit mix per position vs md5's digest + hex decode), same collapse/boundary/rollup shape as the md5 twin",
+    "q_ann_hamming_indexed" -> "the binary rung through the STORED code table: NO embeddings scan anywhere in the plan (pinned) — the corpus streams past as the 32x-smaller (vec_id, bits) parquet; shared tail with the ad-hoc form, bounded heap on negated distance",
+    "q_ann_hamming_rerank_indexed" -> "stored-shortlist Hamming + quantized-cosine rerank: codes from the index, the float column reached only through the (probes x 80)-row shortlist id join — the advertised cost model, now the executed plan",
+    "q_dsir_external" -> "two-relation DSIR: corpus and target bucket profiles (≤buckets rows each, map-side combined) full-joined into the weight table, broadcast back onto one corpus gram scan, top-n as the long bounded heap",
+    "q_corpus_pipeline_v6" -> "the media-aware release chain: v4's selection stack + per-doc CDC redundancy (hash-keyed count join, payload bytes never shuffle) as a keep predicate between soft dedup and the budget; budget/layout tail against the checkpoint leaf")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the

@@ -742,6 +742,15 @@ class DedupSpec extends SparkSpec {
     // replay-idempotent append: folding the same batch twice leaves
     // the index at exactly one row per (doc_id, fp)
     Dedup.appendToWinnowIndex(batch, spark0, idx, "doc_id", "text")
+    // at-least-once redelivery: the batch was already FOLDED IN above
+    // (append committed, checkpoint commit lost) — the replayed screen
+    // must equal the original run, not double-count the batch's own
+    // stored rows into __df
+    val replayed = pairsOf(Dedup.incrementalWinnowPairs(batch, spark0,
+      idx, "doc_id", "text", minShared = 2, maxDf = 50))
+    graft.operators.Caches.release()
+    assert(replayed === inc,
+      "screen must be idempotent under at-least-once redelivery")
     val once = spark0.read.parquet(idx).count()
     Dedup.appendToWinnowIndex(batch, spark0, idx, "doc_id", "text")
     assert(spark0.read.parquet(idx).count() === once)
@@ -766,5 +775,28 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text")
     graft.operators.Caches.release()
     assert(after === 0L)
+  }
+
+  test("incremental winnowing replay does not double-count the batch into the maxDf guard") {
+    // the at-least-once hazard in its sharpest form: a fingerprint
+    // shared by exactly maxDf docs sits ON the guard boundary — if a
+    // replayed batch's own stored rows are counted a second time,
+    // __df crosses maxDf and the suspect pairs silently vanish
+    val run = "r1 r2 r3 r4 r5"
+    val corpus = Seq((1L, s"u1a u1b $run v1a"), (2L, s"u2a u2b $run v2a"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, s"u3a u3b $run v3a")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wrp").toString
+    val idx = s"$dir/fps"
+    Dedup.writeWinnowIndex(corpus, "doc_id", "text", idx, k = 3, w = 3)
+    // batch folded in BEFORE the screen replays (commit was lost)
+    Dedup.appendToWinnowIndex(batch, spark, idx, "doc_id", "text",
+      k = 3, w = 3)
+    val pairs = Dedup.incrementalWinnowPairs(batch, spark, idx,
+        "doc_id", "text", k = 3, w = 3, minShared = 1, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    graft.operators.Caches.release()
+    assert(pairs === Seq((1L, 3L), (2L, 3L)),
+      "replayed batch rows must not inflate __df past the guard")
   }
 }

@@ -270,4 +270,82 @@ class MultimodalSpec extends SparkSpec {
     graft.operators.Caches.release()
     assert(after.forall { case (nvc, saved) => nvc == 0L && saved == 1000000L })
   }
+
+  test("CDC minLen collapse bounds a degenerate repeated-pattern run; minLen=1 reproduces pure CDC") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // "aabd" is chosen so md5 of the aligned window hits ≡ 0 (mod 64):
+    // a run of the repeated pattern has a cut at EVERY 4th position —
+    // pure CDC degenerates to per-4-byte chunks (per-byte in the
+    // single-char variant), the low-entropy-padding hazard
+    val run = "aabd" * 60 // 240 bytes, cuts at 4, 8, ..., 240
+    val blob = Seq((1L, "image", run)).toDF("doc_id", "media_type", "content")
+    val pure = Multimodal.cdcChunks(blob, w = 4, modulus = 64, minLen = 1)
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(pure.length === 60 && pure.forall(_._2 == 4L),
+      s"the planted pattern must cut every 4 bytes without the guard " +
+        s"(got ${pure.length} chunks)")
+    // the default minLen chains the whole run (gaps of 4 < 16) into
+    // ONE cluster -> one cut at the run end -> one 240-byte chunk
+    val guarded = Multimodal.cdcChunks(blob)
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(guarded.length === 1 && guarded.head._2 === 240L,
+      s"minLen collapse must bound the degenerate run: $guarded")
+    // embedded run: the collapse is local — surrounding content still
+    // chunks, and total chunk count stays ∝ len/minLen, never per-byte
+    val mixed = Seq((2L, "image", ("the quick brown fox " * 8) + run +
+      (" jumps over the lazy dog" * 8))).toDF("doc_id", "media_type",
+      "content")
+    val mixedChunks = Multimodal.cdcChunks(mixed).collect()
+    assert(mixedChunks.length <= mixed.head().getString(2).length / 16 + 2,
+      s"chunk count must stay bounded by len/minLen: ${mixedChunks.length}")
+    // consecutive kept cuts are >= minLen apart by construction, so at
+    // most the first and terminal chunk of any doc may run short
+    val media = Multimodal.mediaTable(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val shortPerDoc = Multimodal.cdcChunks(media)
+      .where(col("n_bytes") < 16)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(shortPerDoc.forall(_ <= 2L),
+      "interior chunks must respect the minLen floor")
+  }
+
+  test("cdcChunksFast (xxhash64): same boundary contract as the md5 twin — rsync locality, minLen floor, dedup stats in the same band") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.mediaTable(docs)
+    // rsync locality: a prefix splice changes at most one chunk per doc
+    def chunkSet(m: org.apache.spark.sql.DataFrame) =
+      Multimodal.cdcChunksFast(m)
+        .groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toMap
+    val base = chunkSet(media)
+    val prefixed = Multimodal.mediaTable(
+      docs.withColumn("text", concat(lit("ZQJ XWV KYH "), col("text"))))
+    val shifted = chunkSet(prefixed)
+    base.foreach { case (id, hs) =>
+      val kept = (hs & shifted(id)).size
+      assert(kept >= hs.size - 1,
+        s"doc $id: fast-hash boundaries lost content locality")
+    }
+    // minLen floor holds for the fast predicate too
+    val shortPerDoc = Multimodal.cdcChunksFast(media)
+      .where(col("n_bytes") < 16)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(shortPerDoc.forall(_ <= 2L))
+    // the dedup audit lands in the same band as the md5 twin: the
+    // planted near-dups dominate the ratio, the hash choice only
+    // perturbs boundary placement
+    def ppm(ch: org.apache.spark.sql.DataFrame) =
+      Multimodal.cdcDedupStats(ch).collect()
+        .map(r => (r.getString(0), r.getLong(5))).toMap
+    val slow = ppm(Multimodal.cdcChunks(media))
+    val fast = ppm(Multimodal.cdcChunksFast(media))
+    slow.foreach { case (mt, s) =>
+      val f = fast(mt)
+      assert(f > 0L || s == 0L, s"$mt: fast path found no dedup")
+      assert(math.abs(f - s) <= math.max(s, f) / 2 + 20000,
+        s"$mt: dedup ppm diverged md5=$s xx=$f")
+    }
+  }
 }

@@ -637,5 +637,60 @@ class PipelineSpec extends SparkSpec {
       col("lang") === "en", dir, 1L, buckets = 512)
     assert(sel(TextAnalysis.importanceSelectFromIndex(docs, spark, dir,
       "doc_id", "text", buckets = 512, n = 25)) === adhoc)
+    // post-compaction ensure: the folded batch dirs are deleted but
+    // recorded in the manifest — a later session must NOT re-build
+    // (that would double-count the folded profile partials)
+    TextAnalysis.compactImportanceIndex(spark, dir, keepLast = 0)
+    assert(sel(TextAnalysis.importanceSelectFromIndex(docs, spark, dir,
+      "doc_id", "text", buckets = 512, n = 25)) === adhoc)
+    var rebuilt = false
+    TextAnalysis.ensureImportanceIndex(spark, dir, Seq(0L, 1L)) {
+      rebuilt = true
+    }
+    assert(!rebuilt, "ensure after compaction must not re-run the build")
+  }
+
+  test("importanceSelectExternal: reduces to importanceSelect when the target is a corpus slice; external target re-ranks") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def sel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // two-relation form with target = a slice of the corpus counts
+    // the SAME occurrences the one-relation predicate form counts
+    val pred = col("lang") === "en"
+    val one = sel(TextAnalysis.importanceSelect(docs, "doc_id", "text",
+      pred, buckets = 512, n = 25))
+    val two = sel(TextAnalysis.importanceSelectExternal(docs,
+      docs.where(pred), "doc_id", "text", buckets = 512, n = 25))
+    assert(two === one,
+      "slice-target external form must equal the predicate form")
+    // a genuinely external target (not a corpus subset) still ranks:
+    // docs echoing the target's grams outscore the rest
+    val target = Seq((9001L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ranked = sel(TextAnalysis.importanceSelectExternal(corpus, target,
+      "doc_id", "text", buckets = 4096, n = 2))
+    assert(ranked.head._2 === 1L,
+      "the target-echoing doc must rank first")
+    assert(ranked.head._3 > ranked(1)._3)
+  }
+
+  test("importanceSelectFromIndex Laplace-smooths out-of-profile buckets (streaming not-yet-folded docs)") {
+    // index built over a tiny corpus occupying a handful of buckets;
+    // a NOT-yet-folded doc whose grams hash to untouched buckets must
+    // score the smoothed default ((0+1)*1e6 DIV (0+1)) per gram — an
+    // inner weight join would silently drop it from the ranking
+    val corpus = Seq((1L, "alpha beta gamma", true),
+      (2L, "alpha beta delta", false)).toDF("doc_id", "text", "tgt")
+    val dir = java.nio.file.Files.createTempDirectory("graft_imp2").toString
+    TextAnalysis.appendToImportanceIndex(corpus, "doc_id", "text",
+      col("tgt"), dir, 0L, buckets = 4096)
+    val novel = Seq((99L, "zz yy xx ww")).toDF("doc_id", "text")
+    val out = TextAnalysis.importanceSelectFromIndex(novel, spark, dir,
+        "doc_id", "text", buckets = 4096, n = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((99L, 3L * 1000000L)),
+      "three out-of-profile bigrams must each score the smoothed 1e6")
   }
 }

@@ -355,6 +355,18 @@ class PlanPropertiesSpec extends SparkSpec {
       s"no rank windows anywhere in the hybrid composition:\n$p")
   }
 
+  test("q_ann_hamming_indexed: shortlist scans ONLY the stored code table — never the float embeddings column") {
+    val p = plan(SparkEntry.queries("q_ann_hamming_indexed")(spark, sf))
+    assert(!p.contains("embeddings.parquet"),
+      s"the stored-code Hamming scan must never touch the float corpus:\n$p")
+    assert(!p.contains("Window"),
+      s"per-probe top-k ranks through the bounded heap, not a window:\n$p")
+    assert(p.contains("partial_topkbylongscore"),
+      "negated-Hamming heap must partially aggregate map-side")
+    // the rerank form may touch floats ONLY via the shortlist id join
+    // — its shortlist subtree is this same plan (shared hammingTail)
+  }
+
   test("q_sql_hybrid_indexed: SQL text reads only the stored indexes; all top-k passes are heaps") {
     val p = plan(SparkEntry.queries("q_sql_hybrid_indexed")(spark, sf))
     assert(!p.contains("documents.parquet"),

@@ -1339,4 +1339,94 @@ class SimilaritySpec extends SparkSpec {
     rerank.foreach { case (p, v, s) =>
       exactScore.get((p, v)).foreach(es => assert(es === s)) }
   }
+
+  test("stored sign index: indexed Hamming + rerank bit-identical to ad-hoc; append exact; torn build heals") {
+    val probeIds = Seq(0L, 7L, 19L, 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sign").toString
+    val path = s"$dir/signidx"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val adhoc = rows(Similarity.hammingTopKBatch(emb, "vec_id",
+      "embedding", probeIds, k = 10))
+    val stored = rows(Similarity.hammingTopKIndexedBatch(spark, emb,
+      "vec_id", "embedding", path, probeIds, k = 10))
+    assert(stored === adhoc, "stored codes must replay the ad-hoc ranks")
+    def rrows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    val rrAdhoc = rrows(Similarity.hammingRerankTopK(emb, "vec_id",
+      "embedding", probeIds, k = 10, shortlistFactor = 8))
+    val rrStored = rrows(Similarity.hammingRerankTopKIndexed(spark, emb,
+      "vec_id", "embedding", path, probeIds, k = 10, shortlistFactor = 8))
+    assert(rrStored === rrAdhoc)
+    // append is EXACT (per-vector sign, no corpus statistic): index
+    // built over half the corpus + append of the other half == the
+    // one-shot build, row for row
+    val path2 = s"$dir/signidx_half"
+    Similarity.writeSignIndex(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path2)
+    Similarity.appendToSignIndex(emb.where(col("vec_id") % 2 === 1),
+      path2, "vec_id", "embedding")
+    val grown = rows(Similarity.hammingTopKIndexedBatch(spark, emb,
+      "vec_id", "embedding", path2, probeIds, k = 10))
+    assert(grown === adhoc)
+    // torn build (no _SUCCESS) heals through ensure
+    val path3 = s"$dir/signidx_torn"
+    Similarity.writeSignIndex(emb, "vec_id", "embedding", path3)
+    new java.io.File(path3, "_SUCCESS").delete()
+    Similarity.invalidateSignIndex(path3)
+    assert(rows(Similarity.hammingTopKIndexedBatch(spark, emb, "vec_id",
+      "embedding", path3, probeIds, k = 10)) === adhoc)
+    assert(graft.io.IndexPaths.complete(spark, path3))
+  }
+
+  test("signPack generalizes past dim 64: dim-128 parity with a JVM packer and planted-duplicate recall") {
+    // a 128-dim corpus from the 64-dim fixture (self-concatenation
+    // keeps the arithmetic honest: every half is exercised), plus a
+    // planted exact duplicate of probe 0's vector
+    val emb128 = emb.select(col("vec_id"),
+      concat(col("embedding"), col("embedding")).as("embedding"))
+    val dup = emb128.where(col("vec_id") === 0L)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    val all = emb128.unionByName(dup)
+    val got = Similarity.hammingTopKBatch(all, "vec_id", "embedding",
+        Seq(0L), k = 3, dim = 128)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.head === (1L, 99999L, 0L),
+      "the planted duplicate must rank first at Hamming 0")
+    // dim-128 packing parity vs an independent JVM packer: 4 halves,
+    // each positive and below 2^32, distances match exactly
+    val vecs = all.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def pack(v: Array[Float]): Array[Long] =
+      Array.tabulate(4) { h =>
+        var b = 0L
+        for (i <- 0 until 32) if (v(32 * h + i) > 0f) b |= (1L << i)
+        b
+      }
+    val packed = vecs.map { case (id, v) => (id, pack(v)) }.toMap
+    packed.values.foreach(_.foreach(b =>
+      assert(b >= 0L && b < (1L << 32))))
+    val q = packed(0L)
+    val want = packed.toSeq.filter(_._1 != 0L)
+      .map { case (id, b) =>
+        (id, b.zip(q).map { case (x, y) =>
+          java.lang.Long.bitCount(x ^ y).toLong }.sum) }
+      .sortBy { case (id, h) => (h, id) }.take(3)
+      .zipWithIndex.map { case ((id, h), i) => (i + 1L, id, h) }
+    assert(got === want)
+    // and the engine's dim-64 output is unchanged by the array
+    // generalization: the existing hammingTopKBatch spec above pins
+    // value parity; here pin the packed schema round-trips parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_s128").toString
+    Similarity.writeSignIndex(all, "vec_id", "embedding",
+      s"$dir/idx", dim = 128)
+    val viaIdx = Similarity.hammingTopKIndexedBatch(spark, all, "vec_id",
+        "embedding", s"$dir/idx", Seq(0L), k = 3, dim = 128)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(viaIdx === got)
+  }
 }

@@ -183,5 +183,21 @@ class SketchTextSpec extends SparkSpec {
     // compaction folds with the same associative aggregates
     Sketches.compactCmsIndex(spark, dir, keepLast = 1)
     assert(read() === first)
+    // a LATER session's ensure must see the folded batch=0 as
+    // complete (the batch dir is gone — its id lives in the
+    // compaction manifest) — a re-run build here would double-count
+    // the folded partials
+    var rebuilt = false
+    Sketches.ensureCmsIndex(spark, dir, Seq(0L, 1L)) { rebuilt = true }
+    assert(!rebuilt,
+      "ensure after compaction must not re-run the build")
+    assert(read() === first)
+    // and fully-folded indexes (keepLast = 0) are covered too
+    Sketches.compactCmsIndex(spark, dir, keepLast = 0)
+    assert(read() === first)
+    assert(graft.io.Compaction.foldedIds(spark, s"$dir/cells")
+      === Set(0L, 1L))
+    Sketches.ensureCmsIndex(spark, s"$dir", Seq(0L, 1L)) { rebuilt = true }
+    assert(!rebuilt && read() === first)
   }
 }
