@@ -469,6 +469,13 @@ object Multimodal {
     * distinct side groups on the chunk hash (equal content ⇒ equal
     * length, so MAX(n_bytes) is exact). */
   def cdcDedupStats(chunks: DataFrame): DataFrame = {
+    // NOT persisted, deliberately: the total and distinct rollups
+    // consume the same chunk relation, and AQE's exchange reuse
+    // already shares the expensive chunking pass between them — a
+    // cache here was measured PURE overhead (q_media_redundancy
+    // 10.5 → 12.9 s, q_corpus_pipeline_v6 40 → 57 s at 100×, then
+    // reverted). Contrast the containment prepass, whose consumers
+    // sit on DIFFERENT exchanges and do need the persist.
     val tot = chunks.groupBy(col("media_type"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_bytes")).as("n_bytes"))
     val dis = chunks.groupBy(col("media_type"), col("h"))
@@ -496,6 +503,8 @@ object Multimodal {
     * Returns (doc_id, media_dup_ppm); docs with no chunks are absent
     * (callers treat missing as 0). */
   def mediaRedundancy(chunks: DataFrame): DataFrame = {
+    // not persisted — same exchange-reuse argument as
+    // [[cdcDedupStats]] (measured there)
     val cnt = chunks.groupBy(col("h")).agg(count(lit(1)).as("__c"))
     chunks.join(cnt.hint("shuffle_hash"), Seq("h"))
       .groupBy(col("doc_id"))
@@ -506,13 +515,25 @@ object Multimodal {
         expr("(__dup * 1000000) DIV __tot").as("media_dup_ppm"))
   }
 
+  /** The chunker behind the CDC store lifecycle: `fast = false` (the
+    * default) is the md5 twin whose store replays in the SQL oracles;
+    * `fast = true` is the xxhash64 production path. The flag is part
+    * of the store's identity — callers MUST content-address it into
+    * the index path (a store probed with the other hash would read
+    * every chunk as novel, silently). */
+  private def chunker(media: DataFrame, w: Int, modulus: Int,
+      minLen: Int, fast: Boolean): DataFrame =
+    if (fast) cdcChunksFast(media, w, modulus, minLen)
+    else cdcChunks(media, w, modulus, minLen)
+
   /** Materialize the corpus CDC chunk-hash store — one row per
     * DISTINCT (media_type, h) with the chunk length: the membership
     * table a chunk-addressed blob store keeps. Offline half of
     * [[incrementalCdcStats]]. */
   def writeCdcIndex(media: DataFrame, path: String, w: Int = 4,
-      modulus: Int = 64, minLen: Int = 16, coalesceTo: Int = 1): Unit = {
-    val d = cdcChunks(media, w, modulus, minLen)
+      modulus: Int = 64, minLen: Int = 16, coalesceTo: Int = 1,
+      fast: Boolean = false): Unit = {
+    val d = chunker(media, w, modulus, minLen, fast)
       .groupBy(col("media_type"), col("h"))
       .agg(max(col("n_bytes")).as("n_bytes"))
     (if (coalesceTo > 0) d.coalesce(coalesceTo) else d)
@@ -525,11 +546,11 @@ object Multimodal {
   /** Build-once memo around [[writeCdcIndex]] (the ensureBandIndex
     * lifecycle). */
   def ensureCdcIndex(media: => DataFrame, path: String, w: Int = 4,
-      modulus: Int = 64, minLen: Int = 16): Unit =
+      modulus: Int = 64, minLen: Int = 16, fast: Boolean = false): Unit =
     cdcIndexes.computeIfAbsent(path, { _ =>
       val spark = org.apache.spark.sql.SparkSession.active
       if (!graft.io.IndexPaths.complete(spark, path))
-        writeCdcIndex(media, path, w, modulus, minLen)
+        writeCdcIndex(media, path, w, modulus, minLen, fast = fast)
       java.lang.Boolean.TRUE
     })
 
@@ -544,9 +565,10 @@ object Multimodal {
     * in SQL. Work ∝ batch chunks + probed store rows. */
   def incrementalCdcStats(newMedia: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
-      w: Int = 4, modulus: Int = 64, minLen: Int = 16): DataFrame = {
+      w: Int = 4, modulus: Int = 64, minLen: Int = 16,
+      fast: Boolean = false): DataFrame = {
     val ch = graft.operators.Caches.persist(
-      cdcChunks(newMedia, w, modulus, minLen))
+      chunker(newMedia, w, modulus, minLen, fast))
     val stored = spark.read.parquet(path)
       .join(ch.select(col("media_type"), col("h")).distinct(),
         Seq("media_type", "h"), "left_semi")
@@ -570,8 +592,8 @@ object Multimodal {
   def appendToCdcIndex(newMedia: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
       w: Int = 4, modulus: Int = 64, minLen: Int = 16,
-      coalesceTo: Int = 1): Unit = {
-    val d = cdcChunks(newMedia, w, modulus, minLen)
+      coalesceTo: Int = 1, fast: Boolean = false): Unit = {
+    val d = chunker(newMedia, w, modulus, minLen, fast)
       .groupBy(col("media_type"), col("h"))
       .agg(max(col("n_bytes")).as("n_bytes"))
     val fresh = d.join(

@@ -54,9 +54,15 @@ object Retrieval {
     * every posting row so query-time scoring is row-local. */
   private def postingsOf(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // persisted: three consumers (tf/dl rows, the df aggregate's
+    // recompute of them, and the stats rollup) would otherwise each
+    // re-run the regex tokenize over the corpus — measured on the
+    // brute audit (q_eval_retrieval_audit): 1.5x its indexed sibling
+    // before, parity after, same window. The one-tokenize-per-plan
+    // rule, as at the containment prepass.
+    val toks = Caches.persist(docs.select(col(idCol).as("doc_id"),
         TextFns.letterTokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) >= 1)
+      .where(size(col("__toks")) >= 1))
     val tfdl = toks
       .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("term"))

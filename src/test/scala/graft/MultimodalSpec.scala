@@ -347,5 +347,36 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f - s) <= math.max(s, f) / 2 + 20000,
         s"$mt: dedup ppm diverged md5=$s xx=$f")
     }
+    // the store lifecycle runs on the fast hash end to end: audit
+    // matches the fast set arithmetic, absorbed batch reads saved
+    val corpus = Multimodal.mediaTable(docs.where(col("doc_id") % 5 =!= 0))
+    val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcf").toString
+    val idx = s"$dir/store_xx"
+    Multimodal.writeCdcIndex(corpus, idx, fast = true)
+    val audit = Multimodal.incrementalCdcStats(batch, spark, idx,
+        fast = true)
+      .collect().map(r => (r.getString(0), (r.getLong(3), r.getLong(4))))
+      .toMap
+    graft.operators.Caches.release()
+    val corpusH = Multimodal.cdcChunksFast(corpus)
+      .select("media_type", "h").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batchCh = Multimodal.cdcChunksFast(batch)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    graft.operators.Caches.release()
+    for ((mt, (nvc, nvb)) <- audit) {
+      val novel = batchCh.filter(_._1 == mt).groupBy(_._2).map(_._2.head)
+        .filterNot(c => corpusH.contains((mt, c._2))).toSeq
+      assert(nvc === novel.length && nvb === novel.map(_._3).sum,
+        s"$mt: fast-store audit diverged from set arithmetic")
+    }
+    Multimodal.appendToCdcIndex(batch, spark, idx, fast = true)
+    val absorbed = Multimodal.incrementalCdcStats(batch, spark, idx,
+        fast = true)
+      .collect().map(r => (r.getLong(3), r.getLong(5)))
+    graft.operators.Caches.release()
+    assert(absorbed.forall { case (nvc, saved) =>
+      nvc == 0L && saved == 1000000L })
   }
 }
