@@ -526,6 +526,61 @@ object Multimodal {
     if (fast) cdcChunksFast(media, w, modulus, minLen)
     else cdcChunks(media, w, modulus, minLen)
 
+  /** Append one ingest batch's FULL chunk table — (doc_id,
+    * media_type, h, n_bytes), the blob store's chunk MANIFEST, not
+    * just the distinct-hash membership of [[writeCdcIndex]] — to the
+    * batch-partitioned index at `path/batch=<id>`. Rows are facts
+    * keyed by (doc_id, position), so partials are trivially additive
+    * across any document partition of the corpus (the card-index
+    * algebra with identity cells); idempotent per-batch overwrite.
+    * This is what moves the expensive media pass offline: chunking is
+    * ~|blob| window hashes per document, while every downstream
+    * redundancy read is hash-keyed arithmetic over ~corpus/minLen
+    * manifest rows. */
+  def appendToChunkIndex(media: DataFrame, path: String, batchId: Long,
+      w: Int = 4, modulus: Int = 64, minLen: Int = 16,
+      coalesceTo: Int = 1, fast: Boolean = false): Unit = {
+    val ch = chunker(media, w, modulus, minLen, fast)
+    (if (coalesceTo > 0) ch.coalesce(coalesceTo) else ch)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** [[mediaRedundancy]] off the stored chunk manifest — NO document
+    * payload is read or chunked (plan-pinned): global hash counts sum
+    * across batch partials at read time, so the audit is RETROACTIVE
+    * like [[graft.operators.TextAnalysis.cardFromIndex]]'s dup rule —
+    * a doc whose chunk is repeated by a LATER batch starts pricing as
+    * redundant the moment that batch lands. Bit-identical to the
+    * ad-hoc form over the concatenated batches (spec-pinned, shared
+    * oracle). */
+  def mediaRedundancyFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    mediaRedundancy(spark.read.parquet(path)
+      .select(col("doc_id"), col("media_type"), col("h"), col("n_bytes")))
+
+  /** Crash-safe compaction for the chunk manifest: rows are facts
+    * (identity fold — the read applies no batch-level aggregate), so
+    * compaction is a pure file-count rewrite through the
+    * folded-manifest protocol. */
+  def compactChunkIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 1, keepLast: Int = 1): Unit =
+    graft.io.Compaction.foldBatches(spark, path, targetFiles,
+      keepLast)(identity)
+
+  private val chunkIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo for the chunk manifest (the ensureCardIndex
+    * lifecycle; folded-manifest-aware). */
+  def ensureChunkIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+    chunkIndexes.computeIfAbsent(path, { _ =>
+      val done = batchIds.forall(id =>
+        graft.io.Compaction.batchComplete(spark, path, id))
+      if (!done) build
+      java.lang.Boolean.TRUE
+    })
+
   /** Materialize the corpus CDC chunk-hash store — one row per
     * DISTINCT (media_type, h) with the chunk length: the membership
     * table a chunk-addressed blob store keeps. Offline half of

@@ -64,6 +64,24 @@ object MediaQueries {
         Multimodal.mediaTable(t(s, dir, "documents"))))
     },
 
+    // The same audit off the STORED chunk manifest — no document
+    // payload read or chunked at query time (plan-pinned): the
+    // expensive media pass moved offline into additive per-batch
+    // (doc_id, media_type, h, n_bytes) partials; global hash counts
+    // sum at read, so redundancy is retroactive across batches.
+    // Bit-identical to q_media_redundancy -> shared oracle.
+    "q_media_redundancy_indexed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = graft.io.IndexPaths.indexPath("chunkidx",
+        s"$dir/documents.parquet", "w4m64l16")
+      Multimodal.ensureChunkIndex(s, path, Seq(0L, 1L, 2L)) {
+        (0L to 2L).foreach(b => Multimodal.appendToChunkIndex(
+          Multimodal.mediaTable(docs.where(col("doc_id") % 3 === b)),
+          path, b))
+      }
+      Multimodal.mediaRedundancyFromIndex(s, path)
+    },
+
     // The PRODUCTION CDC path: xxhash64 window predicate + chunk ids
     // (one codegen'd 64-bit mix per position vs md5's full digest +
     // hex decode — the dominant chunking cost is |blob| window
@@ -189,6 +207,41 @@ object MediaQueries {
           col("energy"), col("peak").cast("long").as("peak"))
     })
 
+  /** DuckDB replay of [[graft.operators.Multimodal.mediaRedundancy]]
+    * (shared by the ad-hoc and stored-manifest forms). */
+  private val sqlMediaRedundancy: String =
+    s"""WITH m AS (SELECT doc_id, text AS s, len(text) AS L FROM documents),
+         |pos AS (SELECT doc_id, i FROM m, UNNEST(range(4, L + 1)) AS t(i)
+         |  WHERE CAST('0x' || substr(md5(substr(s, CAST(i - 3 AS INT), 4)),
+         |      1, 12) AS BIGINT) % 64 = 0),
+         |mw AS (SELECT doc_id, i,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 16
+         |         THEN 0 ELSE 1 END AS strt
+         |  FROM pos),
+         |mc AS (SELECT doc_id, i,
+         |    SUM(strt) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+         |  FROM mw),
+         |mcut AS (SELECT doc_id, MAX(i) AS i FROM mc GROUP BY doc_id, cl),
+         |cuts AS (SELECT m.doc_id,
+         |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), m.L))
+         |      AS ends
+         |  FROM m LEFT JOIN mcut p USING (doc_id) GROUP BY m.doc_id, m.L),
+         |spans AS (SELECT doc_id, ends[j] AS e,
+         |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
+         |  FROM cuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
+         |  WHERE j = 1 OR ends[j] > ends[j - 1]),
+         |ch AS (SELECT c.doc_id,
+         |    md5(substr(m.s, CAST(c.st AS INT), CAST(c.e - c.st + 1 AS INT)))
+         |      AS h,
+         |    c.e - c.st + 1 AS nb
+         |  FROM spans c JOIN m USING (doc_id) WHERE c.e >= c.st),
+         |hc AS (SELECT h, COUNT(*) AS c FROM ch GROUP BY h)
+         |SELECT doc_id,
+         |  CAST((SUM(CASE WHEN hc.c > 1 THEN nb ELSE 0 END) * 1000000)
+         |    // SUM(nb) AS BIGINT) AS media_dup_ppm
+         |FROM ch JOIN hc USING (h) GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_media_bytes" ->
       s"""SELECT $sqlMediaType AS media_type, COUNT(*) AS n_docs,
@@ -246,39 +299,10 @@ object MediaQueries {
          |FROM tt JOIN dt USING (media_type)""".stripMargin,
 
     // the CDC CTEs (minLen merge included) rolled to per-doc dup ppm —
-    // the same mppm shape as the v6 oracle's media stage
-    "q_media_redundancy" ->
-      s"""WITH m AS (SELECT doc_id, text AS s, len(text) AS L FROM documents),
-         |pos AS (SELECT doc_id, i FROM m, UNNEST(range(4, L + 1)) AS t(i)
-         |  WHERE CAST('0x' || substr(md5(substr(s, CAST(i - 3 AS INT), 4)),
-         |      1, 12) AS BIGINT) % 64 = 0),
-         |mw AS (SELECT doc_id, i,
-         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 16
-         |         THEN 0 ELSE 1 END AS strt
-         |  FROM pos),
-         |mc AS (SELECT doc_id, i,
-         |    SUM(strt) OVER (PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
-         |  FROM mw),
-         |mcut AS (SELECT doc_id, MAX(i) AS i FROM mc GROUP BY doc_id, cl),
-         |cuts AS (SELECT m.doc_id,
-         |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), m.L))
-         |      AS ends
-         |  FROM m LEFT JOIN mcut p USING (doc_id) GROUP BY m.doc_id, m.L),
-         |spans AS (SELECT doc_id, ends[j] AS e,
-         |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
-         |  FROM cuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
-         |  WHERE j = 1 OR ends[j] > ends[j - 1]),
-         |ch AS (SELECT c.doc_id,
-         |    md5(substr(m.s, CAST(c.st AS INT), CAST(c.e - c.st + 1 AS INT)))
-         |      AS h,
-         |    c.e - c.st + 1 AS nb
-         |  FROM spans c JOIN m USING (doc_id) WHERE c.e >= c.st),
-         |hc AS (SELECT h, COUNT(*) AS c FROM ch GROUP BY h)
-         |SELECT doc_id,
-         |  CAST((SUM(CASE WHEN hc.c > 1 THEN nb ELSE 0 END) * 1000000)
-         |    // SUM(nb) AS BIGINT) AS media_dup_ppm
-         |FROM ch JOIN hc USING (h) GROUP BY 1""".stripMargin,
+    // the same mppm shape as the v6 oracle's media stage; the indexed
+    // form is bit-identical (additive fact partials) -> SAME oracle
+    "q_media_redundancy" -> sqlMediaRedundancy,
+    "q_media_redundancy_indexed" -> sqlMediaRedundancy,
 
     // engine-internal xxhash64 -> property oracle: every media type
     // chunks and finds the planted dups (values pinned by the md5-twin

@@ -533,6 +533,27 @@ object VectorQueries {
         probeIds = Seq(0L, 7L, 19L, 42L), k = 10, shortlistFactor = 8)
     },
 
+    // The recall eval every other production rung carries, for the
+    // binary one: stored-code Hamming shortlist + quantized-cosine
+    // rerank vs batched exact — per-probe property rows (the values
+    // are deterministic but the eval's POINT is the recall floor, so
+    // the oracle pins the property like q_ann_recall_int8; measured
+    // 34/40 on this fixture vs 8/40 for raw Hamming ranks).
+    "q_ann_recall_hamming" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val probeIds = Seq(0L, 7L, 19L, 42L)
+      val indexPath = graft.io.IndexPaths.indexPath("sign",
+        s"$dir/embeddings.parquet", "d64")
+      // shortlistFactor 16 (vs the ranked query's 8): probe 42 sits in
+      // a dense cosine neighborhood the 1-bit codes blur, and needs
+      // the wider overscan to clear the 0.7 floor at sf0.01 — exactly
+      // the recall/IO trade this eval exists to price (cf.
+      // q_ann_recall_ivf's nProbe=8 note)
+      val ham = Similarity.hammingRerankTopKIndexed(s, emb, "vec_id",
+        "embedding", indexPath, probeIds, k = K, shortlistFactor = 16)
+      recallPropertyFrame(s, emb, ham, probeIds, "n_hamming", 0.7)
+    },
+
     // The SAME recall eval over the PRODUCTION ANN path: batched IVF
     // probes through the materialized index (one partition-pruned scan
     // for the whole probe set) vs batched exact. Float k-means
@@ -927,6 +948,18 @@ object VectorQueries {
         |  (CAST(19 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
         |  (CAST(42 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE))
         |  t(probe_id, n_exact, n_pq, recall_ok)""".stripMargin,
+
+    // stored-code Hamming shortlist + rerank recall: the property rows
+    // (k results per probe, recall@10 >= 0.7) like the other
+    // engine-internal-adjacent rungs; the exact ranks are separately
+    // full-oracled via q_ann_hamming_rerank_indexed
+    "q_ann_recall_hamming" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(7 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(19 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+        |  (CAST(42 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE))
+        |  t(probe_id, n_exact, n_hamming, recall_ok)""".stripMargin,
 
     "q_ann_recall_ivfpq" ->
       """SELECT * FROM (VALUES

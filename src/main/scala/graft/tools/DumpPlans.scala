@@ -65,7 +65,8 @@ object DumpPlans {
     "q_ann_hamming_indexed" -> "the binary rung through the STORED code table: NO embeddings scan anywhere in the plan (pinned) — the corpus streams past as the 32x-smaller (vec_id, bits) parquet; shared tail with the ad-hoc form, bounded heap on negated distance",
     "q_ann_hamming_rerank_indexed" -> "stored-shortlist Hamming + quantized-cosine rerank: codes from the index, the float column reached only through the (probes x 80)-row shortlist id join — the advertised cost model, now the executed plan",
     "q_dsir_external" -> "two-relation DSIR: corpus and target bucket profiles (≤buckets rows each, map-side combined) full-joined into the weight table, broadcast back onto one corpus gram scan, top-n as the long bounded heap",
-    "q_corpus_pipeline_v6" -> "the media-aware release chain: v4's selection stack + per-doc CDC redundancy (hash-keyed count join, payload bytes never shuffle) as a keep predicate between soft dedup and the budget; budget/layout tail against the checkpoint leaf")
+    "q_corpus_pipeline_v6" -> "the media-aware release chain: v4's selection stack + per-doc CDC redundancy (hash-keyed count join, payload bytes never shuffle) as a keep predicate between soft dedup and the budget; budget/layout tail against the checkpoint leaf",
+    "q_media_redundancy_indexed" -> "per-doc media redundancy off the STORED chunk manifest: no document payload scanned or chunked (pinned) — batch fact partials union at read, hash-keyed count + join back, doc rollup")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the

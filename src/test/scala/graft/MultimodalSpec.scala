@@ -379,4 +379,34 @@ class MultimodalSpec extends SparkSpec {
     assert(absorbed.forall { case (nvc, saved) =>
       nvc == 0L && saved == 1000000L })
   }
+
+  test("chunk manifest index: stored redundancy == direct; append replay idempotent; compaction + post-compaction ensure change nothing") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.mediaTable(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val direct = rows(Multimodal.mediaRedundancy(
+      Multimodal.cdcChunks(media)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_chmf").toString
+    val idx = s"$dir/manifest"
+    (0L to 2L).foreach(b => Multimodal.appendToChunkIndex(
+      Multimodal.mediaTable(docs.where(col("doc_id") % 3 === b)), idx, b))
+    assert(rows(Multimodal.mediaRedundancyFromIndex(spark, idx))
+      === direct, "stored manifest must replay the direct audit")
+    // crash-replay of a batch append is an idempotent overwrite
+    Multimodal.appendToChunkIndex(
+      Multimodal.mediaTable(docs.where(col("doc_id") % 3 === 1L)), idx, 1L)
+    assert(rows(Multimodal.mediaRedundancyFromIndex(spark, idx)) === direct)
+    // compaction is an identity fold; a later session's ensure must
+    // see the folded batches as complete (no rebuild, no double rows)
+    Multimodal.compactChunkIndex(spark, idx, keepLast = 1)
+    assert(rows(Multimodal.mediaRedundancyFromIndex(spark, idx)) === direct)
+    var rebuilt = false
+    Multimodal.ensureChunkIndex(spark, idx, Seq(0L, 1L, 2L)) {
+      rebuilt = true
+    }
+    assert(!rebuilt, "ensure after compaction must not re-run the build")
+    assert(rows(Multimodal.mediaRedundancyFromIndex(spark, idx)) === direct)
+  }
 }

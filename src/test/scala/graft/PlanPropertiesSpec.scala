@@ -367,6 +367,12 @@ class PlanPropertiesSpec extends SparkSpec {
     // — its shortlist subtree is this same plan (shared hammingTail)
   }
 
+  test("q_media_redundancy_indexed: reads only the stored chunk manifest — no document payload scanned or chunked") {
+    val p = plan(SparkEntry.queries("q_media_redundancy_indexed")(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      s"the stored-manifest redundancy read must never touch the corpus:\n$p")
+  }
+
   test("q_sql_hybrid_indexed: SQL text reads only the stored indexes; all top-k passes are heaps") {
     val p = plan(SparkEntry.queries("q_sql_hybrid_indexed")(spark, sf))
     assert(!p.contains("documents.parquet"),
