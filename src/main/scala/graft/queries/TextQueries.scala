@@ -2048,10 +2048,23 @@ object TextQueries {
         Seq("doc_id"), "left_semi"))
       // media stage: redundancy priced against the FULL corpus blob
       // store (content-addressed stores are corpus-global, not
-      // survivor-local); missing ppm (no chunks) reads 0
-      val ppm = graft.operators.Multimodal.mediaRedundancy(
-        graft.operators.Multimodal.cdcChunks(
-          graft.operators.Multimodal.mediaTable(docs)))
+      // survivor-local); missing ppm (no chunks) reads 0. Read from
+      // the STORED chunk manifest — the blob store maintains it
+      // anyway, and the release chain must not re-chunk the corpus
+      // (bit-identical to the ad-hoc audit, spec-pinned; same
+      // content-addressed path as q_media_redundancy_indexed, so the
+      // expensive pass is paid once per corpus version across both)
+      val chunkPath = graft.io.IndexPaths.indexPath("chunkidx",
+        s"$dir/documents.parquet", "w4m64l16")
+      graft.operators.Multimodal.ensureChunkIndex(s, chunkPath,
+        Seq(0L, 1L, 2L)) {
+        (0L to 2L).foreach(b =>
+          graft.operators.Multimodal.appendToChunkIndex(
+            graft.operators.Multimodal.mediaTable(
+              docs.where(col("doc_id") % 3 === b)), chunkPath, b))
+      }
+      val ppm = graft.operators.Multimodal.mediaRedundancyFromIndex(
+        s, chunkPath)
       val med = softDocs.join(ppm, Seq("doc_id"), "left")
         .withColumn("media_dup_ppm",
           coalesce(col("media_dup_ppm"), lit(0L)))
