@@ -112,7 +112,18 @@ object Compaction {
     * an underscore-prefixed sidecar INSIDE batch=-1, written in the
     * same staging dir the swap commits, so data and manifest land (or
     * roll back) atomically — a manifest written after the swap would
-    * reopen the very window it exists to close. */
+    * reopen the very window it exists to close.
+    *
+    * Migration caveat: a `batch=-1` produced by a compaction that
+    * predates the manifest carries no sidecar, so its folded set reads
+    * as empty and a later session's ensure* re-runs the build for
+    * those ids — double-counting the legacy-folded partials once. The
+    * exposure is bounded to indexes compacted before the manifest
+    * shipped AND read through an ensure whose batchIds include the
+    * legacy-folded ids; content-addressed paths mean any config or
+    * corpus change re-addresses away from such dirs. Re-compacting a
+    * legacy index (any [[foldBatches]] run) writes the manifest and
+    * closes the window permanently. */
   def foldedIds(spark: SparkSession, root: String): Set[Long] = {
     val dest = s"$root/batch=-1"
     if (!IndexPaths.complete(spark, dest)) return Set.empty

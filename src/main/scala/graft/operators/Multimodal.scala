@@ -233,6 +233,72 @@ object Multimodal {
     }
   }
 
+  /** Planted image variants for the near-dup arc — the two copy
+    * families a perceptual hash exists to catch, over REAL PNG
+    * payloads:
+    *  - RE-ENCODE twins (`doc_id % 7 == 0`, variant id `base + 10M`):
+    *    the base PNG is DECODED and re-encoded through the codec — a
+    *    byte-level hash sees a fresh blob, the perceptual hash is
+    *    identical (lossless gray PNG ⇒ same pixels ⇒ Hamming 0).
+    *  - EDITED twins (`doc_id % 7 == 3`, variant id `base + 20M`):
+    *    same image with ONE pixel edited — `(0, 0)` flips by +128
+    *    (mod 256). (0, 0) is always on the 8×8 aHash sample grid, so
+    *    the edit moves a few sampled cells (every grid cell whose
+    *    nearest-neighbor source is (0, 0)) and nudges the mean: a
+    *    SMALL, deterministic Hamming distance — the "near" in
+    *    near-dup — still replayed in closed form by the SQL oracle
+    *    (the edit is one CASE on the pixel formula).
+    * Partition-batched codec work like every media op; returns only
+    * the variant rows (union with [[pngTable]] for the full corpus). */
+  def pngVariantTable(docs: DataFrame, idCol: String = "doc_id",
+      reencodeOffset: Long = 10000000L, editOffset: Long = 20000000L)
+      : Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val base = pngTable(docs.where(
+      col(idCol) % 7 === 0 || col(idCol) % 7 === 3), idCol)
+    base.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
+        val edited = m.doc_id % 7 == 3
+        if (edited) {
+          val r = img.getRaster
+          r.setSample(0, 0, 0, (r.getSample(0, 0, 0) + 128) % 256)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(m.doc_id + (if (edited) editOffset else reencodeOffset),
+          "image", bos.toByteArray)
+      }
+    }
+  }
+
+  /** Image near-dup PAIRS by aHash Hamming distance ≤ `maxDist` — the
+    * step [[imageAHash]]'s scaladoc promises: the 64-bit perceptual
+    * hashes go through the SimHash pigeonhole machinery VERBATIM
+    * ([[graft.operators.Dedup.simhashPairs]] — 4×16-bit chunk
+    * equi-join, so any pair within Hamming 3 shares an exact chunk;
+    * never all-pairs; hot-bucket capped, and a chunk bucket only runs
+    * hot when that many images genuinely share a hash quarter).
+    * Pixels never shuffle — the pair stage moves 8-byte codes.
+    * Returns (doc_a, doc_b, hamming). */
+  def imageNearDupPairs(hashes: Dataset[ImageHash], maxDist: Int = 3,
+      maxBucket: Option[Int] = Some(256)): DataFrame =
+    Dedup.simhashPairs(
+      hashes.toDF().select(col("doc_id"), col("phash").as("simhash")),
+      maxDist = maxDist, maxBucket = maxBucket)
+
+  /** Near-dup image CLUSTERS + keeper marks from the pair list: the
+    * min-label connected components of
+    * [[graft.operators.Dedup.dedupClusters]] (cluster = min doc_id,
+    * so `cluster == doc_id` marks the keeper — for the planted
+    * variants that is always the BASE image, whose id is smallest).
+    * Returns (doc_id, cluster) for every image in a pair. */
+  def imageNearDupClusters(pairs: DataFrame): DataFrame =
+    Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
+
   case class Resized(doc_id: Long, media_type: String, content: Array[Byte],
       orig_bytes: Int, new_bytes: Int)
 
@@ -520,11 +586,24 @@ object Multimodal {
     * `fast = true` is the xxhash64 production path. The flag is part
     * of the store's identity — callers MUST content-address it into
     * the index path (a store probed with the other hash would read
-    * every chunk as novel, silently). */
+    * every chunk as novel, silently); [[cdcParams]] is the canonical
+    * params string that encodes the FULL identity, hash family
+    * included, so the flag cannot diverge from the path. */
   private def chunker(media: DataFrame, w: Int, modulus: Int,
       minLen: Int, fast: Boolean): DataFrame =
     if (fast) cdcChunksFast(media, w, modulus, minLen)
     else cdcChunks(media, w, modulus, minLen)
+
+  /** Canonical content-address params string for a CDC chunk/manifest
+    * store: every knob that changes the cut set or the chunk-id hash —
+    * window, modulus, minLen, AND the hash family ("md5" vs "xx") —
+    * is in the string, so two configs can never alias one path. A
+    * params string without the family ("w4m64l16") once let a
+    * `fast = true` caller probe an md5 store and read every chunk as
+    * novel, silently; deriving the suffix here closes that. */
+  def cdcParams(w: Int = 4, modulus: Int = 64, minLen: Int = 16,
+      fast: Boolean = false): String =
+    s"w${w}m${modulus}l$minLen${if (fast) "xx" else "md5"}"
 
   /** Append one ingest batch's FULL chunk table — (doc_id,
     * media_type, h, n_bytes), the blob store's chunk MANIFEST, not
@@ -571,13 +650,17 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Build-once memo for the chunk manifest (the ensureCardIndex
-    * lifecycle; folded-manifest-aware). */
+    * lifecycle; folded-manifest-aware). `build` receives the ids that
+    * are genuinely MISSING — neither a complete batch dir nor recorded
+    * as folded — so a partial rebuild after `batchIds` grows past a
+    * compaction writes only the new batches and never re-creates (and
+    * double-counts) already-folded ones. */
   def ensureChunkIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+      path: String, batchIds: Seq[Long])(build: Seq[Long] => Unit): Unit =
     chunkIndexes.computeIfAbsent(path, { _ =>
-      val done = batchIds.forall(id =>
+      val missing = batchIds.filterNot(id =>
         graft.io.Compaction.batchComplete(spark, path, id))
-      if (!done) build
+      if (missing.nonEmpty) build(missing)
       java.lang.Boolean.TRUE
     })
 

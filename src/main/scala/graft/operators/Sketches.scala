@@ -162,12 +162,12 @@ object Sketches {
     * the already-folded partials). Torn builds re-run `build`, whose
     * per-batch overwrites are idempotent. */
   def ensureCmsIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+      path: String, batchIds: Seq[Long])(build: Seq[Long] => Unit): Unit =
     cmsIndexes.computeIfAbsent(path, { _ =>
-      val done = Seq("cells", "cand").forall(sub =>
-        batchIds.forall(id =>
+      val missing = batchIds.filterNot(id =>
+        Seq("cells", "cand").forall(sub =>
           graft.io.Compaction.batchComplete(spark, s"$path/$sub", id)))
-      if (!done) build
+      if (missing.nonEmpty) build(missing)
       java.lang.Boolean.TRUE
     })
 }

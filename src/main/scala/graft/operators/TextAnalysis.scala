@@ -1009,15 +1009,16 @@ object TextAnalysis {
 
   /** Build-once memo around a memorization-index build — the
     * [[ensureCardIndex]] lifecycle: complete iff every expected batch
-    * dir of both partials carries `_SUCCESS`; torn builds re-run
-    * `build`, whose per-batch overwrites are idempotent. */
+    * dir of both partials carries `_SUCCESS` or is recorded as folded;
+    * torn builds re-run `build` for the genuinely MISSING ids only
+    * (the ensureCardIndex contract — folded batches never rebuild). */
   def ensureMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+      path: String, batchIds: Seq[Long])(build: Seq[Long] => Unit): Unit =
     memIndexes.computeIfAbsent(path, { _ =>
-      val done = Seq("grams", "stats").forall(sub =>
-        batchIds.forall(id =>
+      val missing = batchIds.filterNot(id =>
+        Seq("grams", "stats").forall(sub =>
           graft.io.Compaction.batchComplete(spark, s"$path/$sub", id)))
-      if (!done) build
+      if (missing.nonEmpty) build(missing)
       java.lang.Boolean.TRUE
     })
 
@@ -1248,13 +1249,14 @@ object TextAnalysis {
 
   /** Build-once memo for the importance-profile index (the
     * ensureCardIndex lifecycle; folded-manifest-aware like
-    * [[graft.operators.Sketches.ensureCmsIndex]]). */
+    * [[graft.operators.Sketches.ensureCmsIndex]]). `build` receives
+    * the genuinely missing batch ids — folded ones never rebuild. */
   def ensureImportanceIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+      path: String, batchIds: Seq[Long])(build: Seq[Long] => Unit): Unit =
     impIndexes.computeIfAbsent(path, { _ =>
-      val done = batchIds.forall(id =>
+      val missing = batchIds.filterNot(id =>
         graft.io.Compaction.batchComplete(spark, s"$path/prof", id))
-      if (!done) build
+      if (missing.nonEmpty) build(missing)
       java.lang.Boolean.TRUE
     })
 
@@ -1984,12 +1986,13 @@ object TextAnalysis {
 
   /** Build-once memo for a calibration index (cf. [[ensureCardIndex]];
     * shares the memo map — paths are content-addressed and disjoint).
-    * Complete when every expected batch dir carries `_SUCCESS`. */
+    * `build` receives the batch ids whose dirs lack `_SUCCESS`. */
   def ensureCalibrationIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+      path: String, batchIds: Seq[Long])(build: Seq[Long] => Unit): Unit =
     cardIndexes.computeIfAbsent(path, { _ =>
-      if (!batchIds.forall(id =>
-        graft.io.IndexPaths.complete(spark, s"$path/batch=$id"))) build
+      val missing = batchIds.filterNot(id =>
+        graft.io.IndexPaths.complete(spark, s"$path/batch=$id"))
+      if (missing.nonEmpty) build(missing)
       java.lang.Boolean.TRUE
     })
 
@@ -2560,12 +2563,12 @@ object TextAnalysis {
     * the path ([[graft.io.IndexPaths]]) so regenerated sources never
     * reuse a stale index. */
   def ensureCardIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, batchIds: Seq[Long])(build: => Unit): Unit =
+      path: String, batchIds: Seq[Long])(build: Seq[Long] => Unit): Unit =
     cardIndexes.computeIfAbsent(path, { _ =>
-      val done = Seq("stats", "langs", "hashes").forall(sub =>
-        batchIds.forall(id =>
+      val missing = batchIds.filterNot(id =>
+        Seq("stats", "langs", "hashes").forall(sub =>
           graft.io.Compaction.batchComplete(spark, s"$path/$sub", id)))
-      if (!done) build
+      if (missing.nonEmpty) build(missing)
       java.lang.Boolean.TRUE
     })
 

@@ -73,9 +73,9 @@ object MediaQueries {
     "q_media_redundancy_indexed" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val path = graft.io.IndexPaths.indexPath("chunkidx",
-        s"$dir/documents.parquet", "w4m64l16")
-      Multimodal.ensureChunkIndex(s, path, Seq(0L, 1L, 2L)) {
-        (0L to 2L).foreach(b => Multimodal.appendToChunkIndex(
+        s"$dir/documents.parquet", Multimodal.cdcParams())
+      Multimodal.ensureChunkIndex(s, path, Seq(0L, 1L, 2L)) { missing =>
+        missing.foreach(b => Multimodal.appendToChunkIndex(
           Multimodal.mediaTable(docs.where(col("doc_id") % 3 === b)),
           path, b))
       }
@@ -106,11 +106,12 @@ object MediaQueries {
       val docs = t(s, dir, "documents")
       val corpus = Multimodal.mediaTable(docs.where(col("doc_id") % 5 =!= 0))
       val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
-      // params carry the FULL builder config incl. minLen: a config
-      // change must re-address the store, or a stale pre-merge index
-      // would be read as current
+      // params carry the FULL builder config incl. minLen AND hash
+      // family (cdcParams): a config change must re-address the
+      // store, or a stale pre-merge / other-hash index would be read
+      // as current
       val path = graft.io.IndexPaths.indexPath("cdcidx",
-        s"$dir/documents.parquet", "w4m64l16")
+        s"$dir/documents.parquet", Multimodal.cdcParams())
       Multimodal.ensureCdcIndex(corpus, path)
       Multimodal.incrementalCdcStats(batch, s, path)
     },
@@ -131,6 +132,38 @@ object MediaQueries {
     // nearest-neighbor grid, integer mean threshold (px*64 > total).
     "q_image_phash" -> { (s, dir) =>
       Multimodal.imageAHash(Multimodal.pngTable(t(s, dir, "documents"))).toDF()
+    },
+
+    // IMAGE NEAR-DUP pairs — the delivery of what the aHash exists
+    // for: the PNG corpus plus two planted copy families (re-encoded
+    // twins at Hamming 0 — byte hashing sees a fresh blob, the
+    // perceptual hash doesn't care; single-pixel-edited twins at a
+    // small deterministic Hamming), paired through the SimHash
+    // pigeonhole machinery (4x16-bit chunk equi-join — lossless at
+    // dist <= 3, never all-pairs, 8-byte codes shuffle, pixels never
+    // do). The pixel formula (and the one-CASE edit) keeps every
+    // hash SQL-replayable, so the oracle recomputes hashes AND the
+    // full pair list.
+    "q_image_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.pngTable(docs)
+        .unionByName(Multimodal.pngVariantTable(docs))
+      Multimodal.imageNearDupPairs(Multimodal.imageAHash(corpus))
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+    },
+
+    // The cluster/keeper form: min-label connected components over
+    // the image pair list — cluster == doc_id marks the keeper, which
+    // for the planted twins is always the BASE image (smallest id).
+    // Oracle: recursive-CTE transitive closure over the replayed
+    // pairs.
+    "q_image_neardup_clusters" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.pngTable(docs)
+        .unionByName(Multimodal.pngVariantTable(docs))
+      Multimodal.imageNearDupClusters(
+        Multimodal.imageNearDupPairs(Multimodal.imageAHash(corpus)))
     },
 
     // REAL image resize: decode the PNG, nearest-neighbor downsample 2x,
@@ -241,6 +274,39 @@ object MediaQueries {
          |  CAST((SUM(CASE WHEN hc.c > 1 THEN nb ELSE 0 END) * 1000000)
          |    // SUM(nb) AS BIGINT) AS media_dup_ppm
          |FROM ch JOIN hc USING (h) GROUP BY 1""".stripMargin
+
+  /** Shared CTE prefix of the image near-dup oracles: aHash replayed
+    * in closed form for every image id — bases, re-encode twins
+    * (same pixel formula under `base + 10M`), edited twins (`base +
+    * 20M`, one CASE where the sampled source pixel is (0, 0)) — up to
+    * the `ph` (img_id, phash) table. The bit-63 CASE mirrors the
+    * q_image_phash oracle's sign handling. */
+  private val sqlImageNearDupPairs: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS img_id, doc_id AS base, FALSE AS edited
+      |    FROM documents
+      |  UNION ALL SELECT doc_id + 10000000, doc_id, FALSE
+      |    FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 20000000, doc_id, TRUE
+      |    FROM documents WHERE doc_id % 7 = 3),
+      |m AS (SELECT img_id, base, edited,
+      |    CAST(base % 29 + 4 AS INTEGER) AS w,
+      |    CAST(base % 17 + 4 AS INTEGER) AS h FROM ids),
+      |s AS (SELECT img_id, gi.i * 8 + gj.i AS p,
+      |    CASE WHEN edited AND (gi.i * w) // 8 = 0 AND (gj.i * h) // 8 = 0
+      |         THEN (base * 31 + 128) % 256
+      |         ELSE (base * 31 + ((gi.i * w) // 8) * 7
+      |               + ((gj.i * h) // 8) * 13) % 256 END AS px
+      |  FROM m, UNNEST(range(0, 8)) AS gi(i), UNNEST(range(0, 8)) AS gj(i)),
+      |t AS (SELECT img_id, SUM(px) AS total FROM s GROUP BY img_id),
+      |ph AS (SELECT s.img_id,
+      |    CAST(SUM(CASE
+      |      WHEN s.px * 64 > t.total AND s.p = 63
+      |        THEN -9223372036854775808
+      |      WHEN s.px * 64 > t.total
+      |        THEN (1::BIGINT << CAST(s.p AS INTEGER))
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM s JOIN t USING (img_id) GROUP BY s.img_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_media_bytes" ->
@@ -416,6 +482,30 @@ object MediaQueries {
         |  FROM s JOIN t USING (doc_id) GROUP BY s.doc_id)
         |SELECT m.doc_id, m.w AS width, m.h AS height, ph.phash
         |FROM m JOIN ph USING (doc_id)""".stripMargin,
+
+    // the aHash CTEs over bases + both variant families (re-encode =
+    // same formula under a new id; edit = one CASE at source pixel
+    // (0,0), which shifts every grid cell sampling it AND the mean),
+    // then the exact pair filter the pigeonhole join equals
+    "q_image_neardup" -> (sqlImageNearDupPairs +
+      """
+        |SELECT a.img_id AS doc_a, b.img_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin),
+
+    "q_image_neardup_clusters" -> (sqlImageNearDupPairs.replaceFirst(
+      "WITH ", "WITH RECURSIVE ") +
+      """,
+        |pr AS (SELECT a.img_id AS da, b.img_id AS db
+        |  FROM ph a JOIN ph b ON a.img_id < b.img_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |edges AS (SELECT da AS s, db AS d FROM pr
+        |          UNION SELECT db, da FROM pr),
+        |reach(s, d) AS (SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+        |FROM reach GROUP BY s""".stripMargin),
 
     "q_media_resize_png" ->
       """WITH m AS (SELECT doc_id, CAST((doc_id % 29 + 4) // 2 AS INTEGER) AS w,

@@ -1042,8 +1042,9 @@ object TextQueries {
         s"$dir/documents.parquet", "n4b3")
       val docs = t(s, dir, "documents")
       TextAnalysis.ensureMemorizationIndex(s, path, Seq(0L, 1L, 2L)) {
-        (0L to 2L).foreach(b => TextAnalysis.appendToMemorizationIndex(
-          docs.where(col("doc_id") % 3 === b), "doc_id", "text", path, b))
+        missing => missing.foreach(b =>
+          TextAnalysis.appendToMemorizationIndex(
+            docs.where(col("doc_id") % 3 === b), "doc_id", "text", path, b))
       }
       TextAnalysis.memorizationFromIndex(s, path)
     },
@@ -1083,8 +1084,8 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val path = graft.io.IndexPaths.indexPath("cmsidx",
         s"$dir/documents.parquet", "d4w256m24")
-      Sketches.ensureCmsIndex(s, path, Seq(0L, 1L, 2L)) {
-        (0L to 2L).foreach { b =>
+      Sketches.ensureCmsIndex(s, path, Seq(0L, 1L, 2L)) { missing =>
+        missing.foreach { b =>
           Sketches.appendToCmsIndex(
             docs.where(col("doc_id") % 3 === b)
               .select(explode(TextFns.letterTokens(col("text"))).as("term")),
@@ -1115,9 +1116,10 @@ object TextQueries {
       val path = graft.io.IndexPaths.indexPath("impidx",
         s"$dir/documents.parquet", s"b${dsirBuckets}$dsirTargetLang")
       TextAnalysis.ensureImportanceIndex(s, path, Seq(0L, 1L, 2L)) {
-        (0L to 2L).foreach(b => TextAnalysis.appendToImportanceIndex(
-          docs.where(col("doc_id") % 3 === b), "doc_id", "text",
-          col("lang") === dsirTargetLang, path, b, buckets = dsirBuckets))
+        missing => missing.foreach(b =>
+          TextAnalysis.appendToImportanceIndex(
+            docs.where(col("doc_id") % 3 === b), "doc_id", "text",
+            col("lang") === dsirTargetLang, path, b, buckets = dsirBuckets))
       }
       TextAnalysis.importanceSelectFromIndex(docs, s, path, "doc_id",
         "text", buckets = dsirBuckets, n = dsirN)
@@ -1281,11 +1283,11 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val path = graft.io.IndexPaths.indexPath("calhist",
         s"$dir/documents.parquet", "v1")
-      TextAnalysis.ensureCalibrationIndex(s, path, Seq(0L, 1L)) {
-        TextAnalysis.appendToCalibrationIndex(
+      TextAnalysis.ensureCalibrationIndex(s, path, Seq(0L, 1L)) { missing =>
+        if (missing.contains(0L)) TextAnalysis.appendToCalibrationIndex(
           docs.where(col("doc_id") % 3 =!= 2), "doc_id", "text", "source",
           path, 0L)
-        TextAnalysis.appendToCalibrationIndex(
+        if (missing.contains(1L)) TextAnalysis.appendToCalibrationIndex(
           docs.where(col("doc_id") % 3 === 2), "doc_id", "text", "source",
           path, 1L)
       }
@@ -2055,10 +2057,10 @@ object TextQueries {
       // content-addressed path as q_media_redundancy_indexed, so the
       // expensive pass is paid once per corpus version across both)
       val chunkPath = graft.io.IndexPaths.indexPath("chunkidx",
-        s"$dir/documents.parquet", "w4m64l16")
+        s"$dir/documents.parquet", graft.operators.Multimodal.cdcParams())
       graft.operators.Multimodal.ensureChunkIndex(s, chunkPath,
-        Seq(0L, 1L, 2L)) {
-        (0L to 2L).foreach(b =>
+        Seq(0L, 1L, 2L)) { missing =>
+        missing.foreach(b =>
           graft.operators.Multimodal.appendToChunkIndex(
             graft.operators.Multimodal.mediaTable(
               docs.where(col("doc_id") % 3 === b)), chunkPath, b))
@@ -2238,10 +2240,12 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val path = graft.io.IndexPaths.indexPath("cardidx",
         s"$dir/documents.parquet", "v1")
-      TextAnalysis.ensureCardIndex(s, path, Seq(0L, 1L)) {
-        TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 3 =!= 2),
+      TextAnalysis.ensureCardIndex(s, path, Seq(0L, 1L)) { missing =>
+        if (missing.contains(0L)) TextAnalysis.appendToCardIndex(
+          docs.where(col("doc_id") % 3 =!= 2),
           "doc_id", "text", "source", path, 0L)
-        TextAnalysis.appendToCardIndex(docs.where(col("doc_id") % 3 === 2),
+        if (missing.contains(1L)) TextAnalysis.appendToCardIndex(
+          docs.where(col("doc_id") % 3 === 2),
           "doc_id", "text", "source", path, 1L)
       }
       TextAnalysis.cardFromIndex(s, path)

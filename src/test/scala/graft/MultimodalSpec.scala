@@ -403,10 +403,79 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.compactChunkIndex(spark, idx, keepLast = 1)
     assert(rows(Multimodal.mediaRedundancyFromIndex(spark, idx)) === direct)
     var rebuilt = false
-    Multimodal.ensureChunkIndex(spark, idx, Seq(0L, 1L, 2L)) {
+    Multimodal.ensureChunkIndex(spark, idx, Seq(0L, 1L, 2L)) { _ =>
       rebuilt = true
     }
     assert(!rebuilt, "ensure after compaction must not re-run the build")
     assert(rows(Multimodal.mediaRedundancyFromIndex(spark, idx)) === direct)
+  }
+
+  test("ensureChunkIndex: batchIds grown past a compaction builds ONLY the missing ids — folded batches never re-create") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chgrow").toString
+    val idx = s"$dir/manifest"
+    // two batches land, compaction folds batch 0 (keepLast = 1)
+    (0L to 1L).foreach(b => Multimodal.appendToChunkIndex(
+      Multimodal.mediaTable(docs.where(col("doc_id") % 3 === b)), idx, b))
+    Multimodal.compactChunkIndex(spark, idx, keepLast = 1)
+    assert(graft.io.Compaction.foldedIds(spark, idx) === Set(0L))
+    // batchIds has since grown to include 2: ensure must hand build
+    // ONLY the genuinely missing id — rebuilding the folded batch 0
+    // dir would double-count its rows against the batch=-1 fold
+    var got: Seq[Long] = Nil
+    Multimodal.ensureChunkIndex(spark, idx, Seq(0L, 1L, 2L)) { missing =>
+      got = missing
+      missing.foreach(b => Multimodal.appendToChunkIndex(
+        Multimodal.mediaTable(docs.where(col("doc_id") % 3 === b)), idx, b))
+    }
+    assert(got === Seq(2L), s"build must receive only the missing ids, got $got")
+    val direct = Multimodal.mediaRedundancy(
+        Multimodal.cdcChunks(Multimodal.mediaTable(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(Multimodal.mediaRedundancyFromIndex(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === direct,
+      "partial rebuild must reconstruct exactly the full-corpus audit")
+  }
+
+  test("image near-dup: re-encode twins pair at Hamming 0, detectable edited twins pair, clusters keep the base") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = Multimodal.pngTable(docs)
+      .unionByName(Multimodal.pngVariantTable(docs))
+    val hashes = Multimodal.imageAHash(corpus)
+    val hmap = hashes.collect().map(h => h.doc_id -> h.phash).toMap
+    val bases = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val reenc = bases.filter(_ % 7 == 0)
+    val edited = bases.filter(_ % 7 == 3)
+    assert(reenc.nonEmpty && edited.nonEmpty, "fixture must plant both families")
+    // re-encode survives: decoded+re-encoded PNG hashes IDENTICALLY
+    reenc.foreach(b => assert(hmap(b) == hmap(b + 10000000L),
+      s"re-encode twin of $b must hash identically"))
+    val pairs = Multimodal.imageNearDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    reenc.foreach(b => assert(pairs.get((b, b + 10000000L)).contains(0),
+      s"re-encode pair ($b) must surface at Hamming 0"))
+    // pigeonhole is LOSSLESS at dist <= 3: every edited twin whose
+    // true Hamming is within 3 must be in the pair list, and the
+    // fixture must contain at least one such detectable edit
+    val detectable = edited.filter(b =>
+      java.lang.Long.bitCount(hmap(b) ^ hmap(b + 20000000L)) <= 3)
+    assert(detectable.nonEmpty, "fixture must contain a detectable edit")
+    detectable.foreach(b => assert(
+      pairs.get((b, b + 20000000L)).contains(
+        java.lang.Long.bitCount(hmap(b) ^ hmap(b + 20000000L))),
+      s"edited twin of $b within Hamming 3 must surface as a pair"))
+    // clusters: the planted twin's representative is the BASE id
+    val clusters = Multimodal.imageNearDupClusters(
+        Multimodal.imageNearDupPairs(hashes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (reenc.map(b => (b, b + 10000000L)) ++
+        detectable.map(b => (b, b + 20000000L))).foreach { case (b, v) =>
+      assert(clusters(v) <= b,
+        s"variant $v must cluster under a representative no larger than $b")
+      assert(clusters(v) == clusters(b),
+        s"variant $v and base $b must share a component")
+    }
   }
 }

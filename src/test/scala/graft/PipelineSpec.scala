@@ -644,7 +644,7 @@ class PipelineSpec extends SparkSpec {
     assert(sel(TextAnalysis.importanceSelectFromIndex(docs, spark, dir,
       "doc_id", "text", buckets = 512, n = 25)) === adhoc)
     var rebuilt = false
-    TextAnalysis.ensureImportanceIndex(spark, dir, Seq(0L, 1L)) {
+    TextAnalysis.ensureImportanceIndex(spark, dir, Seq(0L, 1L)) { _ =>
       rebuilt = true
     }
     assert(!rebuilt, "ensure after compaction must not re-run the build")

@@ -188,7 +188,7 @@ class SketchTextSpec extends SparkSpec {
     // compaction manifest) — a re-run build here would double-count
     // the folded partials
     var rebuilt = false
-    Sketches.ensureCmsIndex(spark, dir, Seq(0L, 1L)) { rebuilt = true }
+    Sketches.ensureCmsIndex(spark, dir, Seq(0L, 1L)) { _ => rebuilt = true }
     assert(!rebuilt,
       "ensure after compaction must not re-run the build")
     assert(read() === first)
@@ -197,7 +197,7 @@ class SketchTextSpec extends SparkSpec {
     assert(read() === first)
     assert(graft.io.Compaction.foldedIds(spark, s"$dir/cells")
       === Set(0L, 1L))
-    Sketches.ensureCmsIndex(spark, s"$dir", Seq(0L, 1L)) { rebuilt = true }
+    Sketches.ensureCmsIndex(spark, s"$dir", Seq(0L, 1L)) { _ => rebuilt = true }
     assert(!rebuilt && read() === first)
   }
 }
