@@ -169,10 +169,10 @@ object Multimodal {
     * an 8×8 nearest-neighbor grid (sample (i, j) = source pixel
     * (i·w DIV 8, j·h DIV 8) — deterministic, no interpolation), set bit
     * i·8+j iff sample·64 > total (integer mean threshold — no float
-    * division, bit-stable on any engine). Downstream pair search reuses
-    * the SimHash hamming machinery verbatim
-    * ([[graft.operators.Dedup.simhashPairs]] — 4-chunk pigeonhole
-    * equi-join, hot-bucket capped): a re-encoded/brightness-shifted copy
+    * division, bit-stable on any engine). Downstream pair search is
+    * [[imageNearDupPairs]] (the SimHash hamming machinery verbatim —
+    * 4-chunk pigeonhole equi-join, hot-bucket capped), clustering is
+    * [[imageNearDupClusters]]: a re-encoded/brightness-shifted copy
     * lands within a few bits of its original.
     *
     * The sampled value is BRIGHTNESS for every color model: single-band
@@ -236,11 +236,11 @@ object Multimodal {
   /** Planted image variants for the near-dup arc — the two copy
     * families a perceptual hash exists to catch, over REAL PNG
     * payloads:
-    *  - RE-ENCODE twins (`doc_id % 7 == 0`, variant id `base + 10M`):
+    *  - RE-ENCODE twins (`doc_id % 7 == 0`, variant id `base + 1e9`):
     *    the base PNG is DECODED and re-encoded through the codec — a
     *    byte-level hash sees a fresh blob, the perceptual hash is
     *    identical (lossless gray PNG ⇒ same pixels ⇒ Hamming 0).
-    *  - EDITED twins (`doc_id % 7 == 3`, variant id `base + 20M`):
+    *  - EDITED twins (`doc_id % 7 == 3`, variant id `base + 2e9`):
     *    same image with ONE pixel edited — `(0, 0)` flips by +128
     *    (mod 256). (0, 0) is always on the 8×8 aHash sample grid, so
     *    the edit moves a few sampled cells (every grid cell whose
@@ -251,7 +251,7 @@ object Multimodal {
     * Partition-batched codec work like every media op; returns only
     * the variant rows (union with [[pngTable]] for the full corpus). */
   def pngVariantTable(docs: DataFrame, idCol: String = "doc_id",
-      reencodeOffset: Long = 10000000L, editOffset: Long = 20000000L)
+      reencodeOffset: Long = 1000000000L, editOffset: Long = 2000000000L)
       : Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     val base = pngTable(docs.where(
@@ -422,6 +422,70 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AUDIO fingerprint — the audio sibling of
+    * [[imageAHash]] (Haitsma–Kalker family, energy-derivative sign
+    * bits): over the 16-bit PCM analysis windows of
+    * [[audioWindowsPcm16]], bit `i` of the fingerprint is set iff
+    * window `i+1` has strictly higher energy than window `i` — the
+    * energy DERIVATIVE's sign, which survives exactly the edits a
+    * byte hash cannot: amplitude scaling (energy scales by c²
+    * uniformly, all comparisons preserved — spec-pinned), polarity
+    * inversion ((-s)² = s²), re-encoding. 60 bits (like
+    * [[graft.operators.Dedup.simhashPortable]] — a sum of powers
+    * below 2^60 stays positive and exact in any engine), so the
+    * fingerprints pair through the same Hamming machinery as the
+    * image codes. Integer energies end to end → full SQL replay.
+    *
+    * Scale shape: row-local window fan-out (no shuffle), then ONE
+    * per-doc window + rollup — the document is the partition unit,
+    * like the winnow minima; 8 bytes per doc move to the pair stage,
+    * never samples. Docs with fewer than 2 windows have no derivative
+    * and are absent (below the detectable floor by definition);
+    * shorter docs carry `n_bits < nBits` partial codes — pair search
+    * should compare equal-width codes only.
+    * Returns (doc_id, n_bits, fingerprint). */
+  def audioFingerprint(media: Dataset[MediaRow], winSize: Int = 4,
+      hop: Int = 2, nBits: Int = 60): DataFrame = {
+    require(nBits >= 1 && nBits <= 60, "fingerprint must fit 60 positive bits")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    audioWindowsPcm16(media, winSize, hop).toDF()
+      .withColumn("__next", lead(col("energy"), 1).over(byDoc))
+      .where(col("__next").isNotNull && col("win_idx") < nBits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bits"),
+        sum(when(col("__next") > col("energy"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(win_idx AS INT))"))
+          .otherwise(lit(0L))).as("fingerprint"))
+  }
+
+  /** Planted audio near-dups: every 4th audio doc (`doc_id % 12 ==
+    * 1`) re-emitted under `base + 3e9` with every 16-bit PCM sample
+    * NEGATED (polarity inversion — the classic lossless audio edit: a
+    * byte hash sees a fresh payload, the energy fingerprint is
+    * bit-identical since (-s)² = s²). Row-local byte work, no
+    * shuffle; the trailing odd byte (not a full sample) passes
+    * through untouched, exactly as [[audioWindowsPcm16]] ignores it. */
+  def audioVariantTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", offset: Long = 3000000000L): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.where(col(idCol) % 12 === 1)
+      .select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val out = bytes.clone()
+        var j = 0
+        while (j + 1 < out.length) {
+          val s = ((out(j) & 0xFF) | (out(j + 1) << 8)).toShort.toInt
+          val n = -s
+          out(j) = (n & 0xFF).toByte
+          out(j + 1) = ((n >> 8) & 0xFF).toByte
+          j += 2
+        }
+        MediaRow(id + offset, "audio", out)
+      }
+  }
+
   // ── Content-defined chunking (rolling-window CDC, LBFS/rsync family) ──
 
   /** Content-defined chunk table of a binary media column: a chunk
@@ -467,7 +531,10 @@ object Multimodal {
     * precedent: the md5 form is the SQL-oracle-replayable twin, this
     * is the production path (xxhash64 is one codegen'd 64-bit mix vs
     * md5's full digest + hex decode per position — the dominant cost
-    * of chunking is `|blob|` window hashes). Same boundary CONTRACT
+    * of chunking is `|blob|` window hashes; it still materializes and
+    * hashes the full w-byte substring per position, so the cost grows
+    * with `w` — [[cdcChunksRolling]] is the O(1)-per-byte recurrence
+    * for realistic w=16–64). Same boundary CONTRACT
     * (content-local cuts, expected length, minLen collapse) but a
     * DIFFERENT cut set — spec-pinned to the contract (rsync
     * property, dedup stats within tolerance of the md5 form), not to
@@ -478,6 +545,129 @@ object Multimodal {
     cdcChunksBy(media, w, modulus, minLen,
       win => xxhash64(win),
       chunk => lower(hex(xxhash64(chunk))))
+
+  /** splitmix64 finalizer — the standard public-domain 64-bit mixer
+    * (Steele/Lea/Flood, JDK SplittableRandom): seeds [[buzTable]]
+    * deterministically so the rolling chunker needs no stored
+    * randomness. */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The buzhash byte table: 256 fixed 64-bit values (splitmix64 of
+    * the byte). A property of the CODE, not of any corpus — two
+    * engines (or two years of batches) always agree. */
+  private val buzTable: Array[Long] = Array.tabulate(256)(b => splitmix64(b.toLong))
+
+  /** Buzhash (cyclic-polynomial) of the `w`-byte window ending at
+    * byte index `end - 1`, computed DIRECTLY (O(w)) — the
+    * cross-check twin of the O(1) recurrence inside
+    * [[cdcChunksRolling]]; spec-pinned equal. */
+  private[graft] def buzWindowHash(bytes: Array[Byte], end: Int, w: Int): Long = {
+    var h = 0L
+    var i = end - w
+    while (i < end) {
+      h = java.lang.Long.rotateLeft(h, 1) ^ buzTable(bytes(i) & 0xFF)
+      i += 1
+    }
+    h
+  }
+
+  /** The cut positions (1-based window-end offsets) of the rolling
+    * chunker: the O(1)-per-byte buzhash recurrence + the gap-based
+    * minLen collapse (keep-LAST-of-chain — identical to the twins'
+    * lag/sum/max SQL window: a cut survives iff its successor is
+    * ≥ minLen away, or it is the final raw cut). Exposed package-
+    * private so the spec can pin the recurrence against
+    * [[buzWindowHash]]'s direct O(w) form at every position. */
+  private[graft] def rollingCuts(c: Array[Byte], w: Int, mask: Long,
+      minLen: Int): Seq[Int] = {
+    val len = c.length
+    val raw = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (len >= w) {
+      var h = 0L
+      var i = 0
+      while (i < w) {
+        h = java.lang.Long.rotateLeft(h, 1) ^ buzTable(c(i) & 0xFF)
+        i += 1
+      }
+      if ((h & mask) == 0L) raw += w
+      while (i < len) {
+        // rotl(h,1) carries T[out] (inserted at rotl w-1) to rotl w —
+        // one extra rotl-XOR removes it exactly
+        h = java.lang.Long.rotateLeft(h, 1) ^
+          java.lang.Long.rotateLeft(buzTable(c(i - w) & 0xFF), w) ^
+          buzTable(c(i) & 0xFF)
+        i += 1
+        if ((h & mask) == 0L) raw += i
+      }
+    }
+    if (minLen <= 1) raw.toSeq
+    else raw.zipWithIndex.collect {
+      case (cut, j) if j == raw.length - 1 || raw(j + 1) - cut >= minLen =>
+        cut
+    }.toSeq
+  }
+
+  /** TRUE rolling-hash CDC — the third chunker of the family
+    * ([[cdcChunks]] md5 oracle twin / [[cdcChunksFast]] xxhash64 /
+    * this): a buzhash cyclic polynomial whose per-position update is
+    * ONE rotate + TWO table XORs — O(1) per byte regardless of `w` —
+    * where both substring chunkers hash the full `w`-byte window at
+    * every position (O(w) per byte: negligible at w=4, DOMINANT at
+    * the w=16–64 a real storage-dedup deployment runs, where window
+    * hashing is ~|blob|·w work). Same boundary CONTRACT as the twins
+    * (content-local cuts — the rsync property; expected chunk length
+    * = `modulus`; gap-based minLen run collapse keeping the LAST cut
+    * of each chain, bit-equal to the SQL window collapse), a
+    * DIFFERENT cut set (xor-rolling hash family — spec-pinned to the
+    * contract and to the direct O(w) window hash, not to the twins'
+    * cuts).
+    *
+    * Scale shape: ONE streaming pass per blob inside the scan task —
+    * row-local fan-out like [[audioWindows]], no shuffle, constant
+    * state (the running hash + the byte leaving the window); chunk
+    * ids are xxhash64 over the chunk bytes, hashed BEFORE any
+    * exchange so payload bytes never move. The per-row imperative
+    * loop is the genuine article here — a rolling recurrence is
+    * sequential by definition and has no per-position-independent
+    * expression form (the documented [[pngTable]]/codec precedent).
+    * `modulus` must be a power of two (the cut test is one mask).
+    * Returns (doc_id, media_type, h, n_bytes) like the twins. */
+  def cdcChunksRolling(media: DataFrame, w: Int = 16, modulus: Int = 64,
+      minLen: Int = 16): DataFrame = {
+    require(w >= 1 && minLen >= 1 && modulus >= 2 &&
+      (modulus & (modulus - 1)) == 0,
+      "rolling CDC needs a power-of-two modulus (the cut test is a mask)")
+    import media.sparkSession.implicits._
+    val mask = (modulus - 1).toLong
+    val chunks = media
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRow]
+      .flatMap { m =>
+        val c = m.content
+        val len = c.length
+        val cuts = rollingCuts(c, w, mask, minLen)
+        val ends = if (cuts.nonEmpty && cuts.last == len) cuts else cuts :+ len
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Array[Byte], Long)]
+        var st = 1
+        ends.foreach { e =>
+          if (e >= st) {
+            out += ((m.doc_id, m.media_type,
+              java.util.Arrays.copyOfRange(c, st - 1, e), (e - st + 1).toLong))
+            st = e + 1
+          }
+        }
+        out
+      }
+      .toDF("doc_id", "media_type", "__chunk", "n_bytes")
+    chunks.select(col("doc_id"), col("media_type"),
+      lower(hex(xxhash64(col("__chunk")))).as("h"), col("n_bytes"))
+  }
 
   /** Shared chunking skeleton of [[cdcChunks]] (md5, oracle twin) and
     * [[cdcChunksFast]] (xxhash64, production): per-position window
@@ -722,6 +912,68 @@ object Multimodal {
       .withColumn("novel_bytes", coalesce(col("novel_bytes"), lit(0L)))
       .withColumn("saved_ppm",
         expr("((n_bytes - novel_bytes) * 1000000) DIV n_bytes"))
+  }
+
+  /** One arrival batch of the CDC dedup-on-arrival LOOP (the step
+    * [[graft.streaming.Streams.ingestCdcStream]] drives per
+    * micro-batch, also batch-evaluable for the oracle-checked query):
+    * chunk the batch ONCE (one persisted chunk table feeds both the
+    * audit and the fold — the ingestDedupBatch
+    * signature-computed-once precedent), write the arrival AUDIT —
+    * what a chunk-addressed blob store would actually store for this
+    * batch: totals, novel distinct chunks/bytes vs the store, saved
+    * ppm — to `auditRoot/batch=<id>`, then fold the novel hashes into
+    * the store.
+    *
+    * Replay contract under at-least-once delivery: the audit is
+    * FIRST-DELIVERY-WINS (a completed audit dir is never recomputed —
+    * a replay AFTER the fold would otherwise re-audit against a store
+    * that already absorbed the batch and report zero novelty), and
+    * the fold is membership-idempotent (novel = anti-join on stored
+    * hashes, so a replayed batch appends nothing). Crash anywhere
+    * between the two: the replay skips the completed audit and
+    * completes the fold. First batch bootstraps the store
+    * (overwrite = [[writeCdcIndex]] semantics; its audit reads
+    * all-distinct-novel). Work ∝ batch chunks + probed store rows. */
+  def ingestCdcBatch(media: DataFrame, batchId: Long, indexPath: String,
+      auditRoot: String, w: Int = 4, modulus: Int = 64, minLen: Int = 16,
+      fast: Boolean = false, coalesceTo: Int = 1): Unit = {
+    val spark = media.sparkSession
+    if (media.isEmpty) return
+    val sub = s"$auditRoot/batch=$batchId"
+    val auditDone = graft.io.IndexPaths.complete(spark, sub)
+    val first = !graft.io.IndexPaths.complete(spark, indexPath)
+    val ch = Caches.persist(chunker(media, w, modulus, minLen, fast))
+    try {
+      val d = ch.groupBy(col("media_type"), col("h"))
+        .agg(max(col("n_bytes")).as("nb"))
+      val fresh = Caches.persist(
+        if (first) d
+        else d.join(
+          spark.read.parquet(indexPath)
+            .join(d.select(col("media_type"), col("h")),
+              Seq("media_type", "h"), "left_semi"),
+          Seq("media_type", "h"), "left_anti"))
+      if (!auditDone) {
+        val novel = fresh.groupBy(col("media_type"))
+          .agg(count(lit(1)).as("novel_chunks"),
+            sum(col("nb")).as("novel_bytes"))
+        ch.groupBy(col("media_type"))
+          .agg(count(lit(1)).as("n_chunks"), sum(col("n_bytes")).as("n_bytes"))
+          .join(novel, Seq("media_type"), "left")
+          .withColumn("novel_chunks", coalesce(col("novel_chunks"), lit(0L)))
+          .withColumn("novel_bytes", coalesce(col("novel_bytes"), lit(0L)))
+          .withColumn("saved_ppm",
+            expr("((n_bytes - novel_bytes) * 1000000) DIV n_bytes"))
+          .coalesce(1).write.mode("overwrite").parquet(sub)
+      }
+      val out = fresh.select(col("media_type"), col("h"),
+        col("nb").as("n_bytes"))
+      if (first)
+        out.coalesce(coalesceTo).write.mode("overwrite").parquet(indexPath)
+      else if (!fresh.isEmpty)
+        out.coalesce(coalesceTo).write.mode("append").parquet(indexPath)
+    } finally Caches.release()
   }
 
   /** Fold an admitted batch's NOVEL chunk hashes into the store —

@@ -2287,6 +2287,38 @@ object Similarity {
     signPack(newEmb, idCol, vecCol, dim)
       .write.mode("append").parquet(path)
 
+  /** One arrival batch of the sign-index maintenance loop (the step
+    * [[graft.streaming.Streams.ingestSignStream]] drives, also
+    * batch-evaluable for the oracle-checked query): the batch lands
+    * exactly-once in `corpusRoot/batch=<id>` (idempotent overwrite),
+    * then folds into the stored (vec_id, bits) table — EXACT append
+    * like the int8 loop ([[appendToQuantizedIndex]]): each vector
+    * packs from the sign of its own coordinates, no corpus-global
+    * statistic, so appended rows are bit-identical to a full
+    * rebuild's and no staleness alarm exists to wire. Replay-safe via
+    * the stored-id anti-join (a redelivered batch appends nothing).
+    * First batch builds the index from the accumulated corpus. */
+  def ingestSignBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      corpusRoot: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val b = batch.select(col(idCol), col(vecCol))
+    b.coalesce(4).write.mode("overwrite")
+      .parquet(s"$corpusRoot/batch=$batchId")
+    if (!graft.io.IndexPaths.complete(spark, indexPath))
+      writeSignIndex(
+        spark.read.parquet(corpusRoot).select(col(idCol), col(vecCol)),
+        idCol, vecCol, indexPath, dim)
+    else {
+      val fresh = b.join(
+        spark.read.parquet(indexPath).select(col("vec_id").as("__stored")),
+        col(idCol) === col("__stored"), "left_anti")
+      if (!fresh.isEmpty)
+        appendToSignIndex(fresh, indexPath, idCol, vecCol, dim)
+    }
+  }
+
   private val signIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 

@@ -98,6 +98,28 @@ object MediaQueries {
           (col("dedup_ppm") > 0L).as("dedup_found"))
     },
 
+    // The ROLLING-hash CDC path (buzhash cyclic polynomial): O(1) per
+    // byte regardless of window width — the substring twins pay O(w)
+    // per position, negligible at w=4 but dominant at the w=16-64 a
+    // real storage-dedup deployment runs. Same boundary contract
+    // (spec-pinned: recurrence == direct window hash at every
+    // position, rsync locality, minLen floor, dedup band vs the md5
+    // twin), different cut set -> property oracle like the xxhash64
+    // twin. Benched at the realistic w=16 default.
+    "q_cdc_dedup_rolling" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // dedup_found is CORPUS-level (any media type): at the realistic
+      // w=16 the audio slice happens to carry no cross-doc chunk dup
+      // at sf0.01 — a property of the fixture, not of the chunker
+      // (the per-type band vs the md5 twin is spec-pinned at w=4)
+      Multimodal.cdcDedupStats(Multimodal.cdcChunksRolling(
+          Multimodal.mediaTable(t(s, dir, "documents")), w = 16,
+          modulus = 64))
+        .select(col("media_type"), (col("n_chunks") > 0L).as("has_chunks"),
+          (max(col("dedup_ppm")).over(Window.partitionBy()) > 0L)
+            .as("dedup_found"))
+    },
+
     // Dedup-on-arrival against the STORED chunk store: the batch
     // (every 5th doc) is chunked fresh; the corpus store is probed by
     // hash only — what a chunk-addressed blob store would actually
@@ -114,6 +136,71 @@ object MediaQueries {
         s"$dir/documents.parquet", Multimodal.cdcParams())
       Multimodal.ensureCdcIndex(corpus, path)
       Multimodal.incrementalCdcStats(batch, s, path)
+    },
+
+    // Dedup-on-arrival on the PRODUCTION (xxhash64) store end to end:
+    // same ingest shape as q_cdc_incremental, but chunker, store and
+    // probe all run the fast hash — the store is content-addressed by
+    // the FULL config incl. the hash family (cdcParams "...xx"), so
+    // it can never alias the md5 twin's store. Engine-internal hash
+    // -> property oracle (novelty is an order-free SET property):
+    // every media type chunks, novelty stays within the batch total,
+    // and the batch shares content with the corpus (saved > 0) —
+    // values pinned against set arithmetic in MultimodalSpec, and the
+    // absorbed-batch-replays-at-zero-novelty arc spec-pinned there.
+    "q_cdc_incremental_fast" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.mediaTable(docs.where(col("doc_id") % 5 =!= 0))
+      val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
+      val path = graft.io.IndexPaths.indexPath("cdcidx",
+        s"$dir/documents.parquet", Multimodal.cdcParams(fast = true))
+      Multimodal.ensureCdcIndex(corpus, path, fast = true)
+      import org.apache.spark.sql.expressions.Window
+      // overlap_found is corpus-level like q_cdc_dedup_rolling's
+      // dedup_found (the audio slice shares no whole chunk with the
+      // store at sf0.01); per-type exact values are spec-pinned
+      Multimodal.incrementalCdcStats(batch, s, path, fast = true)
+        .select(col("media_type"), (col("n_chunks") > 0L).as("has_chunks"),
+          (col("novel_bytes") <= col("n_bytes") &&
+            col("novel_chunks") <= col("n_chunks")).as("novelty_bounded"),
+          (max(col("saved_ppm")).over(Window.partitionBy()) > 0L)
+            .as("overlap_found"))
+    },
+
+    // The CDC INGEST LOOP end to end, batch-evaluated (the per-batch
+    // step ingestCdcStream drives through a real foreachBatch query
+    // in StreamingSpec): media arrive in three deterministic batches
+    // ((doc_id DIV 3) % 3 in order — deliberately ORTHOGONAL to the
+    // media_type = doc_id % 3 derivation, so every batch carries all
+    // three types and genuinely probes the store across batches);
+    // each batch is chunked ONCE, its arrival
+    // audit lands first-delivery-wins in the audits table, and its
+    // novel hashes fold membership-idempotently into the store for
+    // the next batch to probe. md5 chunker -> the ENTIRE loop replays
+    // in SQL: batch b's novelty = its distinct (media_type, h) absent
+    // from all earlier batches' chunks. Output: the per-batch audits.
+    "q_stream_ingest_cdc" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // params carry the batch split too: the loop result is a
+      // function of (chunker config, arrival order)
+      val root = graft.io.IndexPaths.indexPath("cdcloop",
+        s"$dir/documents.parquet", Multimodal.cdcParams() + "div3x3")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_LOOP_COMPLETE")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        for (b <- 0L to 2L)
+          Multimodal.ingestCdcBatch(
+            Multimodal.mediaTable(
+              docs.where(expr("(doc_id DIV 3) % 3") === b)),
+            b, s"$root/store", s"$root/audits")
+        fs.create(done).close()
+      }
+      s.read.parquet(s"$root/audits")
+        .select(col("batch").cast("long").as("batch"), col("media_type"),
+          col("n_chunks"), col("n_bytes"), col("novel_chunks"),
+          col("novel_bytes"), col("saved_ppm"))
     },
 
     // REAL image decode: synthesize real grayscale PNGs (deterministic
@@ -225,6 +312,47 @@ object MediaQueries {
           col("energy"), col("peak").cast("long").as("peak"))
     },
 
+    // Perceptual AUDIO fingerprint (energy-derivative sign bits, the
+    // Haitsma-Kalker family) over the PCM16 audio payloads PLUS
+    // planted polarity-inverted twins (every 4th audio doc, negated
+    // samples under base + 3e9): the fingerprint survives the edit
+    // exactly ((-s)^2 = s^2), so the oracle emits the variant rows by
+    // COPYING the base fingerprint — the invariance IS the oracle.
+    // Integer energies end to end -> full SQL replay of the base.
+    "q_audio_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.mediaTable(docs)
+        .where(col("media_type") === "audio")
+        .select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow]
+      Multimodal.audioFingerprint(
+        media.unionByName(Multimodal.audioVariantTable(docs)))
+    },
+
+    // Audio near-dup pairs: the full-width (60-bit) fingerprints go
+    // through the SAME SimHash pigeonhole machinery as the image
+    // codes — the planted inverted twins surface at Hamming 0 (and
+    // exact-text audio dups ride along); partial codes of short docs
+    // are excluded (unequal widths don't compare). Oracle: all-pairs
+    // Hamming <= 3 over the replayed fingerprints.
+    "q_audio_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.mediaTable(docs)
+        .where(col("media_type") === "audio")
+        .select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow]
+      val fp = Multimodal.audioFingerprint(
+        media.unionByName(Multimodal.audioVariantTable(docs)))
+      graft.operators.Dedup.simhashPairs(
+          fp.where(col("n_bits") === 60)
+            .select(col("doc_id"), col("fingerprint").as("simhash")),
+          maxDist = 3, bits = 60)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+    },
+
     // 16-bit little-endian PCM: byte pairs -> signed int16 samples,
     // 128-sample windows with 64 hop. The oracle rebuilds each sample
     // from two ord() bytes.
@@ -277,17 +405,17 @@ object MediaQueries {
 
   /** Shared CTE prefix of the image near-dup oracles: aHash replayed
     * in closed form for every image id — bases, re-encode twins
-    * (same pixel formula under `base + 10M`), edited twins (`base +
-    * 20M`, one CASE where the sampled source pixel is (0, 0)) — up to
+    * (same pixel formula under `base + 1e9`), edited twins (`base +
+    * 2e9`, one CASE where the sampled source pixel is (0, 0)) — up to
     * the `ph` (img_id, phash) table. The bit-63 CASE mirrors the
     * q_image_phash oracle's sign handling. */
   private val sqlImageNearDupPairs: String =
     """WITH ids AS (
       |  SELECT doc_id AS img_id, doc_id AS base, FALSE AS edited
       |    FROM documents
-      |  UNION ALL SELECT doc_id + 10000000, doc_id, FALSE
+      |  UNION ALL SELECT doc_id + 1000000000, doc_id, FALSE
       |    FROM documents WHERE doc_id % 7 = 0
-      |  UNION ALL SELECT doc_id + 20000000, doc_id, TRUE
+      |  UNION ALL SELECT doc_id + 2000000000, doc_id, TRUE
       |    FROM documents WHERE doc_id % 7 = 3),
       |m AS (SELECT img_id, base, edited,
       |    CAST(base % 29 + 4 AS INTEGER) AS w,
@@ -308,7 +436,57 @@ object MediaQueries {
       |      ELSE 0 END) AS BIGINT) AS phash
       |  FROM s JOIN t USING (img_id) GROUP BY s.img_id)""".stripMargin
 
+  /** Shared CTE prefix of the audio-fingerprint oracles: PCM16
+    * samples from byte pairs (the q_audio_pcm16 idiom at winSize 4 /
+    * hop 2), integer window energies, energy-derivative sign bits
+    * packed into 60 positive bits — up to `fp` (doc_id, n_bits,
+    * fingerprint) over the BASE audio docs. */
+  private val sqlAudioFingerprint: String =
+    """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+      |w AS (SELECT doc_id, text,
+      |    unnest(range(0, (length(text) // 2 - 4) // 2 + 1)) AS win_idx
+      |  FROM m WHERE length(text) // 2 >= 4),
+      |sv AS (SELECT doc_id, win_idx,
+      |    list_transform(range(1, 5), i ->
+      |      (ord(text[CAST(2 * (win_idx * 2 + i) - 1 AS INTEGER)])
+      |       + 256 * ord(text[CAST(2 * (win_idx * 2 + i) AS INTEGER)]))
+      |      - CASE WHEN ord(text[CAST(2 * (win_idx * 2 + i) AS INTEGER)]) >= 128
+      |             THEN 65536 ELSE 0 END) AS vals
+      |  FROM w),
+      |en AS (SELECT doc_id, win_idx,
+      |    CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT) AS energy
+      |  FROM sv),
+      |de AS (SELECT doc_id, win_idx, energy,
+      |    lead(energy) OVER (PARTITION BY doc_id ORDER BY win_idx) AS nxt
+      |  FROM en),
+      |fp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+      |    CAST(SUM(CASE WHEN nxt > energy
+      |      THEN (1::BIGINT << CAST(win_idx AS INTEGER)) ELSE 0 END)
+      |      AS BIGINT) AS fingerprint
+      |  FROM de WHERE nxt IS NOT NULL AND win_idx < 60 GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // base fingerprints replayed in closed form; the inverted twins
+    // COPY their base row (the spec-pinned (-s)^2 invariance)
+    "q_audio_fingerprint" -> (sqlAudioFingerprint +
+      """
+        |SELECT doc_id, n_bits, fingerprint FROM fp
+        |UNION ALL
+        |SELECT doc_id + 3000000000, n_bits, fingerprint FROM fp
+        |WHERE doc_id % 12 = 1""".stripMargin),
+
+    "q_audio_neardup" -> (sqlAudioFingerprint +
+      """,
+        |allfp AS (SELECT doc_id, n_bits, fingerprint FROM fp
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, n_bits, fingerprint FROM fp
+        |  WHERE doc_id % 12 = 1),
+        |full60 AS (SELECT doc_id, fingerprint FROM allfp WHERE n_bits = 60)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
+        |    AS hamming
+        |FROM full60 a JOIN full60 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3""".stripMargin),
     "q_media_bytes" ->
       s"""SELECT $sqlMediaType AS media_type, COUNT(*) AS n_docs,
          |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
@@ -377,6 +555,71 @@ object MediaQueries {
       """SELECT * FROM (VALUES
         |  ('audio', TRUE, TRUE), ('image', TRUE, TRUE),
         |  ('video', TRUE, TRUE)) t(media_type, has_chunks, dedup_found)""".stripMargin,
+
+    // engine-internal buzhash -> same property-oracle shape as the
+    // xxhash64 twin (boundary contract pinned in MultimodalSpec)
+    "q_cdc_dedup_rolling" ->
+      """SELECT * FROM (VALUES
+        |  ('audio', TRUE, TRUE), ('image', TRUE, TRUE),
+        |  ('video', TRUE, TRUE)) t(media_type, has_chunks, dedup_found)""".stripMargin,
+
+    // the loop's full replay: the shared CDC CTEs tagged by arrival
+    // batch (doc_id % 3); batch b's store = all distinct hashes of
+    // batches < b, novelty = distinct batch hashes absent from it
+    "q_stream_ingest_cdc" ->
+      s"""WITH m AS (SELECT doc_id, $sqlMediaType AS media_type,
+         |    text AS s, len(text) AS L FROM documents),
+         |pos AS (SELECT doc_id, i FROM m, UNNEST(range(4, L + 1)) AS t(i)
+         |  WHERE CAST('0x' || substr(md5(substr(s, CAST(i - 3 AS INT), 4)),
+         |      1, 12) AS BIGINT) % 64 = 0),
+         |mw AS (SELECT doc_id, i,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 16
+         |         THEN 0 ELSE 1 END AS strt
+         |  FROM pos),
+         |mc AS (SELECT doc_id, i,
+         |    SUM(strt) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+         |  FROM mw),
+         |mcut AS (SELECT doc_id, MAX(i) AS i FROM mc GROUP BY doc_id, cl),
+         |cuts AS (SELECT m.doc_id,
+         |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), m.L))
+         |      AS ends
+         |  FROM m LEFT JOIN mcut p USING (doc_id) GROUP BY m.doc_id, m.L),
+         |spans AS (SELECT doc_id, ends[j] AS e,
+         |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
+         |  FROM cuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
+         |  WHERE j = 1 OR ends[j] > ends[j - 1]),
+         |ch AS (SELECT c.doc_id, (c.doc_id // 3) % 3 AS b, m.media_type,
+         |    md5(substr(m.s, CAST(c.st AS INT), CAST(c.e - c.st + 1 AS INT)))
+         |      AS h,
+         |    c.e - c.st + 1 AS nb
+         |  FROM spans c JOIN m USING (doc_id) WHERE c.e >= c.st),
+         |d AS (SELECT b, media_type, h, MAX(nb) AS nb FROM ch
+         |  GROUP BY 1, 2, 3),
+         |novel AS (SELECT d.b, d.media_type,
+         |    CAST(COUNT(*) AS BIGINT) AS novel_chunks,
+         |    CAST(SUM(d.nb) AS BIGINT) AS novel_bytes
+         |  FROM d WHERE NOT EXISTS (SELECT 1 FROM ch p
+         |    WHERE p.b < d.b AND p.media_type = d.media_type AND p.h = d.h)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT b, media_type, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(nb) AS BIGINT) AS n_bytes FROM ch GROUP BY 1, 2)
+         |SELECT CAST(t2.b AS BIGINT) AS batch, t2.media_type, t2.n_chunks,
+         |  t2.n_bytes,
+         |  CAST(COALESCE(n.novel_chunks, 0) AS BIGINT) AS novel_chunks,
+         |  CAST(COALESCE(n.novel_bytes, 0) AS BIGINT) AS novel_bytes,
+         |  CAST(((t2.n_bytes - COALESCE(n.novel_bytes, 0)) * 1000000)
+         |    // t2.n_bytes AS BIGINT) AS saved_ppm
+         |FROM tot t2 LEFT JOIN novel n ON n.b = t2.b
+         |  AND n.media_type = t2.media_type""".stripMargin,
+
+    // order-free novelty properties of the fast-store arrival audit;
+    // exact values pinned against set arithmetic in MultimodalSpec
+    "q_cdc_incremental_fast" ->
+      """SELECT * FROM (VALUES
+        |  ('audio', TRUE, TRUE, TRUE), ('image', TRUE, TRUE, TRUE),
+        |  ('video', TRUE, TRUE, TRUE))
+        |  t(media_type, has_chunks, novelty_bounded, overlap_found)""".stripMargin,
 
     // The incremental contract: the same CDC CTEs over the WHOLE
     // corpus, stored = distinct hashes of the non-batch slice, batch

@@ -521,6 +521,36 @@ object VectorQueries {
         probeIds = Seq(0L, 7L, 19L, 42L), k = 10)
     },
 
+    // The sign-index INGEST LOOP end to end, batch-evaluated (the
+    // same per-batch step ingestSignStream drives through a real
+    // foreachBatch query in StreamingSpec): embeddings arrive in
+    // three deterministic batches (vec_id % 3 in order), each lands
+    // exactly-once in the corpus root and folds EXACTLY into the
+    // stored (vec_id, bits) table — per-vector sign packing carries
+    // no corpus-global statistic, so the loop-built index is
+    // bit-identical to a one-shot build and the whole table replays
+    // in SQL (sign comparison is exact in IEEE floats). Output: the
+    // stored codes, halves exploded for the value oracle.
+    "q_stream_ingest_sign" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val root = graft.io.IndexPaths.indexPath("signloop",
+        s"$dir/embeddings.parquet", "d64x3")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(s"$root/_LOOP_COMPLETE")
+      if (!fs.exists(done)) {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        for (b <- 0L to 2L)
+          Similarity.ingestSignBatch(emb.where(col("vec_id") % 3 === b), b,
+            s"$root/signidx", s"$root/corpus")
+        fs.create(done).close()
+      }
+      s.read.parquet(s"$root/signidx")
+        .select(col("vec_id"), posexplode(col("bits")).as(Seq("half", "bits_half")))
+        .select(col("vec_id"), col("half").cast("long").as("half"),
+          col("bits_half"))
+    },
+
     // Stored-shortlist + float rerank: the production read path of
     // the binary rung end to end — codes from the index, floats only
     // via the (probes x 80)-row shortlist join. Bit-identical to
@@ -975,6 +1005,16 @@ object VectorQueries {
     // stored-code form is bit-identical (shared hammingTail; parity
     // spec-pinned) -> the SAME oracle
     "q_ann_hamming_indexed" -> sqlHamming,
+
+    // full value replay of the loop-built sign index: bit i of 32-bit
+    // half h set iff embedding[32h+i] > 0 — exact IEEE sign compare
+    "q_stream_ingest_sign" ->
+      """SELECT vec_id, CAST(hh.i AS BIGINT) AS half,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |    i -> CASE WHEN embedding[CAST(hh.i * 32 + i + 1 AS INTEGER)] > 0
+        |         THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END))
+        |    AS BIGINT) AS bits_half
+        |FROM embeddings, UNNEST(range(0, 2)) AS hh(i)""".stripMargin,
 
     // Shortlist = Hamming top-80 (exact replay), rerank = the same
     // quantized-cosine convention as q_ann_recall's sc CTE.

@@ -635,6 +635,66 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming sign-code-ANN-index maintenance — the binary sibling
+    * of [[ingestQuantizedStream]] and the loop the sign rung's
+    * lifecycle was missing: embedding micro-batches land exactly-once
+    * in `corpusRoot/batch=<id>` and fold into the stored (vec_id,
+    * bits) table ([[graft.operators.Similarity.ingestSignBatch]]) —
+    * EXACT append (per-vector sign packing, no corpus-global
+    * statistic), so no drift alarm exists to wire; replay-safe via
+    * the stored-id anti-join. First batch builds from the accumulated
+    * corpus. */
+  def ingestSignStream(emb: DataFrame, indexPath: String,
+      corpusRoot: String, checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        try graft.operators.Similarity.ingestSignBatch(batch, id,
+          indexPath, corpusRoot, idCol, vecCol, dim)
+        finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
+  /** The streaming CDC dedup-on-arrival loop — the chunk store's
+    * missing driver: each media micro-batch is chunked once, its
+    * arrival AUDIT (total vs novel chunks/bytes, saved ppm — what a
+    * chunk-addressed blob store would actually write) lands
+    * first-delivery-wins in `auditRoot/batch=<id>`, and the novel
+    * hashes fold membership-idempotently into the store
+    * ([[graft.operators.Multimodal.ingestCdcBatch]] — the replay
+    * contract lives there). State is the on-disk store; nothing to
+    * TTL. `compactEvery` (0 = off) rewrites the store's accreted
+    * append files to a bounded count every N batches through the
+    * crash-safe swap ([[graft.io.Compaction.compactDir]] — rows are
+    * distinct-hash facts, so an identity rewrite preserves the read);
+    * the unconditional recover heals a torn swap before the next
+    * batch probes. The `fast` flag selects the xxhash64 production
+    * chunker and MUST be content-addressed into `indexPath`
+    * ([[graft.operators.Multimodal.cdcParams]]). */
+  def ingestCdcStream(media: DataFrame, indexPath: String,
+      auditRoot: String, checkpoint: String, w: Int = 4,
+      modulus: Int = 64, minLen: Int = 16, fast: Boolean = false,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        // unconditional roll-forward, cf. ingestDedupStream
+        graft.io.Compaction.recover(spark, indexPath)
+        graft.operators.Multimodal.ingestCdcBatch(batch, id, indexPath,
+          auditRoot, w, modulus, minLen, fast)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.io.Compaction.compactDir(spark, indexPath, targetFiles = 8)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming BM25-index maintenance — the REBUILD-ONLY member of the
     * index-loop family: document batches land exactly-once in
     * `corpusRoot/batch=<id>`, and because the BM25 index stores

@@ -66,7 +66,12 @@ object DumpPlans {
     "q_ann_hamming_rerank_indexed" -> "stored-shortlist Hamming + quantized-cosine rerank: codes from the index, the float column reached only through the (probes x 80)-row shortlist id join — the advertised cost model, now the executed plan",
     "q_dsir_external" -> "two-relation DSIR: corpus and target bucket profiles (≤buckets rows each, map-side combined) full-joined into the weight table, broadcast back onto one corpus gram scan, top-n as the long bounded heap",
     "q_corpus_pipeline_v6" -> "the media-aware release chain: v4's selection stack + per-doc CDC redundancy (hash-keyed count join, payload bytes never shuffle) as a keep predicate between soft dedup and the budget; budget/layout tail against the checkpoint leaf",
-    "q_media_redundancy_indexed" -> "per-doc media redundancy off the STORED chunk manifest: no document payload scanned or chunked (pinned) — batch fact partials union at read, hash-keyed count + join back, doc rollup")
+    "q_media_redundancy_indexed" -> "per-doc media redundancy off the STORED chunk manifest: no document payload scanned or chunked (pinned) — batch fact partials union at read, hash-keyed count + join back, doc rollup",
+    "q_image_neardup" -> "image near-dup pairs: partition-batched PNG decode to 8-byte aHash codes (pixels never shuffle), 4x16-bit pigeonhole chunk equi-join with the hot-bucket cap, Hamming rescore on the cached code table — never all-pairs",
+    "q_cdc_dedup_rolling" -> "rolling-hash CDC (buzhash): ONE streaming pass per blob inside the scan task (O(1) per byte at any window width — the substring twins pay O(w)), chunk ids hashed before any exchange, distinct rollup is the only corpus-shaped shuffle",
+    "q_cdc_incremental_fast" -> "dedup-on-arrival on the xxhash64 production store: batch chunks fresh with the one-mix predicate, store probed via the batch-hash-pruned semi-join, order-free novelty anti-join",
+    "q_audio_fingerprint" -> "perceptual audio fingerprint: row-local PCM16 window fan-out (no shuffle), per-DOC lead window over integer energies (the document is the sort unit), 60 energy-derivative sign bits packed by one bounded rollup",
+    "q_stream_ingest_cdc" -> "the CDC ingest loop's audit read: batch-partitioned arrival audits (report-sized), each written from ONE persisted chunk table feeding both the novelty anti-join and the store fold")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the

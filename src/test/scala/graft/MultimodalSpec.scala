@@ -380,6 +380,96 @@ class MultimodalSpec extends SparkSpec {
       nvc == 0L && saved == 1000000L })
   }
 
+  test("audioFingerprint: invariant under amplitude scaling and polarity inversion; sensitive to a different signal") {
+    import spark.implicits._
+    def pcm(samples: Seq[Int]): Array[Byte] = {
+      val out = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        out(2 * i) = (s & 0xFF).toByte
+        out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      out
+    }
+    // deterministic small-amplitude signal so the x3 scaling stays
+    // well inside int16 (exact c^2 energy scaling, no clipping)
+    val base = (0 until 300).map(i => ((i * 37) % 199) - 99)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", pcm(base)),
+      Multimodal.MediaRow(2L, "audio", pcm(base.map(_ * 3))),
+      Multimodal.MediaRow(3L, "audio", pcm(base.map(-_))),
+      Multimodal.MediaRow(4L, "audio", pcm(base.reverse))).toDS()
+    val fp = Multimodal.audioFingerprint(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(1L)._1 == 60L, "300 samples must yield a full-width code")
+    assert(fp(2L) === fp(1L), "amplitude scaling must preserve the fingerprint")
+    assert(fp(3L) === fp(1L), "polarity inversion must preserve the fingerprint")
+    assert(fp(4L)._2 != fp(1L)._2, "a different signal must fingerprint differently")
+    // the planted variant table IS the polarity edit on real payloads
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.mediaTable(docs)
+      .where(col("media_type") === "audio")
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[Multimodal.MediaRow]
+    val vfp = Multimodal.audioFingerprint(
+        media.unionByName(Multimodal.audioVariantTable(docs)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val variants = vfp.keys.filter(_ >= 3000000000L)
+    assert(variants.nonEmpty, "fixture must plant inverted twins")
+    variants.foreach(v => assert(vfp(v) === vfp(v - 3000000000L),
+      s"inverted twin $v must fingerprint identically to its base"))
+  }
+
+  test("cdcChunksRolling: O(1) recurrence == direct window hash at every position; boundary contract (rsync locality, minLen floor, dedup band) holds") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.mediaTable(docs)
+    // THE rolling-hash pin: the recurrence's cut set equals the one a
+    // direct O(w) buzhash of every window produces — for several
+    // window widths, minLen collapse off so every raw cut is compared
+    val texts = docs.select(col("text")).limit(40).collect()
+      .map(_.getString(0).getBytes("UTF-8"))
+    for (w <- Seq(4, 16, 32, 64); c <- texts) {
+      val direct = (w to c.length).filter(end =>
+        (Multimodal.buzWindowHash(c, end, w) & 63L) == 0L)
+      assert(Multimodal.rollingCuts(c, w, 63L, 1) === direct,
+        s"w=$w: rolling recurrence diverged from the direct window hash")
+    }
+    // rsync locality at the family-shared w=4 params: a prefix splice
+    // changes at most one chunk per doc
+    def chunkSet(m: org.apache.spark.sql.DataFrame, w: Int) =
+      Multimodal.cdcChunksRolling(m, w = w)
+        .groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toMap
+    val base = chunkSet(media, 4)
+    val prefixed = Multimodal.mediaTable(
+      docs.withColumn("text", concat(lit("ZQJ XWV KYH "), col("text"))))
+    val shifted = chunkSet(prefixed, 4)
+    base.foreach { case (id, hs) =>
+      val kept = (hs & shifted(id)).size
+      assert(kept >= hs.size - 1,
+        s"doc $id: rolling boundaries lost content locality")
+    }
+    // minLen floor at the realistic w=16 defaults
+    val shortPerDoc = Multimodal.cdcChunksRolling(media)
+      .where(col("n_bytes") < 16)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(shortPerDoc.forall(_ <= 2L),
+      "interior chunks must respect the minLen floor")
+    // dedup audit in the twins' band at the shared w=4 params: the
+    // planted dups dominate, the hash family only moves boundaries
+    def ppm(ch: org.apache.spark.sql.DataFrame) =
+      Multimodal.cdcDedupStats(ch).collect()
+        .map(r => (r.getString(0), r.getLong(5))).toMap
+    val slow = ppm(Multimodal.cdcChunks(media, w = 4, modulus = 64))
+    val roll = ppm(Multimodal.cdcChunksRolling(media, w = 4))
+    slow.foreach { case (mt, s) =>
+      val f = roll(mt)
+      assert(f > 0L || s == 0L, s"$mt: rolling path found no dedup")
+      assert(math.abs(f - s) <= math.max(s, f) / 2 + 20000,
+        s"$mt: dedup ppm diverged md5=$s buz=$f")
+    }
+  }
+
   test("chunk manifest index: stored redundancy == direct; append replay idempotent; compaction + post-compaction ensure change nothing") {
     import graft.operators.Multimodal
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -450,28 +540,28 @@ class MultimodalSpec extends SparkSpec {
     val edited = bases.filter(_ % 7 == 3)
     assert(reenc.nonEmpty && edited.nonEmpty, "fixture must plant both families")
     // re-encode survives: decoded+re-encoded PNG hashes IDENTICALLY
-    reenc.foreach(b => assert(hmap(b) == hmap(b + 10000000L),
+    reenc.foreach(b => assert(hmap(b) == hmap(b + 1000000000L),
       s"re-encode twin of $b must hash identically"))
     val pairs = Multimodal.imageNearDupPairs(hashes).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    reenc.foreach(b => assert(pairs.get((b, b + 10000000L)).contains(0),
+    reenc.foreach(b => assert(pairs.get((b, b + 1000000000L)).contains(0),
       s"re-encode pair ($b) must surface at Hamming 0"))
     // pigeonhole is LOSSLESS at dist <= 3: every edited twin whose
     // true Hamming is within 3 must be in the pair list, and the
     // fixture must contain at least one such detectable edit
     val detectable = edited.filter(b =>
-      java.lang.Long.bitCount(hmap(b) ^ hmap(b + 20000000L)) <= 3)
+      java.lang.Long.bitCount(hmap(b) ^ hmap(b + 2000000000L)) <= 3)
     assert(detectable.nonEmpty, "fixture must contain a detectable edit")
     detectable.foreach(b => assert(
-      pairs.get((b, b + 20000000L)).contains(
-        java.lang.Long.bitCount(hmap(b) ^ hmap(b + 20000000L))),
+      pairs.get((b, b + 2000000000L)).contains(
+        java.lang.Long.bitCount(hmap(b) ^ hmap(b + 2000000000L))),
       s"edited twin of $b within Hamming 3 must surface as a pair"))
     // clusters: the planted twin's representative is the BASE id
     val clusters = Multimodal.imageNearDupClusters(
         Multimodal.imageNearDupPairs(hashes))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (reenc.map(b => (b, b + 10000000L)) ++
-        detectable.map(b => (b, b + 20000000L))).foreach { case (b, v) =>
+    (reenc.map(b => (b, b + 1000000000L)) ++
+        detectable.map(b => (b, b + 2000000000L))).foreach { case (b, v) =>
       assert(clusters(v) <= b,
         s"variant $v must cluster under a representative no larger than $b")
       assert(clusters(v) == clusters(b),

@@ -739,6 +739,104 @@ class StreamingSpec extends SparkSpec {
       "stream-built int8 index must answer identically to in-memory")
   }
 
+  test("ingestSignStream: appended sign index == one-shot build (exact append, no alarm needed)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sign-loop-")
+      .toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val lo = emb.where(col("vec_id") < 300L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val hi = emb.where(col("vec_id") >= 300L && col("vec_id") < 600L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])](spark)
+    val sq = Streams.ingestSignStream(
+      ms.toDF().toDF("vec_id", "embedding"), s"$tmp/idx", s"$tmp/corpus",
+      s"$tmp/ckpt")
+    ms.addData(lo: _*); sq.processAllAvailable()
+    ms.addData(hi: _*); sq.processAllAvailable()
+    sq.stop()
+    val both = emb.where(col("vec_id") < 600L)
+    val probes = Seq(0L, 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viaLoop = rows(graft.operators.Similarity.hammingTopKIndexedBatch(
+      spark, both, "vec_id", "embedding", s"$tmp/idx", probes, 10))
+    val inMem = rows(graft.operators.Similarity.hammingTopKBatch(
+      both, "vec_id", "embedding", probes, 10))
+    assert(viaLoop === inMem,
+      "stream-built sign index must answer identically to in-memory")
+    // replay of an absorbed batch appends nothing (stored-id anti-join)
+    val n1 = spark.read.parquet(s"$tmp/idx").count()
+    graft.operators.Similarity.ingestSignBatch(
+      hi.toDF("vec_id", "embedding"), 1L, s"$tmp/idx", s"$tmp/corpus")
+    assert(spark.read.parquet(s"$tmp/idx").count() === n1,
+      "replayed batch must fold zero new codes")
+  }
+
+  test("ingestCdcStream: cross-batch novelty decays as the store absorbs; replayed batch changes neither audit nor store") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-loop-")
+      .toString
+    val ms = MemoryStream[(Long, String, String)](spark)
+    val sq = Streams.ingestCdcStream(
+      ms.toDF().toDF("doc_id", "media_type", "text")
+        .withColumn("content", encode(col("text"), "UTF-8")),
+      s"$tmp/store", s"$tmp/audits", s"$tmp/ckpt")
+    // VARIED text (a repeated short phrase has only phrase-length many
+    // distinct windows — by chance none may fire a cut, leaving the
+    // whole doc one chunk and nothing shareable)
+    val passage = (1 to 80).map(i => s"shared passage token $i").mkString(" ")
+    // batch 0: two docs sharing no content with later arrivals' novel half
+    ms.addData((1L, "image", passage + "alpha omega"),
+      (2L, "audio", (1 to 40).map(i => s"audio stream word $i").mkString(" ")))
+    sq.processAllAvailable()
+    // batch 1: doc 3 repeats the stored passage wholesale (a near-copy
+    // upload) + one genuinely novel VARIED doc (a repeated phrase
+    // would read internally saved — distinct chunks << total)
+    val batch1 = Seq((3L, "image", passage + "beta gamma"),
+      (4L, "video", (1 to 40).map(i => s"novel video clip $i").mkString(" ")))
+    ms.addData(batch1: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val audits = spark.read.parquet(s"$tmp/audits")
+      .select(col("batch").cast("long"), col("media_type"), col("n_chunks"),
+        col("novel_chunks"), col("saved_ppm"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // batch 0 wrote everything as novel; batch 1's image doc shares the
+    // passage chunks -> the store absorbed most of its bytes
+    val (n0, nv0, _) = audits((0L, "image"))
+    assert(nv0 > 0 && nv0 <= n0)
+    val (_, _, saved1) = audits((1L, "image"))
+    assert(saved1 > 500000L,
+      s"repeated passage must read mostly saved, got $saved1 ppm")
+    assert(audits((1L, "video"))._3 < 500000L,
+      "novel content must not read as saved")
+    // replay of the absorbed batch: store membership unchanged, audit
+    // NOT recomputed (first-delivery-wins — a recompute against the
+    // post-fold store would rewrite history to zero novelty)
+    val storeN = spark.read.parquet(s"$tmp/store").count()
+    val auditBefore = spark.read.parquet(s"$tmp/audits/batch=1")
+      .collect().map(_.toString).sorted.toSeq
+    graft.operators.Multimodal.ingestCdcBatch(
+      batch1.toDF("doc_id", "media_type", "text")
+        .withColumn("content", encode(col("text"), "UTF-8")),
+      1L, s"$tmp/store", s"$tmp/audits")
+    assert(spark.read.parquet(s"$tmp/store").count() === storeN,
+      "replayed batch must append nothing to the store")
+    assert(spark.read.parquet(s"$tmp/audits/batch=1")
+      .collect().map(_.toString).sorted.toSeq === auditBefore,
+      "replayed batch must not rewrite its audit")
+    // store compaction (the stream's compactEvery maintenance) is an
+    // identity rewrite: bounded files, identical membership
+    val before = spark.read.parquet(s"$tmp/store")
+      .collect().map(_.toString).sorted.toSeq
+    graft.io.Compaction.compactDir(spark, s"$tmp/store", targetFiles = 1)
+    assert(spark.read.parquet(s"$tmp/store")
+      .collect().map(_.toString).sorted.toSeq === before)
+  }
+
   test("ingestSubstringScrubStream: first ARRIVAL owns a span; replay appends nothing") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sub-spec-")
