@@ -488,6 +488,30 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no rank window:\n$p")
   }
 
+  test("q_image_neardup: codes pair through the capped bucket aggregate — no rank window; pixels never reach an exchange") {
+    val p = plan(SparkEntry.queries("q_image_neardup")(spark, sf))
+    assert(p.contains("bottom_k_longs"),
+      s"chunk-bucket members must flow through the bounded aggregate:\n$p")
+    assert(!p.contains("row_number") && !p.contains("Window"),
+      s"no rank window may appear in the pair path:\n$p")
+    // the decode consumes the PNG payload INSIDE the scan task: by the
+    // first exchange only (doc_id, phash/chunk) survive — no exchange
+    // partitions on or carries the binary content column
+    val exchanges = """Exchange [^\n]*""".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("content")),
+      s"pixel payloads must never shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q_stream_ingest_cdc / q_stream_ingest_sign: the loop reads touch only the loop artifacts, never the source tables") {
+    val p1 = plan(SparkEntry.queries("q_stream_ingest_cdc")(spark, sf))
+    assert(!p1.contains("documents.parquet"),
+      s"the audit read must not re-chunk the corpus:\n$p1")
+    val p2 = plan(SparkEntry.queries("q_stream_ingest_sign")(spark, sf))
+    assert(!p2.contains("embeddings.parquet"),
+      s"the stored-code read must not re-pack the float corpus:\n$p2")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
