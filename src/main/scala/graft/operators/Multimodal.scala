@@ -486,6 +486,78 @@ object Multimodal {
       }
   }
 
+  // ── Stored perceptual-code index (shared by image aHash + audio codes) ──
+
+  /** Materialize a perceptual-code table — (doc_id, code: long), the
+    * shape [[imageAHash]] and [[audioFingerprint]] both reduce to —
+    * at `path`: the decode/fingerprint pass paid ONCE per corpus
+    * version, every subsequent pair search streams 8-byte codes
+    * instead of re-decoding payloads (the [[graft.operators
+    * .Similarity.writeSignIndex]] lifecycle: per-row codes, no
+    * corpus-global statistic, so appends are EXACT and no staleness
+    * alarm exists). */
+  def writeCodeIndex(codes: DataFrame, path: String,
+      coalesceTo: Int = 8): Unit = {
+    val c = codes.select(col("doc_id"), col("code"))
+    (if (coalesceTo > 0) c.coalesce(coalesceTo) else c)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold new codes INTO the stored table — exact append, replay-safe
+    * via the stored-id anti-join (a redelivered batch appends
+    * nothing). */
+  def appendToCodeIndex(newCodes: DataFrame, path: String): Unit = {
+    val spark = newCodes.sparkSession
+    val fresh = newCodes.select(col("doc_id"), col("code"))
+      .join(spark.read.parquet(path).select(col("doc_id").as("__stored")),
+        col("doc_id") === col("__stored"), "left_anti")
+      .select(col("doc_id"), col("code"))
+    if (!fresh.isEmpty) fresh.coalesce(4).write.mode("append").parquet(path)
+  }
+
+  private val codeIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around [[writeCodeIndex]] (the ensureSignIndex
+    * contract: `_SUCCESS`-gated, torn builds re-run, content-addressed
+    * paths). `codes` is by-name — never computed on the warm path. */
+  def ensureCodeIndex(spark: org.apache.spark.sql.SparkSession,
+      codes: => DataFrame, path: String, coalesceTo: Int = 8): Unit =
+    codeIndexes.computeIfAbsent(path, { _ =>
+      if (!graft.io.IndexPaths.complete(spark, path))
+        writeCodeIndex(codes, path, coalesceTo)
+      java.lang.Boolean.TRUE
+    })
+
+  /** Near-dup pairs off the STORED code table: the corpus enters as
+    * 8-byte codes — no payload is decoded or fingerprinted at query
+    * time (plan-pinned) — through the same pigeonhole machinery as
+    * the ad-hoc forms, so the pair list is bit-identical (longs
+    * round-trip parquet exactly; shared oracles). */
+  def nearDupPairsFromCodeIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxDist: Int = 3, bits: Int = 64,
+      maxBucket: Option[Int] = Some(256)): DataFrame =
+    Dedup.simhashPairs(
+      spark.read.parquet(path).select(col("doc_id"), col("code").as("simhash")),
+      maxDist = maxDist, bits = bits, maxBucket = maxBucket)
+
+  /** One arrival batch of the code-index maintenance loop (the step
+    * [[graft.streaming.Streams.ingestCodeStream]] drives): the batch
+    * lands exactly-once in `corpusRoot/batch=<id>`, then folds
+    * exact-append into the stored (doc_id, code) table. First batch
+    * builds from the accumulated corpus. */
+  def ingestCodeBatch(codes: DataFrame, batchId: Long, indexPath: String,
+      corpusRoot: String): Unit = {
+    val spark = codes.sparkSession
+    if (codes.isEmpty) return
+    val b = codes.select(col("doc_id"), col("code"))
+    b.coalesce(4).write.mode("overwrite").parquet(s"$corpusRoot/batch=$batchId")
+    if (!graft.io.IndexPaths.complete(spark, indexPath))
+      writeCodeIndex(spark.read.parquet(corpusRoot)
+        .select(col("doc_id"), col("code")), indexPath)
+    else appendToCodeIndex(b, indexPath)
+  }
+
   // ── Content-defined chunking (rolling-window CDC, LBFS/rsync family) ──
 
   /** Content-defined chunk table of a binary media column: a chunk

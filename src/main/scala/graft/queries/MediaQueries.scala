@@ -240,6 +240,26 @@ object MediaQueries {
           col("hamming").cast("long").as("hamming"))
     },
 
+    // The same pairs off the STORED perceptual-code index: the decode
+    // pass (the dominant ad-hoc cost — one PNG codec round-trip per
+    // image) moves offline into a build-once (doc_id, code) table;
+    // the pair search streams 8-byte codes and touches NO payload at
+    // query time (plan-pinned: no documents scan, no decode).
+    // Bit-identical to q_image_neardup -> shared oracle.
+    "q_image_neardup_indexed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = graft.io.IndexPaths.indexPath("imgcode",
+        s"$dir/documents.parquet", "ahash8x8v2")
+      Multimodal.ensureCodeIndex(s, {
+        Multimodal.imageAHash(Multimodal.pngTable(docs)
+            .unionByName(Multimodal.pngVariantTable(docs)))
+          .toDF().select(col("doc_id"), col("phash").as("code"))
+      }, path)
+      Multimodal.nearDupPairsFromCodeIndex(s, path)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+    },
+
     // The cluster/keeper form: min-label connected components over
     // the image pair list — cluster == doc_id marks the keeper, which
     // for the planted twins is always the BASE image (smallest id).
@@ -349,6 +369,30 @@ object MediaQueries {
           fp.where(col("n_bits") === 60)
             .select(col("doc_id"), col("fingerprint").as("simhash")),
           maxDist = 3, bits = 60)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+    },
+
+    // Audio pairs off the SAME stored-code lifecycle (one index
+    // machinery serves both single-long perceptual families): the
+    // fingerprint pass moves offline; the pair search reads 8-byte
+    // codes only. Bit-identical to q_audio_neardup -> shared oracle.
+    "q_audio_neardup_indexed" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val path = graft.io.IndexPaths.indexPath("audcode",
+        s"$dir/documents.parquet", "w4h2b60v2")
+      Multimodal.ensureCodeIndex(s, {
+        val media = Multimodal.mediaTable(docs)
+          .where(col("media_type") === "audio")
+          .select(col("doc_id"), col("media_type"), col("content"))
+          .as[Multimodal.MediaRow]
+        Multimodal.audioFingerprint(
+            media.unionByName(Multimodal.audioVariantTable(docs)))
+          .where(col("n_bits") === 60)
+          .select(col("doc_id"), col("fingerprint").as("code"))
+      }, path)
+      Multimodal.nearDupPairsFromCodeIndex(s, path, bits = 60)
         .select(col("doc_a"), col("doc_b"),
           col("hamming").cast("long").as("hamming"))
     },
@@ -474,6 +518,20 @@ object MediaQueries {
         |UNION ALL
         |SELECT doc_id + 3000000000, n_bits, fingerprint FROM fp
         |WHERE doc_id % 12 = 1""".stripMargin),
+
+    // shared with q_audio_neardup (stored codes are bit-identical)
+    "q_audio_neardup_indexed" -> (sqlAudioFingerprint +
+      """,
+        |allfp AS (SELECT doc_id, n_bits, fingerprint FROM fp
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, n_bits, fingerprint FROM fp
+        |  WHERE doc_id % 12 = 1),
+        |full60 AS (SELECT doc_id, fingerprint FROM allfp WHERE n_bits = 60)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
+        |    AS hamming
+        |FROM full60 a JOIN full60 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3""".stripMargin),
 
     "q_audio_neardup" -> (sqlAudioFingerprint +
       """,
@@ -731,6 +789,15 @@ object MediaQueries {
     // (0,0), which shifts every grid cell sampling it AND the mean),
     // then the exact pair filter the pigeonhole join equals
     "q_image_neardup" -> (sqlImageNearDupPairs +
+      """
+        |SELECT a.img_id AS doc_a, b.img_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin),
+
+    // bit-identical to the ad-hoc pairs (longs round-trip parquet
+    // exactly; shared pigeonhole tail) -> SAME oracle
+    "q_image_neardup_indexed" -> (sqlImageNearDupPairs +
       """
         |SELECT a.img_id AS doc_a, b.img_id AS doc_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming

@@ -659,6 +659,27 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming perceptual-code-index maintenance — one loop serving
+    * BOTH single-long code families (image aHash, audio fingerprint):
+    * (doc_id, code) micro-batches land exactly-once in
+    * `corpusRoot/batch=<id>` and fold exact-append into the stored
+    * code table ([[graft.operators.Multimodal.ingestCodeBatch]] — no
+    * corpus-global statistic, no alarm to wire, the sign/int8
+    * contract); replay-safe via the stored-id anti-join. */
+  def ingestCodeStream(codes: DataFrame, indexPath: String,
+      corpusRoot: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    codes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        try graft.operators.Multimodal.ingestCodeBatch(batch, id,
+          indexPath, corpusRoot)
+        finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** The streaming CDC dedup-on-arrival loop — the chunk store's
     * missing driver: each media micro-batch is chunked once, its
     * arrival AUDIT (total vs novel chunks/bytes, saved ppm — what a

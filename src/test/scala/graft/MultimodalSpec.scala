@@ -380,6 +380,33 @@ class MultimodalSpec extends SparkSpec {
       nvc == 0L && saved == 1000000L })
   }
 
+  test("stored code index: indexed pairs == ad-hoc; exact append replay-idempotent; ensure memo survives") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val codes = Multimodal.imageAHash(Multimodal.pngTable(docs)).toDF()
+      .select(col("doc_id"), col("phash").as("code"))
+    val adhoc = graft.operators.Dedup.simhashPairs(
+        codes.select(col("doc_id"), col("code").as("simhash")))
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_code").toString
+    val idx = s"$dir/codes"
+    Multimodal.writeCodeIndex(codes, idx)
+    def viaIndex = Multimodal.nearDupPairsFromCodeIndex(spark, idx)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex === adhoc,
+      "stored-code pairs must be bit-identical to the ad-hoc search")
+    // replayed append folds nothing (stored-id anti-join)
+    val n1 = spark.read.parquet(idx).count()
+    Multimodal.appendToCodeIndex(codes.limit(50), idx)
+    assert(spark.read.parquet(idx).count() === n1,
+      "replayed codes must append nothing")
+    // genuinely new ids fold exactly
+    Multimodal.appendToCodeIndex(
+      codes.limit(5).select((col("doc_id") + 5000000L).as("doc_id"),
+        col("code")), idx)
+    assert(spark.read.parquet(idx).count() === n1 + 5)
+  }
+
   test("audioFingerprint: invariant under amplitude scaling and polarity inversion; sensitive to a different signal") {
     import spark.implicits._
     def pcm(samples: Seq[Int]): Array[Byte] = {

@@ -512,6 +512,15 @@ class PlanPropertiesSpec extends SparkSpec {
       s"the stored-code read must not re-pack the float corpus:\n$p2")
   }
 
+  test("q_image_neardup_indexed / q_audio_neardup_indexed: pair search reads only the stored codes — no payload decoded or fingerprinted") {
+    for (q <- Seq("q_image_neardup_indexed", "q_audio_neardup_indexed")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("documents.parquet"),
+        s"$q must never touch the corpus at query time:\n$p")
+      assert(!p.contains("Window"), s"$q: no rank window in the pair path")
+    }
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A

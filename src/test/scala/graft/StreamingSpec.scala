@@ -774,6 +774,32 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must fold zero new codes")
   }
 
+  test("ingestCodeStream: loop-built perceptual-code index == one-shot build; replay appends nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-code-loop-")
+      .toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val codes = graft.operators.Multimodal.imageAHash(
+        graft.operators.Multimodal.pngTable(docs)).toDF()
+      .select(col("doc_id"), col("phash").as("code"))
+      .as[(Long, Long)].collect().toSeq
+    val (lo, hi) = codes.partition(_._1 % 2 == 0)
+    val ms = MemoryStream[(Long, Long)](spark)
+    val sq = Streams.ingestCodeStream(ms.toDF().toDF("doc_id", "code"),
+      s"$tmp/idx", s"$tmp/corpus", s"$tmp/ckpt")
+    ms.addData(lo: _*); sq.processAllAvailable()
+    ms.addData(hi: _*); sq.processAllAvailable()
+    sq.stop()
+    val stored = spark.read.parquet(s"$tmp/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(stored === codes.sorted,
+      "loop-built code table must equal the one-shot code set")
+    // replay of an absorbed batch appends nothing
+    graft.operators.Multimodal.ingestCodeBatch(
+      hi.toDF("doc_id", "code"), 1L, s"$tmp/idx", s"$tmp/corpus")
+    assert(spark.read.parquet(s"$tmp/idx").count() === codes.length.toLong)
+  }
+
   test("ingestCdcStream: cross-batch novelty decays as the store absorbs; replayed batch changes neither audit nor store") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-loop-")
