@@ -2090,6 +2090,89 @@ object TextQueries {
           "pos")
     },
 
+    // Pipeline v7 — the MULTIMODAL-dedup release: v6's chain with an
+    // IMAGE PERCEPTUAL-DEDUP stage between the media-redundancy
+    // filter and the budget. Byte-level CDC redundancy (v6's stage)
+    // misses re-encoded/edited image copies — the aHash stage catches
+    // exactly those: among the surviving docs, one keeper per
+    // image-near-dup cluster (cluster = min doc_id; singletons keep).
+    // Codes come from the STORED perceptual-code index (base images,
+    // decode paid once per corpus version); pairs are restricted to
+    // SURVIVORS on both sides (dedup among release candidates — a
+    // dropped doc cannot chain two keepers). ONE SQL oracle end to
+    // end, aHash formula included.
+    "q_corpus_pipeline_v7" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val gDocs = graft.operators.Caches.persist(docs.join(
+        TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 25)
+          .where(col("verdict")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val cal = graft.operators.Caches.persist(gDocs.join(
+        TextAnalysis.calibratedQualityKeep(gDocs, "doc_id", "text",
+            "source", keepQ = 39321L)
+          .where(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val pairs = Dedup.minhashDedupPairs(cal, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val softDocs = graft.operators.Caches.checkpoint(cal.join(
+        Dedup.softDedupKeep(cal, pairs.select(col("doc_a"), col("doc_b")),
+            "doc_id")
+          .where(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val chunkPath = graft.io.IndexPaths.indexPath("chunkidx",
+        s"$dir/documents.parquet", graft.operators.Multimodal.cdcParams())
+      graft.operators.Multimodal.ensureChunkIndex(s, chunkPath,
+        Seq(0L, 1L, 2L)) { missing =>
+        missing.foreach(b =>
+          graft.operators.Multimodal.appendToChunkIndex(
+            graft.operators.Multimodal.mediaTable(
+              docs.where(col("doc_id") % 3 === b)), chunkPath, b))
+      }
+      val ppm = graft.operators.Multimodal.mediaRedundancyFromIndex(
+        s, chunkPath)
+      // persisted: the survivor set feeds the pair restriction (both
+      // sides), the label join, and the downstream counts
+      val med = graft.operators.Caches.persist(
+        softDocs.join(ppm, Seq("doc_id"), "left")
+          .withColumn("media_dup_ppm",
+            coalesce(col("media_dup_ppm"), lit(0L)))
+          .where(col("media_dup_ppm") < 500000L))
+      // image perceptual-dedup stage: stored codes (base images only
+      // — the variants are test plants, not corpus docs)
+      val codePath = graft.io.IndexPaths.indexPath("imgcode",
+        s"$dir/documents.parquet", "ahash8x8base")
+      graft.operators.Multimodal.ensureCodeIndex(s,
+        graft.operators.Multimodal.imageAHash(
+            graft.operators.Multimodal.pngTable(docs)).toDF()
+          .select(col("doc_id"), col("phash").as("code")), codePath)
+      val ipairs = graft.operators.Multimodal
+        .nearDupPairsFromCodeIndex(s, codePath)
+        .join(med.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(med.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      val labels = Dedup.dedupClusters(
+        ipairs.select(col("doc_a"), col("doc_b")))
+      val imged = med.join(labels, Seq("doc_id"), "left")
+        .where(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select(med.columns.map(col): _*)
+      val counts = imged.select(col("doc_id"), col("source"),
+        col("media_dup_ppm"),
+        size(TextFns.letterTokens(col("text"))).cast("long").as("n_tok"))
+      val fin = counts.join(
+        TextAnalysis.temperatureMixDocs(
+            counts.select("doc_id", "source", "n_tok"),
+            budgetTokens = 3000L)
+          .where(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      fin.join(
+        TextAnalysis.curriculumShards(
+          imged.join(fin.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "doc_id", "text", nShards = 8, epoch = 0, epochs = 2)
+          .select(col("doc_id"), col("shard"), col("pos")),
+        Seq("doc_id"))
+        .select("doc_id", "source", "n_tok", "media_dup_ppm", "shard",
+          "pos")
+    },
+
     // RAG chunking: 64-token windows every 48 tokens (16 overlap);
     // chunk content committed via md5 so the compare is exact without
     // shipping chunk text.
@@ -2298,6 +2381,188 @@ object TextQueries {
          |  top.top_lang,
          |  CAST((top.cnt * 1000000) // top.tot AS BIGINT) AS top_lang_ppm
          |FROM st JOIN top USING (source)""".stripMargin
+
+  /** Shared release-chain oracle body: v6's full SQL; v7 derives
+    * from it by splicing the image perceptual-dedup stage between
+    * the media filter (`med`) and the budget (`stoks`). */
+  private lazy val sqlPipelineV6: String =
+    s"""WITH RECURSIVE gd AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS gws,
+         |    list_filter(string_split(text, chr(10)), x -> x <> '') AS gls
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |    CAST(len(gws) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform(gws, x -> length(x))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(len(list_filter(gws, x -> regexp_matches(x, '\\p{L}')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(gls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '^\\s*[-*•]')))
+         |      AS BIGINT) AS n_bul,
+         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '\\.\\.\\.$$')))
+         |      AS BIGINT) AS n_ell
+         |  FROM gd),
+         |gok AS (SELECT doc_id FROM (SELECT *, CASE WHEN n_words > 0
+         |      THEN (chars * 100) // n_words ELSE 0 END AS mwl FROM gm)
+         |  WHERE n_words >= 25 AND n_words <= 100000
+         |    AND mwl >= 300 AND mwl <= 1000
+         |    AND n_alpha * 5 >= n_words * 4
+         |    AND n_bul * 10 <= n_lines AND n_ell * 10 <= n_lines * 3),
+         |csc AS (SELECT d.doc_id, d.source,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n,
+         |    CAST(COALESCE(list_sum(list_transform($SQL_TOKS,
+         |      x -> CAST('0x' || substr(md5(x), 1, 4) AS BIGINT))), 0)
+         |      AS BIGINT) AS s
+         |  FROM documents d JOIN gok USING (doc_id)),
+         |csq AS (SELECT doc_id, source, s // n AS avg_q FROM csc WHERE n > 0),
+         |chist AS (SELECT source, avg_q, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM csq GROUP BY 1, 2),
+         |ccum AS (SELECT source, avg_q, c,
+         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source
+         |      ORDER BY avg_q DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS above,
+         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+         |  FROM chist),
+         |ct2 AS (SELECT source, avg_q, c, above,
+         |    (tot * 39321) // 65536 AS target FROM ccum),
+         |cal AS (SELECT csq.doc_id, csq.source
+         |  FROM csq JOIN ct2 USING (source, avg_q)
+         |  WHERE above + c <= target
+         |     OR (above < target AND
+         |         CAST('0x' || substr(md5(CAST(csq.doc_id AS VARCHAR)), 1, 4)
+         |           AS BIGINT) < ((target - above) * 65536) // c)),
+         |ctoks AS (SELECT d.doc_id, $SQL_TOKS AS ws
+         |  FROM documents d JOIN cal USING (doc_id)),
+         |jgr AS (SELECT DISTINCT doc_id,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM ctoks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |jsz AS (SELECT doc_id, COUNT(*) AS sz FROM jgr GROUP BY doc_id),
+         |jin AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+         |  FROM jgr a JOIN jgr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT da, db FROM jin
+         |  JOIN jsz sa ON sa.doc_id = da JOIN jsz sb ON sb.doc_id = db
+         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |edges AS (SELECT da AS s2, db AS d2 FROM pr
+         |  UNION SELECT db, da FROM pr),
+         |reach(s2, d2) AS (SELECT s2, d2 FROM edges
+         |  UNION SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2),
+         |cl AS (SELECT s2 AS doc_id, LEAST(s2, MIN(d2)) AS cluster
+         |  FROM reach GROUP BY s2),
+         |ac AS (SELECT cal.doc_id, cal.source,
+         |    COALESCE(cl.cluster, cal.doc_id) AS cluster
+         |  FROM cal LEFT JOIN cl USING (doc_id)),
+         |sz2 AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cl_size
+         |  FROM ac GROUP BY cluster),
+         |soft AS (SELECT ac.doc_id, ac.source
+         |  FROM ac JOIN sz2 USING (cluster)
+         |  WHERE CAST('0x' || substr(md5(CAST(ac.doc_id AS VARCHAR)), 1, 4)
+         |      AS BIGINT) < LEAST(65536, 65536 // cl_size)),
+         |mm AS (SELECT doc_id, text AS ms, len(text) AS mL FROM documents),
+         |mpos AS (SELECT doc_id, i FROM mm, UNNEST(range(4, mL + 1)) AS t(i)
+         |  WHERE CAST('0x' || substr(md5(substr(ms, CAST(i - 3 AS INT), 4)),
+         |      1, 12) AS BIGINT) % 64 = 0),
+         |mmw AS (SELECT doc_id, i,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 16
+         |         THEN 0 ELSE 1 END AS strt
+         |  FROM mpos),
+         |mmc AS (SELECT doc_id, i,
+         |    SUM(strt) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mcl
+         |  FROM mmw),
+         |mcut AS (SELECT doc_id, MAX(i) AS i FROM mmc GROUP BY doc_id, mcl),
+         |mcuts AS (SELECT mm.doc_id,
+         |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), mm.mL))
+         |      AS ends
+         |  FROM mm LEFT JOIN mcut p USING (doc_id) GROUP BY mm.doc_id, mm.mL),
+         |mspans AS (SELECT doc_id, ends[j] AS e,
+         |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
+         |  FROM mcuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
+         |  WHERE j = 1 OR ends[j] > ends[j - 1]),
+         |mch AS (SELECT c.doc_id,
+         |    md5(substr(mm.ms, CAST(c.st AS INT), CAST(c.e - c.st + 1 AS INT)))
+         |      AS h,
+         |    c.e - c.st + 1 AS nb
+         |  FROM mspans c JOIN mm USING (doc_id) WHERE c.e >= c.st),
+         |mhc AS (SELECT h, COUNT(*) AS hc FROM mch GROUP BY h),
+         |mppm AS (SELECT doc_id,
+         |    (SUM(CASE WHEN hc > 1 THEN nb ELSE 0 END) * 1000000)
+         |      // SUM(nb) AS media_dup_ppm
+         |  FROM mch JOIN mhc USING (h) GROUP BY 1),
+         |med AS (SELECT soft.doc_id, soft.source,
+         |    CAST(COALESCE(mppm.media_dup_ppm, 0) AS BIGINT)
+         |      AS media_dup_ppm
+         |  FROM soft LEFT JOIN mppm USING (doc_id)
+         |  WHERE COALESCE(mppm.media_dup_ppm, 0) < 500000),
+         |stoks AS (SELECT d.doc_id, sf.source, sf.media_dup_ppm,
+         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tok
+         |  FROM documents d JOIN med sf ON d.doc_id = sf.doc_id),
+         |st AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM stoks GROUP BY source),
+         |w AS (SELECT source, n_tokens,
+         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
+         |  FROM st),
+         |cu AS (SELECT source, n_tokens, w_q,
+         |    CAST((3000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w),
+         |cu2 AS (SELECT source, CASE WHEN n_tokens = 0 THEN 65536
+         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens) END AS cut_q
+         |  FROM cu),
+         |fin AS (SELECT stoks.doc_id, stoks.source, stoks.media_dup_ppm,
+         |    stoks.n_tok
+         |  FROM stoks JOIN cu2 USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(stoks.doc_id AS VARCHAR)), 1, 4))
+         |          AS BIGINT) < cut_q),
+         |lay AS (SELECT doc_id, source, n_tok, media_dup_ppm,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) % 8 AS shard,
+         |    LEAST(65535, n_tok) AS k
+         |  FROM fin)
+         |SELECT doc_id, source, n_tok, media_dup_ppm, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM lay""".stripMargin
+
+  /** v7 = v6 + the aHash image-dedup stage: base-image hashes in
+    * closed form, pairs restricted to `med` survivors on BOTH
+    * sides, recursive min-label closure, keeper = cluster min;
+    * the budget then reads `imed` instead of `med`. */
+  private lazy val sqlPipelineV7: String = sqlPipelineV6.replace(
+    "stoks AS (SELECT d.doc_id, sf.source",
+    """im3 AS (SELECT doc_id, CAST(doc_id % 29 + 4 AS INTEGER) AS iw,
+      |    CAST(doc_id % 17 + 4 AS INTEGER) AS ih FROM documents),
+      |isx AS (SELECT doc_id, gi.i * 8 + gj.i AS p,
+      |    (doc_id * 31 + ((gi.i * iw) // 8) * 7
+      |     + ((gj.i * ih) // 8) * 13) % 256 AS px
+      |  FROM im3, UNNEST(range(0, 8)) AS gi(i), UNNEST(range(0, 8)) AS gj(i)),
+      |itot AS (SELECT doc_id, SUM(px) AS total FROM isx GROUP BY doc_id),
+      |iph AS (SELECT isx.doc_id,
+      |    CAST(SUM(CASE
+      |      WHEN isx.px * 64 > itot.total AND isx.p = 63
+      |        THEN -9223372036854775808
+      |      WHEN isx.px * 64 > itot.total
+      |        THEN (1::BIGINT << CAST(isx.p AS INTEGER))
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM isx JOIN itot USING (doc_id) GROUP BY isx.doc_id),
+      |ipr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM iph a JOIN iph b ON a.doc_id < b.doc_id
+      |  JOIN med ma ON ma.doc_id = a.doc_id
+      |  JOIN med mb ON mb.doc_id = b.doc_id
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+      |iedges AS (SELECT ia AS s3, ib AS d3 FROM ipr
+      |  UNION SELECT ib, ia FROM ipr),
+      |ireach(s3, d3) AS (SELECT s3, d3 FROM iedges
+      |  UNION SELECT r.s3, e.d3 FROM ireach r JOIN iedges e ON r.d3 = e.s3),
+      |icl AS (SELECT s3 AS doc_id, LEAST(s3, MIN(d3)) AS cluster
+      |  FROM ireach GROUP BY s3),
+      |imed AS (SELECT med.doc_id, med.source, med.media_dup_ppm
+      |  FROM med LEFT JOIN icl USING (doc_id)
+      |  WHERE icl.cluster IS NULL OR icl.cluster = med.doc_id),
+      |stoks AS (SELECT d.doc_id, sf.source""".stripMargin)
+    .replace("FROM documents d JOIN med sf",
+      "FROM documents d JOIN imed sf")
 
   val oracles: Map[String, String] = Map(
     "q_wordcount" ->
@@ -3886,145 +4151,9 @@ object TextQueries {
     // v4's oracle chain + the media-redundancy stage: the CDC CTEs of
     // q_cdc_dedup (minLen merge included) rolled to per-doc dup ppm,
     // spliced between soft and the budget.
-    "q_corpus_pipeline_v6" ->
-      s"""WITH RECURSIVE gd AS (SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS gws,
-         |    list_filter(string_split(text, chr(10)), x -> x <> '') AS gls
-         |  FROM documents),
-         |gm AS (SELECT doc_id,
-         |    CAST(len(gws) AS BIGINT) AS n_words,
-         |    CAST(COALESCE(list_sum(list_transform(gws, x -> length(x))), 0)
-         |      AS BIGINT) AS chars,
-         |    CAST(len(list_filter(gws, x -> regexp_matches(x, '\\p{L}')))
-         |      AS BIGINT) AS n_alpha,
-         |    CAST(len(gls) AS BIGINT) AS n_lines,
-         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '^\\s*[-*•]')))
-         |      AS BIGINT) AS n_bul,
-         |    CAST(len(list_filter(gls, x -> regexp_matches(x, '\\.\\.\\.$$')))
-         |      AS BIGINT) AS n_ell
-         |  FROM gd),
-         |gok AS (SELECT doc_id FROM (SELECT *, CASE WHEN n_words > 0
-         |      THEN (chars * 100) // n_words ELSE 0 END AS mwl FROM gm)
-         |  WHERE n_words >= 25 AND n_words <= 100000
-         |    AND mwl >= 300 AND mwl <= 1000
-         |    AND n_alpha * 5 >= n_words * 4
-         |    AND n_bul * 10 <= n_lines AND n_ell * 10 <= n_lines * 3),
-         |csc AS (SELECT d.doc_id, d.source,
-         |    CAST(len($SQL_TOKS) AS BIGINT) AS n,
-         |    CAST(COALESCE(list_sum(list_transform($SQL_TOKS,
-         |      x -> CAST('0x' || substr(md5(x), 1, 4) AS BIGINT))), 0)
-         |      AS BIGINT) AS s
-         |  FROM documents d JOIN gok USING (doc_id)),
-         |csq AS (SELECT doc_id, source, s // n AS avg_q FROM csc WHERE n > 0),
-         |chist AS (SELECT source, avg_q, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM csq GROUP BY 1, 2),
-         |ccum AS (SELECT source, avg_q, c,
-         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source
-         |      ORDER BY avg_q DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS BIGINT) AS above,
-         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
-         |  FROM chist),
-         |ct2 AS (SELECT source, avg_q, c, above,
-         |    (tot * 39321) // 65536 AS target FROM ccum),
-         |cal AS (SELECT csq.doc_id, csq.source
-         |  FROM csq JOIN ct2 USING (source, avg_q)
-         |  WHERE above + c <= target
-         |     OR (above < target AND
-         |         CAST('0x' || substr(md5(CAST(csq.doc_id AS VARCHAR)), 1, 4)
-         |           AS BIGINT) < ((target - above) * 65536) // c)),
-         |ctoks AS (SELECT d.doc_id, $SQL_TOKS AS ws
-         |  FROM documents d JOIN cal USING (doc_id)),
-         |jgr AS (SELECT DISTINCT doc_id,
-         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-         |  FROM ctoks, UNNEST(range(1, len(ws) - 1)) AS t(i)),
-         |jsz AS (SELECT doc_id, COUNT(*) AS sz FROM jgr GROUP BY doc_id),
-         |jin AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-         |  FROM jgr a JOIN jgr b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pr AS (SELECT da, db FROM jin
-         |  JOIN jsz sa ON sa.doc_id = da JOIN jsz sb ON sb.doc_id = db
-         |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
-         |edges AS (SELECT da AS s2, db AS d2 FROM pr
-         |  UNION SELECT db, da FROM pr),
-         |reach(s2, d2) AS (SELECT s2, d2 FROM edges
-         |  UNION SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2),
-         |cl AS (SELECT s2 AS doc_id, LEAST(s2, MIN(d2)) AS cluster
-         |  FROM reach GROUP BY s2),
-         |ac AS (SELECT cal.doc_id, cal.source,
-         |    COALESCE(cl.cluster, cal.doc_id) AS cluster
-         |  FROM cal LEFT JOIN cl USING (doc_id)),
-         |sz2 AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cl_size
-         |  FROM ac GROUP BY cluster),
-         |soft AS (SELECT ac.doc_id, ac.source
-         |  FROM ac JOIN sz2 USING (cluster)
-         |  WHERE CAST('0x' || substr(md5(CAST(ac.doc_id AS VARCHAR)), 1, 4)
-         |      AS BIGINT) < LEAST(65536, 65536 // cl_size)),
-         |mm AS (SELECT doc_id, text AS ms, len(text) AS mL FROM documents),
-         |mpos AS (SELECT doc_id, i FROM mm, UNNEST(range(4, mL + 1)) AS t(i)
-         |  WHERE CAST('0x' || substr(md5(substr(ms, CAST(i - 3 AS INT), 4)),
-         |      1, 12) AS BIGINT) % 64 = 0),
-         |mmw AS (SELECT doc_id, i,
-         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 16
-         |         THEN 0 ELSE 1 END AS strt
-         |  FROM mpos),
-         |mmc AS (SELECT doc_id, i,
-         |    SUM(strt) OVER (PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mcl
-         |  FROM mmw),
-         |mcut AS (SELECT doc_id, MAX(i) AS i FROM mmc GROUP BY doc_id, mcl),
-         |mcuts AS (SELECT mm.doc_id,
-         |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), mm.mL))
-         |      AS ends
-         |  FROM mm LEFT JOIN mcut p USING (doc_id) GROUP BY mm.doc_id, mm.mL),
-         |mspans AS (SELECT doc_id, ends[j] AS e,
-         |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
-         |  FROM mcuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
-         |  WHERE j = 1 OR ends[j] > ends[j - 1]),
-         |mch AS (SELECT c.doc_id,
-         |    md5(substr(mm.ms, CAST(c.st AS INT), CAST(c.e - c.st + 1 AS INT)))
-         |      AS h,
-         |    c.e - c.st + 1 AS nb
-         |  FROM mspans c JOIN mm USING (doc_id) WHERE c.e >= c.st),
-         |mhc AS (SELECT h, COUNT(*) AS hc FROM mch GROUP BY h),
-         |mppm AS (SELECT doc_id,
-         |    (SUM(CASE WHEN hc > 1 THEN nb ELSE 0 END) * 1000000)
-         |      // SUM(nb) AS media_dup_ppm
-         |  FROM mch JOIN mhc USING (h) GROUP BY 1),
-         |med AS (SELECT soft.doc_id, soft.source,
-         |    CAST(COALESCE(mppm.media_dup_ppm, 0) AS BIGINT)
-         |      AS media_dup_ppm
-         |  FROM soft LEFT JOIN mppm USING (doc_id)
-         |  WHERE COALESCE(mppm.media_dup_ppm, 0) < 500000),
-         |stoks AS (SELECT d.doc_id, sf.source, sf.media_dup_ppm,
-         |    CAST(len($SQL_TOKS) AS BIGINT) AS n_tok
-         |  FROM documents d JOIN med sf ON d.doc_id = sf.doc_id),
-         |st AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-         |  FROM stoks GROUP BY source),
-         |w AS (SELECT source, n_tokens,
-         |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_q
-         |  FROM st),
-         |cu AS (SELECT source, n_tokens, w_q,
-         |    CAST((3000 * w_q) // (SELECT SUM(w_q) FROM w) AS BIGINT)
-         |      AS target_tokens
-         |  FROM w),
-         |cu2 AS (SELECT source, CASE WHEN n_tokens = 0 THEN 65536
-         |    ELSE LEAST(65536, (target_tokens * 65536) // n_tokens) END AS cut_q
-         |  FROM cu),
-         |fin AS (SELECT stoks.doc_id, stoks.source, stoks.media_dup_ppm,
-         |    stoks.n_tok
-         |  FROM stoks JOIN cu2 USING (source)
-         |  WHERE CAST(('0x' || substr(md5(CAST(stoks.doc_id AS VARCHAR)), 1, 4))
-         |          AS BIGINT) < cut_q),
-         |lay AS (SELECT doc_id, source, n_tok, media_dup_ppm,
-         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-         |      AS BIGINT) % 8 AS shard,
-         |    LEAST(65535, n_tok) AS k
-         |  FROM fin)
-         |SELECT doc_id, source, n_tok, media_dup_ppm, shard,
-         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
-         |    AS BIGINT) AS pos
-         |FROM lay""".stripMargin,
+    "q_corpus_pipeline_v6" -> sqlPipelineV6,
+
+    "q_corpus_pipeline_v7" -> sqlPipelineV7,
 
     "q_corpus_pipeline_v5" ->
       s"""WITH RECURSIVE gd AS (SELECT doc_id,

@@ -71,7 +71,8 @@ object DumpPlans {
     "q_cdc_dedup_rolling" -> "rolling-hash CDC (buzhash): ONE streaming pass per blob inside the scan task (O(1) per byte at any window width — the substring twins pay O(w)), chunk ids hashed before any exchange, distinct rollup is the only corpus-shaped shuffle",
     "q_cdc_incremental_fast" -> "dedup-on-arrival on the xxhash64 production store: batch chunks fresh with the one-mix predicate, store probed via the batch-hash-pruned semi-join, order-free novelty anti-join",
     "q_audio_fingerprint" -> "perceptual audio fingerprint: row-local PCM16 window fan-out (no shuffle), per-DOC lead window over integer energies (the document is the sort unit), 60 energy-derivative sign bits packed by one bounded rollup",
-    "q_stream_ingest_cdc" -> "the CDC ingest loop's audit read: batch-partitioned arrival audits (report-sized), each written from ONE persisted chunk table feeding both the novelty anti-join and the store fold")
+    "q_stream_ingest_cdc" -> "the CDC ingest loop's audit read: batch-partitioned arrival audits (report-sized), each written from ONE persisted chunk table feeding both the novelty anti-join and the store fold",
+    "q_corpus_pipeline_v7" -> "the multimodal-dedup release: v6's chain + image perceptual dedup between the media filter and the budget — codes from the stored index (no decode at query time), pairs restricted to survivors on both sides, label propagation against checkpoint leaves")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the

@@ -693,4 +693,30 @@ class PipelineSpec extends SparkSpec {
     assert(out === Seq((99L, 3L * 1000000L)),
       "three out-of-profile bigrams must each score the smoothed 1e6")
   }
+
+  test("pipeline v7: no two released docs share a near-dup image; the stage changes v6's release") {
+    import org.apache.spark.sql.functions._
+    val v7ids = graft.SparkEntry.queries("q_corpus_pipeline_v7")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(v7ids.nonEmpty)
+    // the image-dedup invariant: a Hamming<=3 pair is an edge of one
+    // component, and only the component MIN survives the stage — so
+    // the released set can never contain both endpoints of a pair
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id").isin(v7ids: _*))
+    val hs = graft.operators.Multimodal.imageAHash(
+        graft.operators.Multimodal.pngTable(docs))
+      .collect().map(h => h.doc_id -> h.phash)
+    val bad = for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)
+    assert(bad.isEmpty,
+      s"released docs still carry near-dup images: ${bad.take(5).toSeq}")
+    // and the stage bites: v6 (no image stage) releases a different set
+    val v6ids = graft.SparkEntry.queries("q_corpus_pipeline_v6")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(v6ids.toSet != v7ids.toSet,
+      "the image stage must change the release")
+  }
 }
