@@ -843,29 +843,35 @@ object Multimodal {
         expr("(__dup * 1000000) DIV __tot").as("media_dup_ppm"))
   }
 
-  /** The chunker behind the CDC store lifecycle: `fast = false` (the
-    * default) is the md5 twin whose store replays in the SQL oracles;
-    * `fast = true` is the xxhash64 production path. The flag is part
-    * of the store's identity — callers MUST content-address it into
-    * the index path (a store probed with the other hash would read
-    * every chunk as novel, silently); [[cdcParams]] is the canonical
-    * params string that encodes the FULL identity, hash family
-    * included, so the flag cannot diverge from the path. */
+  /** The chunker behind the CDC store lifecycle, by hash FAMILY:
+    * "md5" (the default) is the twin whose store replays in the SQL
+    * oracles; "xx" is the xxhash64 substring path; "buz" is the
+    * O(1)-per-byte rolling recurrence — the production choice at
+    * realistic w=16–64. The family is part of the store's identity —
+    * callers MUST content-address it into the index path (a store
+    * probed with another family would read every chunk as novel,
+    * silently); [[cdcParams]] is the canonical params string that
+    * encodes the FULL identity, family included, so the choice cannot
+    * diverge from the path. */
   private def chunker(media: DataFrame, w: Int, modulus: Int,
-      minLen: Int, fast: Boolean): DataFrame =
-    if (fast) cdcChunksFast(media, w, modulus, minLen)
-    else cdcChunks(media, w, modulus, minLen)
+      minLen: Int, family: String): DataFrame = family match {
+    case "md5" => cdcChunks(media, w, modulus, minLen)
+    case "xx" => cdcChunksFast(media, w, modulus, minLen)
+    case "buz" => cdcChunksRolling(media, w, modulus, minLen)
+    case other => throw new IllegalArgumentException(
+      s"unknown CDC hash family '$other' (md5 | xx | buz)")
+  }
 
   /** Canonical content-address params string for a CDC chunk/manifest
     * store: every knob that changes the cut set or the chunk-id hash —
-    * window, modulus, minLen, AND the hash family ("md5" vs "xx") —
-    * is in the string, so two configs can never alias one path. A
-    * params string without the family ("w4m64l16") once let a
-    * `fast = true` caller probe an md5 store and read every chunk as
+    * window, modulus, minLen, AND the hash family ("md5" | "xx" |
+    * "buz") — is in the string, so two configs can never alias one
+    * path. A params string without the family ("w4m64l16") once let
+    * an xxhash64 caller probe an md5 store and read every chunk as
     * novel, silently; deriving the suffix here closes that. */
   def cdcParams(w: Int = 4, modulus: Int = 64, minLen: Int = 16,
-      fast: Boolean = false): String =
-    s"w${w}m${modulus}l$minLen${if (fast) "xx" else "md5"}"
+      family: String = "md5"): String =
+    s"w${w}m${modulus}l$minLen$family"
 
   /** Append one ingest batch's FULL chunk table — (doc_id,
     * media_type, h, n_bytes), the blob store's chunk MANIFEST, not
@@ -880,8 +886,8 @@ object Multimodal {
     * manifest rows. */
   def appendToChunkIndex(media: DataFrame, path: String, batchId: Long,
       w: Int = 4, modulus: Int = 64, minLen: Int = 16,
-      coalesceTo: Int = 1, fast: Boolean = false): Unit = {
-    val ch = chunker(media, w, modulus, minLen, fast)
+      coalesceTo: Int = 1, family: String = "md5"): Unit = {
+    val ch = chunker(media, w, modulus, minLen, family)
     (if (coalesceTo > 0) ch.coalesce(coalesceTo) else ch)
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
   }
@@ -932,8 +938,8 @@ object Multimodal {
     * [[incrementalCdcStats]]. */
   def writeCdcIndex(media: DataFrame, path: String, w: Int = 4,
       modulus: Int = 64, minLen: Int = 16, coalesceTo: Int = 1,
-      fast: Boolean = false): Unit = {
-    val d = chunker(media, w, modulus, minLen, fast)
+      family: String = "md5"): Unit = {
+    val d = chunker(media, w, modulus, minLen, family)
       .groupBy(col("media_type"), col("h"))
       .agg(max(col("n_bytes")).as("n_bytes"))
     (if (coalesceTo > 0) d.coalesce(coalesceTo) else d)
@@ -946,11 +952,11 @@ object Multimodal {
   /** Build-once memo around [[writeCdcIndex]] (the ensureBandIndex
     * lifecycle). */
   def ensureCdcIndex(media: => DataFrame, path: String, w: Int = 4,
-      modulus: Int = 64, minLen: Int = 16, fast: Boolean = false): Unit =
+      modulus: Int = 64, minLen: Int = 16, family: String = "md5"): Unit =
     cdcIndexes.computeIfAbsent(path, { _ =>
       val spark = org.apache.spark.sql.SparkSession.active
       if (!graft.io.IndexPaths.complete(spark, path))
-        writeCdcIndex(media, path, w, modulus, minLen, fast = fast)
+        writeCdcIndex(media, path, w, modulus, minLen, family = family)
       java.lang.Boolean.TRUE
     })
 
@@ -966,9 +972,9 @@ object Multimodal {
   def incrementalCdcStats(newMedia: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
       w: Int = 4, modulus: Int = 64, minLen: Int = 16,
-      fast: Boolean = false): DataFrame = {
+      family: String = "md5"): DataFrame = {
     val ch = graft.operators.Caches.persist(
-      chunker(newMedia, w, modulus, minLen, fast))
+      chunker(newMedia, w, modulus, minLen, family))
     val stored = spark.read.parquet(path)
       .join(ch.select(col("media_type"), col("h")).distinct(),
         Seq("media_type", "h"), "left_semi")
@@ -1009,13 +1015,13 @@ object Multimodal {
     * all-distinct-novel). Work ∝ batch chunks + probed store rows. */
   def ingestCdcBatch(media: DataFrame, batchId: Long, indexPath: String,
       auditRoot: String, w: Int = 4, modulus: Int = 64, minLen: Int = 16,
-      fast: Boolean = false, coalesceTo: Int = 1): Unit = {
+      family: String = "md5", coalesceTo: Int = 1): Unit = {
     val spark = media.sparkSession
     if (media.isEmpty) return
     val sub = s"$auditRoot/batch=$batchId"
     val auditDone = graft.io.IndexPaths.complete(spark, sub)
     val first = !graft.io.IndexPaths.complete(spark, indexPath)
-    val ch = Caches.persist(chunker(media, w, modulus, minLen, fast))
+    val ch = Caches.persist(chunker(media, w, modulus, minLen, family))
     try {
       val d = ch.groupBy(col("media_type"), col("h"))
         .agg(max(col("n_bytes")).as("nb"))
@@ -1054,8 +1060,8 @@ object Multimodal {
   def appendToCdcIndex(newMedia: DataFrame,
       spark: org.apache.spark.sql.SparkSession, path: String,
       w: Int = 4, modulus: Int = 64, minLen: Int = 16,
-      coalesceTo: Int = 1, fast: Boolean = false): Unit = {
-    val d = chunker(newMedia, w, modulus, minLen, fast)
+      coalesceTo: Int = 1, family: String = "md5"): Unit = {
+    val d = chunker(newMedia, w, modulus, minLen, family)
       .groupBy(col("media_type"), col("h"))
       .agg(max(col("n_bytes")).as("n_bytes"))
     val fresh = d.join(

@@ -153,13 +153,37 @@ object MediaQueries {
       val corpus = Multimodal.mediaTable(docs.where(col("doc_id") % 5 =!= 0))
       val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
       val path = graft.io.IndexPaths.indexPath("cdcidx",
-        s"$dir/documents.parquet", Multimodal.cdcParams(fast = true))
-      Multimodal.ensureCdcIndex(corpus, path, fast = true)
+        s"$dir/documents.parquet", Multimodal.cdcParams(family = "xx"))
+      Multimodal.ensureCdcIndex(corpus, path, family = "xx")
       import org.apache.spark.sql.expressions.Window
       // overlap_found is corpus-level like q_cdc_dedup_rolling's
       // dedup_found (the audio slice shares no whole chunk with the
       // store at sf0.01); per-type exact values are spec-pinned
-      Multimodal.incrementalCdcStats(batch, s, path, fast = true)
+      Multimodal.incrementalCdcStats(batch, s, path, family = "xx")
+        .select(col("media_type"), (col("n_chunks") > 0L).as("has_chunks"),
+          (col("novel_bytes") <= col("n_bytes") &&
+            col("novel_chunks") <= col("n_chunks")).as("novelty_bounded"),
+          (max(col("saved_ppm")).over(Window.partitionBy()) > 0L)
+            .as("overlap_found"))
+    },
+
+    // The store lifecycle on the ROLLING chunker at the realistic
+    // production config (buzhash, w=16): dedup-on-arrival against a
+    // store content-addressed "w16m64l16buz" — the full family knob
+    // exercised end to end (md5 oracle twin / xx substring / buz
+    // rolling all back the same store machinery). Same order-free
+    // property oracle as the xx twin.
+    "q_cdc_incremental_rolling" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.mediaTable(docs.where(col("doc_id") % 5 =!= 0))
+      val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
+      val path = graft.io.IndexPaths.indexPath("cdcidx",
+        s"$dir/documents.parquet",
+        Multimodal.cdcParams(w = 16, family = "buz"))
+      Multimodal.ensureCdcIndex(corpus, path, w = 16, family = "buz")
+      import org.apache.spark.sql.expressions.Window
+      Multimodal.incrementalCdcStats(batch, s, path, w = 16,
+          family = "buz")
         .select(col("media_type"), (col("n_chunks") > 0L).as("has_chunks"),
           (col("novel_bytes") <= col("n_bytes") &&
             col("novel_chunks") <= col("n_chunks")).as("novelty_bounded"),
@@ -670,6 +694,13 @@ object MediaQueries {
          |    // t2.n_bytes AS BIGINT) AS saved_ppm
          |FROM tot t2 LEFT JOIN novel n ON n.b = t2.b
          |  AND n.media_type = t2.media_type""".stripMargin,
+
+    // same property shape for the rolling-store lifecycle
+    "q_cdc_incremental_rolling" ->
+      """SELECT * FROM (VALUES
+        |  ('audio', TRUE, TRUE, TRUE), ('image', TRUE, TRUE, TRUE),
+        |  ('video', TRUE, TRUE, TRUE))
+        |  t(media_type, has_chunks, novelty_bounded, overlap_found)""".stripMargin,
 
     // order-free novelty properties of the fast-store arrival audit;
     // exact values pinned against set arithmetic in MultimodalSpec

@@ -693,12 +693,12 @@ object Streams {
     * crash-safe swap ([[graft.io.Compaction.compactDir]] — rows are
     * distinct-hash facts, so an identity rewrite preserves the read);
     * the unconditional recover heals a torn swap before the next
-    * batch probes. The `fast` flag selects the xxhash64 production
-    * chunker and MUST be content-addressed into `indexPath`
+    * batch probes. The `family` knob selects the chunker hash
+    * ("md5" | "xx" | "buz") and MUST be content-addressed into `indexPath`
     * ([[graft.operators.Multimodal.cdcParams]]). */
   def ingestCdcStream(media: DataFrame, indexPath: String,
       auditRoot: String, checkpoint: String, w: Int = 4,
-      modulus: Int = 64, minLen: Int = 16, fast: Boolean = false,
+      modulus: Int = 64, minLen: Int = 16, family: String = "md5",
       compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
@@ -708,7 +708,7 @@ object Streams {
         // unconditional roll-forward, cf. ingestDedupStream
         graft.io.Compaction.recover(spark, indexPath)
         graft.operators.Multimodal.ingestCdcBatch(batch, id, indexPath,
-          auditRoot, w, modulus, minLen, fast)
+          auditRoot, w, modulus, minLen, family)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)
           graft.io.Compaction.compactDir(spark, indexPath, targetFiles = 8)
         ()

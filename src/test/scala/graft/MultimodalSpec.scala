@@ -353,9 +353,9 @@ class MultimodalSpec extends SparkSpec {
     val batch = Multimodal.mediaTable(docs.where(col("doc_id") % 5 === 0))
     val dir = java.nio.file.Files.createTempDirectory("graft_cdcf").toString
     val idx = s"$dir/store_xx"
-    Multimodal.writeCdcIndex(corpus, idx, fast = true)
+    Multimodal.writeCdcIndex(corpus, idx, family = "xx")
     val audit = Multimodal.incrementalCdcStats(batch, spark, idx,
-        fast = true)
+        family = "xx")
       .collect().map(r => (r.getString(0), (r.getLong(3), r.getLong(4))))
       .toMap
     graft.operators.Caches.release()
@@ -371,9 +371,9 @@ class MultimodalSpec extends SparkSpec {
       assert(nvc === novel.length && nvb === novel.map(_._3).sum,
         s"$mt: fast-store audit diverged from set arithmetic")
     }
-    Multimodal.appendToCdcIndex(batch, spark, idx, fast = true)
+    Multimodal.appendToCdcIndex(batch, spark, idx, family = "xx")
     val absorbed = Multimodal.incrementalCdcStats(batch, spark, idx,
-        fast = true)
+        family = "xx")
       .collect().map(r => (r.getLong(3), r.getLong(5)))
     graft.operators.Caches.release()
     assert(absorbed.forall { case (nvc, saved) =>
