@@ -486,6 +486,83 @@ object Multimodal {
       }
   }
 
+  /** Distinct frame fingerprints of a video payload: the payload cut
+    * into fixed `frameSize`-byte frames (ALL of them — unlike
+    * [[frameSample]]'s first-n preview), each committed by md5,
+    * deduped per doc. The per-video "bag of frames" a frame-level
+    * dedup compares — the video sibling of the image/audio codes,
+    * with an honest caveat: fixed framing is ALIGNMENT-SENSITIVE
+    * (a prefix edit shifts every later frame — the contrast
+    * [[cdcChunks]] exists to fix for byte streams), so it catches
+    * appended/truncated/re-containered copies, not arbitrary edits.
+    * Row-local fan-out, hashes computed before any exchange.
+    * Returns distinct (doc_id, fh). */
+  def videoFrameFingerprints(media: DataFrame, frameSize: Int = 32)
+      : DataFrame = {
+    require(frameSize >= 1)
+    media.select(col("doc_id"), col("content"),
+        explode(when(length(col("content")) > 0,
+            sequence(lit(0L),
+              (length(col("content")).cast("long") + (frameSize - 1))
+                .divide(frameSize).cast("long") - 1))
+          .otherwise(array().cast("array<long>"))).as("i"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(content, CAST(i * $frameSize + 1 AS INT), " +
+          s"$frameSize)")).as("fh"))
+      .distinct()
+  }
+
+  /** Video near-dup pairs by frame-set CONTAINMENT: docs equi-joined
+    * on shared frame fingerprints (the winnow/containment idiom —
+    * never all-pairs), pairs kept when they share ≥ `minShared`
+    * frames AND the shared count covers ≥ `thresholdPpm` of the
+    * SMALLER doc's frame set (asymmetric overlap — a clip embedded in
+    * a longer cut still matches, the quotation case Jaccard misses).
+    * The `maxDf` guard drops frames present in more than that many
+    * docs before the join (all-black/silence/color-bar boilerplate
+    * frames are corpus-frequent by definition and would quadratically
+    * blow their buckets — the standing LSH-bucket stance).
+    * Returns (doc_a, doc_b, n_shared, containment_ppm). */
+  def videoNearDupPairs(media: DataFrame, frameSize: Int = 32,
+      minShared: Int = 2, thresholdPpm: Long = 500000L,
+      maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2)
+    val fps = Caches.persist(videoFrameFingerprints(media, frameSize))
+    val sizes = fps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__nf"))
+    val hot = fps.groupBy(col("fh")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(col("fh"))
+    val kept = fps.join(hot, Seq("fh"), "left_anti")
+    kept.toDF("fh", "doc_a")
+      .join(kept.toDF("fh", "doc_b"), Seq("fh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.toDF("doc_a", "__na"), "doc_a")
+      .join(sizes.toDF("doc_b", "__nb"), "doc_b")
+      .withColumn("containment_ppm",
+        expr("(n_shared * 1000000) DIV least(__na, __nb)"))
+      .where(col("n_shared") >= minShared &&
+        col("containment_ppm") >= thresholdPpm)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("containment_ppm"))
+  }
+
+  /** Planted video near-dups: every 4th video doc (`doc_id % 12 ==
+    * 2`) re-emitted under `base + 4e9` with a fixed trailer APPENDED —
+    * the re-container/append edit fixed framing catches: every full
+    * base frame is byte-identical in the variant (prefix-aligned), so
+    * the pair's containment vs the smaller (base) set is
+    * floor(L/32)/ceil(L/32) ≥ ~90%. */
+  def videoVariantTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", offset: Long = 4000000000L): DataFrame =
+    docs.where(col(idCol) % 12 === 2)
+      .select((col(idCol) + offset).as("doc_id"),
+        lit("video").as("media_type"),
+        encode(concat(col(textCol),
+          lit(" APPENDED TRAILER CARD bytes bytes bytes")), "UTF-8")
+          .as("content"))
+
   // ── Stored perceptual-code index (shared by image aHash + audio codes) ──
 
   /** Materialize a perceptual-code table — (doc_id, code: long), the

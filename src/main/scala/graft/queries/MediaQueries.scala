@@ -120,6 +120,26 @@ object MediaQueries {
             .as("dedup_found"))
     },
 
+    // VIDEO near-dup by frame-set containment — the video member of
+    // the modality triple (image aHash / audio fingerprint / video
+    // frames): payloads cut into fixed 32-byte frames, each md5'd,
+    // docs paired on shared frames with an asymmetric-overlap
+    // threshold (a clip embedded in a longer cut still matches) and
+    // the maxDf boilerplate-frame guard. Planted append-edit twins
+    // (every 4th video doc + a trailer under base + 4e9): every full
+    // base frame is prefix-aligned identical, so containment reads
+    // ~floor/ceil of the base frame count. Fixed framing is
+    // alignment-sensitive by design (CDC chunks are the
+    // alignment-robust byte-stream contrast). Full md5 SQL oracle.
+    "q_video_neardup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val vids = Multimodal.mediaTable(docs)
+        .where(col("media_type") === "video")
+        .select(col("doc_id"), col("media_type"), col("content"))
+      Multimodal.videoNearDupPairs(
+        vids.unionByName(Multimodal.videoVariantTable(docs)))
+    },
+
     // Dedup-on-arrival against the STORED chunk store: the batch
     // (every 5th doc) is chunked fresh; the corpus store is probed by
     // hash only — what a chunk-addressed blob store would actually
@@ -694,6 +714,33 @@ object MediaQueries {
          |    // t2.n_bytes AS BIGINT) AS saved_ppm
          |FROM tot t2 LEFT JOIN novel n ON n.b = t2.b
          |  AND n.media_type = t2.media_type""".stripMargin,
+
+    // frame md5s, distinct per doc, boilerplate guard, shared-frame
+    // counts, asymmetric containment vs the smaller set — all exact
+    "q_video_neardup" ->
+      """WITH v AS (SELECT doc_id, text AS s FROM documents
+        |    WHERE doc_id % 3 = 2
+        |  UNION ALL SELECT doc_id + 4000000000,
+        |    text || ' APPENDED TRAILER CARD bytes bytes bytes'
+        |  FROM documents WHERE doc_id % 12 = 2),
+        |fr AS (SELECT DISTINCT doc_id,
+        |    md5(substr(s, CAST(i * 32 + 1 AS INT), 32)) AS fh
+        |  FROM v, UNNEST(range(0, (len(s) + 31) // 32)) AS t(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+        |hot AS (SELECT fh FROM fr GROUP BY fh HAVING COUNT(*) > 50),
+        |kept AS (SELECT * FROM fr
+        |  WHERE fh NOT IN (SELECT fh FROM hot)),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+        |  CAST((pr.n_shared * 1000000) // LEAST(sa.nf, sb.nf) AS BIGINT)
+        |    AS containment_ppm
+        |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+        |  JOIN sz sb ON sb.doc_id = pr.doc_b
+        |WHERE pr.n_shared >= 2
+        |  AND (pr.n_shared * 1000000) // LEAST(sa.nf, sb.nf) >= 500000""".stripMargin,
 
     // same property shape for the rolling-store lifecycle
     "q_cdc_incremental_rolling" ->

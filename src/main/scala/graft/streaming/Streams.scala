@@ -680,6 +680,42 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming chunk-MANIFEST maintenance — the loop behind the
+    * media-redundancy audit's stored form: each media micro-batch's
+    * FULL chunk table (doc_id, media_type, h, n_bytes — facts, so
+    * partials are trivially additive) lands as an idempotent
+    * per-batch overwrite at `manifestPath/batch=<id>`
+    * ([[graft.operators.Multimodal.appendToChunkIndex]]); reads sum
+    * hash counts across batches, so redundancy is RETROACTIVE — a doc
+    * whose chunk is repeated by a later batch starts pricing as
+    * redundant the moment that batch lands. `compactEvery` (0 = off)
+    * folds the accreted batch dirs through the crash-safe
+    * folded-manifest protocol
+    * ([[graft.operators.Multimodal.compactChunkIndex]] — identity
+    * fold, newest `keepLast` dirs kept out); the unconditional
+    * recover heals a torn swap before the next batch reads. */
+  def ingestChunkStream(media: DataFrame, manifestPath: String,
+      checkpoint: String, w: Int = 4, modulus: Int = 64,
+      minLen: Int = 16, family: String = "md5", compactEvery: Int = 0,
+      keepLast: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        // unconditional roll-forward, cf. ingestDedupStream
+        graft.io.Compaction.recover(spark, s"$manifestPath/batch=-1")
+        if (!batch.isEmpty)
+          graft.operators.Multimodal.appendToChunkIndex(batch,
+            manifestPath, id, w, modulus, minLen, family = family)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.operators.Multimodal.compactChunkIndex(spark,
+            manifestPath, keepLast = keepLast)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** The streaming CDC dedup-on-arrival loop — the chunk store's
     * missing driver: each media micro-batch is chunked once, its
     * arrival AUDIT (total vs novel chunks/bytes, saved ppm — what a

@@ -380,6 +380,52 @@ class MultimodalSpec extends SparkSpec {
       nvc == 0L && saved == 1000000L })
   }
 
+  test("video near-dup: appended-trailer twins pair at high containment; alignment sensitivity is real; boilerplate guard drops hot frames") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vids = Multimodal.mediaTable(docs)
+      .where(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("content"))
+    val pairs = Multimodal.videoNearDupPairs(
+        vids.unionByName(Multimodal.videoVariantTable(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val planted = docs.where(col("doc_id") % 12 === 2)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    // containment of an append twin is exactly floor(L/32)/ceil(L/32)
+    // of the base frame count — high for long docs, bounded below by
+    // the query threshold even for the shortest (k/(k+1) >= 1/2 at
+    // k >= 1 shared frame... the query's minShared=2 floor applies)
+    val lens = docs.where(col("doc_id") % 12 === 2)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    planted.foreach { b =>
+      val k = lens(b) / 32 // full frames, all shared
+      val n = (lens(b) + 31) / 32
+      val expectPpm = k * 1000000L / n
+      if (k >= 2 && expectPpm >= 500000L)
+        assert(pairs.get((b, b + 4000000000L)).contains(expectPpm),
+          s"append twin of $b must pair at exactly $expectPpm ppm, " +
+            s"got ${pairs.get((b, b + 4000000000L))}")
+    }
+    assert(planted.exists(b => pairs.contains((b, b + 4000000000L))),
+      "at least one append twin must surface")
+    // alignment sensitivity (the documented fixed-framing trade): a
+    // PREFIX splice shifts every frame — the shifted copy shares no
+    // full frame with its original and must NOT pair
+    val shifted = Multimodal.mediaTable(
+        docs.where(col("doc_id") % 12 === 2)
+          .withColumn("text", concat(lit("X"), col("text"))))
+      .select((col("doc_id") + 5000000000L).as("doc_id"),
+        col("media_type"), col("content"))
+    val withShift = Multimodal.videoNearDupPairs(
+        vids.unionByName(shifted))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach(b => assert(!withShift.contains((b, b + 5000000000L)),
+      s"a prefix-shifted copy of $b must not pair under fixed framing " +
+        "(that is what cdcChunks is for)"))
+  }
+
   test("stored code index: indexed pairs == ad-hoc; exact append replay-idempotent; ensure memo survives") {
     import graft.operators.Multimodal
     val docs = spark.read.parquet(s"$sf/documents.parquet")

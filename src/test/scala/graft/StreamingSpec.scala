@@ -800,6 +800,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/idx").count() === codes.length.toLong)
   }
 
+  test("ingestChunkStream: streamed manifest replays the direct audit; replay idempotent; in-loop compaction changes nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-loop-")
+      .toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def slice(b: Long) = graft.operators.Multimodal.mediaTable(
+        docs.where(expr("(doc_id DIV 3) % 3") === b))
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[graft.operators.Multimodal.MediaRow]
+    val ms = MemoryStream[graft.operators.Multimodal.MediaRow](spark)
+    val sq = Streams.ingestChunkStream(ms.toDF(), s"$tmp/manifest",
+      s"$tmp/ckpt", compactEvery = 3)
+    for (b <- 0L to 2L) { ms.addData(slice(b).collect(): _*)
+      sq.processAllAvailable() }
+    sq.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val direct = rows(graft.operators.Multimodal.mediaRedundancy(
+      graft.operators.Multimodal.cdcChunks(
+        graft.operators.Multimodal.mediaTable(docs))))
+    assert(rows(graft.operators.Multimodal.mediaRedundancyFromIndex(
+      spark, s"$tmp/manifest")) === direct,
+      "the streamed manifest must replay the direct corpus audit")
+    // in-loop compaction fired at batch 2 (compactEvery = 3): batches
+    // 0,1 folded into batch=-1 with the folded-ids manifest
+    assert(graft.io.Compaction.foldedIds(spark, s"$tmp/manifest")
+      === Set(0L, 1L))
+    // replay of a folded-away batch id: the per-batch overwrite
+    // re-creates only ITS dir — but ensure-level callers skip folded
+    // ids, so here we replay the KEPT batch (2), an idempotent
+    // overwrite that changes nothing
+    graft.operators.Multimodal.appendToChunkIndex(
+      graft.operators.Multimodal.mediaTable(
+        docs.where(expr("(doc_id DIV 3) % 3") === 2L)),
+      s"$tmp/manifest", 2L)
+    assert(rows(graft.operators.Multimodal.mediaRedundancyFromIndex(
+      spark, s"$tmp/manifest")) === direct)
+  }
+
   test("ingestCdcStream: cross-batch novelty decays as the store absorbs; replayed batch changes neither audit nor store") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-loop-")
