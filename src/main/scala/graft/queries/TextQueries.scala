@@ -2145,10 +2145,18 @@ object TextQueries {
         graft.operators.Multimodal.imageAHash(
             graft.operators.Multimodal.pngTable(docs)).toDF()
           .select(col("doc_id"), col("phash").as("code")), codePath)
-      val ipairs = graft.operators.Multimodal
-        .nearDupPairsFromCodeIndex(s, codePath)
-        .join(med.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-        .join(med.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      // restrict the CODE TABLE to survivors BEFORE pairing (the
+      // stage dedups among release candidates, so the survivor-
+      // restricted pair graph IS the semantics) — the pigeonhole join
+      // then runs over ~survivor codes instead of the whole corpus
+      // index. At sf0.1 the upstream chain dominates and this is
+      // noise-level; the point is the SHAPE — pair work ∝ survivors²,
+      // not corpus², which is what survives a 100× corpus whose
+      // release budget stays fixed
+      val ipairs = Dedup.simhashPairs(
+        s.read.parquet(codePath)
+          .join(med.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("code").as("simhash")))
       val labels = Dedup.dedupClusters(
         ipairs.select(col("doc_a"), col("doc_b")))
       val imged = med.join(labels, Seq("doc_id"), "left")
