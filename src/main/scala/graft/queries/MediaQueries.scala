@@ -441,6 +441,26 @@ object MediaQueries {
           col("hamming").cast("long").as("hamming"))
     },
 
+    // Audio cluster/keeper form (the image-clusters mirror): min-label
+    // components over the fingerprint pair list — cluster == doc_id
+    // marks the keeper, always the BASE clip for the planted inverted
+    // twins. Recursive-CTE oracle over the replayed pairs.
+    "q_audio_neardup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.mediaTable(docs)
+        .where(col("media_type") === "audio")
+        .select(col("doc_id"), col("media_type"), col("content"))
+        .as[Multimodal.MediaRow]
+      val fp = Multimodal.audioFingerprint(
+        media.unionByName(Multimodal.audioVariantTable(docs)))
+      graft.operators.Dedup.dedupClusters(
+        graft.operators.Dedup.simhashPairs(
+          fp.where(col("n_bits") === 60)
+            .select(col("doc_id"), col("fingerprint").as("simhash")),
+          maxDist = 3, bits = 60))
+    },
+
     // 16-bit little-endian PCM: byte pairs -> signed int16 samples,
     // 128-sample windows with 64 hop. The oracle rebuilds each sample
     // from two ord() bytes.
@@ -576,6 +596,24 @@ object MediaQueries {
         |    AS hamming
         |FROM full60 a JOIN full60 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3""".stripMargin),
+
+    "q_audio_neardup_clusters" -> (sqlAudioFingerprint.replaceFirst(
+      "WITH ", "WITH RECURSIVE ") +
+      """,
+        |allfp AS (SELECT doc_id, n_bits, fingerprint FROM fp
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, n_bits, fingerprint FROM fp
+        |  WHERE doc_id % 12 = 1),
+        |full60 AS (SELECT doc_id, fingerprint FROM allfp WHERE n_bits = 60),
+        |apr AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM full60 a JOIN full60 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3),
+        |edges AS (SELECT da AS s, db AS d FROM apr
+        |          UNION SELECT db, da FROM apr),
+        |reach(s, d) AS (SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+        |FROM reach GROUP BY s""".stripMargin),
 
     "q_audio_neardup" -> (sqlAudioFingerprint +
       """,

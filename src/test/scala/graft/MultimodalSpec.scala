@@ -490,6 +490,23 @@ class MultimodalSpec extends SparkSpec {
     assert(variants.nonEmpty, "fixture must plant inverted twins")
     variants.foreach(v => assert(vfp(v) === vfp(v - 3000000000L),
       s"inverted twin $v must fingerprint identically to its base"))
+    // cluster/keeper form: the planted twin's component representative
+    // is the BASE id (min-label), same contract as the image clusters
+    val fullFp = Multimodal.audioFingerprint(
+        media.unionByName(Multimodal.audioVariantTable(docs)))
+      .where(col("n_bits") === 60)
+      .select(col("doc_id"), col("fingerprint").as("simhash"))
+    val clusters = graft.operators.Dedup.dedupClusters(
+        graft.operators.Dedup.simhashPairs(fullFp, maxDist = 3, bits = 60))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullTwins = variants.filter(v => vfp(v)._1 == 60L)
+    assert(fullTwins.nonEmpty, "fixture must plant full-width twins")
+    fullTwins.foreach { v =>
+      assert(clusters(v) == clusters(v - 3000000000L),
+        s"inverted twin $v and its base must share a component")
+      assert(clusters(v) <= v - 3000000000L,
+        s"twin $v's representative must be no larger than its base")
+    }
   }
 
   test("cdcChunksRolling: O(1) recurrence == direct window hash at every position; boundary contract (rsync locality, minLen floor, dedup band) holds") {
