@@ -525,9 +525,25 @@ object Multimodal {
     * Returns (doc_a, doc_b, n_shared, containment_ppm). */
   def videoNearDupPairs(media: DataFrame, frameSize: Int = 32,
       minShared: Int = 2, thresholdPpm: Long = 500000L,
-      maxDf: Int = 50): DataFrame = {
+      maxDf: Int = 50): DataFrame =
+    frameContainmentPairs(videoFrameFingerprints(media, frameSize),
+      minShared, thresholdPpm, maxDf)
+
+  /** The containment join of [[videoNearDupPairs]] over an already-
+    * materialized frame table (doc_id, fh) — shared by the ad-hoc
+    * form and [[videoNearDupPairsFromIndex]], so the stored form is
+    * bit-identical by construction (md5 strings round-trip parquet
+    * exactly). The per-frame document frequency (`maxDf` boilerplate
+    * guard) and per-doc sizes are computed HERE, at query time, from
+    * whatever frame table is passed — never baked into a stored
+    * index — which is what keeps index appends EXACT (the sign/int8
+    * contract: per-row facts only, no corpus-global statistic). */
+  def frameContainmentPairs(frames: DataFrame, minShared: Int = 2,
+      thresholdPpm: Long = 500000L, maxDf: Int = 50): DataFrame = {
     require(minShared >= 1 && maxDf >= 2)
-    val fps = Caches.persist(videoFrameFingerprints(media, frameSize))
+    // three consumers on three different keys (doc_id agg, fh agg,
+    // fh join) — no shared exchange to reuse, so a persist pays
+    val fps = Caches.persist(frames.select(col("doc_id"), col("fh")))
     val sizes = fps.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__nf"))
     val hot = fps.groupBy(col("fh")).agg(count(lit(1)).as("__df"))
@@ -633,6 +649,81 @@ object Multimodal {
       writeCodeIndex(spark.read.parquet(corpusRoot)
         .select(col("doc_id"), col("code")), indexPath)
     else appendToCodeIndex(b, indexPath)
+  }
+
+  // ── Stored frame-fingerprint index (the video sibling of the code index) ──
+
+  /** Materialize a video frame-fingerprint table — distinct (doc_id,
+    * fh), the [[videoFrameFingerprints]] shape — at `path`: the
+    * per-payload framing/hash pass paid ONCE per corpus version,
+    * every subsequent containment search streams ~40-byte (id, md5)
+    * rows instead of re-hashing payloads. Multi-row per doc (a bag of
+    * frames, unlike the single-long perceptual codes), but the same
+    * exact-append contract: rows are per-doc facts, the df/size
+    * statistics live in [[frameContainmentPairs]] at query time. */
+  def writeFrameIndex(frames: DataFrame, path: String,
+      coalesceTo: Int = 8): Unit = {
+    val f = frames.select(col("doc_id"), col("fh"))
+    (if (coalesceTo > 0) f.coalesce(coalesceTo) else f)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold new frame rows INTO the stored table — exact append,
+    * replay-safe via a per-DOC anti-join (a doc's frame set is
+    * deterministic in its payload, so doc presence == set presence;
+    * a redelivered batch appends nothing). */
+  def appendToFrameIndex(newFrames: DataFrame, path: String): Unit = {
+    val spark = newFrames.sparkSession
+    val fresh = newFrames.select(col("doc_id"), col("fh"))
+      .join(spark.read.parquet(path).select(col("doc_id").as("__stored"))
+          .distinct(),
+        col("doc_id") === col("__stored"), "left_anti")
+      .select(col("doc_id"), col("fh"))
+    if (!fresh.isEmpty) fresh.coalesce(4).write.mode("append").parquet(path)
+  }
+
+  private val frameIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Build-once memo around [[writeFrameIndex]] (the ensureCodeIndex
+    * contract: `_SUCCESS`-gated, torn builds re-run, content-addressed
+    * paths). `frames` is by-name — never computed on the warm path. */
+  def ensureFrameIndex(spark: org.apache.spark.sql.SparkSession,
+      frames: => DataFrame, path: String, coalesceTo: Int = 8): Unit =
+    frameIndexes.computeIfAbsent(path, { _ =>
+      if (!graft.io.IndexPaths.complete(spark, path))
+        writeFrameIndex(frames, path, coalesceTo)
+      java.lang.Boolean.TRUE
+    })
+
+  /** Video near-dup pairs off the STORED frame table: the corpus
+    * enters as (doc_id, fh) rows — no payload is framed or hashed at
+    * query time (plan-pinned) — through the same containment join as
+    * the ad-hoc form, so the pair list is bit-identical (shared
+    * oracle). */
+  def videoNearDupPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, minShared: Int = 2, thresholdPpm: Long = 500000L,
+      maxDf: Int = 50): DataFrame =
+    frameContainmentPairs(spark.read.parquet(path),
+      minShared, thresholdPpm, maxDf)
+
+  /** One arrival batch of the frame-index maintenance loop (the step
+    * [[graft.streaming.Streams.ingestFrameStream]] drives): the
+    * batch's media rows are framed/hashed once, land exactly-once in
+    * `corpusRoot/batch=<id>` as frame rows, then fold exact-append
+    * into the stored table. First batch builds from the accumulated
+    * corpus. */
+  def ingestFrameBatch(media: DataFrame, batchId: Long, indexPath: String,
+      corpusRoot: String, frameSize: Int = 32): Unit = {
+    val spark = media.sparkSession
+    if (media.isEmpty) return
+    val b = videoFrameFingerprints(media, frameSize)
+    b.coalesce(4).write.mode("overwrite").parquet(s"$corpusRoot/batch=$batchId")
+    if (!graft.io.IndexPaths.complete(spark, indexPath))
+      writeFrameIndex(spark.read.parquet(corpusRoot)
+        .select(col("doc_id"), col("fh")), indexPath)
+    else appendToFrameIndex(spark.read.parquet(s"$corpusRoot/batch=$batchId"),
+      indexPath)
   }
 
   // ── Content-defined chunking (rolling-window CDC, LBFS/rsync family) ──

@@ -140,6 +140,40 @@ object MediaQueries {
         vids.unionByName(Multimodal.videoVariantTable(docs)))
     },
 
+    // The same pairs off the STORED frame-fingerprint index: the
+    // framing/hash pass (one md5 per 32 payload bytes) moves offline
+    // into a build-once (doc_id, fh) table; the containment search
+    // streams stored rows and touches NO payload at query time
+    // (plan-pinned: no documents scan). Bit-identical to
+    // q_video_neardup -> shared oracle.
+    "q_video_neardup_indexed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val path = graft.io.IndexPaths.indexPath("vidframe",
+        s"$dir/documents.parquet", "f32")
+      Multimodal.ensureFrameIndex(s, {
+        val vids = Multimodal.mediaTable(docs)
+          .where(col("media_type") === "video")
+          .select(col("doc_id"), col("media_type"), col("content"))
+        Multimodal.videoFrameFingerprints(
+          vids.unionByName(Multimodal.videoVariantTable(docs)))
+      }, path)
+      Multimodal.videoNearDupPairsFromIndex(s, path)
+    },
+
+    // Video cluster/keeper form (completing the modality triple):
+    // min-label components over the containment pair list — cluster
+    // == doc_id marks the keeper, always the BASE clip for the
+    // planted append-trailer twins. Recursive-CTE oracle.
+    "q_video_neardup_clusters" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val vids = Multimodal.mediaTable(docs)
+        .where(col("media_type") === "video")
+        .select(col("doc_id"), col("media_type"), col("content"))
+      graft.operators.Dedup.dedupClusters(
+        Multimodal.videoNearDupPairs(
+          vids.unionByName(Multimodal.videoVariantTable(docs))))
+    },
+
     // Dedup-on-arrival against the STORED chunk store: the batch
     // (every 5th doc) is chunked fresh; the corpus store is probed by
     // hash only — what a chunk-addressed blob store would actually
@@ -517,6 +551,39 @@ object MediaQueries {
     * 2e9`, one CASE where the sampled source pixel is (0, 0)) — up to
     * the `ph` (img_id, phash) table. The bit-63 CASE mirrors the
     * q_image_phash oracle's sign handling. */
+  // Video near-dup CTEs: planted append-trailer variants, 32-byte
+  // frame md5s distinct per doc, boilerplate guard (df > 50),
+  // shared-frame pair counts — up through `pr`; the tail applies the
+  // minShared/containment filter vs the smaller set. Split so the
+  // clusters oracle can reuse the CTEs under WITH RECURSIVE.
+  private val sqlVideoNearDupCtes: String =
+    """WITH v AS (SELECT doc_id, text AS s FROM documents
+      |    WHERE doc_id % 3 = 2
+      |  UNION ALL SELECT doc_id + 4000000000,
+      |    text || ' APPENDED TRAILER CARD bytes bytes bytes'
+      |  FROM documents WHERE doc_id % 12 = 2),
+      |fr AS (SELECT DISTINCT doc_id,
+      |    md5(substr(s, CAST(i * 32 + 1 AS INT), 32)) AS fh
+      |  FROM v, UNNEST(range(0, (len(s) + 31) // 32)) AS t(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+      |hot AS (SELECT fh FROM fr GROUP BY fh HAVING COUNT(*) > 50),
+      |kept AS (SELECT * FROM fr
+      |  WHERE fh NOT IN (SELECT fh FROM hot)),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val sqlVideoNearDupTail: String =
+    """
+      |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+      |  CAST((pr.n_shared * 1000000) // LEAST(sa.nf, sb.nf) AS BIGINT)
+      |    AS containment_ppm
+      |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+      |  JOIN sz sb ON sb.doc_id = pr.doc_b
+      |WHERE pr.n_shared >= 2
+      |  AND (pr.n_shared * 1000000) // LEAST(sa.nf, sb.nf) >= 500000""".stripMargin
+
   private val sqlImageNearDupPairs: String =
     """WITH ids AS (
       |  SELECT doc_id AS img_id, doc_id AS base, FALSE AS edited
@@ -755,30 +822,26 @@ object MediaQueries {
 
     // frame md5s, distinct per doc, boilerplate guard, shared-frame
     // counts, asymmetric containment vs the smaller set — all exact
-    "q_video_neardup" ->
-      """WITH v AS (SELECT doc_id, text AS s FROM documents
-        |    WHERE doc_id % 3 = 2
-        |  UNION ALL SELECT doc_id + 4000000000,
-        |    text || ' APPENDED TRAILER CARD bytes bytes bytes'
-        |  FROM documents WHERE doc_id % 12 = 2),
-        |fr AS (SELECT DISTINCT doc_id,
-        |    md5(substr(s, CAST(i * 32 + 1 AS INT), 32)) AS fh
-        |  FROM v, UNNEST(range(0, (len(s) + 31) // 32)) AS t(i)),
-        |sz AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
-        |hot AS (SELECT fh FROM fr GROUP BY fh HAVING COUNT(*) > 50),
-        |kept AS (SELECT * FROM fr
-        |  WHERE fh NOT IN (SELECT fh FROM hot)),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(COUNT(*) AS BIGINT) AS n_shared
-        |  FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
-        |  CAST((pr.n_shared * 1000000) // LEAST(sa.nf, sb.nf) AS BIGINT)
-        |    AS containment_ppm
-        |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
-        |  JOIN sz sb ON sb.doc_id = pr.doc_b
-        |WHERE pr.n_shared >= 2
-        |  AND (pr.n_shared * 1000000) // LEAST(sa.nf, sb.nf) >= 500000""".stripMargin,
+    "q_video_neardup" -> (sqlVideoNearDupCtes + sqlVideoNearDupTail),
+
+    // bit-identical to the ad-hoc pairs (md5 strings round-trip
+    // parquet exactly; shared containment tail) -> SAME oracle
+    "q_video_neardup_indexed" -> (sqlVideoNearDupCtes + sqlVideoNearDupTail),
+
+    "q_video_neardup_clusters" -> (sqlVideoNearDupCtes.replaceFirst(
+      "WITH ", "WITH RECURSIVE ") +
+      """,
+        |fpr AS (SELECT pr.doc_a AS da, pr.doc_b AS db
+        |  FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+        |    JOIN sz sb ON sb.doc_id = pr.doc_b
+        |  WHERE pr.n_shared >= 2
+        |    AND (pr.n_shared * 1000000) // LEAST(sa.nf, sb.nf) >= 500000),
+        |edges AS (SELECT da AS s, db AS d FROM fpr
+        |          UNION SELECT db, da FROM fpr),
+        |reach(s, d) AS (SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+        |FROM reach GROUP BY s""".stripMargin),
 
     // same property shape for the rolling-store lifecycle
     "q_cdc_incremental_rolling" ->

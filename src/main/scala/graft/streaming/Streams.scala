@@ -680,6 +680,29 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming frame-index maintenance — the video modality's loop
+    * (image/audio codes stream through [[ingestCodeStream]]): media
+    * micro-batches are framed/hashed once, land exactly-once in
+    * `corpusRoot/batch=<id>` as (doc_id, fh) rows, and fold
+    * exact-append into the stored frame table
+    * ([[graft.operators.Multimodal.ingestFrameBatch]] — per-doc
+    * facts only, the df/size statistics live at query time, so no
+    * drift alarm exists to wire); replay-safe via the per-doc
+    * anti-join. */
+  def ingestFrameStream(media: DataFrame, indexPath: String,
+      corpusRoot: String, checkpoint: String, frameSize: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        try graft.operators.Multimodal.ingestFrameBatch(batch, id,
+          indexPath, corpusRoot, frameSize)
+        finally graft.operators.Caches.release()
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming chunk-MANIFEST maintenance — the loop behind the
     * media-redundancy audit's stored form: each media micro-batch's
     * FULL chunk table (doc_id, media_type, h, n_bytes — facts, so

@@ -426,6 +426,53 @@ class MultimodalSpec extends SparkSpec {
         "(that is what cdcChunks is for)"))
   }
 
+  test("stored frame index: indexed pairs == ad-hoc; per-doc append replay-idempotent; clusters keep the base") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vids = Multimodal.mediaTable(docs)
+      .where(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("content"))
+    val corpus = vids.unionByName(Multimodal.videoVariantTable(docs))
+    val frames = Multimodal.videoFrameFingerprints(corpus)
+    val adhoc = Multimodal.videoNearDupPairs(corpus)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_frame").toString
+    val idx = s"$dir/frames"
+    Multimodal.writeFrameIndex(frames, idx)
+    assert(Multimodal.videoNearDupPairsFromIndex(spark, idx)
+        .collect().map(_.toString).sorted.toSeq === adhoc,
+      "stored-frame pairs must be bit-identical to the ad-hoc search")
+    // replayed append folds nothing (per-DOC anti-join: a doc's frame
+    // set is deterministic in its payload, so doc presence == set
+    // presence)
+    val n1 = spark.read.parquet(idx).count()
+    Multimodal.appendToFrameIndex(frames.limit(200), idx)
+    assert(spark.read.parquet(idx).count() === n1,
+      "replayed frame rows must append nothing")
+    // genuinely new docs fold all their rows exactly once
+    val extra = frames.where(col("doc_id") < 100)
+      .select((col("doc_id") + 6000000000L).as("doc_id"), col("fh"))
+    val nExtra = extra.count()
+    assert(nExtra > 0, "fixture must have low-id video docs")
+    Multimodal.appendToFrameIndex(extra, idx)
+    assert(spark.read.parquet(idx).count() === n1 + nExtra)
+    // cluster/keeper form: the planted append twin's representative
+    // is the BASE clip (min-label), same contract as image/audio
+    val clusters = graft.operators.Dedup.dedupClusters(
+        Multimodal.videoNearDupPairs(corpus))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairedTwins = Multimodal.videoNearDupPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if b == a + 4000000000L => a }
+    assert(pairedTwins.nonEmpty, "at least one append twin must cluster")
+    pairedTwins.foreach { b =>
+      assert(clusters(b + 4000000000L) == clusters(b),
+        s"append twin of $b and its base must share a component")
+      assert(clusters(b + 4000000000L) <= b,
+        s"twin of $b must keep a representative no larger than the base")
+    }
+  }
+
   test("stored code index: indexed pairs == ad-hoc; exact append replay-idempotent; ensure memo survives") {
     import graft.operators.Multimodal
     val docs = spark.read.parquet(s"$sf/documents.parquet")

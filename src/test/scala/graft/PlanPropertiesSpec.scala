@@ -521,6 +521,12 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q_video_neardup_indexed: containment search reads only the stored frame rows — no payload framed or hashed") {
+    val p = plan(SparkEntry.queries("q_video_neardup_indexed")(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      s"q_video_neardup_indexed must never touch the corpus at query time:\n$p")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A

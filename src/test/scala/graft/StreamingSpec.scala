@@ -800,6 +800,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/idx").count() === codes.length.toLong)
   }
 
+  test("ingestFrameStream: loop-built frame index answers containment identically to ad-hoc; replay appends nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-frame-loop-")
+      .toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = graft.operators.Multimodal.mediaTable(docs)
+      .where(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .unionByName(graft.operators.Multimodal.videoVariantTable(docs))
+      .as[graft.operators.Multimodal.MediaRow]
+    val all = corpus.collect().toSeq
+    val (lo, hi) = all.partition(_.doc_id % 2 == 0)
+    val ms = MemoryStream[graft.operators.Multimodal.MediaRow](spark)
+    val sq = Streams.ingestFrameStream(ms.toDF(), s"$tmp/idx",
+      s"$tmp/corpus", s"$tmp/ckpt")
+    ms.addData(lo: _*); sq.processAllAvailable()
+    ms.addData(hi: _*); sq.processAllAvailable()
+    sq.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.operators.Multimodal.videoNearDupPairsFromIndex(
+        spark, s"$tmp/idx"))
+      === rows(graft.operators.Multimodal.videoNearDupPairs(corpus.toDF())),
+      "stream-built frame index must answer identically to the ad-hoc search")
+    // replay of an absorbed batch appends nothing (per-doc anti-join)
+    val n1 = spark.read.parquet(s"$tmp/idx").count()
+    graft.operators.Multimodal.ingestFrameBatch(
+      spark.createDataset(hi).toDF(), 1L, s"$tmp/idx", s"$tmp/corpus")
+    assert(spark.read.parquet(s"$tmp/idx").count() === n1,
+      "replayed batch must fold zero new frame rows")
+  }
+
   test("ingestChunkStream: streamed manifest replays the direct audit; replay idempotent; in-loop compaction changes nothing") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-loop-")
