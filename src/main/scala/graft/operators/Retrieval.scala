@@ -54,15 +54,23 @@ object Retrieval {
     * every posting row so query-time scoring is row-local. */
   private def postingsOf(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
-    // persisted: three consumers (tf/dl rows, the df aggregate's
-    // recompute of them, and the stats rollup) would otherwise each
-    // re-run the regex tokenize over the corpus — measured on the
-    // brute audit (q_eval_retrieval_audit): 1.5x its indexed sibling
-    // before, parity after, same window. The one-tokenize-per-plan
-    // rule, as at the containment prepass.
-    val toks = Caches.persist(docs.select(col(idCol).as("doc_id"),
+    // Deliberately NOT persisted (measured, twice): the two expensive
+    // consumers of tfdl — the df rollup and the scoring join's build
+    // side — sit on the SAME (term, doc_id, dl) aggregation exchange,
+    // which AQE ReusedExchange dedupes at runtime, so the tokenize+
+    // explode+combine runs once regardless; a cache of the raw
+    // token-array table (r11's version of this comment claimed parity
+    // from one favorable window) re-paid explode/aggregate per cached
+    // scan and measured WORSE on the brute audit in interleaved
+    // same-window A/B (min 2.69 s persisted vs 2.34 s without, ratio
+    // vs the indexed sibling 1.39 -> 1.29). Same negative-persist
+    // lesson as the CDC chunk relation: check for a shared exchange
+    // before caching. The stats rollup does re-tokenize (no exchange
+    // of its own to reuse) — a scan-speed aggregate, cheaper than the
+    // cache materialization it would take to avoid it.
+    val toks = docs.select(col(idCol).as("doc_id"),
         TextFns.letterTokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) >= 1))
+      .where(size(col("__toks")) >= 1)
     val tfdl = toks
       .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("term"))
