@@ -726,6 +726,86 @@ object Multimodal {
       indexPath)
   }
 
+  // ── Media release card (per-modality forensics off stored artifacts) ──
+
+  /** Per-modality release-forensics card composed ENTIRELY from
+    * stored artifacts — the chunk MANIFEST (byte-level redundancy),
+    * the perceptual CODE indexes (image aHash restricted to
+    * image-modality docs at read time — one shared asset index,
+    * consumers restrict, the pipeline-v7 idiom; audio fingerprint)
+    * and the video FRAME index — so the whole report reads O(index)
+    * rows and touches NO document payload (plan-pinned like every
+    * *FromIndex read). The multimodal sibling of the text dataset
+    * card: what a release manager reads before shipping a corpus
+    * version.
+    *
+    * Per media_type: `n_docs`/`total_bytes` from the manifest (CDC
+    * chunks partition each blob exactly, so byte sums ARE payload
+    * sums); `dup_bytes_ppm` = bytes in chunks whose hash repeats
+    * CORPUS-WIDE (the [[mediaRedundancy]] blob-store stance —
+    * deliberately blind to modality and doc boundaries) as ppm of the
+    * modality's bytes; `neardup_docs` = docs in ≥ 1 perceptual
+    * near-dup pair; `neardup_clusters` = connected components among
+    * them; `neardup_dropped` = docs a one-keeper-per-cluster release
+    * would drop (docs − clusters).
+    *
+    * Scale shape: the manifest rollup is one hash-count join + one
+    * modality aggregate (shuffle ∝ manifest rows, the TF-IDF shape);
+    * each pair search is the stored-index machinery it reuses
+    * (pigeonhole/containment, candidate-bounded); the per-modality
+    * counts are one-row aggregates broadcast-assembled, so the final
+    * join moves six rows. */
+  def mediaCard(spark: org.apache.spark.sql.SparkSession,
+      chunkPath: String, imageCodePath: String, audioCodePath: String,
+      framePath: String, maxDist: Int = 3, audioBits: Int = 60)
+      : DataFrame = {
+    val chunks = spark.read.parquet(chunkPath)
+      .select(col("doc_id"), col("media_type"), col("h"), col("n_bytes"))
+    val cnt = chunks.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+    val bytes = chunks.join(cnt.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("media_type"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(when(col("__c") > 1L, col("n_bytes")).otherwise(lit(0L)))
+          .as("__dup"))
+      .withColumn("dup_bytes_ppm",
+        expr("(__dup * 1000000) DIV total_bytes"))
+      .select(col("media_type"), col("n_docs"), col("total_bytes"),
+        col("dup_bytes_ppm"))
+    // per-modality pair structure: one-row aggregates off each pair
+    // search; pairs persisted — the doc rollup and the label rounds
+    // sit on different exchanges of the expensive pigeonhole join
+    def pairStats(mt: String, pairs: DataFrame): DataFrame = {
+      val p = Caches.persist(pairs.select(col("doc_a"), col("doc_b")))
+      val nd = p.select(col("doc_a").as("d"))
+        .unionByName(p.select(col("doc_b").as("d"))).distinct()
+        .agg(count(lit(1)).as("neardup_docs"))
+      val nc = Dedup.dedupClusters(p)
+        .agg(countDistinct(col("cluster")).as("neardup_clusters"))
+      nd.crossJoin(nc).select(lit(mt).as("media_type"),
+        col("neardup_docs"), col("neardup_clusters"),
+        (col("neardup_docs") - col("neardup_clusters"))
+          .as("neardup_dropped"))
+    }
+    val prs = pairStats("image", Dedup.simhashPairs(
+        spark.read.parquet(imageCodePath)
+          .where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("code").as("simhash")),
+        maxDist = maxDist, bits = 64))
+      .unionByName(pairStats("audio", Dedup.simhashPairs(
+        spark.read.parquet(audioCodePath)
+          .select(col("doc_id"), col("code").as("simhash")),
+        maxDist = maxDist, bits = audioBits)))
+      .unionByName(pairStats("video",
+        videoNearDupPairsFromIndex(spark, framePath)))
+    bytes.join(broadcast(prs), Seq("media_type"), "left")
+      .select(col("media_type"), col("n_docs"), col("total_bytes"),
+        col("dup_bytes_ppm"),
+        coalesce(col("neardup_docs"), lit(0L)).as("neardup_docs"),
+        coalesce(col("neardup_clusters"), lit(0L)).as("neardup_clusters"),
+        coalesce(col("neardup_dropped"), lit(0L)).as("neardup_dropped"))
+  }
+
   // ── Content-defined chunking (rolling-window CDC, LBFS/rsync family) ──
 
   /** Content-defined chunk table of a binary media column: a chunk

@@ -174,6 +174,54 @@ object MediaQueries {
           vids.unionByName(Multimodal.videoVariantTable(docs))))
     },
 
+    // The media release card: per-modality forensics (doc/byte
+    // totals, corpus-wide duplicate-chunk ppm, perceptual near-dup
+    // docs/clusters/would-drop counts) composed ENTIRELY from the
+    // four stored artifacts — chunk manifest, image aHash codes
+    // (the v7-shared all-doc asset index, restricted to the image
+    // modality at read), base audio fingerprints, base video frames.
+    // No document payload is touched (plan-pinned). Full SQL oracle:
+    // chunk formula + all three perceptual formulas + three
+    // recursive component closures, assembled per modality.
+    "q_media_card" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val src = s"$dir/documents.parquet"
+      val chunkPath = graft.io.IndexPaths.indexPath("chunkidx", src,
+        Multimodal.cdcParams())
+      Multimodal.ensureChunkIndex(s, chunkPath, Seq(0L, 1L, 2L)) { missing =>
+        missing.foreach(b =>
+          Multimodal.appendToChunkIndex(
+            Multimodal.mediaTable(docs.where(col("doc_id") % 3 === b)),
+            chunkPath, b))
+      }
+      val imgPath = graft.io.IndexPaths.indexPath("imgcode", src,
+        "ahash8x8base")
+      Multimodal.ensureCodeIndex(s,
+        Multimodal.imageAHash(Multimodal.pngTable(docs)).toDF()
+          .select(col("doc_id"), col("phash").as("code")), imgPath)
+      val audPath = graft.io.IndexPaths.indexPath("audcode", src,
+        "afp60base")
+      Multimodal.ensureCodeIndex(s, {
+        import s.implicits._
+        Multimodal.audioFingerprint(
+            Multimodal.mediaTable(docs)
+              .where(col("media_type") === "audio")
+              .select(col("doc_id"), col("media_type"), col("content"))
+              .as[Multimodal.MediaRow])
+          .where(col("n_bits") === 60)
+          .select(col("doc_id"), col("fingerprint").as("code"))
+      }, audPath)
+      val frmPath = graft.io.IndexPaths.indexPath("vidframe", src,
+        "f32base")
+      Multimodal.ensureFrameIndex(s,
+        Multimodal.videoFrameFingerprints(
+          Multimodal.mediaTable(docs)
+            .where(col("media_type") === "video")
+            .select(col("doc_id"), col("media_type"), col("content"))),
+        frmPath)
+      Multimodal.mediaCard(s, chunkPath, imgPath, audPath, frmPath)
+    },
+
     // Dedup-on-arrival against the STORED chunk store: the batch
     // (every 5th doc) is chunked fresh; the corpus store is probed by
     // hash only — what a chunk-addressed blob store would actually
@@ -819,6 +867,145 @@ object MediaQueries {
          |    // t2.n_bytes AS BIGINT) AS saved_ppm
          |FROM tot t2 LEFT JOIN novel n ON n.b = t2.b
          |  AND n.media_type = t2.media_type""".stripMargin,
+
+    // The media card replayed end to end: chunk formula (md5 family,
+    // w4 m64 l16) for the byte rollup, all three perceptual formulas
+    // (base-only, modality-restricted) for the pair graphs, three
+    // recursive min-label closures for the cluster counts.
+    "q_media_card" ->
+      """WITH RECURSIVE
+        |mda AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    text AS s, len(text) AS L FROM documents),
+        |pos AS (SELECT doc_id, i FROM mda, UNNEST(range(4, L + 1)) AS t(i)
+        |  WHERE CAST('0x' || substr(md5(substr(s, CAST(i - 3 AS INT), 4)),
+        |      1, 12) AS BIGINT) % 64 = 0),
+        |mw AS (SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) < 16
+        |         THEN 0 ELSE 1 END AS strt
+        |  FROM pos),
+        |mc AS (SELECT doc_id, i,
+        |    SUM(strt) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+        |  FROM mw),
+        |mcut AS (SELECT doc_id, MAX(i) AS i FROM mc GROUP BY doc_id, cl),
+        |cuts AS (SELECT mda.doc_id,
+        |    list_sort(list_append(COALESCE(list(DISTINCT p.i), []), mda.L))
+        |      AS ends
+        |  FROM mda LEFT JOIN mcut p USING (doc_id)
+        |  GROUP BY mda.doc_id, mda.L),
+        |spans AS (SELECT doc_id, ends[j] AS e,
+        |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st
+        |  FROM cuts, UNNEST(range(1, len(ends) + 1)) AS t(j)
+        |  WHERE j = 1 OR ends[j] > ends[j - 1]),
+        |ch AS (SELECT c.doc_id, mda.media_type,
+        |    md5(substr(mda.s, CAST(c.st AS INT), CAST(c.e - c.st + 1 AS INT)))
+        |      AS h,
+        |    c.e - c.st + 1 AS nb
+        |  FROM spans c JOIN mda USING (doc_id) WHERE c.e >= c.st),
+        |hc AS (SELECT h, COUNT(*) AS c FROM ch GROUP BY h),
+        |byt AS (SELECT media_type,
+        |    CAST(COUNT(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nb) AS BIGINT) AS total_bytes,
+        |    CAST((SUM(CASE WHEN hc.c > 1 THEN nb ELSE 0 END) * 1000000)
+        |      // SUM(nb) AS BIGINT) AS dup_bytes_ppm
+        |  FROM ch JOIN hc USING (h) GROUP BY media_type),
+        |im3 AS (SELECT doc_id, CAST(doc_id % 29 + 4 AS INTEGER) AS iw,
+        |    CAST(doc_id % 17 + 4 AS INTEGER) AS ih FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |isx AS (SELECT doc_id, gi.i * 8 + gj.i AS p,
+        |    (doc_id * 31 + ((gi.i * iw) // 8) * 7
+        |     + ((gj.i * ih) // 8) * 13) % 256 AS px
+        |  FROM im3, UNNEST(range(0, 8)) AS gi(i), UNNEST(range(0, 8)) AS gj(i)),
+        |itot AS (SELECT doc_id, SUM(px) AS total FROM isx GROUP BY doc_id),
+        |iph AS (SELECT isx.doc_id,
+        |    CAST(SUM(CASE
+        |      WHEN isx.px * 64 > itot.total AND isx.p = 63
+        |        THEN -9223372036854775808
+        |      WHEN isx.px * 64 > itot.total
+        |        THEN (1::BIGINT << CAST(isx.p AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM isx JOIN itot USING (doc_id) GROUP BY isx.doc_id),
+        |ipr AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM iph a JOIN iph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |am AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |aw AS (SELECT doc_id, text,
+        |    unnest(range(0, (length(text) // 2 - 4) // 2 + 1)) AS win_idx
+        |  FROM am WHERE length(text) // 2 >= 4),
+        |asv AS (SELECT doc_id, win_idx,
+        |    list_transform(range(1, 5), i ->
+        |      (ord(text[CAST(2 * (win_idx * 2 + i) - 1 AS INTEGER)])
+        |       + 256 * ord(text[CAST(2 * (win_idx * 2 + i) AS INTEGER)]))
+        |      - CASE WHEN ord(text[CAST(2 * (win_idx * 2 + i) AS INTEGER)]) >= 128
+        |             THEN 65536 ELSE 0 END) AS vals
+        |  FROM aw),
+        |aen AS (SELECT doc_id, win_idx,
+        |    CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT) AS energy
+        |  FROM asv),
+        |ade AS (SELECT doc_id, win_idx, energy,
+        |    lead(energy) OVER (PARTITION BY doc_id ORDER BY win_idx) AS nxt
+        |  FROM aen),
+        |afp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+        |    CAST(SUM(CASE WHEN nxt > energy
+        |      THEN (1::BIGINT << CAST(win_idx AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS fingerprint
+        |  FROM ade WHERE nxt IS NOT NULL AND win_idx < 60 GROUP BY doc_id),
+        |apr AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+        |  WHERE a.n_bits = 60 AND b.n_bits = 60
+        |    AND bit_count(xor(a.fingerprint, b.fingerprint)) <= 3),
+        |vv AS (SELECT doc_id, text AS s FROM documents WHERE doc_id % 3 = 2),
+        |vfr AS (SELECT DISTINCT doc_id,
+        |    md5(substr(s, CAST(i * 32 + 1 AS INT), 32)) AS fh
+        |  FROM vv, UNNEST(range(0, (len(s) + 31) // 32)) AS t(i)),
+        |vsz AS (SELECT doc_id, COUNT(*) AS nf FROM vfr GROUP BY doc_id),
+        |vhot AS (SELECT fh FROM vfr GROUP BY fh HAVING COUNT(*) > 50),
+        |vkept AS (SELECT * FROM vfr
+        |  WHERE fh NOT IN (SELECT fh FROM vhot)),
+        |vpr0 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ns
+        |  FROM vkept a JOIN vkept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |vpr AS (SELECT da, db FROM vpr0
+        |  JOIN vsz sa ON sa.doc_id = da JOIN vsz sb ON sb.doc_id = db
+        |  WHERE ns >= 2 AND (ns * 1000000) // LEAST(sa.nf, sb.nf) >= 500000),
+        |iedges AS (SELECT da AS s3, db AS d3 FROM ipr
+        |          UNION SELECT db, da FROM ipr),
+        |ireach(s3, d3) AS (SELECT s3, d3 FROM iedges
+        |  UNION SELECT r.s3, e.d3 FROM ireach r JOIN iedges e ON r.d3 = e.s3),
+        |icl AS (SELECT s3 AS doc_id, LEAST(s3, MIN(d3)) AS cluster
+        |  FROM ireach GROUP BY s3),
+        |aedges AS (SELECT da AS s4, db AS d4 FROM apr
+        |          UNION SELECT db, da FROM apr),
+        |areach(s4, d4) AS (SELECT s4, d4 FROM aedges
+        |  UNION SELECT r.s4, e.d4 FROM areach r JOIN aedges e ON r.d4 = e.s4),
+        |acl AS (SELECT s4 AS doc_id, LEAST(s4, MIN(d4)) AS cluster
+        |  FROM areach GROUP BY s4),
+        |vedges AS (SELECT da AS s5, db AS d5 FROM vpr
+        |          UNION SELECT db, da FROM vpr),
+        |vreach(s5, d5) AS (SELECT s5, d5 FROM vedges
+        |  UNION SELECT r.s5, e.d5 FROM vreach r JOIN vedges e ON r.d5 = e.s5),
+        |vcl AS (SELECT s5 AS doc_id, LEAST(s5, MIN(d5)) AS cluster
+        |  FROM vreach GROUP BY s5),
+        |prs AS (
+        |  SELECT 'image' AS media_type,
+        |      CAST(COUNT(*) AS BIGINT) AS neardup_docs,
+        |      CAST(COUNT(DISTINCT cluster) AS BIGINT) AS neardup_clusters
+        |    FROM icl
+        |  UNION ALL SELECT 'audio', CAST(COUNT(*) AS BIGINT),
+        |      CAST(COUNT(DISTINCT cluster) AS BIGINT) FROM acl
+        |  UNION ALL SELECT 'video', CAST(COUNT(*) AS BIGINT),
+        |      CAST(COUNT(DISTINCT cluster) AS BIGINT) FROM vcl)
+        |SELECT byt.media_type, byt.n_docs, byt.total_bytes,
+        |  byt.dup_bytes_ppm,
+        |  CAST(COALESCE(prs.neardup_docs, 0) AS BIGINT) AS neardup_docs,
+        |  CAST(COALESCE(prs.neardup_clusters, 0) AS BIGINT)
+        |    AS neardup_clusters,
+        |  CAST(COALESCE(prs.neardup_docs - prs.neardup_clusters, 0)
+        |    AS BIGINT) AS neardup_dropped
+        |FROM byt LEFT JOIN prs USING (media_type)""".stripMargin,
 
     // frame md5s, distinct per doc, boilerplate guard, shared-frame
     // counts, asymmetric containment vs the smaller set — all exact

@@ -72,7 +72,10 @@ object DumpPlans {
     "q_cdc_incremental_fast" -> "dedup-on-arrival on the xxhash64 production store: batch chunks fresh with the one-mix predicate, store probed via the batch-hash-pruned semi-join, order-free novelty anti-join",
     "q_audio_fingerprint" -> "perceptual audio fingerprint: row-local PCM16 window fan-out (no shuffle), per-DOC lead window over integer energies (the document is the sort unit), 60 energy-derivative sign bits packed by one bounded rollup",
     "q_stream_ingest_cdc" -> "the CDC ingest loop's audit read: batch-partitioned arrival audits (report-sized), each written from ONE persisted chunk table feeding both the novelty anti-join and the store fold",
-    "q_corpus_pipeline_v7" -> "the multimodal-dedup release: v6's chain + image perceptual dedup between the media filter and the budget — codes from the stored index (no decode at query time), pairs restricted to survivors on both sides, label propagation against checkpoint leaves")
+    "q_corpus_pipeline_v7" -> "the multimodal-dedup release: v6's chain + image perceptual dedup between the media filter and the budget — codes from the stored index (no decode at query time), pairs restricted to survivors on both sides, label propagation against checkpoint leaves",
+    "q_video_neardup" -> "video near-dup by frame-set containment: fixed 32-byte frames md5'd row-locally (payload bytes never reach an exchange), maxDf boilerplate-frame anti-join, shared-frame equi-join with per-pair counts, asymmetric containment vs the smaller frame set — the winnow/containment shuffle shape, never all-pairs",
+    "q_video_neardup_indexed" -> "the same containment off the STORED frame table: no document payload framed or hashed anywhere in the plan (pinned) — the corpus enters as (doc_id, fh) parquet rows; df/size statistics computed at query time from the stored rows, so the shared containment tail is bit-identical to the ad-hoc form",
+    "q_media_card" -> "the per-modality release card off the four stored artifacts: manifest hash-count rollup (modality-blind blob-store stance), three pair searches off stored codes/frames (image restricted to its modality at read), three label propagations against checkpoint leaves, one-row aggregates broadcast-assembled — no documents scan anywhere (pinned)")
 
   /** Plans not reachable through SparkEntry.queries (property-oracle
     * wrappers return literal rows; the interesting plan is the

@@ -473,6 +473,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mediaCard: stored-artifact card equals ad-hoc recomputation per modality; zero-pair modality reads honest zeros") {
+    import graft.operators.{Dedup, Multimodal}
+    import graft.queries.MediaQueries
+    val card = MediaQueries.queries("q_media_card")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(card.keySet === Set("image", "audio", "video"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // byte rollup recomputed ad-hoc from a fresh chunking pass
+    val chunks = Multimodal.cdcChunks(Multimodal.mediaTable(docs))
+    val cnt = chunks.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val bytes = chunks.join(cnt, Seq("h"))
+      .groupBy(col("media_type"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        sum(col("n_bytes")).as("tb"),
+        sum(when(col("c") > 1, col("n_bytes")).otherwise(lit(0L))).as("db"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (mt <- Seq("image", "audio", "video")) {
+      val (nd, tb, db) = bytes(mt)
+      assert(card(mt)._1 == nd, s"$mt n_docs")
+      assert(card(mt)._2 == tb, s"$mt total_bytes")
+      assert(card(mt)._3 == db * 1000000L / tb, s"$mt dup_bytes_ppm")
+    }
+    // pair structure recomputed ad-hoc per modality
+    def expectPairs(mt: String, pairs: org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val p = pairs.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ndocs = p.flatMap(x => Seq(x._1, x._2)).distinct.length.toLong
+      val nclusters = if (p.isEmpty) 0L
+        else Dedup.dedupClusters(
+            pairs.select(col("doc_a"), col("doc_b")))
+          .select(col("cluster")).distinct().count()
+      assert(card(mt)._4 == ndocs, s"$mt neardup_docs")
+      assert(card(mt)._5 == nclusters, s"$mt neardup_clusters")
+      assert(card(mt)._6 == ndocs - nclusters, s"$mt neardup_dropped")
+    }
+    expectPairs("image", Dedup.simhashPairs(
+      Multimodal.imageAHash(
+          Multimodal.pngTable(docs.where(col("doc_id") % 3 === 0))).toDF()
+        .select(col("doc_id"), col("phash").as("simhash")),
+      maxDist = 3, bits = 64))
+    expectPairs("video", Multimodal.videoNearDupPairs(
+      Multimodal.mediaTable(docs).where(col("media_type") === "video")))
+    // the audio zeros are a real negative: docs exist, pairs don't
+    assert(card("audio")._1 > 0 && card("audio")._4 == 0L &&
+      card("audio")._5 == 0L && card("audio")._6 == 0L,
+      "audio modality must report honest zeros over a non-empty doc set")
+  }
+
   test("stored code index: indexed pairs == ad-hoc; exact append replay-idempotent; ensure memo survives") {
     import graft.operators.Multimodal
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -527,6 +527,12 @@ class PlanPropertiesSpec extends SparkSpec {
       s"q_video_neardup_indexed must never touch the corpus at query time:\n$p")
   }
 
+  test("q_media_card: the whole card reads only the four stored artifacts — no document payload") {
+    val p = plan(SparkEntry.queries("q_media_card")(spark, sf))
+    assert(!p.contains("documents.parquet"),
+      s"q_media_card must compose stored indexes, never re-scan the corpus:\n$p")
+  }
+
   test("engine-wide invariant: no query plans an unbounded CartesianProduct") {
     // cross joins are legitimate only against generated/one-row axes
     // (dense time grids, corpus-size scalars) — those broadcast. A
