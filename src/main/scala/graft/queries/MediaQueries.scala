@@ -21,6 +21,47 @@ object MediaQueries {
   private val sqlMediaType =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
 
+  /** Build-once the three stored PERCEPTUAL artifacts over the base
+    * corpus — the all-doc image aHash code table (the v7-shared asset
+    * index; consumers restrict to the image modality at read), the
+    * full-width base audio fingerprint codes, and the base video
+    * frame table. Shared by the media card and the multimodal split
+    * so one corpus version pays each decode/fingerprint/framing pass
+    * exactly once across every consumer.
+    * Returns (imageCodePath, audioCodePath, framePath). */
+  private[queries] def ensurePerceptualArtifacts(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, String, String) = {
+    val src = s"$dir/documents.parquet"
+    val imgPath = graft.io.IndexPaths.indexPath("imgcode", src,
+      "ahash8x8base")
+    Multimodal.ensureCodeIndex(s,
+      Multimodal.imageAHash(Multimodal.pngTable(
+          s.read.parquet(src))).toDF()
+        .select(col("doc_id"), col("phash").as("code")), imgPath)
+    val audPath = graft.io.IndexPaths.indexPath("audcode", src,
+      "afp60base")
+    Multimodal.ensureCodeIndex(s, {
+      import s.implicits._
+      Multimodal.audioFingerprint(
+          Multimodal.mediaTable(s.read.parquet(src))
+            .where(col("media_type") === "audio")
+            .select(col("doc_id"), col("media_type"), col("content"))
+            .as[Multimodal.MediaRow])
+        .where(col("n_bits") === 60)
+        .select(col("doc_id"), col("fingerprint").as("code"))
+    }, audPath)
+    val frmPath = graft.io.IndexPaths.indexPath("vidframe", src,
+      "f32base")
+    Multimodal.ensureFrameIndex(s,
+      Multimodal.videoFrameFingerprints(
+        Multimodal.mediaTable(s.read.parquet(src))
+          .where(col("media_type") === "video")
+          .select(col("doc_id"), col("media_type"), col("content"))),
+      frmPath)
+    (imgPath, audPath, frmPath)
+  }
+
   val queries: Map[String, QFn] = Map(
     // Payload accounting per media type: count + total bytes.
     "q_media_bytes" -> { (s, dir) =>
@@ -194,31 +235,7 @@ object MediaQueries {
             Multimodal.mediaTable(docs.where(col("doc_id") % 3 === b)),
             chunkPath, b))
       }
-      val imgPath = graft.io.IndexPaths.indexPath("imgcode", src,
-        "ahash8x8base")
-      Multimodal.ensureCodeIndex(s,
-        Multimodal.imageAHash(Multimodal.pngTable(docs)).toDF()
-          .select(col("doc_id"), col("phash").as("code")), imgPath)
-      val audPath = graft.io.IndexPaths.indexPath("audcode", src,
-        "afp60base")
-      Multimodal.ensureCodeIndex(s, {
-        import s.implicits._
-        Multimodal.audioFingerprint(
-            Multimodal.mediaTable(docs)
-              .where(col("media_type") === "audio")
-              .select(col("doc_id"), col("media_type"), col("content"))
-              .as[Multimodal.MediaRow])
-          .where(col("n_bits") === 60)
-          .select(col("doc_id"), col("fingerprint").as("code"))
-      }, audPath)
-      val frmPath = graft.io.IndexPaths.indexPath("vidframe", src,
-        "f32base")
-      Multimodal.ensureFrameIndex(s,
-        Multimodal.videoFrameFingerprints(
-          Multimodal.mediaTable(docs)
-            .where(col("media_type") === "video")
-            .select(col("doc_id"), col("media_type"), col("content"))),
-        frmPath)
+      val (imgPath, audPath, frmPath) = ensurePerceptualArtifacts(s, dir)
       Multimodal.mediaCard(s, chunkPath, imgPath, audPath, frmPath)
     },
 

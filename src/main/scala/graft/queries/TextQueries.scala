@@ -575,6 +575,39 @@ object TextQueries {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     },
 
+    // MULTIMODAL leakage-safe split: the pair graph is the UNION of
+    // the text near-dup pairs and all three perceptual pair graphs
+    // off the stored media artifacts (the media card's graph) — a
+    // doc whose image re-encode lands in test while its text twin
+    // lands in train leaks either way, so co-assignment must close
+    // over EVERY duplication channel. The union genuinely merges:
+    // at sf0.01, 8 docs sit in BOTH the text and the image graph,
+    // so components exist that no single channel produces. Oracle:
+    // one recursive closure over the unioned edge list + the md5
+    // cut rule on the representative.
+    "q_split_multimodal" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tp = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        ngram = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val (imgPath, audPath, frmPath) =
+        MediaQueries.ensurePerceptualArtifacts(s, dir)
+      val ip = Dedup.simhashPairs(
+        s.read.parquet(imgPath).where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("code").as("simhash")),
+        maxDist = 3, bits = 64).select(col("doc_a"), col("doc_b"))
+      val ap = Dedup.simhashPairs(
+        s.read.parquet(audPath)
+          .select(col("doc_id"), col("code").as("simhash")),
+        maxDist = 3, bits = 60).select(col("doc_a"), col("doc_b"))
+      val vp = graft.operators.Multimodal
+        .videoNearDupPairsFromIndex(s, frmPath)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.leakageSafeSplit(docs,
+        tp.unionByName(ip).unionByName(ap).unionByName(vp), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+
     // Incremental dedup — the production ingest shape: docs with
     // doc_id % 5 == 4 are the "new batch", the rest the existing
     // corpus, whose signatures live in a MATERIALIZED band-bucket index
@@ -2926,6 +2959,91 @@ object TextQueries {
          |       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
          |edges AS (SELECT da AS s, db AS d FROM pr
          |          UNION SELECT db, da FROM pr),
+         |reach(s, d) AS (SELECT s, d FROM edges
+         |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+         |       FROM reach GROUP BY s),
+         |rep AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, rep,
+         |  CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccd'
+         |       THEN 'train'
+         |       WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e666'
+         |       THEN 'val' ELSE 'test' END AS split
+         |FROM rep""".stripMargin,
+
+    // the multimodal split: same closure + cut rule, edge list
+    // unioned across the text Jaccard pairs and the three perceptual
+    // pair formulas (base-only, modality-restricted — the media
+    // card's graph)
+    "q_split_multimodal" ->
+      s"""WITH RECURSIVE ${sqlGrams("")},
+         |tpr AS (SELECT da, db FROM inter
+         |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+         |im3 AS (SELECT doc_id, CAST(doc_id % 29 + 4 AS INTEGER) AS iw,
+         |    CAST(doc_id % 17 + 4 AS INTEGER) AS ih FROM documents
+         |  WHERE doc_id % 3 = 0),
+         |isx AS (SELECT doc_id, gi.i * 8 + gj.i AS p,
+         |    (doc_id * 31 + ((gi.i * iw) // 8) * 7
+         |     + ((gj.i * ih) // 8) * 13) % 256 AS px
+         |  FROM im3, UNNEST(range(0, 8)) AS gi(i), UNNEST(range(0, 8)) AS gj(i)),
+         |itot AS (SELECT doc_id, SUM(px) AS total FROM isx GROUP BY doc_id),
+         |iph AS (SELECT isx.doc_id,
+         |    CAST(SUM(CASE
+         |      WHEN isx.px * 64 > itot.total AND isx.p = 63
+         |        THEN -9223372036854775808
+         |      WHEN isx.px * 64 > itot.total
+         |        THEN (1::BIGINT << CAST(isx.p AS INTEGER))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM isx JOIN itot USING (doc_id) GROUP BY isx.doc_id),
+         |ipr AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM iph a JOIN iph b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |am AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+         |aw AS (SELECT doc_id, text,
+         |    unnest(range(0, (length(text) // 2 - 4) // 2 + 1)) AS win_idx
+         |  FROM am WHERE length(text) // 2 >= 4),
+         |asv AS (SELECT doc_id, win_idx,
+         |    list_transform(range(1, 5), i ->
+         |      (ord(text[CAST(2 * (win_idx * 2 + i) - 1 AS INTEGER)])
+         |       + 256 * ord(text[CAST(2 * (win_idx * 2 + i) AS INTEGER)]))
+         |      - CASE WHEN ord(text[CAST(2 * (win_idx * 2 + i) AS INTEGER)]) >= 128
+         |             THEN 65536 ELSE 0 END) AS vals
+         |  FROM aw),
+         |aen AS (SELECT doc_id, win_idx,
+         |    CAST(list_sum(list_transform(vals, v -> v * v)) AS BIGINT) AS energy
+         |  FROM asv),
+         |ade AS (SELECT doc_id, win_idx, energy,
+         |    lead(energy) OVER (PARTITION BY doc_id ORDER BY win_idx) AS nxt
+         |  FROM aen),
+         |afp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+         |    CAST(SUM(CASE WHEN nxt > energy
+         |      THEN (1::BIGINT << CAST(win_idx AS INTEGER)) ELSE 0 END)
+         |      AS BIGINT) AS fingerprint
+         |  FROM ade WHERE nxt IS NOT NULL AND win_idx < 60 GROUP BY doc_id),
+         |apr AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+         |  WHERE a.n_bits = 60 AND b.n_bits = 60
+         |    AND bit_count(xor(a.fingerprint, b.fingerprint)) <= 3),
+         |vv AS (SELECT doc_id, text AS s2 FROM documents WHERE doc_id % 3 = 2),
+         |vfr AS (SELECT DISTINCT doc_id,
+         |    md5(substr(s2, CAST(i * 32 + 1 AS INT), 32)) AS fh
+         |  FROM vv, UNNEST(range(0, (len(s2) + 31) // 32)) AS t(i)),
+         |vsz AS (SELECT doc_id, COUNT(*) AS nf FROM vfr GROUP BY doc_id),
+         |vhot AS (SELECT fh FROM vfr GROUP BY fh HAVING COUNT(*) > 50),
+         |vkept AS (SELECT * FROM vfr
+         |  WHERE fh NOT IN (SELECT fh FROM vhot)),
+         |vpr0 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ns
+         |  FROM vkept a JOIN vkept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |vpr AS (SELECT da, db FROM vpr0
+         |  JOIN vsz sa ON sa.doc_id = da JOIN vsz sb ON sb.doc_id = db
+         |  WHERE ns >= 2 AND (ns * 1000000) // LEAST(sa.nf, sb.nf) >= 500000),
+         |upr AS (SELECT da, db FROM tpr UNION SELECT da, db FROM ipr
+         |  UNION SELECT da, db FROM apr UNION SELECT da, db FROM vpr),
+         |edges AS (SELECT da AS s, db AS d FROM upr
+         |          UNION SELECT db, da FROM upr),
          |reach(s, d) AS (SELECT s, d FROM edges
          |                UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
          |cl AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster

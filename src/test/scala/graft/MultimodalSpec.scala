@@ -525,6 +525,49 @@ class MultimodalSpec extends SparkSpec {
       "audio modality must report honest zeros over a non-empty doc set")
   }
 
+  test("multimodal split: every union-channel pair co-assigned; cross-channel components genuinely merge") {
+    import graft.operators.{Dedup, Multimodal}
+    val out = graft.queries.TextQueries.queries("q_split_multimodal")(
+        spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val tp = pairsOf(Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      ngram = 3, numHashes = 64, bands = 16, threshold = 0.8))
+    val ip = pairsOf(Dedup.simhashPairs(
+      Multimodal.imageAHash(
+          Multimodal.pngTable(docs.where(col("doc_id") % 3 === 0))).toDF()
+        .select(col("doc_id"), col("phash").as("simhash")),
+      maxDist = 3, bits = 64))
+    val vp = pairsOf(Multimodal.videoNearDupPairs(
+      Multimodal.mediaTable(docs).where(col("media_type") === "video")))
+    // every pair from every channel lands whole in one split
+    (tp ++ ip ++ vp).foreach { case (a, b) =>
+      assert(out(a)._1 == out(b)._1 && out(a)._2 == out(b)._2,
+        s"pair ($a, $b) must share a representative and a split")
+    }
+    // the union closure merges channels: a doc in BOTH the text and
+    // the image graph pulls its text partner and its image partner
+    // into ONE component no single channel produces
+    val tdocs = tp.flatMap(p => Seq(p._1, p._2)).toSet
+    val idocs = ip.flatMap(p => Seq(p._1, p._2)).toSet
+    val bridges = tdocs & idocs
+    assert(bridges.nonEmpty, "fixture must have text∩image bridge docs")
+    val merged = bridges.exists { b =>
+      val tPartners = tp.collect {
+        case (a, c) if a == b => c; case (a, c) if c == b => a }
+      val iPartners = ip.collect {
+        case (a, c) if a == b => c; case (a, c) if c == b => a }
+      tPartners.exists(x => iPartners.exists(y =>
+        x != y && out(x)._1 == out(y)._1))
+    }
+    assert(merged, "some text partner and image partner of a bridge " +
+      "doc must share a component — the union-closure guarantee")
+  }
+
   test("stored code index: indexed pairs == ad-hoc; exact append replay-idempotent; ensure memo survives") {
     import graft.operators.Multimodal
     val docs = spark.read.parquet(s"$sf/documents.parquet")
