@@ -136,4 +136,33 @@ class Round6PropertiesSpec extends SparkSpec {
       row.phash == 0L && row.width == 12 && row.height == 9
     })
   }
+
+  test("property: frameContainmentPairs — ordered pairs, bounded containment, partition invariance, maxDf monotonicity") {
+    // tiny frame-hash alphabet so sharing actually happens; rows
+    // distinct, the videoFrameFingerprints contract
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 12L),
+      Gen.oneOf("fa", "fb", "fc", "fd", "fe", "ff"))
+    val tabGen = Gen.nonEmptyListOf(rowGen).map(_.distinct)
+    check(Prop.forAll(tabGen) { rows =>
+      val df = rows.toDF("doc_id", "fh")
+      def run(d: org.apache.spark.sql.DataFrame, maxDf: Int = 50) =
+        Multimodal.frameContainmentPairs(d, minShared = 1,
+            thresholdPpm = 300000L, maxDf = maxDf)
+          .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val got = run(df)
+      val sizes = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      val gotIds = got.map(g => (g._1, g._2)).toSet
+      got.forall { case (a, b, ns, ppm) =>
+        // ordered, shared count bounded by the smaller frame set,
+        // containment a valid ppm of it
+        a < b && ns >= 1 && ns <= math.min(sizes(a), sizes(b)) &&
+          ppm > 0 && ppm <= 1000000L &&
+          ppm == ns * 1000000L / math.min(sizes(a), sizes(b)) } &&
+        // physical layout cannot matter
+        run(df.repartition(5)) == got &&
+        // a stricter boilerplate guard only removes pairs (sizes come
+        // from the FULL table, so shared counts only shrink)
+        run(df, maxDf = 2).forall(p => gotIds.contains((p._1, p._2)))
+    })
+  }
 }
