@@ -90,4 +90,22 @@ object Caches {
 
   /** Number of currently-tracked intermediates (test hook). */
   def trackedCount: Int = tracked.size() + trackedRdds.size()
+
+  /** Small shared pool for INDEPENDENT query branches (guide §2.6:
+    * Spark's scheduler happily runs several jobs at once — actions are
+    * only sequential because driver code calls them sequentially).
+    * Bounded at 3: enough to back-fill the stage tails of a sibling
+    * branch, not enough to thrash the scheduler. Daemon threads so an
+    * exiting JVM never hangs on the pool. */
+  lazy val branchPool: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-branch-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
 }

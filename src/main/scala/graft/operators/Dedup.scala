@@ -345,7 +345,14 @@ object Dedup {
       ngram: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Long] = None): DataFrame = {
     val sets = Caches.persist(gramSetArrays(docs, idCol, textCol, ngram))
-    val cands = Caches.persist(
+    // cands is CHECKPOINTED, not persisted: a persist keeps the whole
+    // prefix-candidate lineage in the logical plan, and every AQE stage
+    // of the downstream scoring re-optimizes that tree (the formatted
+    // plan carried 137 Exchange nodes — driver re-planning was a
+    // visible slice of the query, guide §3.3/§7.3). The checkpoint cuts
+    // the tail's plan at a leaf; cands is candidate-pair-sized and
+    // fully consumed before the release boundary.
+    val cands = Caches.checkpoint(
       prefixCandidates(sets, threshold, maxDf).distinct())
     scoreContainment(cands,
       sets.select(col("doc_id"), col("__hs"), col("__sz").as("__sz2")),
@@ -473,9 +480,11 @@ object Dedup {
         >= threshold)
       .select(col("doc_a"), col("doc_b"))
     // prepass is tiny (∝ near-dups) but feeds pairGramSets THREE times
-    // (the id filter and both membership sides) — persist so the
-    // candidate pipeline above it runs once
-    val passed = Caches.persist(prepass)
+    // (the id filter and both membership sides) — checkpointed so the
+    // candidate pipeline above it runs once AND the string-verify tail
+    // plans against a leaf instead of re-optimizing the whole candidate
+    // tree per AQE stage (guide §3.3; it is fully consumed in-query)
+    val passed = Caches.checkpoint(prepass)
     pairGramSets(passed, docsAll, idCol, textCol, ngram)
       .withColumn("containment_a",
         col("__ni").cast("double") / size(col("__gs_a")).cast("double"))
@@ -656,7 +665,12 @@ object Dedup {
     // batch×batch candidates ride the SAME scoring pass (batch-local
     // prefix filter over the batch's own df)
     val vsSelf = prefixCandidates(bsets, threshold, maxDf)
-    val cands = Caches.persist(vsCorpus.unionByName(vsNew)
+    // checkpointed (not persisted) for the same reason as
+    // containmentPairs' cands: three candidate branches union here and
+    // the scoring tail re-planned all of them per AQE stage (593
+    // Exchange nodes in the formatted plan) — the leaf cut removes the
+    // re-planning; candidate-pair-sized, fully consumed in-query
+    val cands = Caches.checkpoint(vsCorpus.unionByName(vsNew)
       .select(least(col("n_id"), col("c_id")).as("doc_a"),
         greatest(col("n_id"), col("c_id")).as("doc_b"))
       .unionByName(vsSelf)
@@ -1267,9 +1281,13 @@ object Dedup {
     * actual dedup decision. Iterative min-label propagation (the Pregel
     * pattern): each round, every node takes the min label among itself
     * and its neighbors; converges in O(cluster diameter) rounds — near-
-    * dup clusters are tiny, so a handful. Each round is one join + one
-    * aggregation, all hash-partitioned on node id; the driver only sees
-    * the converged/changed COUNT per round, never the data.
+    * dup clusters are tiny, so a handful. Self-edges fold the "itself"
+    * into the neighbor aggregate, so a round is one join + one
+    * aggregation (plus the pointer-jump join), all hash-partitioned on
+    * node id; the first hop rides the init aggregation, and the driver
+    * only sees one DECIMAL label sum per round (monotone under
+    * min-propagation, so equal consecutive sums == converged), never
+    * the data.
     *
     * Returns (doc_id, cluster) for every doc appearing in `pairs`,
     * cluster = min doc_id of its component (so `cluster == doc_id`
@@ -1296,33 +1314,63 @@ object Dedup {
     // instead of leaving them to the ContextCleaner
     def truncated(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else Caches.checkpoint(df)
-    val edges = truncated(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = truncated(edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster")))
+    // Materialize the PAIR LIST exactly once: the symmetric union reads
+    // these blocks, not the upstream lineage — the pair generators are a
+    // full corpus pass (decode/tokenize/LSH), and the old direct
+    // `pairs union flip(pairs)` evaluated that plan TWICE (one per union
+    // branch) at the first truncation (guide §2.4: the cheapest shuffle
+    // is the one you don't repeat).
+    val p = truncated(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    // Symmetric edges PLUS self-edges (v, v): the self-edge makes every
+    // round a single join+aggregate — min over neighbors' labels already
+    // includes the node's own label, so the old `labels LEFT JOIN nbrMin
+    // + least(...)` repair join disappears. Duplicate self-edges from
+    // nodes on both pair sides are harmless under min. Cheap unions over
+    // the checkpointed blocks — not re-truncated (no lineage growth:
+    // `p` is the only leaf).
+    val edges = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(p.select(col("src"), col("src").as("dst")))
+      .unionByName(p.select(col("dst").as("src"), col("dst")))
+    // Init FOLDS IN the first hop: label(v) = min(v, neighbors(v)) in the
+    // same aggregation the old `distinct` init needed anyway — one round
+    // of propagation for free, and star-shaped clusters (the common
+    // near-dup shape) are already at their fixed point here.
+    var labels = truncated(edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("cluster")))
+    // Convergence via the MONOTONE LABEL SUM instead of a join against
+    // the previous round: every label change strictly DECREASES that
+    // node's label (min-propagation), so the total is unchanged iff no
+    // label moved. Decimal keeps the sum exact at any corpus size (1e12
+    // docs × 1e12 ids overflows a long); the aggregate runs over the
+    // just-checkpointed blocks — no second shuffle, no prev-labels join.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      // 1-hop neighbor minimum
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      val hopped = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-      // pointer jump: also adopt the label OF the labeled node —
-      // path-halving turns O(diameter) convergence into O(log diameter),
-      // which long dup chains need to finish within maxIters
+      // 1-hop neighbor minimum (self-edge ⇒ own label participates)
+      val hopped = edges
+        .join(labels.withColumnRenamed("doc_id", "__d"), col("dst") === col("__d"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("cluster"))
+        .withColumnRenamed("src", "doc_id")
+      // pointer jump: adopt the label OF the labeled node — path-halving
+      // turns O(diameter) convergence into O(log diameter), which long
+      // dup chains need to finish within maxIters. Labels are always ids
+      // of nodes present in `hopped` (a min over member ids), and
+      // label(x) <= x is a loop invariant, so the inner join total-maps
+      // and p_cl alone is the new label.
       val ptr = hopped.select(col("doc_id").as("p_id"), col("cluster").as("p_cl"))
       val next = truncated(
-        hopped.join(ptr, hopped("cluster") === ptr("p_id"), "left")
-          .select(hopped("doc_id"),
-            least(hopped("cluster"), coalesce(col("p_cl"), hopped("cluster")))
-              .as("cluster")))
-      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .where(col("cluster") =!= col("prev")).count()
+        hopped.join(ptr, hopped("cluster") === ptr("p_id"))
+          .select(hopped("doc_id"), col("p_cl").as("cluster")))
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iters += 1
     }
     if (requireConverged) require(converged,
@@ -1388,9 +1436,19 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
-    val sizes = withCl.groupBy(col("cluster"))
+    // Cluster sizes come from the PAIR-GRAPH-sized label table, not the
+    // corpus: every multi-member cluster's members all appear in
+    // `labels` (each is a pair endpoint), and docs absent from `labels`
+    // are singletons — cl_size 1 by definition. The old corpus-keyed
+    // groupBy + corpus⋈sizes join shuffled the whole doc-id column
+    // twice to recount what `labels` already knows; now both the label
+    // and the size join are against pair-graph-sized relations (AQE
+    // broadcasts them), so the corpus never shuffles here at all
+    // (guide §2.4 — and §8's rule: decide with small rows).
+    val sizes = labels.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cl_size"))
-    withCl.join(sizes, Seq("cluster"))
+    withCl.join(sizes, Seq("cluster"), "left")
+      .withColumn("cl_size", coalesce(col("cl_size"), lit(1L)))
       .withColumn("weight_q",
         least(lit(65536L), expr(s"${keepPerClusterQ}L DIV cl_size")))
       .withColumn("kept",

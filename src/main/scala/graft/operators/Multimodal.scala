@@ -249,27 +249,42 @@ object Multimodal {
     *    near-dup — still replayed in closed form by the SQL oracle
     *    (the edit is one CASE on the pixel formula).
     * Partition-batched codec work like every media op; returns only
-    * the variant rows (union with [[pngTable]] for the full corpus). */
+    * the variant rows (union with [[pngTable]] for the full corpus).
+    *
+    * r12 optimization: the variant payload is synthesized by ONE
+    * encode of the variant pixel grid instead of the old
+    * encode-base → decode → (edit) → re-encode chain. Grayscale PNG
+    * is lossless and `javax.imageio`'s PNG writer is deterministic in
+    * the raster, so `encode(pixels)` is byte-identical to
+    * `re-encode(decode(encode(pixels)))` — two of three codec passes
+    * per variant removed with the SAME payload bytes (and no consumer
+    * hashes variant bytes anyway: every downstream op reads pixels
+    * via [[imageAHash]], and the q_image_neardup oracle replays the
+    * pixel formula). */
   def pngVariantTable(docs: DataFrame, idCol: String = "doc_id",
       reencodeOffset: Long = 1000000000L, editOffset: Long = 2000000000L)
       : Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    val base = pngTable(docs.where(
-      col(idCol) % 7 === 0 || col(idCol) % 7 === 3), idCol)
-    base.mapPartitions { it =>
+    docs.where(col(idCol) % 7 === 0 || col(idCol) % 7 === 3)
+      .select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      it.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.content))
-        require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
-        val edited = m.doc_id % 7 == 3
-        if (edited) {
-          val r = img.getRaster
-          r.setSample(0, 0, 0, (r.getSample(0, 0, 0) + 128) % 256)
+      it.map { docId =>
+        val (w, h) = pngDims(docId)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+          y += 1
         }
+        val edited = docId % 7 == 3
+        if (edited)
+          raster.setSample(0, 0, 0, (raster.getSample(0, 0, 0) + 128) % 256)
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRow(m.doc_id + (if (edited) editOffset else reencodeOffset),
+        MediaRow(docId + (if (edited) editOffset else reencodeOffset),
           "image", bos.toByteArray)
       }
     }
@@ -787,17 +802,34 @@ object Multimodal {
         (col("neardup_docs") - col("neardup_clusters"))
           .as("neardup_dropped"))
     }
-    val prs = pairStats("image", Dedup.simhashPairs(
+    // The three modality branches are INDEPENDENT (separate stored
+    // artifacts, separate pair machinery, separate label rounds) and
+    // each one's clustering materializes eagerly — run them from a
+    // small thread pool so one branch's stage tails back-fill the
+    // executors another branch leaves idle (guide §2.6: overlap
+    // independent jobs; actions were only sequential because this
+    // code called them sequentially). Results are combined by name,
+    // so completion order cannot reorder the output.
+    val branches = Seq(
+      ("image", () => pairStats("image", Dedup.simhashPairs(
         spark.read.parquet(imageCodePath)
           .where(col("doc_id") % 3 === 0)
           .select(col("doc_id"), col("code").as("simhash")),
-        maxDist = maxDist, bits = 64))
-      .unionByName(pairStats("audio", Dedup.simhashPairs(
+        maxDist = maxDist, bits = 64))),
+      ("audio", () => pairStats("audio", Dedup.simhashPairs(
         spark.read.parquet(audioCodePath)
           .select(col("doc_id"), col("code").as("simhash")),
-        maxDist = maxDist, bits = audioBits)))
-      .unionByName(pairStats("video",
-        videoNearDupPairsFromIndex(spark, framePath)))
+        maxDist = maxDist, bits = audioBits))),
+      ("video", () => pairStats("video",
+        videoNearDupPairsFromIndex(spark, framePath))))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      graft.operators.Caches.branchPool
+    val done = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(branches.map { case (mt, mk) =>
+        scala.concurrent.Future((mt, mk()))
+      }), scala.concurrent.duration.Duration.Inf).toMap
+    val prs = done("image").unionByName(done("audio"))
+      .unionByName(done("video"))
     bytes.join(broadcast(prs), Seq("media_type"), "left")
       .select(col("media_type"), col("n_docs"), col("total_bytes"),
         col("dup_bytes_ppm"),
