@@ -1278,27 +1278,36 @@ object Dedup {
 
   /** Connected components over near-dup pairs — the "cluster duplicates,
     * keep one representative" step that turns pairwise matches into an
-    * actual dedup decision. Iterative min-label propagation (the Pregel
-    * pattern): each round, every node takes the min label among itself
-    * and its neighbors; converges in O(cluster diameter) rounds — near-
-    * dup clusters are tiny, so a handful. Self-edges fold the "itself"
-    * into the neighbor aggregate, so a round is one join + one
-    * aggregation (plus the pointer-jump join), all hash-partitioned on
-    * node id; the first hop rides the init aggregation, and the driver
-    * only sees one DECIMAL label sum per round (monotone under
-    * min-propagation, so equal consecutive sums == converged), never
-    * the data.
+    * actual dedup decision. Min-label propagation with GRAPH
+    * CONTRACTION: each round maps every current representative to the
+    * minimum of itself and its neighbor representatives (one
+    * aggregation, with a pointer-jump compression), composes that
+    * mapping into the per-node labels, and REWRITES the edge set
+    * between the new representatives (loops dropped, duplicates
+    * collapsed). Contraction at least halves the representative count
+    * per round — O(log n) rounds worst-case — and in practice collapses
+    * dense near-dup cliques to a point immediately, so the edge set
+    * shrinks geometrically: plain label propagation needed one round
+    * per graph hop (10 rounds × full-edge-set joins on a chain-of-
+    * cliques pair graph measured at sf0.1), contraction does the same
+    * graph in 3 rounds of which only the first touches the full edge
+    * set. Star-shaped pair graphs (the common near-dup shape) contract
+    * to nothing at init and never enter the loop. Convergence is
+    * "no cross-representative edges remain" — an isEmpty probe of the
+    * just-materialized contracted edges; the driver never sees data.
     *
     * Returns (doc_id, cluster) for every doc appearing in `pairs`,
     * cluster = min doc_id of its component (so `cluster == doc_id`
-    * marks the keeper).
+    * marks the keeper): the component minimum never maps away (it is
+    * the min of its own neighborhood at every level), every other
+    * representative strictly decreases, and an empty contracted edge
+    * set means each component holds exactly one representative.
     *
-    * Fails loudly if labels have not converged within `maxIters`
-    * (pointer jumping makes that O(log diameter), so 20 rounds covers
-    * components of diameter ~2^20) — partially-propagated labels would
-    * silently keep/drop the WRONG documents downstream. Set
-    * `requireConverged = false` only if a best-effort clustering is
-    * acceptable. */
+    * Fails loudly if the graph has not fully contracted within
+    * `maxIters` rounds (halving makes that ≥ 2^20 representatives) —
+    * partially-propagated labels would silently keep/drop the WRONG
+    * documents downstream. Set `requireConverged = false` only if a
+    * best-effort clustering is acceptable. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
       requireConverged: Boolean = true,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -1311,70 +1320,111 @@ object Dedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // Caches.checkpoint tracks the local-checkpoint blocks so the
     // harness's between-queries release() frees every round's labels
-    // instead of leaving them to the ContextCleaner
+    // instead of leaving them to the ContextCleaner. Origin stats are
+    // STRIPPED off every truncation leaf: checkpoint leaves inherit the
+    // originating plan's size ESTIMATE (SPARK-39748), and in an
+    // iterative loop that estimate compounds geometrically round over
+    // round until Catalyst's stats visitor grinds on million-digit
+    // BigInts (see shim.stripOriginStats).
     def truncated(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else Caches.checkpoint(df)
-    // Materialize the PAIR LIST exactly once: the symmetric union reads
-    // these blocks, not the upstream lineage — the pair generators are a
-    // full corpus pass (decode/tokenize/LSH), and the old direct
-    // `pairs union flip(pairs)` evaluated that plan TWICE (one per union
-    // branch) at the first truncation (guide §2.4: the cheapest shuffle
-    // is the one you don't repeat).
+      org.apache.spark.sql.graft.shim.stripOriginStats(
+        if (checkpointDir.isDefined) df.checkpoint() else Caches.checkpoint(df))
+    // Materialize the PAIR LIST exactly once: everything downstream
+    // reads these blocks, not the upstream lineage — the pair
+    // generators are a full corpus pass (decode/tokenize/LSH), and the
+    // old direct `pairs union flip(pairs)` evaluated that plan TWICE
+    // (one per union branch) at the first truncation (guide §2.4: the
+    // cheapest shuffle is the one you don't repeat).
     val p = truncated(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    // Symmetric edges PLUS self-edges (v, v): the self-edge makes every
-    // round a single join+aggregate — min over neighbors' labels already
-    // includes the node's own label, so the old `labels LEFT JOIN nbrMin
-    // + least(...)` repair join disappears. Duplicate self-edges from
-    // nodes on both pair sides are harmless under min. Cheap unions over
-    // the checkpointed blocks — not re-truncated (no lineage growth:
-    // `p` is the only leaf).
-    val edges = p
-      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .unionByName(p.select(col("src"), col("src").as("dst")))
-      .unionByName(p.select(col("dst").as("src"), col("dst")))
-    // Init FOLDS IN the first hop: label(v) = min(v, neighbors(v)) in the
-    // same aggregation the old `distinct` init needed anyway — one round
-    // of propagation for free, and star-shaped clusters (the common
-    // near-dup shape) are already at their fixed point here.
-    var labels = truncated(edges.groupBy(col("src").as("doc_id"))
-      .agg(min(col("dst")).as("cluster")))
-    // Convergence via the MONOTONE LABEL SUM instead of a join against
-    // the previous round: every label change strictly DECREASES that
-    // node's label (min-propagation), so the total is unchanged iff no
-    // label moved. Decimal keeps the sum exact at any corpus size (1e12
-    // docs × 1e12 ids overflows a long); the aggregate runs over the
-    // just-checkpointed blocks — no second shuffle, no prev-labels join.
+    // min(self ∪ neighbors) in ONE aggregation: symmetric edges plus
+    // self-edges (v, v) — duplicate self-edges are harmless under min
+    def minMap(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(e.select(col("src"), col("src").as("dst")))
+        .unionByName(e.select(col("dst").as("src"), col("dst")))
+        .groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("cluster"))
+    // pointer jump: adopt the label OF the labeled node. Label values
+    // are always ids of present nodes (mins over member ids) and
+    // label(x) <= x is an invariant, so the inner join total-maps.
+    // The mapping subtree feeds both join sides; its aggregation
+    // exchange is identical on both, so AQE reuses it (ReusedExchange).
+    def jump(df: DataFrame): DataFrame = {
+      val r = df.select(col("doc_id").as("__j_id"), col("cluster").as("__j_cl"))
+      df.join(r, df("cluster") === r("__j_id"))
+        .select(df("doc_id"), col("__j_cl").as("cluster"))
+    }
+    // edges between the CURRENT representatives of `e` under mapping
+    // `m`: both endpoints rewritten, loops dropped, duplicates
+    // collapsed — the contracted graph the next round runs on
+    def contracted(e: DataFrame, m: DataFrame): DataFrame = {
+      val ms = m.select(col("doc_id").as("__ms"), col("cluster").as("__cs"))
+      val md = m.select(col("doc_id").as("__md"), col("cluster").as("__cd"))
+      e.join(ms, col("src") === col("__ms"))
+        .join(md, col("dst") === col("__md"))
+        .where(col("__cs") =!= col("__cd"))
+        .select(least(col("__cs"), col("__cd")).as("src"),
+          greatest(col("__cs"), col("__cd")).as("dst"))
+        .distinct()
+    }
+    // Init FOLDS IN the first hop (+ jump): label(v) = jumped
+    // min(v, neighbors(v)) — the old separate `distinct` init round is
+    // gone, and for star graphs this is already the fixed point.
+    var labels = truncated(jump(minMap(p)))
+    var e = truncated(contracted(p, labels))
+    // total label sum — monotone under min-propagation (labels only
+    // ever decrease), so equal consecutive sums == the mapping stopped
+    // moving. DECIMAL keeps it exact at any corpus size (1e12 docs ×
+    // 1e12 ids overflows a long).
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
     }
-    var prevSum = labelSum(labels)
+    // Compress a materialized mapping to its CLOSURE by repeated
+    // squaring: m∘m doubles the compressed chain depth, so log2
+    // (diameter) squarings flatten any chain (a path graph is the
+    // worst case for plain contraction — the min-map there is almost
+    // injective, so loop-dropping removes only O(1) nodes per round;
+    // squared to closure, the whole path collapses onto its minimum in
+    // ONE outer round). Each squaring is a self-join of the tiny
+    // mapping table. Closure is a SPEED knob only — correctness rides
+    // solely on the outer `e.isEmpty` gate (labels and edges are
+    // mapped through the same m, so an empty contracted edge set means
+    // labels are constant per component and pinned at the minimum).
+    def closed(m0: DataFrame): DataFrame = {
+      var m = m0
+      var prev = labelSum(m)
+      var stable = false
+      var j = 0
+      while (!stable && j < maxIters) {
+        // two squarings per materialization (m^4): the truncation and
+        // the sum probe dominate an iteration, so quartic compression
+        // halves the job count of the closure loop
+        val n = truncated(jump(jump(m)))
+        val s = labelSum(n)
+        m = n
+        stable = s.compareTo(prev) == 0
+        prev = s
+        j += 1
+      }
+      m
+    }
     var iters = 0
-    var converged = false
-    while (!converged && iters < maxIters) {
-      // 1-hop neighbor minimum (self-edge ⇒ own label participates)
-      val hopped = edges
-        .join(labels.withColumnRenamed("doc_id", "__d"), col("dst") === col("__d"))
-        .groupBy(col("src")).agg(min(col("cluster")).as("cluster"))
-        .withColumnRenamed("src", "doc_id")
-      // pointer jump: adopt the label OF the labeled node — path-halving
-      // turns O(diameter) convergence into O(log diameter), which long
-      // dup chains need to finish within maxIters. Labels are always ids
-      // of nodes present in `hopped` (a min over member ids), and
-      // label(x) <= x is a loop invariant, so the inner join total-maps
-      // and p_cl alone is the new label.
-      val ptr = hopped.select(col("doc_id").as("p_id"), col("cluster").as("p_cl"))
-      val next = truncated(
-        hopped.join(ptr, hopped("cluster") === ptr("p_id"))
-          .select(hopped("doc_id"), col("p_cl").as("cluster")))
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+    while (!e.isEmpty && iters < maxIters) {
+      val m = closed(truncated(jump(minMap(e))))
+      // compose the round's representative mapping into the per-node
+      // labels: reps untouched by `m` (components already contracted)
+      // keep their label — m is contracted-graph-sized, so AQE
+      // broadcasts it against the node table
+      labels = truncated(
+        labels.join(m.select(col("doc_id").as("__r"), col("cluster").as("__rc")),
+            labels("cluster") === col("__r"), "left")
+          .select(labels("doc_id"),
+            coalesce(col("__rc"), labels("cluster")).as("cluster")))
+      e = truncated(contracted(e, m))
       iters += 1
     }
-    if (requireConverged) require(converged,
-      s"dedupClusters: label propagation not converged after $maxIters rounds — " +
+    if (requireConverged) require(e.isEmpty,
+      s"dedupClusters: graph not fully contracted after $maxIters rounds — " +
         "labels would be inconsistent (cluster != component min); raise maxIters")
     labels
   }

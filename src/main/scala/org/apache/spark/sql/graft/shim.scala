@@ -38,6 +38,37 @@ object shim {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
 
+  /** Rebuild a checkpoint-leaf DataFrame WITHOUT the origin statistics
+    * Spark ≥3.4 captures into `LogicalRDD` (SPARK-39748): an ITERATIVE
+    * algorithm that checkpoints every round inherits round k's
+    * size-in-bytes ESTIMATE as round k+1's leaf size, and since join
+    * estimates are products of their children, the estimate compounds
+    * geometrically — by round ~5 of a contraction loop the BigInt
+    * sizeInBytes holds millions of digits and Catalyst's stats visitor
+    * spends MINUTES in BigInteger.multiply (observed as a "hang" in
+    * stats estimation, 100% driver CPU in Toom-Cook multiplication).
+    * Stripping the origin stats resets the leaf to the default unknown
+    * size; AQE still sees the REAL materialized sizes at runtime, so
+    * broadcast decisions are unaffected. */
+  def stripOriginStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    // NOT a `transform`: LogicalRDD's case-class equality covers only
+    // its FIRST parameter list (originStats sits in the second), so a
+    // rebuilt node compares equal and transformDown keeps the original.
+    // A checkpointed Dataset's analyzed plan IS the leaf — match it
+    // directly and rebuild.
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(spark, new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+          l.isStreaming, l.stream)(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None))
+      case _ => df
+    }
+  }
+
   /** Create-or-lookup the driver's StateStoreCoordinator RPC endpoint.
     * Streaming queries register it on start; BATCH execution of
     * stateful operators (transformWithState) looks it up but never
