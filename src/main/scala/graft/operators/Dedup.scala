@@ -256,12 +256,14 @@ object Dedup {
     // aggregated groupBy(doc_id), one 64-long buffer per doc per map
     // partition.
     val sigs = minhashSignaturesHashed(gramHashes(docs, idCol, textCol, ngram), numHashes)
-    // candidate pairs are tiny (LSH-pruned); persisted because they are
-    // consumed twice (id filter + membership join). NOT distinct'd:
-    // a pair colliding in several bands reaches the rescore several
-    // times, and the rescore's own per-pair aggregation dedups for free
-    // — one exchange saved.
-    val cands = Caches.persist(
+    // candidate pairs are tiny (LSH-pruned); checkpointed because they
+    // are consumed twice (id filter + membership join) AND so the
+    // rescore tail plans against a LEAF instead of re-optimizing the
+    // whole signature/bucket tree per AQE stage (guide §3.3; fully
+    // consumed in-query). NOT distinct'd: a pair colliding in several
+    // bands reaches the rescore several times, and the rescore's own
+    // per-pair aggregation dedups for free — one exchange saved.
+    val cands = Caches.checkpoint(
       cappedBucketPairs(lshBandBuckets(sigs, bands, numHashes / bands),
           Seq("band", "bucket"), "doc_id", maxBucket)
         .toDF("doc_a", "doc_b"))
@@ -344,6 +346,11 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Long] = None): DataFrame = {
+    // sets stays PERSISTED (not checkpointed): the columnar cache
+    // column-prunes — consumers that read only (doc_id, __sz) or
+    // (doc_id, __hs) skip the heavy __gs string arrays, while a
+    // row-based checkpoint block would deserialize full rows per
+    // consumer (measured 1.7× slower on q_containment when tried)
     val sets = Caches.persist(gramSetArrays(docs, idCol, textCol, ngram))
     // cands is CHECKPOINTED, not persisted: a persist keeps the whole
     // prefix-candidate lineage in the logical plan, and every AQE stage
@@ -1583,9 +1590,12 @@ object Dedup {
     require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, <= 64")
     val w = bits / 4
     val mask = (1L << w) - 1L
-    // both sides of the self-join read `hashes`; persist so the 64-sum
-    // signature aggregation upstream runs once.
-    val cached = Caches.persist(hashes)
+    // three consumers read `hashes` (chunk explode + both rescore
+    // sides); checkpointed so the signature pass (a full corpus
+    // tokenize/decode upstream) runs once AND the pair machinery plans
+    // against a leaf instead of re-optimizing the signature tree per
+    // AQE stage (fully consumed in-query).
+    val cached = Caches.checkpoint(hashes)
     val chunked = cached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * w).bitwiseAND(lit(mask))): _*)))
